@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational query suite over the harness tables.
+  *
+  * The reference pipeline (`/root/reference/index.js`) is single-table —
+  * SURVEY.md §2.4 — so these queries exercise the engine surface the
+  * reference's users would expect from a general engine (joins,
+  * aggregation, windows, sorts, set ops) expressed Spark-first:
+  *
+  *   - dimension tables are explicitly `broadcast()` so the big fact scan
+  *     never shuffles for a join it doesn't need;
+  *   - filters are applied on the base table *before* joins so Catalyst
+  *     pushes them into the parquet scan (PushedFilters);
+  *   - every query ends with a deterministic total ORDER BY so results are
+  *     hash-comparable against the DuckDB oracle;
+  *   - double-typed aggregates are `round`-ed so floating-point summation
+  *     order (which legitimately differs between engines and between
+  *     partitionings) cannot flip the last bits of the result.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1 style pricing summary: scan-heavy single-table aggregation.
+    * At 100 TB this is a pure map-side-partial-agg + 1 shuffle on a
+    * low-cardinality key (6 groups): the ideal Spark plan, no tuning needed.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= ts("2000-12-31 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6 style selective filter + global agg: tests that all three
+    * predicates reach the parquet scan (PushedFilters) and nothing else is
+    * read (ReadSchema should be 4 columns).
+    */
+  def q2SelectiveFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q3 style shipping priority: filtered dim broadcast into two fact
+    * joins, then top-10 by revenue. customer is tiny → broadcast; orders ⋈
+    * lineitem shuffles on orderkey (co-partitioned, single shuffle each).
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = ts("1998-06-30 00:00:00")
+    val c = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 style: EXISTS → left-semi join, then count by priority.
+    * The distinct-orderkey side is aggregated before the join so the semi
+    * join input is minimal; at scale this is shuffle(orderkey) + semi.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .where(col("l_quantity") > 47).select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 style: snowflake join region→nation→{customer,supplier} with
+    * the two fact tables. All dims broadcast; the only shuffles are the
+    * fact-fact join on orderkey and the final 25-group agg.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k by sort: TakeOrderedAndProject — no full sort at scale, each
+    * partition keeps k rows and the driver merges.
+    */
+  def q6TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  /** Window functions: top-3 orders per customer by value. One shuffle on
+    * o_custkey, in-partition sort; row_number is fully tie-broken so the
+    * result is deterministic.
+    */
+  def q7WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_spend"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Distinct aggregation: COUNT(DISTINCT) per group — expands to a
+    * two-phase agg in Spark; partial distinct happens map-side.
+    */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Set operations: INTERSECT / EXCEPT over nation keys present among
+    * customers vs suppliers; tagged and unioned into one result.
+    */
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(s).withColumn("op", lit("intersect"))
+      .unionByName(c.except(s).withColumn("op", lit("except")))
+      .select(col("op"), col("nationkey"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  /** ROLLUP aggregation with explicit NULLS FIRST ordering (Spark's default
+    * asc ordering is nulls-first; DuckDB's is nulls-last, so the oracle SQL
+    * pins NULLS FIRST too).
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Anti join: customers with no high-value order. The filter on the right
+    * side is pushed into the orders scan before the anti join, so only the
+    * qualifying keys shuffle; at scale this is shuffle(custkey) + anti.
+    */
+  def q11AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_totalprice") > 450000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Broadcast fact⋈dim join + agg by brand: `part` is a classic broadcast
+    * dimension — zero shuffle for the join, one for the 25-group agg.
+    */
+  def q12PartAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** Semi-structured JSON extraction from the events.props column.
+    * regexp_extract keeps it inside whole-stage codegen (and is portable to
+    * the DuckDB oracle, unlike engine-specific JSON path dialects).
+    */
+  def q13EventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int").as("k"))
+      .select(col("event_type"),
+        (floor(col("k") / 10.0) * 10).cast("int").as("k_bucket"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
+  /** Tumbling time-window aggregation over the event stream table (batch
+    * analog of the Structured Streaming pipeline in graft.streaming).
+    */
+  def q14EventsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** As-of join: for each purchase event, the most recent order (by
+    * o_orderdate, tie-broken by largest o_orderkey) of the same
+    * customer/user at or before the event timestamp.
+    *
+    * Spark has no ASOF JOIN operator; the scalable pattern is a tagged
+    * UNION + single window pass: both sides shuffle ONCE on the key, sort
+    * by time in-partition, and `last(..., ignoreNulls)` carries the latest
+    * order forward. This is O(n log n) per key and never builds the
+    * O(events × orders) range-join intermediate, so it survives 100 TB.
+    */
+  def q15AsofJoin(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin.eventsToOrders(spark, dir)
+
+  /** Range-predicate join: lineitems shipped within 7 days of their order
+    * date. Equi-key (orderkey) carries the join; the range predicate is a
+    * post-join filter, so this stays a plain shuffled hash join.
+    */
+  def q16RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate", "l_extendedprice")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Correlated-subquery pattern (parts above their type's average price),
+    * decorrelated by hand into a window aggregate: one shuffle on p_type,
+    * no self-join.
+    */
+  def q17AboveTypeAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"),
+        round(avg(col("p_retailprice")).over(w), 2).as("type_avg"))
+      .where(col("p_retailprice") > col("type_avg"))
+      .orderBy(col("p_partkey"))
+  }
+}
