@@ -1,24 +1,55 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * emits ONE bare JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Harness notes (round-1 postmortem):
+  *   - a warm-up pass runs first so the first timed query does not absorb
+  *     JVM/codegen/first-parquet-read startup;
+  *   - query failures are NOT swallowed into a fast wall time — a failed
+  *     query records `-1` in `queries`, lands in an `"errors"` object, and
+  *     the process exits nonzero;
+  *   - the JSON line is printed to stdout (build.sbt pins
+  *     `run / outputStrategy := StdoutOutput` so sbt does not prefix it
+  *     with `[info]`) and also written to SPARK_GRAFT_BENCH_OUT if set.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.create("graft-bench")
+
+    // Warm-up: touch the big fact scan + a shuffle + codegen once, untimed.
+    try graft.operators.Relational.q1PricingSummary(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    var errors = Map.empty[String, String]
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
+
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

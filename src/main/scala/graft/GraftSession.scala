@@ -2,30 +2,38 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Session factory for the graft engine.
+/** Session factory for the graft engine — the ONE place session config is
+  * pinned (Verify, Bench, and the test suites all build through here, so
+  * timezone/AQE/parquet-legacy settings cannot drift between the
+  * correctness and bench paths).
   *
-  * One place to pin the configuration that matters at scale:
+  * Config that matters at scale:
   *   - `spark.sql.shuffle.partitions` sized to the executor-core count
   *     (32 locally; on a real cluster this would be ~2-3x total cores or
   *     left to AQE coalescing).
   *   - AQE on (Spark 4 default) so skewed joins and over-partitioned
   *     shuffles re-plan at runtime.
   *   - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  *   - `nanosAsLong` set here, once, at creation: the events table ships
+  *     TIMESTAMP(NANOS) parquet which the vectorized reader otherwise
+  *     rejects. Setting it at build time (not inside a loader) keeps parquet
+  *     read behavior order-independent across the session.
   */
 object GraftSession {
   def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-  def create(appName: String = "graft"): SparkSession = {
+  def create(appName: String = "graft", cores: Int = cpus): SparkSession = {
     val spark = SparkSession
       .builder()
       .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -72,7 +72,10 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+    // customer is unbounded at scale: no forced broadcast hint — AQE
+    // broadcasts the filtered key set while it fits and falls back to a
+    // shuffle join when it doesn't.
+    l.join(o.join(c, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -97,8 +100,12 @@ object Relational {
   }
 
   /** TPC-H Q5 style: snowflake join region→nation→{customer,supplier} with
-    * the two fact tables. All dims broadcast; the only shuffles are the
-    * fact-fact join on orderkey and the final 25-group agg.
+    * the two fact tables. Bounded dims (region/nation/supplier) carry
+    * explicit broadcast hints; customer is UNBOUNDED at scale so it gets no
+    * hint — AQE broadcasts it while it fits and degrades to a shuffle join
+    * (rather than an OOM'd forced broadcast) when it doesn't. The only
+    * guaranteed shuffles are the fact-fact join on orderkey and the final
+    * 25-group agg.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).where(col("r_name") === "ASIA")
@@ -116,7 +123,7 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(s),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))

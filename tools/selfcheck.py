@@ -39,7 +39,7 @@ def norm(v):
 def frame(rel):
     cols = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
     names = [rel.columns[i] for i in cols]
-    rows = [tuple(norm(r[i]) for i in cols) for r in rel.fetchall()]
+    rows = sorted(tuple(norm(r[i]) for i in cols) for r in rel.fetchall())
     return names, rows
 
 
