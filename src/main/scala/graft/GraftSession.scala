@@ -34,6 +34,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JS object assignment is last-wins; the OOH pay/industry map
+      // builders (graft.exprs.OohExtractors) inherit that semantic.
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
 
 import graft.operators._
+import graft.pipeline.OohPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +37,37 @@ object SparkEntry {
     "q15_asof_join" -> Relational.q15AsofJoin _,
     "q16_range_join" -> Relational.q16RangeJoin _,
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
+    "ooh_occupations" -> ((s: SparkSession, _: String) => oohOccupationsFlat(s)),
+    "ooh_report" -> ((s: SparkSession, _: String) => oohReportFlat(s)),
   )
+
+  /** The OOH wide projection over the checked-in fixture, map/array columns
+    * serialized with to_json so the DuckDB oracle (which cannot read XML)
+    * hash-checks the full extraction against golden VALUES literals.
+    */
+  private def oohOccupationsFlat(spark: SparkSession): DataFrame =
+    OohPipeline.occupations(OohPipeline.read(spark, OohPipeline.fixturePath))
+      .select(
+        col("title"),
+        col("workSchedules").as("work_schedules"),
+        to_json(col("importantQualities")).as("iq_json"),
+        col("medianPayAnnual").as("median_pay_annual"),
+        col("numberOfJobs").as("n_jobs"),
+        col("whatTheyDo").as("what_they_do"),
+        to_json(col("pay")).as("pay_json"),
+        to_json(col("similarOccupations")).as("similar_json"),
+        to_json(col("topIndustries")).as("industries_json"))
+      .orderBy(col("title"))
+
+  /** The reference's filtered report (index.js:177-183) over the fixture. */
+  private def oohReportFlat(spark: SparkSession): DataFrame =
+    OohPipeline.run(spark, OohPipeline.fixturePath)
+      .select(
+        col("title"),
+        col("medianPayAnnual").as("median_pay_annual"),
+        col("employmentOutlookCode").as("outlook_code"),
+        to_json(col("importantQualities")).as("iq_json"))
+      .orderBy(col("title"))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -209,5 +241,34 @@ object SparkEntry {
         |  FROM part) t
         |WHERE p_retailprice > type_avg
         |ORDER BY p_partkey""".stripMargin,
+
+    // Golden-VALUES oracles: DuckDB cannot read the XML fixture, so the
+    // expected extraction output is inlined literally (hand-derived from
+    // /root/reference/index.js semantics over FIXTURES.md §A).
+    "ooh_occupations" ->
+      """SELECT title, work_schedules, iq_json,
+        |  CAST(median_pay_annual AS DOUBLE) AS median_pay_annual,
+        |  n_jobs, what_they_do, pay_json, similar_json, industries_json
+        |FROM (VALUES
+        |  ('Archivists', 'Weekdays.', '{"Organizational skills plus care":"They keep originals safe."}', 57120.0, '7,100', 'Catalog history.', '{"archivists":27.46}', '["Curators"]', '{"Museums":"33","Government":"28"}'),
+        |  ('Boundary Testers', 'Odd hours.', '{"abcdefghijklmnopqrstuvwxyz":"Twenty-six chars exactly.","abcdefghijklmnopqrstuvwxyzX":"Twenty-seven chars."}', 70000.0, '5,000', 'Probe edges.', '{"boundary testers":33.65}', '["Edge Finders"]', '{"QA":"90"}'),
+        |  ('Data Engineers', 'Most work full time.', '{"Analytical skills":"They reason about data.","Very long quality name over 26 chars":"Sentence body."}', 104000.0, '168,000', 'One paragraph.', '{"data engineers":50.0,"junior data engineers":35.5}', '["Database Administrators"]', '{"Tech":"45","Finance":"20"}'),
+        |  ('Military Careers', 'Deployments vary.', '{"Discipline":"They follow orders."}', NULL, NULL, NULL, NULL, NULL, NULL),
+        |  ('Mystery Workers', NULL, NULL, 50000.0, '1,000', 'Unknown.', '{}', '["Nobody"]', '{"Misc":"100"}'),
+        |  ('Statisticians', 'Full time, some overtime.', '{"Math skills":"They use statistics daily."}', 98920.0, '34,200', 'First part.Second part.', '{"statisticians":47.56}', '["Mathematicians","Actuaries"]', '{"Government":"40","Research":"25","Finance":"10"}'),
+        |  ('Surveyors', 'Outdoor hours.', '{"Precision":"They measure twice."}', 63800.0, '48,100', 'Measure.', '{"surveyors":30.67}', '["Cartographers"]', '{"Engineering":"71","Government":null}'),
+        |  ('Web Developers', 'Many are self-employed.', '{"Creativity":"They design things people enjoy."}', 80730.0, '190,200', 'Create sites.', '{"web developers":38.81,"digital designers":29.13}', '["Graphic Designers"]', '{"Design services":"17","Self-employed":"16"}')
+        |) AS t(title, work_schedules, iq_json, median_pay_annual, n_jobs, what_they_do, pay_json, similar_json, industries_json)
+        |ORDER BY title""".stripMargin,
+
+    "ooh_report" ->
+      """SELECT title, CAST(median_pay_annual AS DOUBLE) AS median_pay_annual,
+        |  outlook_code, iq_json
+        |FROM (VALUES
+        |  ('Archivists', 57120.0, '6', '{"Organizational skills plus care":"They keep originals safe."}'),
+        |  ('Boundary Testers', 70000.0, '5', '{"abcdefghijklmnopqrstuvwxyz":"Twenty-six chars exactly.","abcdefghijklmnopqrstuvwxyzX":"Twenty-seven chars."}'),
+        |  ('Data Engineers', 104000.0, '7', '{"Analytical skills":"They reason about data.","Very long quality name over 26 chars":"Sentence body."}')
+        |) AS t(title, median_pay_annual, outlook_code, iq_json)
+        |ORDER BY title""".stripMargin,
   )
 }

@@ -1,0 +1,31 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Engine sinks (SURVEY §2.1 S5/S6). The reference's only sink is
+  * console.log (index.js:177-183); the engine's production sinks are
+  * columnar files. All writes are partition-parallel; callers choose
+  * partitioning via the DataFrame they pass in.
+  */
+object Sinks {
+
+  /** S6: columnar file sink. `partitionBy` keys become directory partitions
+    * so downstream readers get partition pruning for free.
+    */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S6 variant: line-delimited JSON (the reference's package.json:4
+    * "generate java data" intent — a machine-readable record dump).
+    */
+  def json(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** S5: console report sink (reference index.js:177-183). Collects at most
+    * `limit` rows to the driver — a debugging sink, never the scale path.
+    */
+  def show(df: DataFrame, limit: Int = 20): Unit = df.show(limit, truncate = false)
+}

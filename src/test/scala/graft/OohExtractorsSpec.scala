@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.exprs.OohExtractors._
+
+/** Golden tests per extractor (SURVEY §2.2), expectations hand-derived from
+  * the reference semantics at /root/reference/index.js:19-133 — multi-match
+  * concat, `%` strip, even/odd pairing, /2080 round-2, first-`". "` split,
+  * null-on-missing-header.
+  */
+class OohExtractorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(input).toDF("s").select(c.as("r")).head().get(0)
+
+  // P2/P3 — xpath list + concat (index.js:7-38)
+  test("cdataConcat concatenates every match in document order, no separator") {
+    assert(one(cdataConcat(col("s"), "//p/text()"), "<p>First part.</p><p>Second part.</p>")
+      == "First part.Second part.")
+  }
+
+  test("cdataConcat on zero matches yields empty string (reference innerText='')") {
+    assert(one(cdataConcat(col("s"), "//p/text()"), "<div>nothing</div>") == "")
+  }
+
+  test("htmlAsXml makes multi-rooted fragments with &nbsp; parseable") {
+    assert(one(cdataConcat(col("s"), "//p/text()"), "<p>a&nbsp;b</p><p>c</p>") == "a bc")
+  }
+
+  test("cardinalityWarning fires only when match count != 1 (index.js:33-35)") {
+    assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p><p>b</p>") == "w")
+    assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p>") == null)
+  }
+
+  // P8 — work schedules regex, capture group 3 (index.js:108-113,143)
+  test("workSchedules extracts the paragraph after the header") {
+    val in = "<h3>Work Schedules</h3>\n  <p>Most work full time.</p>\n<table></table>"
+    assert(one(workSchedules(col("s")), in) == "Most work full time.")
+  }
+
+  test("workSchedules accepts <strong> wrapping and lowercase 'schedules'") {
+    assert(one(workSchedules(col("s")),
+      "<h3><strong>Work Schedules</strong></h3> <p>Weekdays.</p>") == "Weekdays.")
+    assert(one(workSchedules(col("s")),
+      "<h3>Work schedules</h3> <p>Many are self-employed.</p>") == "Many are self-employed.")
+  }
+
+  test("workSchedules is null when the header is absent (match && match[3])") {
+    assert(one(workSchedules(col("s")), "<p>No schedule header here.</p>") == null)
+  }
+
+  // P9 — important qualities (index.js:115-133,144)
+  test("importantQualities splits each <p> at the FIRST '. ' and truncates at next <h3>") {
+    val in = "<h3>Important Qualities</h3>\n<p>Analytical skills. They reason about data.</p>\n" +
+      "<p>Very long quality name over 26 chars. Sentence body.</p>\n<h3>Next Section</h3><p>ignored</p>"
+    assert(one(importantQualities(col("s")), in) == Map(
+      "Analytical skills" -> "They reason about data.",
+      "Very long quality name over 26 chars" -> "Sentence body."))
+  }
+
+  test("importantQualities handles &nbsp; in the header (index.js:144 alternate)") {
+    val in = "<h3>Important Qualities&nbsp;</h3> <p>Organizational skills plus care. They keep originals safe.</p>"
+    assert(one(importantQualities(col("s")), in)
+      == Map("Organizational skills plus care" -> "They keep originals safe."))
+  }
+
+  test("importantQualities is null when the header is absent (index.js:132)") {
+    assert(one(importantQualities(col("s")), "<p>No qualities header here.</p>") == null)
+  }
+
+  test("importantQualities without '. ' keeps JS slice(0,-1)/slice(1) semantics") {
+    // indexOf returns -1: key = text minus last char, value = text minus first char
+    val in = "<h3>Important Qualities</h3> <p>NoDotSpaceHere</p>"
+    assert(one(importantQualities(col("s")), in) == Map("NoDotSpaceHer" -> "oDotSpaceHere"))
+  }
+
+  // P5 — pay parser (index.js:57-85)
+  test("pay builds annual (/2080 round 2) and hourly entries; non-matching <p> skipped") {
+    val in = "<p>Wages vary by region.</p>" +
+      "<p>The median annual wage for web developers was $80,730 in May 2023.</p>" +
+      "<p>The median hourly wage for digital designers was $29.13 in May 2023.</p>"
+    // 80730/2080 = 38.81249... -> toFixed(2) = 38.81
+    assert(one(pay(col("s")), in) == Map("web developers" -> 38.81, "digital designers" -> 29.13))
+  }
+
+  test("pay annual branch wins when both patterns could match the same <p>") {
+    val in = "<p>The median annual wage for x was $41,600. The median hourly wage for x was $99.99.</p>"
+    assert(one(pay(col("s")), in) == Map("x" -> 20.0)) // 41600/2080 = 20.0, annual first
+  }
+
+  test("payText concatenates all paragraph texts including non-matching ones") {
+    val in = "<p>Wages vary.</p><p>The median annual wage for a was $20,800 x.</p>"
+    assert(one(payText(col("s")), in) == "Wages vary.The median annual wage for a was $20,800 x.")
+  }
+
+  // P6 — similar occupations (index.js:87-93)
+  test("similarOccupations trims //td//h4 texts in document order") {
+    val in = "<table><tr><td><h4> Database Administrators </h4></td><td><h4>Actuaries</h4></td></tr></table>"
+    assert(one(similarOccupations(col("s")), in) == Seq("Database Administrators", "Actuaries"))
+  }
+
+  // P7 — top industries (index.js:95-106)
+  test("topIndustries pairs even/odd td texts and strips %") {
+    val in = "<table><tr><td>Tech</td><td>45%</td><td>Finance</td><td>20%</td></tr></table>"
+    assert(one(topIndustries(col("s")), in) == Map("Tech" -> "45", "Finance" -> "20"))
+  }
+
+  test("topIndustries odd trailing cell maps to null value (engine divergence)") {
+    val in = "<table><tr><td>Engineering</td><td>71%</td><td>Government</td></tr></table>"
+    assert(one(topIndustries(col("s")), in) == Map("Engineering" -> "71", "Government" -> null))
+  }
+
+  // P10 — numeric coercion (index.js:151-152; SURVEY §1.4.2 divergence)
+  test("toDoubleOrNull casts numerics and nulls non-numerics") {
+    assert(one(toDoubleOrNull(col("s")), "104000") == 104000.0)
+    assert(one(toDoubleOrNull(col("s")), "50.25") == 50.25)
+    assert(one(toDoubleOrNull(col("s")), "168,000") == null) // JS would be NaN
+    assert(one(toDoubleOrNull(col("s")), "") == null)        // JS would be 0 — documented
+  }
+}
