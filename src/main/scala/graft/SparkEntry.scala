@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, to_json}
 
 import graft.operators._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 import graft.pipeline.OohPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +40,18 @@ object SparkEntry {
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
     "ooh_occupations" -> ((s: SparkSession, _: String) => oohOccupationsFlat(s)),
     "ooh_report" -> ((s: SparkSession, _: String) => oohReportFlat(s)),
+    "d1_exact_dedup" -> Dedup.exactDedup _,
+    "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
+    "d4_simhash_sig" -> Dedup.simhashSignatures _,
+    "d5_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "s2_ann_lsh" -> Similarity.annLsh _,
+    "t1_lang_stats" -> TextAnalysis.langStats _,
+    "t2_lang_id" -> TextAnalysis.langId _,
+    "t3_quality_scores" -> ((s: SparkSession, d: String) => TextAnalysis.qualityScores(s, d)),
+    "t4_fingerprints" -> TextAnalysis.fingerprints _,
+    "t5_token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -270,5 +283,151 @@ object SparkEntry {
         |  ('Data Engineers', 104000.0, '7', '{"Analytical skills":"They reason about data.","Very long quality name over 26 chars":"Sentence body."}')
         |) AS t(title, median_pay_annual, outlook_code, iq_json)
         |ORDER BY title""".stripMargin,
+
+    // LLM-data-pipeline ops. The MinHash/SimHash/LSH constructions hash
+    // with md5 hex STRINGS (lexicographic mins, parity bits) specifically
+    // so DuckDB reproduces them bit-for-bit; float work is DOUBLE in
+    // identical fold order on both engines.
+    "d1_exact_dedup" ->
+      """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |  min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle FROM toks),
+        |dfq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh FROM toks),
+        |shn AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+        |mh AS (SELECT doc_id, sh,
+        |         [list_sort([md5(CAST(i AS VARCHAR) || ':' || s) for s in sh])[1] for i in range(0, 12)] AS sig
+        |       FROM shn),
+        |bands AS (SELECT doc_id, sh, b, md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3]) AS bh
+        |          FROM mh, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) AS jaccard
+        |FROM cand
+        |WHERE round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "d4_simhash_sig" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks)
+        |SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([
+        |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
+        |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 32)], '') AS simhash
+        |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "d5_simhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
+        |bits AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([
+        |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
+        |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 32)], '') AS simhash
+        |  FROM hs),
+        |bands AS (SELECT doc_id, simhash, b, simhash[b*8+1 : b*8+8] AS bv
+        |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT d1, d2,
+        |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 33)]) AS INT) AS hamming
+        |        FROM cand)
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |        list_sum([q.e[i] * c.e[i] for i in range(1, len(q.e)+1)]) / (q.nrm * c.nrm) AS cosine
+        |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, vec_id, cosine,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM p)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(cosine, 6) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "s2_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |bk AS (SELECT vec_id, e, nrm,
+        |  array_to_string([CASE WHEN list_sum([
+        |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
+        |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, 8)], '') AS bucket
+        |  FROM n),
+        |p2 AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket, b2.vec_id AS neighbor,
+        |         list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm) AS cosine
+        |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+        |r AS (SELECT vec_id, bucket, neighbor, cosine,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor) AS rnk FROM p2)
+        |SELECT vec_id, bucket, neighbor, round(cosine, 6) AS cosine
+        |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+
+    "t1_lang_stats" ->
+      """WITH toks AS (SELECT lang, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(len(t)) AS total_tokens,
+        |  round(avg(len(t)), 4) AS avg_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(t)), 6) AS avg_stop_ratio
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t2_lang_id" ->
+      """WITH toks AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(t, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('der','die','und','nicht'))) AS s_de,
+        |  len(list_filter(t, x -> x IN ('el','la','los','que'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('le','les','des','est'))) AS s_fr
+        |  FROM toks)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS predicted,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "t3_quality_scores" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |f AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS ntok,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dr,
+        |        CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS sr
+        |      FROM toks)
+        |SELECT doc_id, CAST(ntok AS INT) AS ntok, round(dr, 6) AS distinct_ratio,
+        |  round(CAST(0.4 AS DOUBLE) * least(ntok / 128, CAST(1.0 AS DOUBLE))
+        |      + CAST(0.4 AS DOUBLE) * dr
+        |      + CAST(0.2 AS DOUBLE) * least(sr * 4, CAST(1.0 AS DOUBLE)), 6) AS score
+        |FROM f ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "t4_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh FROM toks)
+        |SELECT d.doc_id,
+        |  array_to_string(list_sort([md5(s) for s in shl.sh])[1:5], '') AS bottomk,
+        |  md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))) AS content_md5
+        |FROM documents d JOIN shl ON d.doc_id = shl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "t5_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: per-language
+  * aggregate stats, n-gram-heuristic language ID, quality scoring, token
+  * frequency, and bottom-k document fingerprints.
+  *
+  * All are single-shuffle (or shuffle-free projection + small agg) plans:
+  * the per-document feature extraction is a pure expression layer that
+  * scans once, so at 100 TB each is a map-side pass plus one low-
+  * cardinality aggregation.
+  */
+object TextAnalysis {
+  import Text._
+
+  /** Per-language corpus stats. One partial-agg shuffle on 5 keys. */
+  def langStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), size(t).as("ntok"),
+        stopwordRatio(col("text")).as("stop_ratio"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        round(avg(col("ntok")), 4).as("avg_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  /** Heuristic lexicons for language ID (stopword hit counts). The data's
+    * synthetic vocabulary is English-ish, so the interesting part is the
+    * deterministic argmax chain, not the linguistics.
+    */
+  private val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "est"))
+
+  /** Language-ID: argmax of lexicon hit counts (ties resolved by lexicon
+    * order; zero hits → "und"). Output: confusion counts vs the labeled
+    * lang column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = lexicons.map { case (l, ws) =>
+      l -> size(filter(t, w => w.isin(ws: _*)))
+    }.toMap
+    val g = greatest(lexicons.map(l => scores(l._1)): _*)
+    val best = when(g === 0, lit("und"))
+      .when(scores("en") === g, lit("en"))
+      .when(scores("de") === g, lit("de"))
+      .when(scores("es") === g, lit("es"))
+      .otherwise(lit("fr"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), best.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Per-document quality score (length, lexical diversity, stopword
+    * presence — the usual cheap pre-filters for training data), top 25.
+    */
+  def qualityScores(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    val t = tokens(col("text"))
+    val ntok = size(t).cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") / ntok
+    val score =
+      lit(0.4) * least(ntok / 128, lit(1.0)) +
+      lit(0.4) * distinctRatio +
+      lit(0.2) * least(stopwordRatio(col("text")) * 4, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("ntok"),
+        round(distinctRatio, 6).as("distinct_ratio"),
+        round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** Global token frequency, top 20 (explode + count: one shuffle with
+    * map-side partial aggregation; top-k via TakeOrdered, no full sort).
+    */
+  def tokenFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+
+  /** Bottom-k sketch fingerprint: the 5 lexicographically smallest
+    * md5(shingle) values concatenated, plus the exact content hash.
+    * Shuffle-free (pure projection); at scale the fingerprint column
+    * feeds grouping or indexing downstream.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(slice(array_sort(transform(shingles(col("text")), s => md5(s))), 1, 5), "")
+          .as("bottomk"),
+        md5(normalized(col("text")).cast("binary")).as("content_md5"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, Text, TextAnalysis}
+
+/** Unit + invariant specs for the LLM-data-pipeline operators (the
+  * cross-engine hash-match itself is covered by the CORRECTNESS gate;
+  * these pin intra-engine semantics and structural invariants).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties, keeps duplicates") {
+    val r = Seq("a  b a ").toDF("text")
+      .select(Text.tokens(col("text"))).head().getSeq[String](0)
+    assert(r == Seq("a", "b", "a"))
+  }
+
+  test("shingles: distinct 3-grams in order; short docs give empty, not null") {
+    val r = Seq("a b c d c d").toDF("text") // "c d c" window appears once
+      .select(Text.shingles(col("text"))).head().getSeq[String](0)
+    assert(r == Seq("a b c", "b c d", "c d c", "d c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Text.shingles(col("text"))).head().getSeq[String](0)
+    assert(short == Seq.empty)
+  }
+
+  test("normalized collapses whitespace and case") {
+    val r = Seq("  The\tQUICK   fox ").toDF("text")
+      .select(Text.normalized(col("text"))).head().getString(0)
+    assert(r == "the quick fox")
+  }
+
+  test("exact dedup partitions the corpus: sum of n_copies == corpus size") {
+    val d = Dedup.exactDedup(spark, sf0001)
+    assert(d.agg(sum("n_copies")).head().getLong(0) == 500L)
+  }
+
+  test("ngram jaccard pairs: ordered, above threshold") {
+    val p = Dedup.ngramJaccardPairs(spark, sf0001).collect()
+    assert(p.nonEmpty)
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash-LSH pairs are a subset of exact ngram-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash signatures are 32-bit strings for every doc") {
+    val s = Dedup.simhashSignatures(spark, sf0001).collect()
+    assert(s.length == 500)
+    assert(s.forall(_.getString(1).matches("[01]{32}")))
+  }
+
+  test("simhash pairs respect the hamming bound and band guarantee") {
+    val p = Dedup.simhashPairs(spark, sf0001).collect()
+    assert(p.forall(r => r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("cosine top-k: k rows per query, cosine in [-1,1], ranks contiguous") {
+    val t = Similarity.cosineTopK(spark, sf0001).collect()
+    assert(t.length == 30) // 10 queries x top-3
+    assert(t.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val byQ = t.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.map(_.getInt(1)).sorted.sameElements(Seq(1, 2, 3))))
+  }
+
+  test("ann-lsh: buckets are 8-bit strings; best neighbor only") {
+    val a = Similarity.annLsh(spark, sf0001).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getString(1).matches("[01]{8}")))
+    assert(a.map(_.getLong(0)).distinct.length == a.length) // one row per vector
+  }
+
+  test("lang stats covers the five labeled languages") {
+    val l = TextAnalysis.langStats(spark, sf0001).collect()
+    assert(l.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))
+    assert(l.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("token freq is sorted by count desc then token") {
+    val f = TextAnalysis.tokenFreq(spark, sf0001).collect()
+    assert(f.length == 20)
+    val ns = f.map(_.getLong(1)).toSeq
+    assert(ns == ns.sortBy(-_))
+  }
+
+  test("fingerprints: bottomk is 5 concatenated md5 hashes") {
+    val fp = TextAnalysis.fingerprints(spark, sf0001).head()
+    assert(fp.getString(1).matches("[0-9a-f]{160}"))
+    assert(fp.getString(2).matches("[0-9a-f]{32}"))
+  }
+}
