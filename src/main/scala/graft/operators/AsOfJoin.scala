@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.sources.Tables
 
@@ -15,25 +16,24 @@ import graft.sources.Tables
   * partition, and carry the right side's payload forward with
   * `last(..., ignoreNulls = true)` over an unbounded-preceding window.
   *
+  * The payload travels as ONE struct column, so the carried value is always
+  * a consistent snapshot of a single right row — a NULL in one payload
+  * field of the latest right row stays NULL instead of back-filling from an
+  * older row (which per-column `last` would silently do).
+  *
   * At 100 TB this is one shuffle of each input and a streaming in-partition
   * sort — the same cost as a sort-merge join — with per-key skew handled by
-  * AQE. No state is held beyond the window frame's single carried row per
-  * column.
+  * AQE. No state is held beyond the window frame's single carried struct.
   */
 object AsOfJoin {
 
   /** Generic as-of: for each left row, attach the payload of the latest
-    * right row with the same key and rightTime <= leftTime.
+    * right row with the same key and rightTime <= leftTime. Right rows tie
+    * on time are resolved by the greatest `tiebreak` value.
     *
-    * @param left      left (probe) side
-    * @param right     right (reference) side
-    * @param leftKey   join key column name on the left
-    * @param rightKey  join key column name on the right
-    * @param leftTime  event-time column on the left
-    * @param rightTime event-time column on the right
-    * @param payload   right-side columns to carry; tie-broken by the last
-    *                  payload column ascending (rows with equal time sort by
-    *                  it, and `last` takes the greatest).
+    * Left columns must not collide with payload names or the internal
+    * `_k/_t/_side/_p` tags — rejected up front rather than silently
+    * overwritten.
     */
   def asof(
       left: DataFrame,
@@ -44,32 +44,35 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String],
       tiebreak: String): DataFrame = {
-    val leftCols = left.columns
-    val l = left
-      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-    val lPadded = payload.foldLeft(l)((df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
-    val r0 = right
-      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
-      .select((Seq("_k", "_t", "_side") ++ payload).map(col): _*)
-    val rPadded = leftCols.foldLeft(r0)((df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("_k", "_t", "_side", "_p")
+    val collisions = leftCols.toSet.intersect(payload.toSet) ++
+      leftCols.toSet.intersect(reserved.toSet)
+    require(collisions.isEmpty,
+      s"asof: left columns collide with payload/internal names: ${collisions.mkString(", ")}")
+    require(payload.contains(tiebreak), "asof: tiebreak must be a payload column")
 
-    val unioned = lPadded.select((Seq("_k", "_t", "_side") ++ payload ++ leftCols).map(col): _*)
-      .unionByName(rPadded.select((Seq("_k", "_t", "_side") ++ payload ++ leftCols).map(col): _*))
+    val payloadType = StructType(payload.map(p => right.schema(p)))
+    val l = left.select(
+      col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+        lit(null).cast(payloadType).as("_p") +: leftCols.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
+        struct(payload.map(col): _*).as("_p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     // Right rows (side=0) sort before left rows (side=1) at equal time, so
-    // an order landing exactly at the event timestamp IS visible to it.
+    // an order landing exactly at the event timestamp IS visible to it;
+    // equal-time right rows resolve to the max tiebreak (last in frame).
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col(tiebreak).asc_nulls_first)
+      .orderBy(col("_t"), col("_side"), col("_p").getField(tiebreak).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
+    val carried = l.unionByName(r)
+      .withColumn("_carried", last(col("_p"), ignoreNulls = true).over(w))
 
     carried.where(col("_side") === 1)
-      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_carried").getField(p).as(s"asof_$p")): _*)
   }
 
   /** Harness instance: purchase events joined as-of to the customer's most

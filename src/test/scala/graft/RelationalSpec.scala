@@ -1,0 +1,39 @@
+package graft
+
+/** Row-count regression pins for every relational query at sf0.001.
+  * Expected values derived from the DuckDB oracle over the same parquet
+  * (full value/hash equality at sf0.01 is the driver's CORRECTNESS gate;
+  * this is the fast in-repo regression net).
+  */
+class RelationalSpec extends SparkSpec {
+
+  private val expected = Map(
+    "q1_pricing_summary" -> 6L,
+    "q2_selective_filter" -> 1L,
+    "q3_shipping_priority" -> 10L,
+    "q4_order_priority" -> 5L,
+    "q5_local_supplier" -> 1L,
+    "q6_topk_orders" -> 15L,
+    "q7_window_rank" -> 449L,
+    "q8_distinct_agg" -> 3L,
+    "q9_setops" -> 25L,
+    "q10_rollup" -> 10L,
+    "q11_anti_join" -> 57L,
+    "q12_part_agg" -> 25L,
+    "q13_events_json" -> 50L,
+    "q14_events_daily" -> 150L,
+    "q15_asof_join" -> 202L,
+    "q16_range_join" -> 5L,
+    "q17_above_type_avg" -> 102L)
+
+  for ((name, n) <- expected.toSeq.sortBy(_._1)) {
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("every declared query has either an oracle or is rows-only by intent") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+}
