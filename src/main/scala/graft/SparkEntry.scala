@@ -38,6 +38,7 @@ object SparkEntry {
     "q15_asof_join" -> Relational.q15AsofJoin _,
     "q16_range_join" -> Relational.q16RangeJoin _,
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
+    "q18_streaming_daily" -> graft.streaming.EventsStream.runDailyAvailableNow _,
     "ooh_occupations" -> ((s: SparkSession, _: String) => oohOccupationsFlat(s)),
     "ooh_report" -> ((s: SparkSession, _: String) => oohReportFlat(s)),
     "d1_exact_dedup" -> Dedup.exactDedup _,
@@ -254,6 +255,15 @@ object SparkEntry {
         |  FROM part) t
         |WHERE p_retailprice > type_avg
         |ORDER BY p_partkey""".stripMargin,
+
+    // Streaming path must equal the batch daily aggregation — same oracle
+    // as q14 (the driver thereby checks batch/stream parity end-to-end).
+    "q18_streaming_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
 
     // Golden-VALUES oracles: DuckDB cannot read the XML fixture, so the
     // expected extraction output is inlined literally (hand-derived from

@@ -231,8 +231,10 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("k_bucket"))
 
-  /** Tumbling time-window aggregation over the event stream table (batch
-    * analog of the Structured Streaming pipeline in graft.streaming).
+  /** Tumbling time-window aggregation over the event stream table — batch
+    * twin of [[graft.streaming.EventsStream.runDailyAvailableNow]], which
+    * runs the same daily aggregation as a Structured Streaming query
+    * (q18 checks both paths against one oracle).
     */
   def q14EventsDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** Structured Streaming analog of the events pipeline: the same tumbling
+  * daily aggregation as `Relational.q14EventsDaily`, run as a stream.
+  *
+  * The aggregation is defined ONCE ([[dailyAgg]]) and used by both the
+  * batch and streaming paths — batch/stream parity is a property of the
+  * shared plan, not of two implementations kept in sync by hand.
+  *
+  * Scale notes: the file source is splittable and incremental (new files
+  * per trigger); the aggregation state is one row per (day, event_type) —
+  * bounded and tiny. In production the trigger would be continuous with a
+  * watermark on `ts` for append-mode output to a columnar sink; here
+  * `Trigger.AvailableNow` drains the table once so the result is directly
+  * comparable to the batch query (complete-mode memory sink).
+  */
+object EventsStream {
+
+  /** Tumbling one-day window aggregation, UTC. Identical semantics to
+    * date_trunc('day', ts) grouping in the batch q14.
+    */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** The raw events parquet as a stream (nanos ts normalized exactly like
+    * the batch loader in [[Tables.events]]).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file stream source wants a directory: stream the sf dir with a
+    // glob restricted to the events table.
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private val runId = new AtomicInteger(0)
+
+  /** One-shot streaming run: drain the events table with AvailableNow into
+    * a complete-mode memory sink and return the result, ordered like q14.
+    */
+  def runDailyAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_daily_${runId.incrementAndGet()}"
+    val q = dailyAgg(readEventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("day"), col("event_type"))
+  }
+}

@@ -1,0 +1,23 @@
+package graft
+
+import graft.operators.Relational
+import graft.streaming.EventsStream
+
+/** Batch/stream parity: the Structured Streaming daily aggregation must
+  * produce exactly the batch q14 result on the same input.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  test("availableNow streaming daily agg equals batch q14 at sf0.001") {
+    val stream = EventsStream.runDailyAvailableNow(spark, sf0001).collect()
+    val batch = Relational.q14EventsDaily(spark, sf0001).collect()
+    assert(stream.length == batch.length)
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("streaming source schema matches the batch loader (ts normalized)") {
+    val s = EventsStream.readEventsStream(spark, sf0001).schema
+    val b = graft.sources.Tables.events(spark, sf0001).schema
+    assert(s == b)
+  }
+}
