@@ -39,6 +39,9 @@ object SparkEntry {
     "q16_range_join" -> Relational.q16RangeJoin _,
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
     "q18_streaming_daily" -> graft.streaming.EventsStream.runDailyAvailableNow _,
+    "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
+    "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
+    "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
     "ooh_occupations" -> ((s: SparkSession, _: String) => oohOccupationsFlat(s)),
     "ooh_report" -> ((s: SparkSession, _: String) => oohReportFlat(s)),
     "d1_exact_dedup" -> Dedup.exactDedup _,
@@ -83,7 +86,15 @@ object SparkEntry {
         to_json(col("importantQualities")).as("iq_json"))
       .orderBy(col("title"))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // q19/q20 run the IDENTICAL SQL text on both engines (spark.sql is the
+    // engine's second query surface), so their oracles are q1/q12's text.
+    val m = baseOracleSql
+    m + ("q19_sql_pricing" -> m("q1_pricing_summary")) +
+      ("q20_sql_brand_agg" -> m("q12_part_agg"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -265,6 +276,24 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
 
+    // Multimodal: byte-bucket histogram features over the documents-derived
+    // media table (ASCII text ⇒ byte == char code, so DuckDB replicates the
+    // extraction character-wise).
+    "m1_media_features" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |    [ascii(text[i]) // 32 for i in range(1, length(text)+1)] AS bk
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(n AS INT) AS n_bytes,
+        |  round(CAST(len(list_filter(bk, b -> b = 0)) AS DOUBLE) / n, 6) AS f0,
+        |  round(CAST(len(list_filter(bk, b -> b = 1)) AS DOUBLE) / n, 6) AS f1,
+        |  round(CAST(len(list_filter(bk, b -> b = 2)) AS DOUBLE) / n, 6) AS f2,
+        |  round(CAST(len(list_filter(bk, b -> b = 3)) AS DOUBLE) / n, 6) AS f3,
+        |  round(CAST(len(list_filter(bk, b -> b = 4)) AS DOUBLE) / n, 6) AS f4,
+        |  round(CAST(len(list_filter(bk, b -> b = 5)) AS DOUBLE) / n, 6) AS f5,
+        |  round(CAST(len(list_filter(bk, b -> b = 6)) AS DOUBLE) / n, 6) AS f6,
+        |  round(CAST(len(list_filter(bk, b -> b = 7)) AS DOUBLE) / n, 6) AS f7
+        |FROM ch ORDER BY media_id""".stripMargin,
+
     // Golden-VALUES oracles: DuckDB cannot read the XML fixture, so the
     // expected extraction output is inlined literally (hand-derived from
     // /root/reference/index.js semantics over FIXTURES.md §A).
@@ -317,22 +346,36 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
 
-    "d3_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+    "d3_minhash_lsh" -> ({
+      // The 12 universal-hash minhashes are generated from the SAME
+      // constants the Spark operator uses (graft.ops.Dedup.minhashA/B) —
+      // one definition, two engines.
+      val p = graft.ops.Dedup.minhashP
+      val sigEntries = (0 until graft.ops.Dedup.numHashes).map { i =>
+        val a = graft.ops.Dedup.minhashA(i); val b = graft.ops.Dedup.minhashB(i)
+        s"list_sort([($a * hh + $b) % $p for hh in hs])[1]"
+      }.mkString(",\n        |           ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         |shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh FROM toks),
         |shn AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
-        |mh AS (SELECT doc_id, sh,
-        |         [list_sort([md5(CAST(i AS VARCHAR) || ':' || s) for s in sh])[1] for i in range(0, 12)] AS sig
+        |hb AS (SELECT doc_id, sh,
+        |         [CAST(list_sum([(strpos('0123456789abcdef', md5(s)[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % $p for s in sh] AS hs
         |       FROM shn),
-        |bands AS (SELECT doc_id, sh, b, md5(sig[3*b+1] || sig[3*b+2] || sig[3*b+3]) AS bh
-        |          FROM mh, (SELECT unnest(range(0, 4)) AS b)),
+        |mh AS (SELECT doc_id, sh,
+        |         [$sigEntries] AS sig
+        |       FROM hb),
+        |bands AS (SELECT doc_id, sh, b,
+        |            CAST(sig[3*b+1] AS VARCHAR) || ':' || CAST(sig[3*b+2] AS VARCHAR) || ':' || CAST(sig[3*b+3] AS VARCHAR) AS bh
+        |          FROM mh, (SELECT unnest(range(0, 4)) AS b)),""".stripMargin
+    } +
+      """
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
         |SELECT d1, d2,
         |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) AS jaccard
         |FROM cand
         |WHERE round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
+        |ORDER BY d1, d2""".stripMargin),
 
     "d4_simhash_sig" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

@@ -43,11 +43,13 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
 
   /** Max shingle document frequency: shingles appearing in more docs are
-    * dropped from candidate generation (a stopword-shingle guard; at scale
-    * this caps the worst-case join fan-out per shingle). Non-binding at
-    * harness scale; the oracle applies the identical cap.
+    * dropped from candidate generation (a stopword-shingle guard: the pair
+    * fan-out of one shingle is O(df²), so the cap bounds worst-case join
+    * output at corpus-independent cost; near-dup pairs share many RARE
+    * shingles, so recall is unaffected). The oracle applies the identical
+    * cap.
     */
-  val maxShingleDf = 1000
+  val maxShingleDf = 100
 
   /** Near-dup pairs by exact n-gram Jaccard >= threshold, candidates from
     * the shingle inverted index. Two shuffles (shingle join, pair group);
@@ -82,41 +84,71 @@ object Dedup {
   val numBands = 4
   val rowsPerBand = 3
 
-  /** MinHash signatures: hash_i(shingle) = md5("i:" ++ shingle), min taken
-    * LEXICOGRAPHICALLY over the hex strings — identical in any engine with
-    * a standard md5, which is what makes the oracle reproducible. Docs with
-    * no shingles have no signature (cannot near-dup match).
+  /** Universal-hash family for MinHash: hash_i(s) = (a_i·h(s) + b_i) mod p
+    * over base hash h(s) = first 32 md5 bits — ONE md5 per shingle, the 12
+    * permutations are pure integer arithmetic (12× cheaper than hashing
+    * every shingle 12 times, and exactly reproducible in any engine:
+    * a·(h mod p) + b < 2^62 never overflows a 64-bit long).
+    */
+  val minhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val minhashA: Seq[Long] = Seq(973717083L, 388916825L, 1122824377L,
+    1156439251L, 1550959721L, 1241362649L, 2005430819L, 1558641197L,
+    689046827L, 1927793921L, 1123562147L, 1653359563L)
+  val minhashB: Seq[Long] = Seq(1852938293L, 1706799503L, 1472706723L,
+    1205230523L, 982616981L, 1121324977L, 1398263921L, 2044101221L,
+    1870037483L, 1035371213L, 1497247889L, 656987819L)
+
+  /** MinHash signatures (docs with no shingles have none — they cannot
+    * near-dup match). The repartition between base-hash and signature
+    * projection is a materialization barrier: `hs` is referenced by all 12
+    * mins, and without the exchange CollapseProject would inline (and
+    * recompute) the md5 array once per reference.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("sh"), s =>
-          md5(concat(i.cast("string"), lit(":"), s))))))
+      .withColumn("hs", transform(col("sh"), s =>
+        conv(substring(md5(s), 1, 8), 16, 10).cast("long") % minhashP))
+      .repartition(col("doc_id"))
+      .withColumn("sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("hs"),
+          h => (lit(minhashA(i)) * h + lit(minhashB(i))) % minhashP))): _*))
+      .drop("hs")
 
   /** LSH near-dup: band the signatures, equi-join on (band, band hash),
     * then verify candidates with exact Jaccard >= threshold.
     */
   def minhashLshPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+    // The repartition is a deliberate materialization barrier: without it,
+    // CollapseProject inlines the signature expression into every
+    // element_at reference (12x recompute per doc) and the self-join
+    // branches recompute the whole subtree again. With the exchange, the
+    // signature is computed once and BOTH join branches reuse the
+    // materialized exchange (ReuseExchange).
+    val sigs = minhashSignatures(spark, dir).repartition(col("doc_id"))
+    // Candidates travel SLIM: only (doc_id, band, band-hash) shuffles
+    // through the equi-join and the pair dedup; the heavyweight shingle
+    // sets are joined back afterwards, once per SURVIVING pair.
     val bands = sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         struct(b.as("band"),
-          md5(concat((0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bh")))).as("e"))
-      .select(col("doc_id"), col("sh"), col("e.band"), col("e.bh"))
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
+    val sets = sigs.select(col("doc_id"), col("sh"))
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     val jac = inter / (size(col("sh1")) + size(col("sh2")) - inter)
     cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("d1"), col("d2"))
@@ -124,21 +156,27 @@ object Dedup {
 
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the
     * sign of Σ_tokens (2·bit_b(md5(token)) − 1). Signature rendered as a
-    * 32-char bitstring. Hex-digit decoding uses conv(·,16,10), mirrored by
-    * strpos arithmetic in the oracle.
+    * 32-char bitstring.
+    *
+    * Implementation: one conv per TOKEN (first 8 md5 hex chars → 32-bit
+    * int → bin() bitstring), then a single fold summing all 32 bit counts
+    * at once — bit-identical to extracting each hex nibble separately
+    * (which is how the DuckDB oracle spells it), at 1/32nd the expression
+    * evaluations. Sign test: Σ(2·bit−1) > 0 ⟺ 2·ones > n_tokens.
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokens(col("text")), t => md5(t))
-    val bits = transform(sequence(lit(0), lit(31)), b => {
-      val contrib = aggregate(hs, lit(0), (acc, h) => {
-        val nibble = conv(h.substr((b / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
-        val bit = floor(nibble / pow(lit(2), lit(3) - b % 4)).cast("int") % 2
-        acc + (bit * 2 - 1)
-      })
-      when(contrib > 0, lit("1")).otherwise(lit("0"))
-    })
+    val toks = tokens(col("text"))
+    val hsBits = transform(toks, t =>
+      lpad(bin(conv(substring(md5(t), 1, 8), 16, 10).cast("long")), 32, "0"))
+    val zeros = array_repeat(lit(0), 32)
+    val ones = aggregate(hsBits, zeros, (acc, s) =>
+      zip_with(acc, slice(split(s, ""), 1, 32), (a, c) =>
+        a + when(c === "1", 1).otherwise(0)))
+    val n = size(toks)
+    val simhash = array_join(
+      transform(ones, o => when(o * 2 > n, lit("1")).otherwise(lit("0"))), "")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), array_join(bits, "").as("simhash"))
+      .select(col("doc_id"), simhash.as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -147,22 +185,29 @@ object Dedup {
     * Hamming count over the 32 bits.
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // Signature doubled as an integer so Hamming distance is a single
+    // bit_count(xor) — semantically identical to comparing the 32 chars
+    // (the oracle does it character-wise; outputs match).
+    // repartition = materialization barrier (see minhashLshPairs): the
+    // 32-bit signature aggregation runs once, not once per join branch.
     val sigs = simhashSignatures(spark, dir)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
+      .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
+      .repartition(col("doc_id"))
+    val bands = sigs.select(col("doc_id"), col("sigint"),
       explode(transform(sequence(lit(0), lit(3)), b =>
         struct(b.as("band"), col("simhash").substr(b * 8 + 1, lit(8)).as("bv")))).as("e"))
-      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bv"))
-    val hamming = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
-      acc + when(col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1)), 1).otherwise(0))
+      .select(col("doc_id"), col("sigint"), col("e.band"), col("e.bv"))
+    // Verify BEFORE deduplicating: the <=maxHamming filter runs on the raw
+    // join output (cheap bit_count, no wide strings), so the pair-dedup
+    // shuffle only carries survivors.
+    val hamming = bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).cast("int")
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
-      .dropDuplicates("d1", "d2")
-      .select(col("d1"), col("d2"), hamming.as("hamming"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
       .orderBy(col("d1"), col("d2"))
   }
 }

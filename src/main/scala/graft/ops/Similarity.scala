@@ -82,8 +82,11 @@ object Similarity {
     * row — the recall/cost dial is `numPlanes`.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    // repartition = materialization barrier: the 8-plane bucket aggregation
+    // is computed once and reused by both self-join branches.
     val v = withNorm(Tables.embeddings(spark, dir))
       .withColumn("bucket", lshBucket(col("e")))
+      .repartition(col("vec_id"))
     val a = v.select(col("vec_id"), col("e"), col("nrm"), col("bucket"))
     val b = v.select(col("vec_id").as("nid"), col("e").as("ne"),
       col("nrm").as("nn"), col("bucket").as("nb"))
