@@ -26,6 +26,9 @@ object GraftSession {
     val spark = SparkSession
       .builder()
       .appName(appName)
+      // Engine extension surface: native Catalyst expressions, callable
+      // from Column API and SQL text alike.
+      .withExtensions(_.injectFunction(graft.exprs.RollingMinHash.registration))
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")

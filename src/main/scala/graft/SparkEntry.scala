@@ -56,6 +56,12 @@ object SparkEntry {
     "t3_quality_scores" -> ((s: SparkSession, d: String) => TextAnalysis.qualityScores(s, d)),
     "t4_fingerprints" -> TextAnalysis.fingerprints _,
     "t5_token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
+    "d6_embedding_neardup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
+    "t6_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
+    "w1_rolling_fingerprint" -> ((s: SparkSession, d: String) =>
+      graft.sources.Tables.documents(s, d)
+        .selectExpr("doc_id", "rolling_min_hash(text) AS rolling_min")
+        .orderBy("doc_id")),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -482,5 +488,41 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "d6_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |bk AS (SELECT vec_id, e, nrm,
+        |  array_to_string([CASE WHEN list_sum([
+        |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
+        |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, 8)], '') AS bucket
+        |  FROM n),
+        |p2 AS (SELECT a.vec_id AS v1, b2.vec_id AS v2,
+        |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
+        |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT v1, v2, cosine FROM p2 WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin,
+
+    "t6_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+        |nt AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |  round((CAST(tf.tf AS DOUBLE) / nt.ntok) * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN nt USING (doc_id) JOIN df USING (token) CROSS JOIN nn
+        |ORDER BY tfidf DESC, doc_id, token LIMIT 25""".stripMargin,
+
+    "w1_rolling_fingerprint" -> {
+      // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the
+      // sequential-mod fold is spelled out per window position.
+      val steps = (0 until graft.exprs.RollingMinHash.K).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+        s"(($acc * ${graft.exprs.RollingMinHash.B} + ascii(text[i+$j])) % ${graft.exprs.RollingMinHash.P})")
+      s"""SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN NULL ELSE
+        |    list_sort([$steps for i in range(1, length(text) - 6)])[1]
+        |  END AS rolling_min
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -77,6 +77,25 @@ object Similarity {
         when(s > 0, lit("1")).otherwise(lit("0"))
       }), "")
 
+  /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
+    * equality (same deterministic hyperplanes as [[annLsh]]), verified by
+    * exact cosine >= threshold. The near-dup analog of MinHash-LSH for the
+    * embedding space: one shuffle on bucket, candidate count bounded by
+    * bucket geometry, never all-pairs.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", lshBucket(col("e")))
+      .repartition(col("vec_id"))
+    val b = v.select(col("vec_id").as("v2"), col("e").as("ne"),
+      col("nrm").as("nn"), col("bucket").as("nb"))
+    val cos = dot(col("e"), col("ne")) / (col("nrm") * col("nn"))
+    v.join(b, col("bucket") === col("nb") && col("vec_id") < col("v2"))
+      .select(col("vec_id").as("v1"), col("v2"), round(cos, 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** ANN: nearest neighbor per vector among same-bucket candidates.
     * One shuffle (bucket equi-join); vectors alone in their bucket emit no
     * row — the recall/cost dial is `numPlanes`.
