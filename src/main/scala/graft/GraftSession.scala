@@ -40,6 +40,9 @@ object GraftSession {
       // JS object assignment is last-wins; the OOH pay/industry map
       // builders (graft.exprs.OohExtractors) inherit that semantic.
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // Managed-table warehouse (bucketed tables) outside the repo tree.
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
