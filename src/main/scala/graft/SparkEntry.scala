@@ -16,9 +16,11 @@ import graft.pipeline.OohPipeline
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's own pipeline end-to-end (XML scan → 20-col
+    * extraction → quality filter → report); driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q5LocalSupplier(spark, "/root/testdata/sf0.001")
+    OohPipeline.run(spark, OohPipeline.fixturePath)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -39,6 +41,7 @@ object SparkEntry {
     "q16_range_join" -> Relational.q16RangeJoin _,
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
     "q18_streaming_daily" -> graft.streaming.EventsStream.runDailyAvailableNow _,
+    "q21_asof_skew_safe" -> AsOfJoin.eventsToOrdersSkewSafe _,
     "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
     "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
     "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
@@ -97,7 +100,9 @@ object SparkEntry {
     // engine's second query surface), so their oracles are q1/q12's text.
     val m = baseOracleSql
     m + ("q19_sql_pricing" -> m("q1_pricing_summary")) +
-      ("q20_sql_brand_agg" -> m("q12_part_agg"))
+      ("q20_sql_brand_agg" -> m("q12_part_agg")) +
+      // the skew-safe as-of must produce exactly the plain as-of's result
+      ("q21_asof_skew_safe" -> m("q15_asof_join"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

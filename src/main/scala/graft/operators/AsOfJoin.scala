@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -75,6 +75,103 @@ object AsOfJoin {
         payload.map(p => col("_carried").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** Skew-safe as-of: identical semantics to [[asof]], but the window
+    * partitions on (key, time-bucket) instead of key alone, so one hot key
+    * no longer serializes into a single window task (AQE's skew handling
+    * splits joins, not windows — this is the window-side equivalent).
+    *
+    * Mechanics: bucket rows by `floor(time_bucket_of(t))`; compute each
+    * bucket's latest right row per key (an aggregation, splittable); carry
+    * the running latest across buckets with a window over the tiny
+    * (key × bucket) domain; inject that carry-in as a synthetic right row
+    * at each bucket start. Every left row then resolves inside its own
+    * (key, bucket) window: in-bucket right rows cover times within the
+    * bucket, the synthetic row covers everything earlier. Costs one extra
+    * small aggregation + window vs [[asof]]; per-task work is bounded by
+    * bucket width rather than key frequency.
+    *
+    * `bucketWidth` is in the time column's underlying unit (e.g. seconds
+    * for timestamps cast to long at the call site).
+    */
+  def asofSkewSafe(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      tiebreak: String,
+      bucketWidth: Long): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val reserved = Seq("_k", "_t", "_b", "_side", "_p")
+    val collisions = leftCols.toSet.intersect(payload.toSet) ++
+      leftCols.toSet.intersect(reserved.toSet)
+    require(collisions.isEmpty,
+      s"asofSkewSafe: left columns collide with payload/internal names: ${collisions.mkString(", ")}")
+    require(payload.contains(tiebreak), "asofSkewSafe: tiebreak must be a payload column")
+
+    val payloadType = StructType(payload.map(p => right.schema(p)))
+    // ANSI forbids a direct timestamp→long cast; route timestamps through
+    // epoch seconds (session is UTC; any monotone mapping works — bucket
+    // boundaries need no particular alignment).
+    def bucketOf(t: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+      val epoch = dt match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_timestamp(t)
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          unix_timestamp(t.cast("timestamp"))
+        case _ => t.cast("long")
+      }
+      floor(epoch / bucketWidth).cast("long")
+    }
+
+    val l = left.select(
+      col(leftKey).as("_k") +: col(leftTime).as("_t") +:
+        bucketOf(col(leftTime), left.schema(leftTime).dataType).as("_b") +: lit(1).as("_side") +:
+        lit(null).cast(payloadType).as("_p") +: leftCols.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("_k") +: col(rightTime).as("_t") +:
+        bucketOf(col(rightTime), right.schema(rightTime).dataType).as("_b") +: lit(0).as("_side") +:
+        struct(payload.map(col): _*).as("_p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    // Latest right row per (key, bucket): max over (time, tiebreak).
+    val bucketLatest = r
+      .groupBy(col("_k"), col("_b"))
+      .agg(max_by(col("_p"),
+        struct(col("_t"), col("_p").getField(tiebreak))).as("_pl"))
+    // Carry the running latest to the START of each bucket that has any
+    // activity (left or right): window over the small (key x bucket) set.
+    val activeBuckets = l.select(col("_k"), col("_b"))
+      .union(r.select(col("_k"), col("_b"))).distinct()
+    val carryIn = activeBuckets
+      .join(bucketLatest, Seq("_k", "_b"), "left")
+      .withColumn("_carry", last(col("_pl"), ignoreNulls = true).over(
+        Window.partitionBy(col("_k")).orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("_carry").isNotNull)
+      // synthetic right row sorting before everything in its bucket
+      .select(col("_k"), lit(null).cast(l.schema("_t").dataType).as("_t"),
+        col("_b"), lit(-1).as("_side"), col("_carry").as("_p"))
+    val carryPadded = leftCols.foldLeft(carryIn)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select((Seq("_k", "_t", "_b", "_side", "_p") ++ leftCols).map(col): _*)
+
+    // Null _t sorts first (asc_nulls_first): the synthetic carry-in row is
+    // visible to every row of its bucket; then right-before-left at equal
+    // time, then the payload tiebreak — same order contract as asof().
+    val w = Window.partitionBy(col("_k"), col("_b"))
+      .orderBy(col("_t").asc_nulls_first, col("_side"),
+        col("_p").getField(tiebreak).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).unionByName(carryPadded)
+      .withColumn("_carried", last(col("_p"), ignoreNulls = true).over(w))
+
+    carried.where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_carried").getField(p).as(s"asof_$p")): _*)
+  }
+
   /** Harness instance: purchase events joined as-of to the customer's most
     * recent order (events.user_id = orders.o_custkey, o_orderdate <= ts).
     */
@@ -89,6 +186,28 @@ object AsOfJoin {
       leftTime = "ts", rightTime = "o_orderdate",
       payload = Seq("o_totalprice", "o_orderkey"),
       tiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("asof_orderkey"),
+        round(col("asof_o_totalprice"), 2).as("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Same harness join through the skew-safe path (30-day time buckets) —
+    * registered as q21 with q15's oracle, so the correctness gate proves
+    * the two implementations agree on real data.
+    */
+  def eventsToOrdersSkewSafe(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val ord = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    asofSkewSafe(ev, ord,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      payload = Seq("o_totalprice", "o_orderkey"),
+      tiebreak = "o_orderkey",
+      bucketWidth = 30L * 24 * 3600)
       .select(col("event_id"), col("user_id"),
         col("asof_o_orderkey").as("asof_orderkey"),
         round(col("asof_o_totalprice"), 2).as("asof_totalprice"))

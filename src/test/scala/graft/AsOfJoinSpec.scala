@@ -82,6 +82,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(runAsof(ls, rs)(0L) == ((None, None)))
   }
 
+  test("skew-safe variant is semantically identical to asof (property)") {
+    val prop = Prop.forAll(genData, Gen.oneOf(1L, 3L, 7L, 1000L)) {
+      case ((ls, rs), width) =>
+        val left = ls.toDF("id", "k", "t")
+        val right = rs.toDF("rk", "rt", "v", "ord")
+        val a = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+          Seq("v", "ord"), "ord").collect().map(_.toSeq).toSet
+        val b = AsOfJoin.asofSkewSafe(left, right, "k", "rk", "t", "rt",
+          Seq("v", "ord"), "ord", bucketWidth = width).collect().map(_.toSeq).toSet
+        a == b
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("skew-safe: carry-in crosses empty and right-only buckets") {
+    val ls = List((0L, 1, 100)) // left far in the future
+    val rs: List[R] = List((1, 1, Some(7.0), 5L)) // right long ago
+    val left = ls.toDF("id", "k", "t")
+    val right = rs.toDF("rk", "rt", "v", "ord")
+    val got = AsOfJoin.asofSkewSafe(left, right, "k", "rk", "t", "rt",
+      Seq("v", "ord"), "ord", bucketWidth = 10).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(got.head.fieldIndex("asof_v")) == 7.0)
+  }
+
   test("column collisions are rejected, not silently overwritten") {
     val left = Seq((1L, 1, 1)).toDF("id", "k", "v") // "v" collides with payload
     val right = Seq((1, 1, 1.0, 1L)).toDF("rk", "rt", "v", "ord")
