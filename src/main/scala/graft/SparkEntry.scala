@@ -42,6 +42,8 @@ object SparkEntry {
     "q17_above_type_avg" -> Relational.q17AboveTypeAvg _,
     "q18_streaming_daily" -> graft.streaming.EventsStream.runDailyAvailableNow _,
     "q21_asof_skew_safe" -> AsOfJoin.eventsToOrdersSkewSafe _,
+    "q22_cube" -> Relational.q22Cube _,
+    "q23_percentiles" -> Relational.q23Percentiles _,
     "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
     "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
     "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
@@ -277,6 +279,19 @@ object SparkEntry {
         |  FROM part) t
         |WHERE p_retailprice > type_avg
         |ORDER BY p_partkey""".stripMargin,
+
+    "q22_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Streaming path must equal the batch daily aggregation — same oracle
     // as q14 (the driver thereby checks batch/stream parity end-to-end).

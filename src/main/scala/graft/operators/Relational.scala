@@ -269,6 +269,27 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** CUBE grouping sets: all four aggregation levels over two dims in one
+    * pass — Spark expands to a single Expand + hash aggregate (one
+    * shuffle), not four scans.
+    */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Exact interpolated percentiles per group (both engines use linear
+    * interpolation; sort-based exact computation, no sketch).
+    */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
   /** Correlated-subquery pattern (parts above their type's average price),
     * decorrelated by hand into a window aggregate: one shuffle on p_type,
     * no self-join.
