@@ -44,6 +44,7 @@ object SparkEntry {
     "q21_asof_skew_safe" -> AsOfJoin.eventsToOrdersSkewSafe _,
     "q22_cube" -> Relational.q22Cube _,
     "q23_percentiles" -> Relational.q23Percentiles _,
+    "q24_sessions" -> graft.streaming.Sessionize.sessionsBatch _,
     "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
     "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
     "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
@@ -292,6 +293,22 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q24_sessions" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, ts, value,
+        |    CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Streaming path must equal the batch daily aggregation — same oracle
     // as q14 (the driver thereby checks batch/stream parity end-to-end).
