@@ -45,6 +45,8 @@ object SparkEntry {
     "q22_cube" -> Relational.q22Cube _,
     "q23_percentiles" -> Relational.q23Percentiles _,
     "q24_sessions" -> graft.streaming.Sessionize.sessionsBatch _,
+    "q25_window_suite" -> Relational.q25WindowSuite _,
+    "q26_string_funcs" -> Relational.q26StringFuncs _,
     "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
     "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
     "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
@@ -309,6 +311,26 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q25_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day',
+        |    CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS days_since_prev,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile,
+        |  round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 6) AS pct_rank
+        |FROM orders
+        |WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q26_string_funcs" ->
+      """SELECT n_name,
+        |  split_part(n_name, ' ', 1) AS first_word,
+        |  CAST(levenshtein(n_name, 'UNITED STATES') AS INT) AS lev_us,
+        |  translate(n_name, 'AEIOU', 'aeiou') AS lower_vowels,
+        |  lpad(n_name, 20, '.') AS padded,
+        |  CAST(length(regexp_replace(n_name, '[^A-Z]', '', 'g')) AS INT) AS n_upper
+        |FROM nation ORDER BY n_name""".stripMargin,
 
     // Streaming path must equal the batch daily aggregation — same oracle
     // as q14 (the driver thereby checks batch/stream parity end-to-end).

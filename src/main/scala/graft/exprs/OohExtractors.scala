@@ -21,13 +21,26 @@ import org.apache.spark.sql.functions._
 object OohExtractors {
 
   /** HTML-in-CDATA payloads re-parsed per row (reference `getDocument`,
-    * index.js:3-5). Spark's `xpath` needs well-formed, single-rooted XML, so
-    * lenient-HTML normalization happens here: entity-escape bare `&nbsp;`
-    * (the only HTML-not-XML entity the reference's data uses, index.js:144)
-    * and wrap in a synthetic root so multi-element fragments parse.
+    * index.js:3-5). Spark's `xpath` needs well-formed, single-rooted XML;
+    * jsdom is lenient (SURVEY §1.4.1), so common HTML-not-XML patterns are
+    * normalized here before parsing:
+    *   - named HTML entities → numeric XML entities (`&nbsp;` et al);
+    *   - any remaining bare `&` → `&amp;` (negative lookahead keeps real
+    *     entities intact);
+    *   - void elements (`<br>`, `<hr>`, `<img …>`) self-closed;
+    * then wrap in a synthetic root so multi-element fragments parse.
     */
-  def htmlAsXml(c: Column): Column =
-    concat(lit("<root>"), regexp_replace(c, "&nbsp;", "&#160;"), lit("</root>"))
+  def htmlAsXml(c: Column): Column = {
+    val entities = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "&nbsp;", "&#160;"),
+        "&(mdash|ndash|rsquo|lsquo|rdquo|ldquo);", "&#8212;"),
+      "&(?!(amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);)", "&amp;")
+    val voids = regexp_replace(
+      regexp_replace(entities, "<(br|hr)\\s*>", "<$1/>"),
+      "<img\\s+([^>/]*)>", "<img $1/>")
+    concat(lit("<root>"), voids, lit("</root>"))
+  }
 
   /** P2 `xpathSelect` (index.js:7-17): evaluate an XPath over an HTML
     * fragment column, all matches in document order.

@@ -290,6 +290,33 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
       .orderBy(col("o_orderpriority"))
 
+  /** Window-function breadth: lead/lag deltas, ntile, percent_rank in one
+    * pass — still a single shuffle on the partition key.
+    */
+  def q25WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .where(col("o_custkey") < 50)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** String/regex function breadth over nation/region names: split_part,
+    * levenshtein, translate, lpad — each portable to the oracle.
+    */
+  def q26StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_name"),
+        split_part(col("n_name"), lit(" "), lit(1)).as("first_word"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("lev_us"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("lower_vowels"),
+        lpad(col("n_name"), 20, ".").as("padded"),
+        length(regexp_replace(col("n_name"), "[^A-Z]", "")).as("n_upper"))
+      .orderBy(col("n_name"))
+
   /** Correlated-subquery pattern (parts above their type's average price),
     * decorrelated by hand into a window aggregate: one shuffle on p_type,
     * no self-join.

@@ -30,6 +30,15 @@ class OohExtractorsSpec extends SparkSpec {
     assert(one(cdataConcat(col("s"), "//p/text()"), "<p>a&nbsp;b</p><p>c</p>") == "a bc")
   }
 
+  test("lenient HTML: bare ampersands, void tags, and named entities survive xpath") {
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>R & D<br></p>") == "R & D")
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>a &amp; b</p><hr><p>c&mdash;d</p>") == "a & bc—d")
+    assert(one(cdataConcat(col("s"), "//td/text()"),
+      "<table><tr><td>x<img src=\"foo.png\"></td></tr></table>") == "x")
+  }
+
   test("cardinalityWarning fires only when match count != 1 (index.js:33-35)") {
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p><p>b</p>") == "w")
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p>") == null)
