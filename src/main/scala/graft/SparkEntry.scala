@@ -47,6 +47,7 @@ object SparkEntry {
     "q24_sessions" -> graft.streaming.Sessionize.sessionsBatch _,
     "q25_window_suite" -> Relational.q25WindowSuite _,
     "q26_string_funcs" -> Relational.q26StringFuncs _,
+    "q27_date_funcs" -> Relational.q27DateFuncs _,
     "q19_sql_pricing" -> graft.engine.SqlQueries.pricingSummarySql _,
     "q20_sql_brand_agg" -> graft.engine.SqlQueries.brandAggSql _,
     "m1_media_features" -> graft.ops.Multimodal.mediaFeaturesFlat _,
@@ -331,6 +332,17 @@ object SparkEntry {
         |  lpad(n_name, 20, '.') AS padded,
         |  CAST(length(regexp_replace(n_name, '[^A-Z]', '', 'g')) AS INT) AS n_upper
         |FROM nation ORDER BY n_name""".stripMargin,
+
+    "q27_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
 
     // Streaming path must equal the batch daily aggregation — same oracle
     // as q14 (the driver thereby checks batch/stream parity end-to-end).

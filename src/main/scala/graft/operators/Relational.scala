@@ -317,6 +317,23 @@ object Relational {
         length(regexp_replace(col("n_name"), "[^A-Z]", "")).as("n_upper"))
       .orderBy(col("n_name"))
 
+  /** Date-function breadth: extraction, arithmetic, month boundaries —
+    * dialect notes pinned in the oracle (DuckDB dayofweek is 0-based
+    * Sunday, Spark's is 1-based).
+    */
+  def q27DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since_95"))
+      .orderBy(col("o_orderkey"))
+
   /** Correlated-subquery pattern (parts above their type's average price),
     * decorrelated by hand into a window aggregate: one shuffle on p_type,
     * no self-join.

@@ -24,7 +24,13 @@ class RelationalSpec extends SparkSpec {
     "q14_events_daily" -> 150L,
     "q15_asof_join" -> 202L,
     "q16_range_join" -> 5L,
-    "q17_above_type_avg" -> 102L)
+    "q17_above_type_avg" -> 102L,
+    "q22_cube" -> 24L,
+    "q23_percentiles" -> 5L,
+    "q24_sessions" -> 946L,
+    "q25_window_suite" -> 499L,
+    "q26_string_funcs" -> 25L,
+    "q27_date_funcs" -> 200L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
