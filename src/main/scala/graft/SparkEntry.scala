@@ -409,10 +409,13 @@ object SparkEntry {
         |  min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
+    // The shingle document-frequency cap is interpolated from the SAME
+    // constant the Spark operator uses (graft.ops.Dedup.maxShingleDf) — one
+    // definition drives both engines.
     "d2_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle FROM toks),
-        |dfq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |dfq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${graft.ops.Dedup.maxShingleDf}),
         |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -507,13 +510,16 @@ object SparkEntry {
         |SELECT vec_id, bucket, neighbor, round(cosine, 6) AS cosine
         |FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
 
+    // avg_stop_ratio: per-doc ratio floored to an integer at 1e12 scale,
+    // summed exactly, divided once — aggregation-order-insensitive on both
+    // engines (a plain avg(double) hash-flips on Spark's partial-agg order).
     "t1_lang_stats" ->
       """WITH toks AS (SELECT lang, n_chars,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
         |SELECT lang, count(*) AS n_docs, sum(len(t)) AS total_tokens,
         |  round(avg(len(t)), 4) AS avg_tokens,
         |  round(avg(n_chars), 4) AS avg_chars,
-        |  round(avg(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(t)), 6) AS avg_stop_ratio
+        |  round(CAST(sum(CAST(floor((CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(t)) * 1e12) AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) AS avg_stop_ratio
         |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t2_lang_id" ->

@@ -30,11 +30,20 @@ object OohExtractors {
     *   - void elements (`<br>`, `<hr>`, `<img …>`) self-closed;
     * then wrap in a synthetic root so multi-element fragments parse.
     */
+  /** Named-entity table: each entity maps to ITS OWN codepoint (jsdom
+    * decodes them individually — collapsing the dash/quote family to one
+    * char would corrupt extracted text).
+    */
+  private val namedEntities: Seq[(String, Int)] = Seq(
+    "nbsp" -> 160, "mdash" -> 8212, "ndash" -> 8211,
+    "rsquo" -> 8217, "lsquo" -> 8216, "rdquo" -> 8221, "ldquo" -> 8220)
+
   def htmlAsXml(c: Column): Column = {
+    val named = namedEntities.foldLeft(c) { case (acc, (name, cp)) =>
+      regexp_replace(acc, s"&$name;", s"&#$cp;")
+    }
     val entities = regexp_replace(
-      regexp_replace(
-        regexp_replace(c, "&nbsp;", "&#160;"),
-        "&(mdash|ndash|rsquo|lsquo|rdquo|ldquo);", "&#8212;"),
+      named,
       "&(?!(amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);)", "&amp;")
     val voids = regexp_replace(
       regexp_replace(entities, "<(br|hr)\\s*>", "<$1/>"),

@@ -120,6 +120,9 @@ object AsOfJoin {
         case _: org.apache.spark.sql.types.TimestampType => unix_timestamp(t)
         case _: org.apache.spark.sql.types.TimestampNTZType =>
           unix_timestamp(t.cast("timestamp"))
+        // ANSI also forbids DATE→BIGINT: route dates through epoch seconds.
+        case _: org.apache.spark.sql.types.DateType =>
+          unix_timestamp(t.cast("timestamp"))
         case _ => t.cast("long")
       }
       floor(epoch / bucketWidth).cast("long")

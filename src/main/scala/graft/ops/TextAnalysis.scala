@@ -17,19 +17,27 @@ import graft.sources.Tables
 object TextAnalysis {
   import Text._
 
-  /** Per-language corpus stats. One partial-agg shuffle on 5 keys. */
+  /** Per-language corpus stats. One partial-agg shuffle on 5 keys.
+    *
+    * avg_stop_ratio must be aggregation-order-insensitive (Spark's partial
+    * aggregation sums doubles in a different order than a sequential
+    * engine, which can flip a 6-dp rounded hash): the per-doc ratio is
+    * floored to an exact integer at 1e12 scale, summed exactly as longs,
+    * and divided once at the end — identical bits on any engine, any plan.
+    */
   def langStats(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars"), size(t).as("ntok"),
-        stopwordRatio(col("text")).as("stop_ratio"))
+        floor(stopwordRatio(col("text")) * lit(1e12)).as("sr_scaled"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("ntok")).as("total_tokens"),
         round(avg(col("ntok")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"),
-        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+        round(sum(col("sr_scaled")).cast("double") / count(lit(1)) / lit(1e12), 6)
+          .as("avg_stop_ratio"))
       .orderBy(col("lang"))
   }
 

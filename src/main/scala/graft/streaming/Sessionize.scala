@@ -66,7 +66,10 @@ object Sessionize {
     var cur: Option[Session] = None
     for (e <- sorted) {
       cur match {
-        case Some(s) if (e.ts.getTime - s.session_end.getTime) / 1000 <= gapSeconds =>
+        // Truncate each timestamp to whole seconds BEFORE differencing —
+        // the batch twin diffs unix_timestamp() (second-floored) values, so
+        // a raw-millis diff would disagree on gaps in (gap, gap+1) seconds.
+        case Some(s) if e.ts.getTime / 1000 - s.session_end.getTime / 1000 <= gapSeconds =>
           cur = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1,
             sum_value = s.sum_value + e.value))
         case other =>
@@ -84,7 +87,7 @@ object Sessionize {
   private def mergeCarry(carry: Option[Session], fresh: Seq[Session]): Seq[Session] =
     (carry, fresh) match {
       case (Some(open), h +: t)
-          if (h.session_start.getTime - open.session_end.getTime) / 1000 <= gapSeconds =>
+          if h.session_start.getTime / 1000 - open.session_end.getTime / 1000 <= gapSeconds =>
         open.copy(session_end = h.session_end,
           n_events = open.n_events + h.n_events,
           sum_value = open.sum_value + h.sum_value) +: t

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.operators.AsOfJoin
@@ -106,6 +107,20 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("v", "ord"), "ord", bucketWidth = 10).collect()
     assert(got.length == 1)
     assert(got.head.getDouble(got.head.fieldIndex("asof_v")) == 7.0)
+  }
+
+  test("skew-safe accepts DATE-typed time columns under ANSI (no DATE→BIGINT cast)") {
+    val left = Seq((0L, 1, "2024-03-10"), (1L, 1, "2024-01-01"))
+      .toDF("id", "k", "ds").withColumn("t", col("ds").cast("date")).drop("ds")
+    val right = Seq((1, "2024-02-15", 7.0, 5L), (1, "2024-03-01", 9.0, 6L))
+      .toDF("rk", "rds", "v", "ord")
+      .withColumn("rt", col("rds").cast("date")).drop("rds")
+    val got = AsOfJoin.asofSkewSafe(left, right, "k", "rk", "t", "rt",
+      Seq("v", "ord"), "ord", bucketWidth = 7L * 24 * 3600)
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("asof_v")))).toMap
+    assert(got(0L).contains(9.0)) // latest order on/before 2024-03-10
+    assert(got(1L).isEmpty)       // nothing before 2024-01-01
   }
 
   test("column collisions are rejected, not silently overwritten") {

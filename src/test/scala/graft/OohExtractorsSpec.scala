@@ -39,6 +39,12 @@ class OohExtractorsSpec extends SparkSpec {
       "<table><tr><td>x<img src=\"foo.png\"></td></tr></table>") == "x")
   }
 
+  test("each named entity decodes to its own codepoint (jsdom parity)") {
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>a&mdash;b&ndash;c&rsquo;d&lsquo;e&rdquo;f&ldquo;g&nbsp;h</p>")
+      == "a—b–c’d‘e”f“g h")
+  }
+
   test("cardinalityWarning fires only when match count != 1 (index.js:33-35)") {
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p><p>b</p>") == "w")
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p>") == null)
