@@ -21,9 +21,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
 
-    // Warm-up: touch the big fact scan + a shuffle + codegen once, untimed.
-    try graft.operators.Relational.q1PricingSummary(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warm-up: touch each hot table scan + a shuffle + the sketch-expression
+    // codegen once, untimed, so the first timed query of each family does
+    // not absorb JVM/codegen/first-parquet-read startup.
+    def warm(f: => Long): Unit = try { f; () } catch { case _: Throwable => () }
+    warm(graft.operators.Relational.q1PricingSummary(spark, sfDir).count())
+    warm(graft.ops.Dedup.simhashSignatures(spark, sfDir).count())
+    warm(graft.ops.Similarity.annLsh(spark, sfDir).count())
+    warm(graft.sources.Tables.events(spark, sfDir).count())
 
     var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>

@@ -28,7 +28,10 @@ object GraftSession {
       .appName(appName)
       // Engine extension surface: native Catalyst expressions, callable
       // from Column API and SQL text alike.
-      .withExtensions(_.injectFunction(graft.exprs.RollingMinHash.registration))
+      .withExtensions { ext =>
+        ext.injectFunction(graft.exprs.RollingMinHash.registration)
+        graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
+      }
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")

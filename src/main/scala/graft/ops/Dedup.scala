@@ -56,7 +56,12 @@ object Dedup {
     * no cross join anywhere.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleIndex(spark, dir)
+    // The explicit hash-partitioning on `shingle` is a materialization
+    // barrier AND the distribution both the df-cap aggregation and the
+    // inverted-index self-join require — all downstream consumers reuse ONE
+    // exchange (ReuseExchange), so the scan+shingle explode runs once, not
+    // once per consumer.
+    val sh = shingleIndex(spark, dir).repartition(col("shingle"))
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
     val idx = sh.join(df.select("shingle"), "shingle")
@@ -86,35 +91,25 @@ object Dedup {
 
   /** Universal-hash family for MinHash: hash_i(s) = (a_i·h(s) + b_i) mod p
     * over base hash h(s) = first 32 md5 bits — ONE md5 per shingle, the 12
-    * permutations are pure integer arithmetic (12× cheaper than hashing
-    * every shingle 12 times, and exactly reproducible in any engine:
-    * a·(h mod p) + b < 2^62 never overflows a 64-bit long).
+    * permutations are pure integer arithmetic. The constants live in
+    * [[graft.exprs.MinHashSig]] (the native expression that computes the
+    * signature); these aliases keep the oracle-SQL interpolation pointed at
+    * one definition.
     */
-  val minhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
-  val minhashA: Seq[Long] = Seq(973717083L, 388916825L, 1122824377L,
-    1156439251L, 1550959721L, 1241362649L, 2005430819L, 1558641197L,
-    689046827L, 1927793921L, 1123562147L, 1653359563L)
-  val minhashB: Seq[Long] = Seq(1852938293L, 1706799503L, 1472706723L,
-    1205230523L, 982616981L, 1121324977L, 1398263921L, 2044101221L,
-    1870037483L, 1035371213L, 1497247889L, 656987819L)
+  val minhashP: Long = graft.exprs.MinHashSig.P
+  val minhashA: Seq[Long] = graft.exprs.MinHashSig.A.toSeq
+  val minhashB: Seq[Long] = graft.exprs.MinHashSig.B.toSeq
 
   /** MinHash signatures (docs with no shingles have none — they cannot
-    * near-dup match). The repartition between base-hash and signature
-    * projection is a materialization barrier: `hs` is referenced by all 12
-    * mins, and without the exchange CollapseProject would inline (and
-    * recompute) the md5 array once per reference.
+    * near-dup match). One codegen'd expression per row — no interpreted
+    * HOF lambdas, no materialization barrier needed: the signature is a
+    * single expression, referenced once.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s =>
-        conv(substring(md5(s), 1, 8), 16, 10).cast("long") % minhashP))
-      .repartition(col("doc_id"))
-      .withColumn("sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("hs"),
-          h => (lit(minhashA(i)) * h + lit(minhashB(i))) % minhashP))): _*))
-      .drop("hs")
+      .withColumn("sig", call_function("minhash_sig", col("sh")))
 
   /** LSH near-dup: band the signatures, equi-join on (band, band hash),
     * then verify candidates with exact Jaccard >= threshold.
@@ -156,54 +151,59 @@ object Dedup {
 
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the
     * sign of Σ_tokens (2·bit_b(md5(token)) − 1). Signature rendered as a
-    * 32-char bitstring.
-    *
-    * Implementation: one conv per TOKEN (first 8 md5 hex chars → 32-bit
-    * int → bin() bitstring), then a single fold summing all 32 bit counts
-    * at once — bit-identical to extracting each hex nibble separately
-    * (which is how the DuckDB oracle spells it), at 1/32nd the expression
-    * evaluations. Sign test: Σ(2·bit−1) > 0 ⟺ 2·ones > n_tokens.
+    * 32-char bitstring by the native [[graft.exprs.SimHash32]] codegen
+    * expression — bit-identical to the per-nibble extraction the DuckDB
+    * oracle spells out, one compiled pass per row.
     */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hsBits = transform(toks, t =>
-      lpad(bin(conv(substring(md5(t), 1, 8), 16, 10).cast("long")), 32, "0"))
-    val zeros = array_repeat(lit(0), 32)
-    val ones = aggregate(hsBits, zeros, (acc, s) =>
-      zip_with(acc, slice(split(s, ""), 1, 32), (a, c) =>
-        a + when(c === "1", 1).otherwise(0)))
-    val n = size(toks)
-    val simhash = array_join(
-      transform(ones, o => when(o * 2 > n, lit("1")).otherwise(lit("0"))), "")
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"), call_function("simhash32", col("text")).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
-  /** SimHash near-dup pairs: candidates share one of four 8-bit bands
-    * (necessary condition for Hamming distance <= 3), verified by exact
-    * Hamming count over the 32 bits.
+  /** SimHash near-dup pairs: Hamming distance <= 3 over the 32-bit
+    * signatures.
+    *
+    * Candidate generation uses two 16-bit halves with single-bit-flip
+    * probing (17 variants per half): a pair within Hamming distance 3 has
+    * ≤1 differing bit in one half (pigeonhole), so probing every distance-1
+    * variant of each half against an exact-half index has full recall —
+    * the same guarantee as four exact 8-bit bands, but with 65536-value
+    * buckets instead of 256: measured at sf0.1 this emits 0.78M candidate
+    * rows instead of 2.8M, and the hottest bucket shrinks 4.6× (skew is the
+    * wall-clock killer — one hot 8-bit bucket serializes a whole SMJ group
+    * into a single task). Probe-side fan-out is a fixed 17×, independent of
+    * corpus size. Candidates are then verified by exact bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "simhashPairs: 2 half-bands with 1-bit probes guarantee recall only for hamming <= 3")
     // Signature doubled as an integer so Hamming distance is a single
     // bit_count(xor) — semantically identical to comparing the 32 chars
     // (the oracle does it character-wise; outputs match).
-    // repartition = materialization barrier (see minhashLshPairs): the
-    // 32-bit signature aggregation runs once, not once per join branch.
+    // repartition = materialization barrier: the signature computes once
+    // and both join branches reuse the exchange.
     val sigs = simhashSignatures(spark, dir)
       .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
       .repartition(col("doc_id"))
-    val bands = sigs.select(col("doc_id"), col("sigint"),
-      explode(transform(sequence(lit(0), lit(3)), b =>
-        struct(b.as("band"), col("simhash").substr(b * 8 + 1, lit(8)).as("bv")))).as("e"))
-      .select(col("doc_id"), col("sigint"), col("e.band"), col("e.bv"))
+    val index = sigs.select(col("doc_id"), col("sigint"),
+      explode(transform(sequence(lit(0), lit(1)), b =>
+        struct(b.as("band"), col("simhash").substr(b * 16 + 1, lit(16)).as("half")))).as("e"))
+      .select(col("doc_id"), col("sigint"), col("e.band"), col("e.half"))
+    // Every variant of each half within Hamming distance 1: the half itself
+    // (i=0) plus the 16 single-bit flips (i=1..16 flips char i).
+    val probes = index.select(col("doc_id"), col("sigint"), col("band"),
+      explode(transform(sequence(lit(0), lit(16)), i =>
+        when(i === 0, col("half")).otherwise(concat(
+          col("half").substr(lit(1), i - 1),
+          when(col("half").substr(i, lit(1)) === "0", lit("1")).otherwise(lit("0")),
+          col("half").substr(i + 1, lit(16) - i))))).as("variant"))
     // Verify BEFORE deduplicating: the <=maxHamming filter runs on the raw
     // join output (cheap bit_count, no wide strings), so the pair-dedup
     // shuffle only carries survivors.
     val hamming = bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).cast("int")
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+    probes.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.variant") === col("b.half") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), hamming.as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -25,16 +25,16 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the native
+    * [[graft.exprs.ArrayDot]] codegen expression (same fold order as the
+    * `aggregate(zip_with(...))` HOF it replaces, one compiled loop per row).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("array_dot", a, b)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("e"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
   /** Brute-force cosine top-k for the query set `vec_id < nQueries`.
     * The filtered query side is broadcast: the corpus is scanned once,
@@ -55,27 +55,16 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val numPlanes = 8
+  val numPlanes: Int = graft.exprs.SrpBucket.numPlanes
 
-  /** Hyperplane component (p, j) = +1 when the first hex digit of
-    * md5("h<p>:<j>") is odd, else −1 — deterministic, engine-independent.
+  /** 8-bit sign bucket of a vector under fixed ±1 hyperplanes (component
+    * (p, j) = +1 when the first hex digit of md5("h<p>:<j>") is odd).
+    * Native [[graft.exprs.SrpBucket]] codegen expression: the hyperplanes
+    * are CONSTANTS, precomputed once — the HOF formulation recomputed 512
+    * md5 calls per row for them.
     */
-  private def planeComponent(p: Column, j: Column): Column = {
-    val h = md5(concat(lit("h"), p.cast("string"), lit(":"), j.cast("string")))
-    val nibble = conv(h.substr(1, 1), 16, 10).cast("int")
-    (nibble % 2) * 2 - 1
-  }
-
-  /** 8-bit sign bucket of a vector under the fixed hyperplanes. */
   def lshBucket(e: Column): Column =
-    array_join(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-        val s = aggregate(
-          transform(sequence(lit(0), size(e) - 1), j =>
-            planeComponent(p, j) * get(e, j).cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-        when(s > 0, lit("1")).otherwise(lit("0"))
-      }), "")
+    call_function("srp_bucket", e)
 
   /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
     * equality (same deterministic hyperplanes as [[annLsh]]), verified by

@@ -19,15 +19,13 @@ object Text {
     filter(split(text, " "), t => t =!= "")
 
   /** Distinct k-word shingles in first-occurrence order. Empty array (not
-    * null) when the document has fewer than k tokens.
+    * null) when the document has fewer than k tokens. Backed by the native
+    * [[graft.exprs.Shingles]] codegen expression (one compiled pass per
+    * row); the equivalent HOF formulation lives in TextSketchesSpec as the
+    * reference oracle.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
-        array_join(slice(t, i + 1, lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("shingles", text, lit(k))
 
   /** Case/whitespace normalization for exact dedup. */
   def normalized(text: Column): Column =

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.exprs.MinHashSig
+import graft.sources.Tables
+
+/** The native sketch expressions (graft.exprs.TextSketches) must be
+  * bit-identical to the declarative HOF formulations they replaced — those
+  * formulations are reproduced here verbatim as reference oracles and
+  * compared over real table data, plus edge cases the tables don't hit.
+  */
+class TextSketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- HOF reference formulations (the pre-optimization operators) -------
+
+  private def tokensH(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private def shinglesH(text: Column, k: Int = 3): Column = {
+    val t = tokensH(text)
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
+        array_join(slice(t, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def minhashSigH(sh: Column): Column = {
+    val p = MinHashSig.P
+    val hs = transform(sh, s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long") % p)
+    array((0 until MinHashSig.numHashes).map(i =>
+      array_min(transform(hs,
+        h => (lit(MinHashSig.A(i)) * h + lit(MinHashSig.B(i))) % p))): _*)
+  }
+
+  private def simhashH(text: Column): Column = {
+    val toks = tokensH(text)
+    val hsBits = transform(toks, t =>
+      lpad(bin(conv(substring(md5(t), 1, 8), 16, 10).cast("long")), 32, "0"))
+    val ones = aggregate(hsBits, array_repeat(lit(0), 32), (acc, s) =>
+      zip_with(acc, slice(split(s, ""), 1, 32), (a, c) =>
+        a + when(c === "1", 1).otherwise(0)))
+    array_join(
+      transform(ones, o => when(o * 2 > size(toks), lit("1")).otherwise(lit("0"))), "")
+  }
+
+  private def dotH(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def lshBucketH(e: Column): Column = {
+    def planeComponent(p: Column, j: Column): Column = {
+      val h = md5(concat(lit("h"), p.cast("string"), lit(":"), j.cast("string")))
+      (conv(h.substr(1, 1), 16, 10).cast("int") % 2) * 2 - 1
+    }
+    array_join(
+      transform(sequence(lit(0), lit(7)), p => {
+        val s = aggregate(
+          transform(sequence(lit(0), size(e) - 1), j =>
+            planeComponent(p, j) * get(e, j).cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        when(s > 0, lit("1")).otherwise(lit("0"))
+      }), "")
+  }
+
+  private def mismatches(df: org.apache.spark.sql.DataFrame): Long =
+    df.where(not(col("want") <=> col("got"))).count()
+
+  // --- parity over real data ---------------------------------------------
+
+  test("shingles == HOF reference over sf0.001 documents") {
+    val df = Tables.documents(spark, sf0001).select(
+      shinglesH(col("text")).as("want"),
+      call_function("shingles", col("text"), lit(3)).as("got"))
+    assert(mismatches(df) == 0)
+  }
+
+  test("minhash_sig == HOF reference over sf0.001 documents") {
+    val df = Tables.documents(spark, sf0001)
+      .select(call_function("shingles", col("text"), lit(3)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(minhashSigH(col("sh")).as("want"),
+        call_function("minhash_sig", col("sh")).as("got"))
+    assert(mismatches(df) == 0)
+  }
+
+  test("simhash32 == HOF reference over sf0.001 documents") {
+    val df = Tables.documents(spark, sf0001).select(
+      simhashH(col("text")).as("want"),
+      call_function("simhash32", col("text")).as("got"))
+    assert(mismatches(df) == 0)
+  }
+
+  test("array_dot == HOF reference over sf0.001 embeddings (incl. norms)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .join(e.select((col("vec_id") + 50).as("vec_id"), col("embedding").as("b")), "vec_id")
+    assert(mismatches(pairs.select(dotH(col("a"), col("b")).as("want"),
+      call_function("array_dot", col("a"), col("b")).as("got"))) == 0)
+    assert(mismatches(e.select(dotH(col("embedding"), col("embedding")).as("want"),
+      call_function("array_dot", col("embedding"), col("embedding")).as("got"))) == 0)
+  }
+
+  test("srp_bucket == HOF reference over sf0.001 embeddings") {
+    val df = Tables.embeddings(spark, sf0001).select(
+      lshBucketH(col("embedding")).as("want"),
+      call_function("srp_bucket", col("embedding")).as("got"))
+    assert(mismatches(df) == 0)
+  }
+
+  // --- edge cases ----------------------------------------------------------
+
+  test("shingles: fewer than k tokens yields empty array; null passes through") {
+    val got = Seq("a b", "x", "", "a a a a").toDF("s")
+      .select(call_function("shingles", col("s"), lit(3)).as("r"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).isEmpty)
+    assert(got(3) == Seq("a a a")) // duplicates collapse, order preserved
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(call_function("shingles", col("s"), lit(3))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("minhash_sig: empty shingle set yields null (no signature)") {
+    val r = Seq(Seq.empty[String]).toDF("sh")
+      .select(call_function("minhash_sig", col("sh"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("simhash32: zero tokens yields the all-zero signature") {
+    val r = Seq("", "   ").toDF("s")
+      .select(call_function("simhash32", col("s"))).collect()
+    assert(r.forall(_.getString(0) == "0" * 32))
+  }
+
+  test("array_dot: length mismatch and double arrays") {
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(call_function("array_dot", col("a"), col("b"))).head()
+    assert(mismatch.isNullAt(0))
+    val d = Seq((Seq(1.5, 2.0), Seq(2.0, 3.0))).toDF("a", "b")
+      .select(call_function("array_dot", col("a"), col("b"))).head().getDouble(0)
+    assert(d == 9.0)
+  }
+
+  test("sketch expressions are callable from SQL text (extension surface)") {
+    val r = spark.sql(
+      "SELECT simhash32('a b c') AS s, shingles('a b c d', 2) AS sh, " +
+        "array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getString(0).length == 32)
+    assert(r.getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(r.getDouble(2) == 11.0)
+  }
+}
