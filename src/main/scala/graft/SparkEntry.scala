@@ -71,6 +71,10 @@ object SparkEntry {
       graft.sources.Tables.documents(s, d)
         .selectExpr("doc_id", "rolling_min_hash(text) AS rolling_min")
         .orderBy("doc_id")),
+    "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
+    "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
+    "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -589,6 +593,63 @@ object SparkEntry {
         |  round((CAST(tf.tf AS DOUBLE) / nt.ntok) * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS tfidf
         |FROM tf JOIN nt USING (doc_id) JOIN df USING (token) CROSS JOIN nn
         |ORDER BY tfidf DESC, doc_id, token LIMIT 25""".stripMargin,
+
+    // IVF ANN: centroids = vectors with vec_id < ivfCells; assignment and
+    // probe ranking tie-break by smaller cell id, top-k by smaller vec_id —
+    // all constants interpolated from graft.ops.Similarity.
+    "s3_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
+        |a1 AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+        |       FROM n, c),
+        |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc
+        |        FROM a1),
+        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
+        |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
+        |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
+        |cand AS (SELECT p.qid, x.vec_id, x.cell,
+        |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
+        |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id, cell, cosine,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // Append-mode watermarked windows: only windows closed by the FINAL
+    // watermark (max event time truncated to Spark's millisecond watermark
+    // precision, minus the delay) are emitted — the oracle replicates that
+    // eviction predicate exactly.
+    "q28_stream_hourly" ->
+      """WITH mx AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE AS wm FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |        count(*) AS n, round(sum(value), 2) AS sum_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n, sum_value
+        |FROM w, mx
+        |WHERE hour_start + INTERVAL 1 HOUR <= wm
+        |ORDER BY hour_start, event_type""".stripMargin,
+
+    // The salted join must produce exactly the plain join's result — the
+    // salt moves rows between tasks, never between groups.
+    "q29_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // Frame sampling over ASCII payloads: byte offsets == char offsets, so
+    // DuckDB reproduces the byte-range extraction with substr arithmetic.
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no, CAST(off AS INT) AS frame_off,
+        |  substr(text, CAST(off AS INT) + 1, 16) AS frame_text
+        |FROM (SELECT doc_id, text, f,
+        |        (CAST(f AS BIGINT) * greatest(length(text) - 16, 0)) // 3 AS off
+        |      FROM documents, (SELECT unnest(range(0, 4)) AS f))
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     "w1_rolling_fingerprint" -> {
       // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the

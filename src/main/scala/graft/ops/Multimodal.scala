@@ -101,6 +101,17 @@ object Multimodal {
     }
   }
 
+  /** Correctness surface for [[frameSample]]: 4 evenly-spaced 16-byte
+    * frames per media item. Payloads are UTF-8 text here, so the frame
+    * bytes round-trip to string columns the DuckDB oracle can substring
+    * its way to.
+    */
+  def frameSampleFlat(spark: SparkSession, dir: String, n: Int = 4, frameBytes: Int = 16): DataFrame =
+    frameSample(mediaFromDocuments(spark, dir), n, frameBytes)
+      .select(col("media_id"), col("frame_no"), col("offset").as("frame_off"),
+        col("frame").cast("string").as("frame_text"))
+      .orderBy(col("media_id"), col("frame_no"))
+
   /** Correctness surface: media_id, byte count, and the 8 histogram
     * features as rounded columns (ORDER BY media_id).
     */

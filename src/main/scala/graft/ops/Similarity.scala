@@ -85,6 +85,71 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  val ivfCells = 16
+  val ivfProbes = 2
+
+  /** IVF (inverted-file) ANN — the scale path beyond one-shot LSH:
+    * partition the corpus into `ivfCells` cells by nearest centroid, then
+    * answer each query by brute-forcing only its `ivfProbes` nearest cells
+    * (candidates = probes/cells of the corpus, here 1/8th).
+    *
+    * Centroids are the first `ivfCells` vectors (deterministic — a
+    * production build would k-means them; the IVF mechanics are identical
+    * and this keeps the DuckDB oracle exact). They are collected to the
+    * driver (16 rows — centroids are model metadata, like a broadcast
+    * model: at 100 TB the corpus never moves, only cell ids shuffle) and
+    * embedded as literal arrays, so cell assignment is a pure
+    * codegen-friendly projection: 16 `array_dot`s per row, no join.
+    *
+    * Tie-breaks are deterministic everywhere: equal cosine → smaller cell
+    * id (assignment and probe ranking), then smaller vec_id (top-k).
+    */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, dir))
+    // centroid payloads: (cid, components-as-double, norm), ascending cid
+    val cents: Seq[(Long, Array[Double], Double)] =
+      v.where(col("vec_id") < ivfCells).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    def centCos(cid: Long): Column =
+      dot(col("e"), typedlit(cents(cid.toInt)._2)) / (col("nrm") * lit(cents(cid.toInt)._3))
+
+    // corpus → cell: argmax centroid cosine, first (smallest) cid on ties
+    val best = greatest(cents.map(c => centCos(c._1)): _*)
+    val cell = cents.foldRight(lit(-1L)) { case ((cid, _, _), acc) =>
+      when(centCos(cid) === best, lit(cid)).otherwise(acc)
+    }
+    // foldRight puts cid 0's `when` OUTERMOST, so ties resolve to the
+    // smallest cid — matching the oracle's ORDER BY cos DESC, cid ASC.
+    val asg = v.withColumn("cell", cell)
+
+    // queries → their ivfProbes nearest cells (rank over 16 rows per query)
+    val qc = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(array(cents.map { case (cid, _, _) =>
+          struct(lit(cid).as("pcell"), centCos(cid).as("ccos"))
+        }: _*)).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"), col("pc.pcell"), col("pc.ccos"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("pcell"))
+    val probes = qc.withColumn("rc", row_number().over(wq))
+      .where(col("rc") <= ivfProbes)
+      .select(col("qid"), col("qe"), col("qn"), col("pcell"))
+
+    // probe: corpus scanned once, probe list broadcast; a corpus vector is
+    // in exactly one cell, so no cross-probe duplicates to dedup
+    val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+    asg.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"), cos.as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cell"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** ANN: nearest neighbor per vector among same-bucket candidates.
     * One shuffle (bucket equi-join); vectors alone in their bucket emit no
     * row — the recall/cost dial is `numPlanes`.

@@ -50,6 +50,42 @@ object EventsStream {
 
   private val runId = new AtomicInteger(0)
 
+  /** Watermark delay for the append-mode hourly pipeline. */
+  val watermarkDelay = "10 minutes"
+
+  /** Tumbling one-hour windows with a watermark, for APPEND output — the
+    * production shape for writing to a columnar sink: a window row is
+    * emitted exactly once, when the watermark (max event time −
+    * [[watermarkDelay]]) passes its end, and late events beyond the delay
+    * are dropped. State is bounded by the watermark horizon (windows ×
+    * event types), independent of stream length.
+    */
+  def hourlyAggWatermarked(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** One-shot append-mode run: only windows CLOSED by the final watermark
+    * (window end <= max(ts) − delay) appear — that is the semantic the
+    * oracle replicates; it is what makes this a different operator from
+    * the complete-mode daily aggregation, not just a narrower window.
+    */
+  def runHourlyAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+    val q = hourlyAggWatermarked(readEventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** One-shot streaming run: drain the events table with AvailableNow into
     * a complete-mode memory sink and return the result, ordered like q14.
     */

@@ -38,6 +38,20 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc.values.forall(_.map(_.frame_no).sorted.sameElements(0 until 4)))
   }
 
+  test("frame sample flat query: text frames equal substring extraction") {
+    import org.apache.spark.sql.functions._
+    val flat = Multimodal.frameSampleFlat(spark, sf0001).collect()
+    assert(flat.length == 2000) // 500 docs x 4 frames
+    // ASCII payloads: the decoded frame must equal the char-wise substring
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flat.forall { r =>
+      val t = docs(r.getLong(0)); val off = r.getInt(2)
+      r.getString(3) == t.substring(off, math.min(off + 16, t.length))
+    })
+  }
+
   test("decode stub is deterministic and shaped like pixels") {
     val px = Multimodal.decodePixelsStub("abc".getBytes("UTF-8"))
     assert(px.length == 64)

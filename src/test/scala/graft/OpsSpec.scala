@@ -79,6 +79,19 @@ class OpsSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).distinct.length == a.length) // one row per vector
   }
 
+  test("ann-ivf: k rows per query from probed cells; cosines bounded by brute force") {
+    val ivf = Similarity.annIvf(spark, sf0001).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    assert(byQ.values.forall(_.map(_.getInt(1)).sorted.sameElements(Seq(1, 2, 3))))
+    // each query probes at most ivfProbes distinct cells
+    assert(byQ.values.forall(_.map(_.getLong(3)).distinct.length <= Similarity.ivfProbes))
+    // IVF is approximate: its rank-i cosine can never EXCEED brute force's
+    val bf = Similarity.cosineTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(ivf.forall(r => r.getDouble(4) <= bf((r.getLong(0), r.getInt(1))) + 1e-9))
+  }
+
   test("lang stats covers the five labeled languages") {
     val l = TextAnalysis.langStats(spark, sf0001).collect()
     assert(l.map(_.getString(0)).toSeq == Seq("de", "en", "es", "fr", "zh"))

@@ -30,7 +30,11 @@ class RelationalSpec extends SparkSpec {
     "q24_sessions" -> 946L,
     "q25_window_suite" -> 499L,
     "q26_string_funcs" -> 25L,
-    "q27_date_funcs" -> 200L)
+    "q27_date_funcs" -> 200L,
+    "q28_stream_hourly" -> 867L,
+    "q29_salted_join" -> 5L,
+    "s3_ann_ivf" -> 30L,
+    "m2_frame_sample" -> 2000L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
