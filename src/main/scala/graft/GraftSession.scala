@@ -30,6 +30,7 @@ object GraftSession {
       // from Column API and SQL text alike.
       .withExtensions { ext =>
         ext.injectFunction(graft.exprs.RollingMinHash.registration)
+        ext.injectFunction(graft.exprs.BottomKMd5.registration)
         graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
       }
       .master(s"local[$cores]")

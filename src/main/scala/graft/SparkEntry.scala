@@ -75,6 +75,16 @@ object SparkEntry {
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
+    // UDAF extension surface: TypedImperativeAggregate bottom-k (KMV)
+    // sketch, grouped per language, next to the exact distinct count it
+    // would estimate at scale.
+    "b1_bottomk_sketch" -> ((s: SparkSession, d: String) =>
+      graft.sources.Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          org.apache.spark.sql.functions.expr("bottom_k_md5(text, 8)").as("sketch"),
+          org.apache.spark.sql.functions.countDistinct(col("text")).as("n_distinct"))
+        .orderBy(col("lang"))),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -650,6 +660,14 @@ object SparkEntry {
         |        (CAST(f AS BIGINT) * greatest(length(text) - 16, 0)) // 3 AS off
         |      FROM documents, (SELECT unnest(range(0, 4)) AS f))
         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // KMV bottom-k sketch: k smallest distinct md5 digests per group,
+    // ascending — DuckDB replicates the whole aggregate declaratively.
+    "b1_bottomk_sketch" ->
+      """SELECT lang,
+        |  list_sort(list_distinct(list(md5(text))))[1:8] AS sketch,
+        |  count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w1_rolling_fingerprint" -> {
       // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the

@@ -46,6 +46,11 @@ object SaltedJoin {
     val dim = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("_salt", explode(sequence(lit(0L), lit(numSalts - 1L))))
+      // The pattern exists for dimensions too big to broadcast — force the
+      // shuffle join so the executed plan is the one being demonstrated
+      // (at test scale AQE would otherwise just broadcast the dim and the
+      // salt would never touch the wire).
+      .hint("shuffle_merge")
     fact.join(dim,
         fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
       .groupBy(col("o_orderpriority"))

@@ -34,7 +34,8 @@ class RelationalSpec extends SparkSpec {
     "q28_stream_hourly" -> 867L,
     "q29_salted_join" -> 5L,
     "s3_ann_ivf" -> 30L,
-    "m2_frame_sample" -> 2000L)
+    "m2_frame_sample" -> 2000L,
+    "b1_bottomk_sketch" -> 5L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {

@@ -145,6 +145,22 @@ class TextSketchesSpec extends SparkSpec {
     assert(d == 9.0)
   }
 
+  test("bottom_k_md5 UDAF: distinct, sorted, bounded; merge-safe across partitions") {
+    val df = Seq("a", "b", "a", "c", "d", "e", "b").toDF("s").repartition(5)
+    spark.udf // force session init
+    df.createOrReplaceTempView("bk_in")
+    val got = spark.sql("SELECT bottom_k_md5(s, 3) AS sk FROM bk_in")
+      .head().getSeq[String](0)
+    // expected: 3 smallest of the 5 DISTINCT md5s, ascending
+    val want = Seq("a", "b", "c", "d", "e")
+      .map(s => graft.exprs.BottomKMd5.md5Hex(s.getBytes("UTF-8"))).sorted.take(3)
+    assert(got == want)
+    // group smaller than k: returns all distinct hashes, no padding
+    val small = spark.sql("SELECT bottom_k_md5(s, 99) AS sk FROM bk_in")
+      .head().getSeq[String](0)
+    assert(small.length == 5 && small == small.sorted)
+  }
+
   test("sketch expressions are callable from SQL text (extension surface)") {
     val r = spark.sql(
       "SELECT simhash32('a b c') AS s, shingles('a b c d', 2) AS sh, " +
