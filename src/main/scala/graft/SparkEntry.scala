@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, to_json}
 
 import graft.operators._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
 import graft.pipeline.OohPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -58,6 +58,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash_sig" -> Dedup.simhashSignatures _,
     "d5_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "d7_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> Similarity.annLsh _,
     "t1_lang_stats" -> TextAnalysis.langStats _,
@@ -74,6 +75,7 @@ object SparkEntry {
     "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
+    "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
     // UDAF extension surface: TypedImperativeAggregate bottom-k (KMV)
     // sketch, grouped per language, next to the exact distinct count it
@@ -85,6 +87,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.expr("bottom_k_md5(text, 8)").as("sketch"),
           org.apache.spark.sql.functions.countDistinct(col("text")).as("n_distinct"))
         .orderBy(col("lang"))),
+    "b2_kmv_estimate" -> ((s: SparkSession, d: String) => Corpus.kmvEstimate(s, d)),
+    "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
+    "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -124,6 +129,30 @@ object SparkEntry {
       // the skew-safe as-of must produce exactly the plain as-of's result
       ("q21_asof_skew_safe" -> m("q15_asof_join"))
   }
+
+  /** Shared oracle CTE pipeline for the SimHash family (d5 pairs, d7
+    * clusters): tokens → per-token md5 → 32-bit signature bitstring →
+    * four 8-bit bands → candidate pairs → exact Hamming verify. (Spark
+    * generates candidates with two probed 16-bit halves instead — same
+    * verified output, different candidate geometry; see Dedup.simhashPairs.)
+    * One definition, two consumers — the final `ham` relation is
+    * (d1, d2, hamming) for all candidate pairs.
+    */
+  private val simhashHamCte: String =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
+      |bits AS (SELECT doc_id,
+      |  array_to_string([CASE WHEN list_sum([
+      |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
+      |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 32)], '') AS simhash
+      |  FROM hs),
+      |bands AS (SELECT doc_id, simhash, b, simhash[b*8+1 : b*8+8] AS bv
+      |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ham AS (SELECT d1, d2,
+      |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 33)]) AS INT) AS hamming
+      |        FROM cand)""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -481,21 +510,27 @@ object SparkEntry {
         |FROM hs ORDER BY doc_id""".stripMargin,
 
     "d5_simhash_pairs" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
-        |bits AS (SELECT doc_id,
-        |  array_to_string([CASE WHEN list_sum([
-        |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
-        |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 32)], '') AS simhash
-        |  FROM hs),
-        |bands AS (SELECT doc_id, simhash, b, simhash[b*8+1 : b*8+8] AS bv
-        |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
-        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        |ham AS (SELECT d1, d2,
-        |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 33)]) AS INT) AS hamming
-        |        FROM cand)
+      s"""WITH $simhashHamCte
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    // Connected components over the d5 pair graph: DuckDB walks
+    // reachability with a recursive CTE (label `lab` reaches `node`), so
+    // min(lab) per node is exactly the min-doc_id-in-component the Spark
+    // label propagation converges to.
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashHamCte,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM comp c JOIN sz s USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -661,6 +696,13 @@ object SparkEntry {
         |      FROM documents, (SELECT unnest(range(0, 4)) AS f))
         |ORDER BY media_id, frame_no""".stripMargin,
 
+    // Streaming dedup emits the distinct key set (see
+    // EventsStream.runDedupAvailableNow for why that is deterministic).
+    "q30_stream_dedup" ->
+      """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day_ts
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, day_ts""".stripMargin,
+
     // KMV bottom-k sketch: k smallest distinct md5 digests per group,
     // ascending — DuckDB replicates the whole aggregate declaratively.
     "b1_bottomk_sketch" ->
@@ -668,6 +710,53 @@ object SparkEntry {
         |  list_sort(list_distinct(list(md5(text))))[1:8] AS sketch,
         |  count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // KMV distinct estimate from the b1 sketch: (k-1)/fraction-of-hash-
+    // space of the k-th smallest hash. Only the first 13 hex digits (52
+    // bits) enter the arithmetic so every step before the final division
+    // is exact on both engines.
+    "b2_kmv_estimate" -> {
+      val k = Corpus.kmvK
+      val num = (k - 1).toDouble * math.pow(2, 52)
+      s"""WITH sk AS (SELECT lang, list_sort(list_distinct(list(md5(text))))[1:$k] AS sk,
+        |              count(DISTINCT text) AS n_exact
+        |            FROM documents GROUP BY lang)
+        |SELECT lang, n_exact,
+        |  round(CASE WHEN len(sk) < $k THEN CAST(len(sk) AS DOUBLE)
+        |    ELSE $num / list_sum([(strpos('0123456789abcdef', sk[$k][i]) - 1) * (16.0 ** (13 - i)) for i in range(1, 14)])
+        |  END, 3) AS kmv_estimate
+        |FROM sk ORDER BY lang""".stripMargin
+    },
+
+    // Token-window chunking: same geometry constants as Corpus.chunk.
+    "c1_chunking" -> {
+      val w = Corpus.chunkTokens
+      val s = Corpus.strideTokens
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |nc AS (SELECT doc_id, t,
+        |         CASE WHEN len(t) <= $w THEN 1
+        |              ELSE CAST(ceil((len(t) - $w) / $s.0) AS INT) + 1 END AS nc
+        |       FROM toks),
+        |ch AS (SELECT doc_id, t, unnest(range(0, nc)) AS c FROM nc)
+        |SELECT doc_id, CAST(c AS INT) AS chunk_no,
+        |  CAST(len(t[c*$s+1 : c*$s+$w]) AS INT) AS n_tokens,
+        |  array_to_string(t[c*$s+1 : c*$s+$w], ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_no""".stripMargin
+    },
+
+    // Deterministic stratified sampling: bucket 0..99 from the first 32
+    // md5 bits of the doc id; rates interpolated from Corpus.sampleRates.
+    "c2_hash_sample" -> {
+      val rateCase = "CASE lang " +
+        Corpus.sampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ") +
+        s" ELSE ${Corpus.defaultRate} END"
+      s"""WITH b AS (SELECT doc_id, lang,
+        |  CAST(CAST(list_sum([(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < $rateCase
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "w1_rolling_fingerprint" -> {
       // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the

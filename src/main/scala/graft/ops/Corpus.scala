@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-management operators for training-data pipelines: token-window
+  * chunking, deterministic stratified sampling, and sketch-based distinct
+  * estimation. All pure Column expressions (codegen, zero shuffles beyond
+  * the stated aggregations) and all reproducible in DuckDB for the oracle.
+  */
+object Corpus {
+  import Text._
+
+  /** Chunk geometry: windows of `chunkTokens` whitespace tokens starting
+    * every `strideTokens` (so consecutive chunks overlap by
+    * `chunkTokens - strideTokens` tokens — the standard training-data
+    * windowing so no span longer than the overlap is lost at a boundary).
+    */
+  val chunkTokens = 64
+  val strideTokens = 48
+
+  /** Token-window chunking: one output row per (doc, window). The chunk
+    * count covers every token — the last window starts at the smallest
+    * multiple of the stride reaching the tail and may be short; a document
+    * shorter than one window yields exactly one chunk.
+    *
+    * Scale design: a per-row flatMap (transform + explode) — no shuffle,
+    * no state; 100 TB chunks exactly as fast as 100 TB scans. The ORDER BY
+    * here is for the deterministic gate; a real pipeline would write
+    * unordered.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(ceil((n - chunkTokens).cast("double") / strideTokens).cast("int") + 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1), c =>
+          struct(c.as("chunk_no"),
+            slice(col("t"), c * strideTokens + 1, lit(chunkTokens)).as("w")))).as("e"))
+      .select(col("doc_id"), col("e.chunk_no"),
+        size(col("e.w")).as("n_tokens"),
+        array_join(col("e.w"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** Per-stratum sampling rates (percent) for [[hashSample]]. */
+  val sampleRates: Map[String, Int] = Map(
+    "en" -> 50, "de" -> 20, "fr" -> 20, "es" -> 10, "pt" -> 10)
+  val defaultRate = 5
+
+  /** Deterministic stratified sampling — the training-data mixing
+    * primitive. Each doc lands in a bucket 0..99 by md5 of its id; a doc
+    * is kept iff its bucket is under its language's rate.
+    *
+    * Scale design: hash-bucket sampling beats `ORDER BY rand()` (full
+    * sort) and `TABLESAMPLE` (non-deterministic, non-repeatable) because
+    * it is a stateless per-row filter: reproducible across runs/engines,
+    * consistent across tables (the same doc_id always samples the same
+    * way, so joined tables stay aligned), and it pushes down to the scan.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+    val rate = sampleRates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+      .where(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** KMV sketch size for [[kmvEstimate]]: relative error ≈ 1/√(k−2) ≈ 18%
+    * at 32 — a 32-hash sketch per group versus shuffling every distinct
+    * value. (The b1 sketch query keeps k=8 so its output stays readable.)
+    */
+  val kmvK = 32
+
+  /** Distinct-count estimation from the [[graft.exprs.BottomKMd5]] bottom-k
+    * (KMV) sketch, next to the exact count it estimates: with the k-th
+    * smallest of n distinct uniform hashes at fraction f of the hash space,
+    * E[n] ≈ (k-1)/f. A group with fewer than k distinct values degenerates
+    * to its exact sketch size.
+    *
+    * Why this matters at 100 TB: `count(DISTINCT x)` shuffles every
+    * distinct value; the sketch shuffles k hashes per group per mapper and
+    * merges associatively — and two sketches union into a sketch, so
+    * per-partition estimates roll up without rescanning.
+    *
+    * Determinism across engines: the fraction uses only the first 13 hex
+    * digits (52 bits), so both engines' arithmetic is exact until the one
+    * final division — same IEEE operands, same result.
+    */
+  def kmvEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val kth = element_at(col("sk"), kmvK)
+    val v = conv(substring(kth, 1, 13), 16, 10).cast("double")
+    val est = when(size(col("sk")) < kmvK, size(col("sk")).cast("double"))
+      .otherwise(lit((kmvK - 1).toDouble * math.pow(2, 52)) / v)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(expr(s"bottom_k_md5(text, $kmvK)").as("sk"),
+        countDistinct(col("text")).as("n_exact"))
+      .select(col("lang"), col("n_exact"), round(est, 3).as("kmv_estimate"))
+      .orderBy(col("lang"))
+  }
+}

@@ -149,6 +149,67 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Duplicate clusters: connected components over the SimHash near-dup
+    * pair graph, labeling every node with the min doc_id reachable from it.
+    * The last step of a dedup pipeline — pairs alone can't drive deletion
+    * (A~B, B~C must keep ONE of {A,B,C}, not two) — so the output is the
+    * keeper assignment: one row per clustered doc with its cluster id,
+    * cluster size, and keeper flag.
+    *
+    * Pregel-style min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels. Rounds = component
+    * diameter; near-dup components are dense and shallow, so this
+    * converges in a handful of rounds (the `maxIters` cap is a guard, not
+    * a tuning knob; adversarially long path-graphs would want the
+    * large-star/small-star variant, which shortcuts diameter to
+    * O(log n) rounds at the cost of a second join per round).
+    *
+    * Scale design: each round is one shuffle join on `src` plus a
+    * min-aggregate — never materializes anything bigger than the edge
+    * list. `localCheckpoint` truncates lineage each round so the plan
+    * stays O(1) deep regardless of iteration count (on a cluster this
+    * would be `checkpoint()` to durable storage). Convergence is detected
+    * by the label-sum fixpoint: labels only ever decrease, so an unchanged
+    * sum means an unchanged labeling — one scalar aggregate per round, no
+    * row-level diff join.
+    */
+  def dupClusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+    val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .repartition(col("src"))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val prev = labels
+      labels = edges.as("e")
+        .join(prev.as("l"), col("e.src") === col("l.node"))
+        .select(col("e.dst").as("node"), col("l.label").as("label"))
+        .union(prev)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).cast("int").as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the
     * sign of Σ_tokens (2·bit_b(md5(token)) − 1). Signature rendered as a
     * 32-char bitstring by the native [[graft.exprs.SimHash32]] codegen

@@ -86,6 +86,45 @@ object EventsStream {
     spark.table(name).orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Dedup-state horizon for [[runDedupAvailableNow]]. Deliberately wider
+    * than the test table's whole time span: within-watermark dedup only
+    * equals global DISTINCT when no key's state expires mid-stream, and
+    * that must hold for ANY batching of the input (a span-sized horizon
+    * makes the oracle parity a property, not an artifact of the file
+    * arriving as one micro-batch). Production sets this to the max
+    * expected duplicate spacing, trading state size for dedup reach.
+    */
+  val dedupHorizon = "40 days"
+
+  /** Streaming dedup — the stream-side sibling of exact dedup (d1): at
+    * most one emitted row per (user_id, event_type, day) via
+    * `dropDuplicatesWithinWatermark`. State holds one entry per key seen
+    * within the watermark horizon and is evicted as the watermark passes
+    * its expiry — bounded by per-horizon key cardinality, not stream
+    * length (plain `dropDuplicates` on a stream would grow state forever).
+    *
+    * The output is the KEY projection: which physical row survives depends
+    * on arrival order, but its key does not, so the emitted set is
+    * deterministic and equals batch `SELECT DISTINCT` — the batch/stream
+    * parity the oracle checks.
+    */
+  def runDedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = readEventsStream(spark, dir)
+      .withColumn("day_ts", col("ts").cast("date"))
+      .withWatermark("ts", dedupHorizon)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day_ts")
+      .select(col("user_id"), col("event_type"), col("day_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("event_type"), col("day_ts"))
+  }
+
   /** One-shot streaming run: drain the events table with AvailableNow into
     * a complete-mode memory sink and return the result, ordered like q14.
     */

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup}
+
+/** Properties of the corpus-management ops (chunking, sampling, KMV) and
+  * the dup-cluster labeling — invariants, not just row pins.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking covers every token: sum of unique positions == doc token count") {
+    val chunks = Corpus.chunk(spark, sf0001)
+    // chunk c covers token positions [c*stride+1, c*stride+len]; the union
+    // over chunks must be exactly [1, n] — verified by checking the first
+    // chunk starts at 1, consecutive chunks overlap or touch, and the last
+    // chunk reaches n.
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(filter(split(col("text"), " "), t => t =!= "")).as("n"))
+    val spans = chunks
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * Corpus.strideTokens + 1).as("lo"),
+        (col("chunk_no") * Corpus.strideTokens + col("n_tokens")).as("hi"))
+    val bad = spans.as("s")
+      .join(docs.as("d"), "doc_id")
+      .groupBy(col("doc_id"), col("d.n"))
+      .agg(min(col("lo")).as("minLo"), max(col("hi")).as("maxHi"),
+        max(col("lo")).as("lastLo"))
+      .where(col("minLo") =!= 1 || col("maxHi") =!= col("n") ||
+        col("lastLo") > col("n"))
+    assert(bad.count() == 0)
+  }
+
+  test("chunk geometry: all chunks full-width except possibly the last; overlap constant") {
+    val chunks = Corpus.chunk(spark, sf0001).cache()
+    val lastNo = chunks.groupBy("doc_id").agg(max("chunk_no").as("last"))
+    val nonLast = chunks.join(lastNo, "doc_id").where(col("chunk_no") < col("last"))
+    assert(nonLast.where(col("n_tokens") =!= Corpus.chunkTokens).count() == 0)
+    chunks.unpersist()
+  }
+
+  test("hash sampling is deterministic and respects per-stratum rates") {
+    val a = Corpus.hashSample(spark, sf0001).collect()
+    val b = Corpus.hashSample(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq) // repeatable, not rand()
+    // every kept bucket is under its stratum's rate
+    a.foreach { case Row(_, lang: String, bucket: Int) =>
+      val rate = Corpus.sampleRates.getOrElse(lang, Corpus.defaultRate)
+      assert(bucket < rate, s"$lang bucket $bucket >= rate $rate")
+    }
+  }
+
+  test("KMV estimate: within 3 standard errors of exact; degenerates below k") {
+    val rows = Corpus.kmvEstimate(spark, sf0001).collect()
+    val se = 1.0 / math.sqrt(Corpus.kmvK - 2.0)
+    rows.foreach { case Row(lang: String, exact: Long, est: Double) =>
+      if (exact < Corpus.kmvK) assert(est == exact.toDouble)
+      else {
+        val rel = math.abs(est - exact) / exact
+        assert(rel < 3 * se, s"$lang estimate $est vs exact $exact (rel err $rel)")
+      }
+    }
+  }
+
+  test("dup clusters: labels are reflexive-transitive closures of the pair graph") {
+    val clusters = Dedup.dupClusters(spark, sf0001).cache()
+    val pairs = Dedup.simhashPairs(spark, sf0001).select("d1", "d2").cache()
+    // 1. every endpoint of every pair is labeled, both ends in SAME cluster
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val split = pairs
+      .join(lab.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lab.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2"), "d2")
+      .where(col("c1") =!= col("c2"))
+    assert(split.count() == 0, "a near-dup pair straddles two clusters")
+    // 2. cluster_id is the min doc_id of its members (canonical keeper)
+    val minOfCluster = clusters.groupBy("cluster_id").agg(min("doc_id").as("m"))
+      .where(col("cluster_id") =!= col("m"))
+    assert(minOfCluster.count() == 0)
+    // 3. exactly one keeper per cluster
+    val keepers = clusters.where(col("is_keeper") === 1)
+      .groupBy("cluster_id").count().where(col("count") =!= 1)
+    assert(keepers.count() == 0)
+    // 4. cluster sizes sum to the number of clustered docs
+    val n = clusters.count()
+    val sumSizes = clusters.select(col("cluster_id"), col("cluster_size")).distinct()
+      .agg(sum("cluster_size")).head().getLong(0)
+    assert(sumSizes == n)
+    clusters.unpersist(); pairs.unpersist()
+  }
+
+  test("streaming dedup equals batch distinct on the same keys") {
+    val streamed = graft.streaming.EventsStream.runDedupAvailableNow(spark, sf0001)
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts").cast("date").as("day_ts"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("day_ts"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+}

@@ -35,7 +35,12 @@ class RelationalSpec extends SparkSpec {
     "q29_salted_join" -> 5L,
     "s3_ann_ivf" -> 30L,
     "m2_frame_sample" -> 2000L,
-    "b1_bottomk_sketch" -> 5L)
+    "b1_bottomk_sketch" -> 5L,
+    "b2_kmv_estimate" -> 5L,
+    "c1_chunking" -> 705L,
+    "c2_hash_sample" -> 126L,
+    "d7_dup_clusters" -> 342L,
+    "q30_stream_dedup" -> 792L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
