@@ -32,6 +32,7 @@ object GraftSession {
         ext.injectFunction(graft.exprs.RollingMinHash.registration)
         ext.injectFunction(graft.exprs.BottomKMd5.registration)
         graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
+        ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
       }
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)

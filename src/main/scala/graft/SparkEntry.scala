@@ -76,6 +76,8 @@ object SparkEntry {
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
+    // custom LogicalPlan + Strategy + SparkPlan operator (plans/TopKPerKey)
+    "q31_topk_per_key" -> ((s: SparkSession, d: String) => TopK.topOrdersPerCustomer(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
     // UDAF extension surface: TypedImperativeAggregate bottom-k (KMV)
     // sketch, grouped per language, next to the exact distinct count it
@@ -702,6 +704,15 @@ object SparkEntry {
       """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day_ts
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, day_ts""".stripMargin,
+
+    // The custom bounded-heap operator must produce exactly what the
+    // window formulation produces — the oracle IS the window formulation.
+    "q31_topk_per_key" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // KMV bottom-k sketch: k smallest distinct md5 digests per group,
     // ascending — DuckDB replicates the whole aggregate declaratively.

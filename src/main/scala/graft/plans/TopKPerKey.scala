@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical per-key top-k: retain, for every distinct value of `grouping`,
+  * the first `k` child rows under `ordering` (make the ordering total —
+  * include a tie-break — for a deterministic result).
+  *
+  * Why a custom operator: Spark expresses per-key top-k as
+  * window-rank-then-filter, whose physical plan is a full shuffle of EVERY
+  * row followed by a per-partition SORT of every row — O(n log n) work and
+  * full materialization for an output of `keys × k` rows. (Spark's own
+  * `TakeOrderedAndProject` does bounded-heap selection, but only for a
+  * GLOBAL limit.) This operator is the per-key generalization: a bounded
+  * heap per key on the map side, so the shuffle carries at most
+  * `mappers × keys × k` rows, then the same bounded merge on the reduce
+  * side — no sort of the full input ever happens. At 100 TB the window
+  * formulation shuffles 100 TB; this shuffles k rows per key per mapper.
+  *
+  * Memory model matches Spark's partial hash aggregation: map-side state
+  * is `keys-per-partition × k` retained rows. Degenerate key cardinality
+  * (every row its own key) makes the partial pass a pass-through, same as
+  * partial aggregation — correctness unaffected.
+  */
+case class TopKPerKey(
+    grouping: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "TopKPerKey: k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Shared bounded-heap pass for both physical phases: one heap of at most
+  * k rows per distinct key in this partition, worst row at the heap head.
+  */
+private[plans] object TopKHeaps {
+  def retain(
+      iter: Iterator[InternalRow],
+      grouping: Seq[Expression],
+      ordering: Seq[SortOrder],
+      output: Seq[Attribute],
+      k: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(grouping, output)
+    val ord: BaseOrdering = RowOrdering.create(ordering, output)
+    // reverse: the heap head is the WORST retained row, so a new row only
+    // displaces it when strictly better.
+    val heapOrd = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+    }
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+  }
+}
+
+/** Map-side phase: bounds what enters the shuffle to k rows per key per
+  * input partition. No required distribution — runs on the child's
+  * partitioning as-is.
+  */
+case class PartialTopKPerKeyExec(
+    grouping: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] = UnspecifiedDistribution :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      iter => TopKHeaps.retain(iter, grouping, ordering, output, k),
+      preservesPartitioning = true)
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Reduce-side phase: requires co-location by key (EnsureRequirements
+  * inserts the hash exchange), then the same bounded pass is exact.
+  */
+case class FinalTopKPerKeyExec(
+    grouping: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(grouping) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions(
+      iter => TopKHeaps.retain(iter, grouping, ordering, output, k),
+      preservesPartitioning = true)
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial → (exchange) → final. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(grouping, ordering, k, child) =>
+      FinalTopKPerKeyExec(grouping, ordering, k,
+        PartialTopKPerKeyExec(grouping, ordering, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}

@@ -11,7 +11,8 @@ object ExplainAudit {
     val dir = "/root/testdata/sf0.01"
     val targets = Seq("q1_pricing_summary", "q5_local_supplier", "s1_cosine_topk",
       "d2_ngram_jaccard", "t5_token_freq", "m1_media_features",
-      "d5_simhash_pairs", "s3_ann_ivf", "q29_salted_join")
+      "d5_simhash_pairs", "s3_ann_ivf", "q29_salted_join",
+      "q31_topk_per_key", "c1_chunking", "c2_hash_sample")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")

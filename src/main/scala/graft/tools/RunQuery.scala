@@ -19,7 +19,9 @@ object RunQuery {
     val spark = GraftSession.create("runquery", 8)
     val df = graft.SparkEntry.queries(name)(spark, dir)
     df.show(n, truncate = 60)
+    val t0 = System.nanoTime()
     println(s"rows=${df.count()}")
+    println(f"count_sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+import graft.plans.{FinalTopKPerKeyExec, PartialTopKPerKeyExec}
+
+/** The custom TopKPerKey operator: equivalence with the window-rank
+  * formulation (the semantics it replaces), plan shape, and edge cases.
+  */
+class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
+  test("equals window-rank formulation on skewed synthetic data") {
+    // key 0 holds ~half the rows (skew), keys up to 99; values collide
+    // often so the id tie-break matters.
+    val df = spark.range(100000)
+      .select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 100).as("key"),
+        (col("id") * 37 % 1000).as("v"),
+        col("id"))
+      .repartition(7)
+      .cache()
+    val got = TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), 5)
+      .orderBy("key", "id").collect().toSeq
+    val want = windowTopK(df, 5).orderBy("key", "id").collect().toSeq
+    assert(got == want)
+    df.unpersist()
+  }
+
+  test("null keys form their own group; k larger than group returns whole group") {
+    val df = Seq((Some(1L), 10L, 1L), (Some(1L), 20L, 2L), (None, 5L, 3L),
+      (None, 7L, 4L), (Some(2L), 1L, 5L))
+      .toDF("key", "v", "id").repartition(3)
+    val got = TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), 10)
+      .orderBy("id").collect().toSeq
+    assert(got.size == 5) // nothing dropped when k exceeds every group size
+    val top1 = TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), 1)
+      .select("id").as[Long].collect().toSet
+    assert(top1 == Set(2L, 4L, 5L)) // max v per group incl. the null group
+  }
+
+  test("plan is partial -> exchange -> final (bounded shuffle), no sort of input") {
+    val df = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val plan = TopK.perKey(df, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .queryExecution.executedPlan
+    assert(collectFirst(plan) { case p: PartialTopKPerKeyExec => p }.isDefined)
+    assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isDefined)
+    // the final's subtree must contain the exchange AND the partial below it
+    val fin = collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.get
+    val ex = collectFirst(fin.child) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(ex.isDefined, "hash exchange must sit between partial and final")
+    // no SortExec anywhere: the whole point is no full sort of the input
+    val sorts = collect(plan) { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"unexpected sort in plan:\n$plan")
+  }
+
+  test("q31 oracle twin: custom operator equals window formulation on orders") {
+    val got = TopK.topOrdersPerCustomer(spark, sf0001).collect().toSeq
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey").as("key"), col("o_orderkey").as("id"), col("o_totalprice").as("v"))
+    val want = windowTopK(orders, 3)
+      .select(col("key").as("o_custkey"), col("id").as("o_orderkey"), col("v").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey")).collect().toSeq
+    assert(got == want)
+  }
+}
