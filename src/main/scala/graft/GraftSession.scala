@@ -33,6 +33,7 @@ object GraftSession {
         ext.injectFunction(graft.exprs.BottomKMd5.registration)
         graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
         ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+        ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
       }
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)

@@ -92,6 +92,7 @@ object SparkEntry {
     "b2_kmv_estimate" -> ((s: SparkSession, d: String) => Corpus.kmvEstimate(s, d)),
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
+    "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -767,6 +768,21 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < $rateCase
         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Decontamination: shared distinct 3-shingles between each training
+    // doc and the benchmark slice (source interpolated from Corpus).
+    "c3_contamination" -> {
+      val b = Corpus.benchmarkSource
+      s"""WITH toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle FROM toks),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '$b'),
+        |own AS (SELECT doc_id, count(*) AS n_own FROM sh WHERE source <> '$b' GROUP BY 1),
+        |shared AS (SELECT s.doc_id, count(*) AS n_shared
+        |           FROM sh s JOIN bench USING (shingle) WHERE s.source <> '$b' GROUP BY 1)
+        |SELECT o.doc_id, n_shared, n_own, round(CAST(n_shared AS DOUBLE) / n_own, 6) AS ratio
+        |FROM own o JOIN shared s2 ON o.doc_id = s2.doc_id
+        |ORDER BY o.doc_id""".stripMargin
     },
 
     "w1_rolling_fingerprint" -> {

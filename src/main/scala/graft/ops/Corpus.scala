@@ -76,6 +76,39 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark source for [[contamination]] — the held-out slice whose
+    * n-grams must not leak into training data.
+    */
+  val benchmarkSource = "src0"
+
+  /** Train/test decontamination: for every training document sharing at
+    * least one distinct 3-shingle with the benchmark corpus, the count of
+    * shared shingles and the contamination ratio (shared / own distinct
+    * shingles).
+    *
+    * Scale design: the benchmark side is small by definition (a test set),
+    * so its distinct-shingle set is BROADCAST and the whole training
+    * corpus is screened map-side — the only shuffle is the per-doc count
+    * aggregation, which partial-aggregates to one row per contaminated
+    * doc. The corpus itself never shuffles; 100 TB of training text
+    * streams through a hash probe.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(spark, dir)
+    val trainSh = docs.where(col("source") =!= benchmarkSource)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val benchSh = docs.where(col("source") === benchmarkSource)
+      .select(explode(shingles(col("text"))).as("shingle")).distinct()
+    val own = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+    val shared = trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    own.join(shared, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_own"),
+        round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** KMV sketch size for [[kmvEstimate]]: relative error ≈ 1/√(k−2) ≈ 18%
     * at 32 — a 32-hash sketch per group versus shuffling every distinct
     * value. (The b1 sketch query keeps k=8 so its output stays readable.)

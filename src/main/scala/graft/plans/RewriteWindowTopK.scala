@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: rewrite the standard per-key top-k idiom
+  *
+  *   Project(cols, Filter(rn <= k, Window(row_number() over (partition by
+  *   p order by o) as rn, child)))
+  *
+  * into the bounded [[TopKPerKey]] operator — users (and the engine's own
+  * operators) write the declarative window formulation and the engine
+  * plans it without a full shuffle+sort, the same way Catalyst's own
+  * InferWindowGroupLimit upgrades rank filters (ours goes further: the
+  * heap operator eliminates the per-partition sort entirely, not just its
+  * input size).
+  *
+  * Guards:
+  *   - only `row_number` (rank/dense_rank keep >k rows on ties — not
+  *     expressible as a bounded heap of k);
+  *   - the rank attribute must not survive the enclosing projection (the
+  *     operator does not produce it);
+  *   - non-empty partition spec (a global top-k is Spark's own
+  *     TakeOrderedAndProject) and non-empty ordering.
+  *
+  * Tie semantics: with a non-total `order by`, which rows row_number
+  * retains is already nondeterministic in Spark (partition-order
+  * dependent); the heap retains an equally valid selection, so the
+  * rewrite preserves the declared semantics exactly when the ordering is
+  * total and up-to-ties otherwise — the same contract as the window it
+  * replaces.
+  */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+
+  /** cond == `rn <= k` in any spelling; yields (rnAttr, k). */
+  private object RnLimit {
+    def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) => Some((a, k))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) => Some((a, k - 1))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) => Some((a, k))
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) => Some((a, k - 1))
+      case EqualTo(a: Attribute, Literal(1, IntegerType)) => Some((a, 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case Project(projList,
+        Filter(RnLimit(rnAttr, k),
+        Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(ps, os, _)), _)), _, _, child, _)))
+        if k >= 1 && ps.nonEmpty && os.nonEmpty &&
+          rnAttr.exprId == al.exprId &&
+          projList.forall(!_.references.contains(al.toAttribute)) =>
+      Project(projList, TopKPerKey(ps, os, k, child))
+  }
+}

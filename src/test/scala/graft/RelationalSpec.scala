@@ -41,7 +41,8 @@ class RelationalSpec extends SparkSpec {
     "c2_hash_sample" -> 126L,
     "d7_dup_clusters" -> 342L,
     "q30_stream_dedup" -> 792L,
-    "q31_topk_per_key" -> 449L)
+    "q31_topk_per_key" -> 449L,
+    "c3_contamination" -> 413L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {

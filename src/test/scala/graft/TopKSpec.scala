@@ -65,6 +65,34 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sorts.isEmpty, s"unexpected sort in plan:\n$plan")
   }
 
+  test("RewriteWindowTopK fires on the rank-filter-drop idiom and preserves results") {
+    val df = spark.range(10000)
+      .select((col("id") % 50).as("key"), (col("id") * 13 % 500).as("v"), col("id"))
+    val q = windowTopK(df, 4) // withColumn(rn) + filter + drop
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isDefined,
+      s"rewrite did not fire:\n$plan")
+    assert(collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+    // and the rewritten plan computes the right thing: 4 rows per key,
+    // each the window formulation's pick (checked per-key against a
+    // no-rewrite computation via rn kept in the output)
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    val keepRn = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 4)
+    assert(q.orderBy("key", "id").collect().toSeq ==
+      keepRn.drop("rn").orderBy("key", "id").collect().toSeq)
+  }
+
+  test("RewriteWindowTopK does NOT fire when the rank column survives") {
+    val df = spark.range(1000)
+      .select((col("id") % 10).as("key"), (col("id") % 97).as("v"), col("id"))
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    val plan = q.queryExecution.executedPlan
+    assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isEmpty,
+      "rewrite must not fire when rn is still referenced")
+  }
+
   test("q31 oracle twin: custom operator equals window formulation on orders") {
     val got = TopK.topOrdersPerCustomer(spark, sf0001).collect().toSeq
     val orders = graft.sources.Tables.orders(spark, sf0001)
