@@ -76,6 +76,7 @@ object SparkEntry {
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
+    "q32_stream_funnel" -> graft.streaming.EventsStream.runFunnelJoinAvailableNow _,
     // custom LogicalPlan + Strategy + SparkPlan operator (plans/TopKPerKey)
     "q31_topk_per_key" -> ((s: SparkSession, d: String) => TopK.topOrdersPerCustomer(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
@@ -705,6 +706,17 @@ object SparkEntry {
       """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day_ts
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, day_ts""".stripMargin,
+
+    // Stream-stream funnel join: the batch interval join the streaming
+    // inner join provably equals on a drained source.
+    "q32_stream_funnel" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin,
 
     // The custom bounded-heap operator must produce exactly what the
     // window formulation produces — the oracle IS the window formulation.

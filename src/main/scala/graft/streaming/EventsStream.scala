@@ -125,6 +125,48 @@ object EventsStream {
     spark.table(name).orderBy(col("user_id"), col("event_type"), col("day_ts"))
   }
 
+  /** Attribution window for [[runFunnelJoinAvailableNow]]. */
+  val funnelWindow = "1 hour"
+
+  /** Stream-stream interval join — the funnel query: every (click,
+    * purchase) pair by the same user with the purchase inside
+    * (click_ts, click_ts + [[funnelWindow]]].
+    *
+    * The production-shape stream-stream join: BOTH sides carry a
+    * watermark and the join condition bounds event-time distance, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the window — state is bounded by the horizon, not stream
+    * length. Inner-join rows are emitted as soon as both sides arrive;
+    * with AvailableNow over a static table the emitted set is exactly the
+    * batch interval join, which is what the oracle replays.
+    */
+  def runFunnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
+    val clicks = readEventsStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", funnelWindow)
+    val purchases = readEventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", funnelWindow)
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $funnelWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** One-shot streaming run: drain the events table with AvailableNow into
     * a complete-mode memory sink and return the result, ordered like q14.
     */

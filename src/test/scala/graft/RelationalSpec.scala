@@ -42,7 +42,8 @@ class RelationalSpec extends SparkSpec {
     "d7_dup_clusters" -> 342L,
     "q30_stream_dedup" -> 792L,
     "q31_topk_per_key" -> 449L,
-    "c3_contamination" -> 413L)
+    "c3_contamination" -> 413L,
+    "q32_stream_funnel" -> 5L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
