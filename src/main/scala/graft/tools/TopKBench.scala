@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.TopK
+
+/** Head-to-head: WindowExec (shuffle + per-partition sort of every row)
+  * vs the custom bounded-heap TopKPerKey on the same per-key top-k task.
+  * Synthetic input so the scan is negligible and the operator dominates.
+  * Run: runMain graft.tools.TopKBench [nRows] [nKeys] [k]
+  */
+object TopKBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 20000000L
+    val keys = if (args.length > 1) args(1).toLong else 100000L
+    val k = if (args.length > 2) args(2).toInt else 5
+    val spark = GraftSession.create("topk-bench", 8)
+    // withRewrite=false plan: keep rn in output so RewriteWindowTopK
+    // cannot fire and WindowExec stays.
+    val df = spark.range(n).select(
+      (col("id") % keys).as("key"), (col("id") * 2654435761L % 1000000).as("v"), col("id"))
+      .persist()
+    df.count() // materialize input outside the timed region
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TOPK $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r rows)")
+    }
+
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    for (_ <- 1 to 2) {
+      time("window rank") {
+        df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).count()
+      }
+      time("topk heap") {
+        TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k).count()
+      }
+    }
+    spark.stop()
+  }
+}
