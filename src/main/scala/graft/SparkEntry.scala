@@ -77,6 +77,9 @@ object SparkEntry {
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
     "q32_stream_funnel" -> graft.streaming.EventsStream.runFunnelJoinAvailableNow _,
+    "q33_full_outer" -> Relational.q33FullOuter _,
+    "s4_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.quantizedCosineTopK(s, d)),
+    "q34_pivot" -> Relational.q34Pivot _,
     // custom LogicalPlan + Strategy + SparkPlan operator (plans/TopKPerKey)
     "q31_topk_per_key" -> ((s: SparkSession, d: String) => TopK.topOrdersPerCustomer(s, d)),
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
@@ -706,6 +709,39 @@ object SparkEntry {
       """SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day_ts
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, day_ts""".stripMargin,
+
+    // Int8-quantized cosine: scales cancel, so qcos = cosine of the int
+    // vectors; integer dots are exact in doubles on both engines.
+    "s4_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e, list_max([abs(x) for x in e]) / 127.0 AS s FROM v),
+        |q AS (SELECT vec_id, [round(x / s) for x in e] AS q FROM sc),
+        |n AS (SELECT vec_id, q, sqrt(list_sum([x*x for x in q])) AS qnrm FROM q),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |        list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]) / (a.qnrm*b.qnrm) AS qcos
+        |      FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT qid, vec_id, qcos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk FROM p)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(qcos, 6) AS qcos
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q33_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |           WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000 GROUP BY 1),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    // Pivot = conditional aggregation, spelled out per status value.
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Stream-stream funnel join: the batch interval join the streaming
     // inner join provably equals on a drained source.

@@ -346,4 +346,37 @@ object Relational {
       .where(col("p_retailprice") > col("type_avg"))
       .orderBy(col("p_partkey"))
   }
+
+  /** Full-outer join of two independent per-nation aggregates (rich
+    * BUILDING customers vs rich suppliers) — nations present on either
+    * side survive, missing counts zero-filled. Both sides pre-aggregate
+    * BEFORE the join, so at scale the outer join shuffles one row per
+    * group, not the base tables.
+    */
+  def q33FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Pivot (dynamic columns from values): total order value per priority,
+    * one column per order status. Explicit value list so the plan is a
+    * single pass (no extra distinct-values job) — the right call at scale
+    * whenever the pivot domain is known.
+    */
+  def q34Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
 }

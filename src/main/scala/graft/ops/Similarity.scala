@@ -55,6 +55,34 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Int8 symmetric quantization + quantized cosine top-k — the
+    * memory/bandwidth scale path for ANN: per-vector scale = max|x|/127,
+    * components rounded to integers in [-127, 127]. A 100 TB float32
+    * embedding corpus becomes 25 TB (4× less RAM and shuffle), and the
+    * inner loop is an integer dot product. The per-vector scales CANCEL
+    * in cosine (cos(s·q₁, s·q₂) = cos(q₁, q₂)), so quantized cosine is
+    * just the cosine of the int vectors — computed here exactly (integer
+    * sums ≤ 127²·64 are exact in doubles), making the result
+    * engine-deterministic despite quantization.
+    */
+  def quantizedCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(e, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(e, x => round(x / scale).cast("double")).as("q"))
+      .withColumn("qnrm", sqrt(dot(col("q"), col("q"))))
+    val qs = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qn"))
+    val qcos = dot(col("qq"), col("q")) / (col("qn") * col("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    v.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), qcos.as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), round(col("qcos"), 6).as("qcos"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val numPlanes: Int = graft.exprs.SrpBucket.numPlanes
 
   /** 8-bit sign bucket of a vector under fixed ±1 hyperplanes (component

@@ -43,7 +43,10 @@ class RelationalSpec extends SparkSpec {
     "q30_stream_dedup" -> 792L,
     "q31_topk_per_key" -> 449L,
     "c3_contamination" -> 413L,
-    "q32_stream_funnel" -> 5L)
+    "q32_stream_funnel" -> 5L,
+    "q33_full_outer" -> 1L,
+    "q34_pivot" -> 5L,
+    "s4_quantized_topk" -> 30L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
