@@ -82,6 +82,7 @@ object SparkEntry {
     "q34_pivot" -> Relational.q34Pivot _,
     // custom LogicalPlan + Strategy + SparkPlan operator (plans/TopKPerKey)
     "q31_topk_per_key" -> ((s: SparkSession, d: String) => TopK.topOrdersPerCustomer(s, d)),
+    "q35_latest_per_key" -> TopK.latestEventPerUser _,
     "m2_frame_sample" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.frameSampleFlat(s, d)),
     // UDAF extension surface: TypedImperativeAggregate bottom-k (KMV)
     // sketch, grouped per language, next to the exact distinct count it
@@ -742,6 +743,14 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // CDC "last record wins" compaction = per-key top-1.
+    "q35_latest_per_key" ->
+      """WITH r AS (SELECT user_id, event_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts, event_type FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // Stream-stream funnel join: the batch interval join the streaming
     // inner join provably equals on a drained source.

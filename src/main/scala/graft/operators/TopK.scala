@@ -32,6 +32,20 @@ object TopK {
     * top-k. The window formulation shuffles and sorts every order; this
     * shuffles at most 3 orders per customer per mapper.
     */
+  /** q35: latest event per user — the CDC/upsert "last record wins"
+    * compaction, which is exactly per-key top-1: TopKPerKey with k=1 and
+    * (ts DESC, event_id DESC) ordering. At scale this replaces the
+    * window-over-everything formulation of snapshot compaction with one
+    * bounded shuffle of one row per user per mapper.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    perKey(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+      keys = Seq("user_id"),
+      orderSpec = Seq("ts" -> false, "event_id" -> false),
+      k = 1)
+      .orderBy(col("user_id"))
+
   def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     perKey(
       Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),

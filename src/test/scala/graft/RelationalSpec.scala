@@ -46,7 +46,8 @@ class RelationalSpec extends SparkSpec {
     "q32_stream_funnel" -> 5L,
     "q33_full_outer" -> 1L,
     "q34_pivot" -> 5L,
-    "s4_quantized_topk" -> 30L)
+    "s4_quantized_topk" -> 30L,
+    "q35_latest_per_key" -> 15L)
 
   for ((name, n) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name returns $n rows at sf0.001") {
