@@ -121,6 +121,12 @@ object BottomKMd5 {
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("bottom_k_md5"),
       new ExpressionInfo(classOf[BottomKMd5].getName, "bottom_k_md5"),
-      (cs: Seq[Expression]) => BottomKMd5(cs.head,
-        cs(1).eval().asInstanceOf[Number].intValue()))
+      (cs: Seq[Expression]) => {
+        // analysis-time errors, not internal crashes, on misuse
+        if (cs.length != 2) throw new IllegalArgumentException(
+          s"bottom_k_md5 expects exactly 2 arguments (column, k), got ${cs.length}")
+        if (!cs(1).foldable) throw new IllegalArgumentException(
+          "bottom_k_md5: k must be a constant")
+        BottomKMd5(cs.head, cs(1).eval().asInstanceOf[Number].intValue())
+      })
 }

@@ -70,8 +70,12 @@ object TextSketches {
     Seq(
       (FunctionIdentifier("shingles"),
         new ExpressionInfo(classOf[Shingles].getName, "shingles"),
-        (cs: Seq[Expression]) => Shingles(cs.head,
-          if (cs.size > 1) cs(1).eval().asInstanceOf[Number].intValue() else 3)),
+        (cs: Seq[Expression]) => {
+          if (cs.size > 1 && !cs(1).foldable) throw new IllegalArgumentException(
+            "shingles: k must be a constant")
+          Shingles(cs.head,
+            if (cs.size > 1) cs(1).eval().asInstanceOf[Number].intValue() else 3)
+        }),
       (FunctionIdentifier("minhash_sig"),
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
         (cs: Seq[Expression]) => MinHashSig(cs.head)),

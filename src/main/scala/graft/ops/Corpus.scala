@@ -96,8 +96,13 @@ object Corpus {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val docs = Tables.documents(spark, dir)
+    // materialization barrier: both aggregations below (own + shared)
+    // consume trainSh — the exchange makes the scan + shingle explode run
+    // once and be reused (same ReuseExchange pattern as Dedup's
+    // shingleIndex), not once per consumer.
     val trainSh = docs.where(col("source") =!= benchmarkSource)
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .repartition(col("doc_id"))
     val benchSh = docs.where(col("source") === benchmarkSource)
       .select(explode(shingles(col("text"))).as("shingle")).distinct()
     val own = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))

@@ -202,6 +202,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A silent partial labeling would split one real cluster into several
+    // keepers and a dedup pipeline would keep the wrong documents — fail
+    // loudly instead (an adversarially deep component wants the
+    // large-star/small-star variant, not a bigger cap).
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters: label propagation did not converge within $maxIters rounds " +
+        "(component diameter exceeds the cap)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),

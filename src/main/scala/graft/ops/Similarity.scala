@@ -140,13 +140,15 @@ object Similarity {
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
         .sortBy(_._1).toSeq
-    def centCos(cid: Long): Column =
-      dot(col("e"), typedlit(cents(cid.toInt)._2)) / (col("nrm") * lit(cents(cid.toInt)._3))
+    // centroid passed by value, never indexed by cid — centroid ids need
+    // not be dense or zero-based
+    def centCos(c: (Long, Array[Double], Double)): Column =
+      dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))
 
     // corpus → cell: argmax centroid cosine, first (smallest) cid on ties
-    val best = greatest(cents.map(c => centCos(c._1)): _*)
-    val cell = cents.foldRight(lit(-1L)) { case ((cid, _, _), acc) =>
-      when(centCos(cid) === best, lit(cid)).otherwise(acc)
+    val best = greatest(cents.map(centCos): _*)
+    val cell = cents.foldRight(lit(-1L)) { case (c, acc) =>
+      when(centCos(c) === best, lit(c._1)).otherwise(acc)
     }
     // foldRight puts cid 0's `when` OUTERMOST, so ties resolve to the
     // smallest cid — matching the oracle's ORDER BY cos DESC, cid ASC.
@@ -155,8 +157,8 @@ object Similarity {
     // queries → their ivfProbes nearest cells (rank over 16 rows per query)
     val qc = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(array(cents.map { case (cid, _, _) =>
-          struct(lit(cid).as("pcell"), centCos(cid).as("ccos"))
+        explode(array(cents.map { c =>
+          struct(lit(c._1).as("pcell"), centCos(c).as("ccos"))
         }: _*)).as("pc"))
       .select(col("qid"), col("qe"), col("qn"), col("pc.pcell"), col("pc.ccos"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("pcell"))

@@ -36,7 +36,10 @@ object TextAnalysis {
         sum(col("ntok")).as("total_tokens"),
         round(avg(col("ntok")), 4).as("avg_tokens"),
         round(avg(col("n_chars")), 4).as("avg_chars"),
-        round(sum(col("sr_scaled")).cast("double") / count(lit(1)) / lit(1e12), 6)
+        // decimal(38,0) sum: exact like DuckDB's BIGINT→HUGEINT widening
+        // (a long sum would silently wrap past ~9.2e6 docs/group at 1e12
+        // scale); one cast to double of the exact total on both engines.
+        round(sum(col("sr_scaled").cast("decimal(38,0)")).cast("double") / count(lit(1)) / lit(1e12), 6)
           .as("avg_stop_ratio"))
       .orderBy(col("lang"))
   }

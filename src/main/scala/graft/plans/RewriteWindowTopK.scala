@@ -46,7 +46,17 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  /** Kill switch: the heap operator assumes selective top-k (keys ≪
+    * rows); at degenerate key cardinality WindowExec's sort is faster, so
+    * the rewrite can be disabled per-query/session without code changes.
+    */
+  val enabledKey = "spark.graft.rewriteWindowTopK"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(enabledKey, "true").toBoolean) plan
+    else applyRewrite(plan)
+
+  private def applyRewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Project(projList,
         Filter(RnLimit(rnAttr, k),
         Window(Seq(al @ Alias(WindowExpression(RowNumber(),

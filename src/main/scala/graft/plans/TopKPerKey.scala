@@ -22,17 +22,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * side — no sort of the full input ever happens. At 100 TB the window
   * formulation shuffles 100 TB; this shuffles k rows per key per mapper.
   *
-  * Memory model matches Spark's partial hash aggregation: map-side state
-  * is `keys-per-partition × k` retained rows. Degenerate key cardinality
-  * (every row its own key) makes the partial pass a pass-through, same as
-  * partial aggregation — correctness unaffected.
+  * Memory model: the map-side pass caps its hash state at
+  * [[PartialTopKPerKeyExec.maxKeys]] key heaps and FLUSHES when a new key
+  * would exceed the cap (emitting partial per-key top-k that the final
+  * pass re-merges) — degenerate key cardinality degrades reduction, never
+  * memory. The reduce-side pass holds keys-in-partition × k rows, the
+  * standard hash-operator footprint.
   *
-  * Measured (tools/TopKBench, local[8], 20M rows, k=5, warm): 2M keys —
-  * heap 7.8–10.1 s vs window 9.7–20.1 s (the sort dominates there); 1k
-  * keys — 0.50 vs 0.58 s. Local mode understates the design win: with an
-  * in-memory shuffle the 500× shuffle-volume reduction at 1k keys is
-  * nearly free either way; over a cluster network it is the difference
-  * between shuffling 5 k rows and 20 M.
+  * Measured (tools/TopKBench, local[8], 20M rows, k=5, warm, with the
+  * rewrite rule excluded from the window branch so WindowExec really
+  * runs): 1k keys — heap 0.55–0.72 s vs window 2.7–4.4 s (≈5×, from the
+  * 4000× shuffle-volume reduction; wider still over a cluster network).
+  * 2M keys (degenerate: output is half the input) — heap 11.9–21.0 s vs
+  * window 6.4–12.1 s: when almost every row is retained there is nothing
+  * to prune and radix sort beats per-row hash+heap work. The operator is
+  * for selective top-k (keys ≪ rows), which is what per-customer /
+  * per-query top-k always is; `spark.graft.rewriteWindowTopK=false`
+  * disables the automatic rewrite where that assumption fails.
   */
 case class TopKPerKey(
     grouping: Seq[Expression],
@@ -47,6 +53,16 @@ case class TopKPerKey(
 
 /** Shared bounded-heap pass for both physical phases: one heap of at most
   * k rows per distinct key in this partition, worst row at the heap head.
+  *
+  * `maxKeys` bounds the hash state: when a NEW key would exceed it, the
+  * current heaps are flushed downstream and accumulation restarts — the
+  * same graceful degradation as Spark's partial aggregation emitting
+  * partial results under memory pressure. A flushed partial pass may emit
+  * more than k rows per key (across flushes); the final pass re-merges,
+  * so correctness is unaffected. The FINAL pass must see each key's rows
+  * in one map, so it runs unbounded — its footprint is
+  * keys-in-partition × k retained rows, the standard hash-operator
+  * memory model, sized down by raising shuffle partitions.
   */
 private[plans] object TopKHeaps {
   def retain(
@@ -54,7 +70,8 @@ private[plans] object TopKHeaps {
       grouping: Seq[Expression],
       ordering: Seq[SortOrder],
       output: Seq[Attribute],
-      k: Int): Iterator[InternalRow] = {
+      k: Int,
+      maxKeys: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(grouping, output)
     val ord: BaseOrdering = RowOrdering.create(ordering, output)
     // reverse: the heap head is the WORST retained row, so a new row only
@@ -62,20 +79,43 @@ private[plans] object TopKHeaps {
     val heapOrd = new java.util.Comparator[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
     }
-    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
-        heaps.put(key.copy(), heap)
-      }
-      if (heap.size < k) heap.add(row.copy())
-      else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
-    }
     import scala.jdk.CollectionConverters._
-    heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    var heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    def drain(): Iterator[InternalRow] = {
+      val h = heaps
+      heaps = new java.util.HashMap()
+      h.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+    // Streaming accumulate-flush-emit: rows of a flush are consumed by the
+    // caller before the next accumulation grows, so live state never
+    // exceeds maxKeys heaps.
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private def fill(): Unit = {
+        while (!pending.hasNext && (iter.hasNext || !heaps.isEmpty)) {
+          var flushed = false
+          while (iter.hasNext && !flushed) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null && heaps.size() >= maxKeys) {
+              pending = drain() // row lands in the fresh map below
+              flushed = true
+              heap = null
+            }
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < k) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+          }
+          if (!flushed) pending = drain() // input exhausted: final drain
+        }
+      }
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): InternalRow = { fill(); pending.next() }
+    }
   }
 }
 
@@ -83,6 +123,14 @@ private[plans] object TopKHeaps {
   * input partition. No required distribution — runs on the child's
   * partitioning as-is.
   */
+object PartialTopKPerKeyExec {
+  /** Hash-state cap for the map-side pass: at most this many key heaps
+    * live at once (~1M keys x k rows); exceeding it flushes downstream —
+    * less reduction, never more memory.
+    */
+  val maxKeys: Int = 1 << 20
+}
+
 case class PartialTopKPerKeyExec(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
@@ -93,7 +141,8 @@ case class PartialTopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
-      iter => TopKHeaps.retain(iter, grouping, ordering, output, k),
+      iter => TopKHeaps.retain(iter, grouping, ordering, output, k,
+        PartialTopKPerKeyExec.maxKeys),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKPerKeyExec =
     copy(child = newChild)
@@ -113,7 +162,7 @@ case class FinalTopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
-      iter => TopKHeaps.retain(iter, grouping, ordering, output, k),
+      iter => TopKHeaps.retain(iter, grouping, ordering, output, k, Int.MaxValue),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
     copy(child = newChild)

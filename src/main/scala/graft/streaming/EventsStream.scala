@@ -136,21 +136,26 @@ object EventsStream {
     * watermark and the join condition bounds event-time distance, so each
     * side's buffered state is evicted once the other side's watermark
     * passes the window — state is bounded by the horizon, not stream
-    * length. Inner-join rows are emitted as soon as both sides arrive;
-    * with AvailableNow over a static table the emitted set is exactly the
-    * batch interval join, which is what the oracle replays.
+    * length. The watermark delay here is [[dedupHorizon]] (wider than the
+    * table's whole span), NOT the 1-hour attribution window: the oracle
+    * parity must hold for ANY batching of the input, and a tight delay
+    * would drop cross-batch late arrivals (production sets it to the real
+    * out-of-orderness bound; the join window alone already bounds state).
+    * Inner-join rows are emitted as soon as both sides arrive; drained
+    * with AvailableNow the emitted set is exactly the batch interval
+    * join, which is what the oracle replays.
     */
   def runFunnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
     val clicks = readEventsStream(spark, dir)
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", funnelWindow)
+      .withWatermark("click_ts", dedupHorizon)
     val purchases = readEventsStream(spark, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", funnelWindow)
+      .withWatermark("purchase_ts", dedupHorizon)
     val q = clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("purchase_ts") > col("click_ts") &&

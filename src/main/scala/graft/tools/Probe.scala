@@ -40,7 +40,7 @@ object Probe {
     time("d5 full")(Dedup.simhashPairs(spark, dir).count())
 
     // d6 stages
-    val v = Similarity.cosineTopK(spark, dir) // warm
+    Similarity.cosineTopK(spark, dir).count() // warm the embeddings scan
     time("d6 full")(Similarity.embeddingNearDupPairs(spark, dir).count())
     time("s2 full")(Similarity.annLsh(spark, dir).count())
 

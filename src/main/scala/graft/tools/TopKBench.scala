@@ -31,12 +31,26 @@ object TopKBench {
     }
 
     val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    // The rewrite rule would silently turn the "window" branch into the
+    // heap operator (ColumnPruning drops rn, making the pattern match), so
+    // exclude it there — and ASSERT each branch runs the operator it
+    // claims to measure.
+    val excludeKey = graft.plans.RewriteWindowTopK.enabledKey
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
     for (_ <- 1 to 2) {
       time("window rank") {
-        df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).count()
+        spark.conf.set(excludeKey, "false")
+        try {
+          val q = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          assert(planOf(q).contains("Window"), "window branch lost its WindowExec")
+          q.count()
+        } finally spark.conf.unset(excludeKey)
       }
       time("topk heap") {
-        TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k).count()
+        val q = TopK.perKey(df, Seq("key"), Seq("v" -> false, "id" -> true), k)
+        assert(planOf(q).contains("TopKPerKey"), "heap branch is not running TopKPerKey")
+        q.count()
       }
     }
     spark.stop()

@@ -93,6 +93,18 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "rewrite must not fire when rn is still referenced")
   }
 
+  test("spark.graft.rewriteWindowTopK=false disables the rewrite") {
+    val df = spark.range(1000)
+      .select((col("id") % 10).as("key"), (col("id") % 97).as("v"), col("id"))
+    spark.conf.set(graft.plans.RewriteWindowTopK.enabledKey, "false")
+    try {
+      val plan = windowTopK(df, 3).queryExecution.executedPlan
+      assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isEmpty)
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty)
+    } finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
+  }
+
   test("q31 oracle twin: custom operator equals window formulation on orders") {
     val got = TopK.topOrdersPerCustomer(spark, sf0001).collect().toSeq
     val orders = graft.sources.Tables.orders(spark, sf0001)
