@@ -98,6 +98,12 @@ object SparkEntry {
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
+    "c4_pack" -> ((s: SparkSession, d: String) => Corpus.pack(s, d)),
+    "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
+    "q36_histogram" -> Relational.q36Histogram _,
+    "q37_grouping_sets" -> Relational.q37GroupingSets _,
+    "q38_stream_static" -> graft.streaming.EventsStream.runStaticEnrichedAvailableNow _,
+    "d8_keeper_quality" -> ((s: SparkSession, d: String) => Dedup.keeperByQuality(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -840,6 +846,92 @@ object SparkEntry {
         |SELECT o.doc_id, n_shared, n_own, round(CAST(n_shared AS DOUBLE) / n_own, 6) AS ratio
         |FROM own o JOIN shared s2 ON o.doc_id = s2.doc_id
         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    "q36_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / ${graft.operators.Relational.histWidth}.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q37_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // Stream-static enrichment join: weights interpolated from
+    // EventsStream.typeWeights (one definition, both engines).
+    "q38_stream_static" -> {
+      val vals = graft.streaming.EventsStream.typeWeights
+        .map { case (t, w) => s"('$t', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value * w), 2) AS weighted_value
+        |FROM events JOIN (VALUES $vals) AS d(event_type, w) USING (event_type)
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin
+    },
+
+    // Quality-aware keeper: d7's component CTE + t3's score formula, one
+    // window argmax per cluster.
+    "d8_keeper_quality" ->
+      s"""WITH RECURSIVE $simhashHamCte,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+        |f AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS ntok,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dr,
+        |        CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS sr
+        |      FROM toks),
+        |sc AS (SELECT doc_id,
+        |        round(CAST(0.4 AS DOUBLE) * least(ntok / 128, CAST(1.0 AS DOUBLE))
+        |            + CAST(0.4 AS DOUBLE) * dr
+        |            + CAST(0.2 AS DOUBLE) * least(sr * 4, CAST(1.0 AS DOUBLE)), 6) AS score
+        |      FROM f),
+        |r AS (SELECT c.cluster_id, s.cluster_size, c.doc_id, sc.score,
+        |        row_number() OVER (PARTITION BY c.cluster_id ORDER BY sc.score DESC, c.doc_id) AS rnk
+        |      FROM comp c JOIN sz s USING (cluster_id) JOIN sc ON sc.doc_id = c.doc_id)
+        |SELECT cluster_id, cluster_size, doc_id AS keeper_doc, score AS keeper_score
+        |FROM r WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // Sequence packing: pack id = floor(per-language token prefix-sum /
+    // capacity); capacity interpolated from Corpus.packTokens.
+    "c4_pack" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok FROM documents),
+        |c AS (SELECT lang, doc_id, ntok,
+        |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT lang, CAST(floor((cum - ntok) / ${Corpus.packTokens}.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, sum(ntok) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    // PII redaction over the inline golden corpus — rows and patterns both
+    // interpolated from TextAnalysis so one definition drives both engines.
+    // DuckDB's regexp_replace needs the explicit 'g' flag (Spark replaces
+    // all matches by default).
+    "t7_pii_redact" -> {
+      val rows = TextAnalysis.piiCorpus
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(",\n  ")
+      val e = TextAnalysis.emailRe
+      val p = TextAnalysis.phoneRe
+      val ip = TextAnalysis.ipRe
+      s"""SELECT id,
+        |  len(regexp_extract_all(text, '$e')) AS n_email,
+        |  len(regexp_extract_all(text, '$p')) AS n_phone,
+        |  len(regexp_extract_all(text, '$ip')) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$e', '[EMAIL]', 'g'), '$p', '[PHONE]', 'g'), '$ip', '[IP]', 'g') AS redacted
+        |FROM (VALUES
+        |  $rows) AS t(id, text)
+        |ORDER BY id""".stripMargin
     },
 
     "w1_rolling_fingerprint" -> {

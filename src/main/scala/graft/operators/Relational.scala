@@ -379,4 +379,36 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
+
+  /** Histogram bucket width for [[q36Histogram]]. */
+  val histWidth = 50000
+
+  /** Equi-width histogram of order totals — the profiling primitive behind
+    * range-partition planning and skew detection. bucket = floor(x/width):
+    * one partial-agg shuffle on ~dozens of buckets; at 100 TB this is a
+    * map-side-combined scan, the cheapest possible full-data profile.
+    */
+  def q36Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") / lit(histWidth.toDouble)).cast("bigint").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** GROUPING SETS via the Dataset API (Spark 4's `groupingSets`) — the
+    * subtotal shape CUBE can't express: (status, priority) detail plus
+    * status subtotals plus the grand total, skipping the priority-only
+    * lattice level. grouping_id disambiguates a real NULL from a
+    * rolled-up level. One expand + one aggregation, same cost model as
+    * rollup/cube.
+    */
+  def q37GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"),
+        grouping_id().cast("bigint").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 }

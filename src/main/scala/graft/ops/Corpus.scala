@@ -114,6 +114,39 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Pack capacity (tokens) for [[pack]]. */
+  val packTokens = 256
+
+  /** Sequence packing: assign documents to fixed-capacity token packs —
+    * the step that turns a cleaned corpus into training sequences. A doc
+    * goes to the pack its cumulative token count STARTS in
+    * (`floor(prefix_sum / capacity)`), so packs are contiguous runs of the
+    * per-language doc_id order and every pack except a stream's last holds
+    * ≥ capacity tokens once its straddling doc arrives. Output is the pack
+    * manifest: doc count, token count, and the doc_id span per pack.
+    *
+    * Scale design: prefix sums need a total order, which is inherently
+    * sequential — so the order is scoped PER LANGUAGE (the window
+    * partition), giving one independent packing stream per language; a
+    * 100 TB corpus would scope it per (shard, language) with the same
+    * expression. One shuffle on lang for the window, one partial-agg
+    * shuffle for the manifest; nothing else moves.
+    */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("ntok")) / lit(packTokens.toDouble)).cast("bigint"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   /** KMV sketch size for [[kmvEstimate]]: relative error ≈ 1/√(k−2) ≈ 18%
     * at 32 — a 32-hash sketch per group versus shuffling every distinct
     * value. (The b1 sketch query keeps k=8 so its output stays readable.)

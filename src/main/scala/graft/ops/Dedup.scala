@@ -217,6 +217,31 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware keeper assignment — what a real dedup pipeline does
+    * with its clusters: instead of keeping the min doc_id, keep each
+    * cluster's highest-[[TextAnalysis.scored]] document (ties → smaller
+    * doc_id). Output is one row per cluster with the chosen keeper.
+    *
+    * Scale design: composes [[dupClusters]] with the score projection via
+    * one equi-join on doc_id, then a per-cluster argmax window — clusters
+    * are tiny (near-dup groups), so the window partition is never skewed;
+    * everything after the join shuffles only clustered docs, a vanishing
+    * fraction of the corpus.
+    */
+  def keeperByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters
+      .join(TextAnalysis.scored(spark, dir).select(col("doc_id"), col("score")), "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("keeper_doc"), col("score").as("keeper_score"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the
     * sign of Σ_tokens (2·bit_b(md5(token)) − 1). Signature rendered as a
     * 32-char bitstring by the native [[graft.exprs.SimHash32]] codegen

@@ -77,9 +77,11 @@ object TextAnalysis {
   }
 
   /** Per-document quality score (length, lexical diversity, stopword
-    * presence — the usual cheap pre-filters for training data), top 25.
+    * presence — the usual cheap pre-filters for training data), every doc.
+    * Pure projection, no shuffle; consumed by [[qualityScores]] and by
+    * [[Dedup.keeperByQuality]].
     */
-  def qualityScores(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+  def scored(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     val ntok = size(t).cast("double")
     val distinctRatio = size(array_distinct(t)).cast("double") / ntok
@@ -91,9 +93,13 @@ object TextAnalysis {
       .select(col("doc_id"), size(t).as("ntok"),
         round(distinctRatio, 6).as("distinct_ratio"),
         round(score, 6).as("score"))
+  }
+
+  /** Top-25 quality scores (see [[scored]]). */
+  def qualityScores(spark: SparkSession, dir: String, topN: Int = 25): DataFrame =
+    scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
-  }
 
   /** Global token frequency, top 20 (explode + count: one shuffle with
     * map-side partial aggregation; top-k via TakeOrdered, no full sort).
@@ -125,6 +131,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), round(tfidf, 6).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
       .limit(topN)
+  }
+
+  /** Golden corpus for [[redactPii]] — the synthetic `documents` table
+    * contains no PII-shaped strings, so the redaction op is exercised over
+    * an inline corpus (one definition: these rows are interpolated into
+    * the DuckDB oracle's VALUES list too). ASCII, no quotes, so SQL
+    * literal interpolation is trivially safe.
+    */
+  val piiCorpus: Seq[(Long, String)] = Seq(
+    (0L, "no pii here just plain text"),
+    (1L, "contact john.doe@example.com for details"),
+    (2L, "call 555-123-4567 or 555.987.6543 today"),
+    (3L, "server at 192.168.0.1 and backup at 10.0.0.254"),
+    (4L, "mail a@b.io and c.d+e@sub.domain.org now"),
+    (5L, "mixed: jane@corp.net 777-000-1111 8.8.8.8"),
+    (6L, "edge 999.999.999.999 still matches the naive ip regex"),
+    (7L, "dot phone 123.456.7890 and dash phone 321-654-0987"))
+
+  /** Redaction patterns, shared verbatim with the oracle (both Java regex
+    * and RE2 dialects read these identically: no lookaround, no backrefs).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the compliance pass every training-data pipeline
+    * runs before anything else sees the text: scrub emails, phone
+    * numbers, and IPv4 literals, and count what was scrubbed (the counts
+    * feed a per-source audit). Counts are taken on the ORIGINAL text;
+    * replacement order (email → phone → IP) means earlier placeholders
+    * can never create later matches (placeholders contain no digits).
+    *
+    * Scale design: a pure per-row projection — three compiled regex
+    * passes, no shuffle, no UDF; 100 TB redacts at scan speed. The
+    * patterns are deliberately naive (row 6 documents a false-positive
+    * IPv4); production swaps patterns, not plumbing.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"),
+        ipRe, "[IP]")
+    piiCorpus.toDF("id", "text")
+      .select(col("id"),
+        regexp_count(col("text"), lit(emailRe)).cast("bigint").as("n_email"),
+        regexp_count(col("text"), lit(phoneRe)).cast("bigint").as("n_phone"),
+        regexp_count(col("text"), lit(ipRe)).cast("bigint").as("n_ip"),
+        redacted.as("redacted"))
+      .orderBy(col("id"))
   }
 
   /** Bottom-k sketch fingerprint: the 5 lexicographically smallest

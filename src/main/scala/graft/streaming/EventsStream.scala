@@ -125,6 +125,44 @@ object EventsStream {
     spark.table(name).orderBy(col("user_id"), col("event_type"), col("day_ts"))
   }
 
+  /** Event-type weight dimension for [[runStaticEnrichedAvailableNow]]
+    * (interpolated into the oracle's VALUES list — one definition).
+    */
+  val typeWeights: Seq[(String, Double)] = Seq(
+    "view" -> 0.1, "click" -> 1.0, "purchase" -> 5.0, "signup" -> 2.0)
+
+  /** Stream-static join: enrich the event stream with a static dimension
+    * (per-type weights), then the tumbling daily aggregation of weighted
+    * value. Event types absent from the dim (e.g. "error") drop out —
+    * the inner join IS the filter.
+    *
+    * The production shape for dimension enrichment: the static side is
+    * planned once and broadcast into every micro-batch (no state store,
+    * no watermark needed — only stream-stream joins buffer), so a 100 TB/
+    * day stream pays one hash-probe per event against an executor-local
+    * table.
+    */
+  def runStaticEnrichedAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
+    val dim = broadcast(
+      spark.createDataFrame(typeWeights).toDF("event_type", "weight"))
+    val q = readEventsStream(spark, dir)
+      .join(dim, "event_type")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("weighted_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("day"), col("event_type"))
+  }
+
   /** Attribution window for [[runFunnelJoinAvailableNow]]. */
   val funnelWindow = "1 hour"
 

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, TextAnalysis}
+import graft.operators.Relational
+import graft.streaming.EventsStream
+
+/** Round-3 operators: sequence packing, PII redaction, histogram,
+  * grouping sets, quality-aware keeper, stream-static enrichment.
+  */
+class Round3OpsSpec extends SparkSpec {
+
+  test("pack: per-language packs are contiguous, conserve tokens, and span disjoint doc ranges") {
+    val packs = Corpus.pack(spark, sf0001).cache()
+    // pack ids per lang are 0..max with no gaps
+    val gaps = packs.groupBy("lang")
+      .agg(min("pack_id").as("lo"), max("pack_id").as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+    assert(gaps.count() == 0)
+    // token conservation: manifest total == corpus total
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .select(size(filter(split(col("text"), " "), t => t =!= "")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(packs.agg(sum("n_tokens")).head().getLong(0) == total)
+    // doc ranges per lang are disjoint and increasing with pack_id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("pack_id")
+    val overlap = packs
+      .withColumn("prev_last", lag(col("last_doc"), 1).over(w))
+      .where(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+    assert(overlap.count() == 0)
+    // every pack but a language's last starts a doc at full capacity:
+    // prefix sum through its last doc >= (pack_id+1) * capacity
+    val lastPack = packs.groupBy("lang").agg(max("pack_id").as("lastp"))
+    val under = packs.join(lastPack, "lang")
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .where(col("pack_id") < col("lastp") &&
+        col("cum") < (col("pack_id") + 1) * Corpus.packTokens)
+    assert(under.count() == 0)
+    packs.unpersist()
+  }
+
+  test("redactPii: golden rows — counts on original text, placeholders in output") {
+    val out = TextAnalysis.redactPii(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(0) == ((0L, 0L, 0L), "no pii here just plain text"))
+    assert(out(1) == ((1L, 0L, 0L), "contact [EMAIL] for details"))
+    assert(out(2) == ((0L, 2L, 0L), "call [PHONE] or [PHONE] today"))
+    assert(out(3) == ((0L, 0L, 2L), "server at [IP] and backup at [IP]"))
+    assert(out(5) == ((1L, 1L, 1L), "mixed: [EMAIL] [PHONE] [IP]"))
+    assert(out(6)._1 == (0L, 0L, 1L)) // the naive-regex false positive, documented
+  }
+
+  test("histogram: buckets partition the table and bucket bounds hold") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val h = Relational.q36Histogram(spark, sf0001)
+    assert(h.agg(sum("n")).head().getLong(0) == orders.count())
+    // spot-check: every order's price lands in its bucket's range
+    val bad = orders.select(
+        floor(col("o_totalprice") / Relational.histWidth.toDouble).cast("bigint").as("b"),
+        col("o_totalprice"))
+      .where(col("o_totalprice") < col("b") * Relational.histWidth ||
+        col("o_totalprice") >= (col("b") + 1) * Relational.histWidth)
+    assert(bad.count() == 0)
+  }
+
+  test("grouping sets: levels are internally consistent") {
+    val gs = Relational.q37GroupingSets(spark, sf0001).cache()
+    val detail = gs.where(col("gid") === 0)
+    val sub = gs.where(col("gid") === 1)
+    val grand = gs.where(col("gid") === 3)
+    // exactly the three requested levels, nothing else (no priority-only level)
+    assert(gs.select("gid").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L, 3L))
+    // subtotals roll up the detail rows
+    val rolled = detail.groupBy("o_orderstatus").agg(sum("n").as("n2"))
+    val mismatch = sub.join(rolled, "o_orderstatus").where(col("n") =!= col("n2"))
+    assert(mismatch.count() == 0)
+    // grand total = all orders
+    assert(grand.select("n").head().getLong(0) ==
+      graft.sources.Tables.orders(spark, sf0001).count())
+    gs.unpersist()
+  }
+
+  test("keeperByQuality: keeper has its cluster's max (score, -doc_id)") {
+    val keep = Dedup.keeperByQuality(spark, sf0001)
+    val clusters = Dedup.dupClusters(spark, sf0001)
+      .join(TextAnalysis.scored(spark, sf0001).select("doc_id", "score"), "doc_id")
+    val best = clusters.groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), col("m.score").as("bscore"), (-col("m.nd")).as("bdoc"))
+    val bad = keep.join(best, "cluster_id")
+      .where(col("keeper_doc") =!= col("bdoc") || col("keeper_score") =!= col("bscore"))
+    assert(bad.count() == 0)
+    // one keeper per cluster, cluster count matches
+    assert(keep.count() == clusters.select("cluster_id").distinct().count())
+  }
+
+  test("stream-static enrichment equals the batch join at sf0.001") {
+    import spark.implicits._
+    val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
+    val dim = EventsStream.typeWeights.toDF("event_type", "weight")
+    val batch = graft.sources.Tables.events(spark, sf0001)
+      .join(broadcast(dim), "event_type")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+      .select(col("day"), col("event_type"), col("n"), col("weighted_value"))
+    assert(streamed.collect().toSeq.sortBy(_.toString) ==
+      batch.collect().toSeq.sortBy(_.toString))
+    // "error" events exist but carry no weight row — the join must drop them
+    assert(streamed.where(col("event_type") === "error").count() == 0)
+  }
+}
