@@ -50,6 +50,12 @@ object Probe {
 
     // d2 stages
     time("d2 full")(Dedup.ngramJaccardPairs(spark, dir).count())
+
+    // d7/d8: pairs re-timed warm, then the iterative label propagation on
+    // top of them — the delta is the per-round cost.
+    time("d7 pairs warm")(Dedup.simhashPairs(spark, dir).count())
+    time("d7 full")(Dedup.dupClusters(spark, dir).count())
+    time("d8 full")(Dedup.keeperByQuality(spark, dir).count())
     spark.stop()
   }
 }
