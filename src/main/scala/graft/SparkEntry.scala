@@ -104,6 +104,8 @@ object SparkEntry {
     "q37_grouping_sets" -> Relational.q37GroupingSets _,
     "q38_stream_static" -> graft.streaming.EventsStream.runStaticEnrichedAvailableNow _,
     "d8_keeper_quality" -> ((s: SparkSession, d: String) => Dedup.keeperByQuality(s, d)),
+    "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
+    "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -899,6 +901,31 @@ object SparkEntry {
         |      FROM comp c JOIN sz s USING (cluster_id) JOIN sc ON sc.doc_id = c.doc_id)
         |SELECT cluster_id, cluster_size, doc_id AS keeper_doc, score AS keeper_score
         |FROM r WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
+    // exactly (the t1 order-insensitivity rule).
+    "t8_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, count(*) AS ntok,
+        |  round(CAST(sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT)) AS DOUBLE)
+        |        / count(*) / 1e6, 6) AS avg_surprisal
+        |FROM toks JOIN freq USING (token), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Rebalance: exact integer comparison bucket*n_lang < 100*n_min (the
+    // c2 md5 bucket), per-language audit counts.
+    "c5_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |b AS (SELECT doc_id, lang,
+        |  CAST(CAST(list_sum([(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT b.lang, count(*) AS n_orig,
+        |  CAST(sum(CASE WHEN bucket * n_lang < 100 * n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b JOIN c ON b.lang = c.lang, m
+        |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     // Sequence packing: pack id = floor(per-language token prefix-sum /
     // capacity); capacity interpolated from Corpus.packTokens.

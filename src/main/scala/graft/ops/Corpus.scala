@@ -76,6 +76,34 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Language rebalancing — deterministic downsampling of every language
+    * to (approximately) the rarest language's size, the "don't let English
+    * drown everything" step of corpus mixing. Uses the same md5 bucket as
+    * [[hashSample]]; a doc is kept iff `bucket · n_lang < 100 · n_min`,
+    * an exact integer comparison of the rational sampling rate — no
+    * floats, no rounding drift, reproducible on any engine.
+    *
+    * Scale design: the per-language counts are one partial-agg shuffle
+    * (5 rows), broadcast back; the keep decision is then a stateless
+    * map-side filter — the corpus itself never shuffles. Output is the
+    * audit summary (orig vs kept per language), not the kept rows.
+    */
+  def rebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_min", min(col("n_lang")).over(Window.partitionBy()))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"),
+        sum((col("bucket") * col("n_lang") < lit(100L) * col("n_min")).cast("long"))
+          .as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark source for [[contamination]] — the held-out slice whose
     * n-grams must not leak into training data.
     */

@@ -133,6 +133,34 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Unigram-surprisal scoring — the cheap stand-in for the LM-perplexity
+    * quality filter (CCNet-style): score each document by the average
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution. Low = stereotyped/repetitive text, high =
+    * rare-token text; both tails get dropped in a real pipeline.
+    *
+    * Scale design: one explode + one broadcast join against the (small,
+    * post-aggregation) frequency table + one per-doc aggregation — the
+    * same shape as TF-IDF. Float determinism: per-token surprisal is
+    * floored to an integer at 1e6 scale (6-dp output precision) and
+    * summed exactly as decimal, so the aggregate is order-insensitive —
+    * the t1 rule.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = toks.count() // one job; a literal in the plan thereafter
+    val sur = floor(-log(col("cnt").cast("double") / lit(total.toDouble)) * lit(1e6))
+      .cast("decimal(38,0)")
+    toks.join(broadcast(freq), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ntok"),
+        round((sum(sur).cast("double") / count(lit(1)) / lit(1e6)), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Golden corpus for [[redactPii]] — the synthetic `documents` table
     * contains no PII-shaped strings, so the redaction op is exercised over
     * an inline corpus (one definition: these rows are interpolated into

@@ -98,6 +98,29 @@ class Round3OpsSpec extends SparkSpec {
     assert(keep.count() == clusters.select("cluster_id").distinct().count())
   }
 
+  test("unigramSurprisal: positive scores, token counts conserved") {
+    val s = TextAnalysis.unigramSurprisal(spark, sf0001).cache()
+    assert(s.where(col("avg_surprisal") <= 0).count() == 0)
+    val total = graft.sources.Tables.documents(spark, sf0001)
+      .select(size(filter(split(col("text"), " "), t => t =!= "")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(s.agg(sum("ntok")).head().getLong(0) == total)
+    s.unpersist()
+  }
+
+  test("rebalance: the rarest language keeps everything, others are downsampled") {
+    val r = Corpus.rebalance(spark, sf0001).cache()
+    val rows = r.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val minOrig = rows.map(_._2).min
+    rows.foreach { case (lang, orig, kept) =>
+      assert(kept <= orig, s"$lang kept > orig")
+      if (orig == minOrig) assert(kept == orig, s"rarest lang $lang must keep all")
+    }
+    // downsampling actually bites somewhere (sf0.001 langs are imbalanced)
+    assert(rows.exists { case (_, o, k) => k < o })
+    r.unpersist()
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     import spark.implicits._
     val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
