@@ -106,6 +106,17 @@ object SparkEntry {
     "d8_keeper_quality" -> ((s: SparkSession, d: String) => Dedup.keeperByQuality(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
+    // S6 sink composed with the JSON source: q14's result written as
+    // line-delimited JSON, read back under the same schema, hash-checked
+    // against q14's oracle.
+    "q39_sink_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.engine.Sinks.jsonRoundTrip(Relational.q14EventsDaily(s, d),
+          "/tmp/graft_q39_roundtrip")
+        .orderBy(col("day"), col("event_type"))),
+    // Approximate aggregates (HLL++, quantile sketch): deterministic in
+    // Spark but not DuckDB-reproducible — rows-only check by design.
+    "q40_approx_aggs" -> Relational.q40ApproxAggs _,
+    "q41_stream_foreachbatch" -> graft.streaming.EventsStream.runDailyToParquetAvailableNow _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -143,7 +154,11 @@ object SparkEntry {
     m + ("q19_sql_pricing" -> m("q1_pricing_summary")) +
       ("q20_sql_brand_agg" -> m("q12_part_agg")) +
       // the skew-safe as-of must produce exactly the plain as-of's result
-      ("q21_asof_skew_safe" -> m("q15_asof_join"))
+      ("q21_asof_skew_safe" -> m("q15_asof_join")) +
+      // sink round-trip and the foreachBatch drain must both reproduce
+      // the batch daily aggregation exactly
+      ("q39_sink_roundtrip" -> m("q14_events_daily")) +
+      ("q41_stream_foreachbatch" -> m("q14_events_daily"))
   }
 
   /** Shared oracle CTE pipeline for the SimHash family (d5 pairs, d7

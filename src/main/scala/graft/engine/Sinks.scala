@@ -28,4 +28,15 @@ object Sinks {
     * `limit` rows to the driver — a debugging sink, never the scale path.
     */
   def show(df: DataFrame, limit: Int = 20): Unit = df.show(limit, truncate = false)
+
+  /** Sink→source round trip: write `df` as line-delimited JSON, read it
+    * back under the SAME schema (never inference — at scale schema
+    * inference is an extra full scan, and type widening would corrupt the
+    * contract). Proves the file sink and the JSON source compose; the
+    * q39 gate hash-compares the round-tripped rows against the oracle.
+    */
+  def jsonRoundTrip(df: DataFrame, path: String): DataFrame = {
+    json(df, path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
 }

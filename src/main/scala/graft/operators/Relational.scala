@@ -395,6 +395,24 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Approximate aggregates next to their exact twins — the sketches that
+    * replace exact distinct/percentile at 100 TB: HyperLogLog++
+    * (`approx_count_distinct`, one fixed-size sketch per group merged
+    * associatively — no shuffle of distinct values) and the KLL-style
+    * `percentile_approx` (mergeable quantile sketch vs a full sort).
+    * Deterministic given the data (hash-based, no RNG) but not
+    * reproducible in DuckDB's different sketch implementations, so the
+    * gate records the weaker rows-only check (no oracle entry).
+    */
+  def q40ApproxAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+      .orderBy(col("event_type"))
+
   /** GROUPING SETS via the Dataset API (Spark 4's `groupingSets`) — the
     * subtotal shape CUBE can't express: (status, priority) detail plus
     * status subtotals plus the grand total, skipping the priority-only

@@ -163,6 +163,30 @@ object EventsStream {
     spark.table(name).orderBy(col("day"), col("event_type"))
   }
 
+  /** foreachBatch file sink — the production path for streaming into a
+    * columnar store that has no native streaming sink: each micro-batch
+    * lands as parquet via the same [[graft.engine.Sinks]] the batch engine
+    * uses (transactionality comes from the checkpoint + batchId, which a
+    * real deployment would write into the directory name for idempotent
+    * replay). Complete-mode over AvailableNow drains to exactly one batch,
+    * so the directory holds the final aggregate and reading it back equals
+    * batch q14 — the oracle check.
+    */
+  def runDailyToParquetAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_fb_${runId.incrementAndGet()}"
+    val out = s"/tmp/$name"
+    val q = dailyAgg(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Sinks.parquet(batch.repartition(1), out)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy(col("day"), col("event_type"))
+  }
+
   /** Attribution window for [[runFunnelJoinAvailableNow]]. */
   val funnelWindow = "1 hour"
 

