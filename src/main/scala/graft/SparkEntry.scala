@@ -117,6 +117,10 @@ object SparkEntry {
     // Spark but not DuckDB-reproducible — rows-only check by design.
     "q40_approx_aggs" -> Relational.q40ApproxAggs _,
     "q41_stream_foreachbatch" -> graft.streaming.EventsStream.runDailyToParquetAvailableNow _,
+    "q42_except_all" -> Relational.q42ExceptAll _,
+    "q43_gapfill" -> Relational.q43GapFill _,
+    "q44_exists_sql" -> graft.engine.SqlQueries.existsSql _,
+    "q45_stream_running_max" -> graft.streaming.EventsStream.runRunningMaxAvailableNow _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -916,6 +920,37 @@ object SparkEntry {
         |      FROM comp c JOIN sz s USING (cluster_id) JOIN sc ON sc.doc_id = c.doc_id)
         |SELECT cluster_id, cluster_size, doc_id AS keeper_doc, score AS keeper_score
         |FROM r WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q42_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q43_gapfill" ->
+      """WITH ev AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |daily AS (SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT CAST(unnest(generate_series(min_d, max_d, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM (SELECT min(day) AS min_d, max(day) AS max_d FROM ev)),
+        |grid AS (SELECT day, event_type FROM spine, (SELECT DISTINCT event_type FROM ev))
+        |SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
+        |FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+        |ORDER BY g.day, g.event_type""".stripMargin,
+
+    // Runs as LITERAL text on both engines (the q19/q20 pattern): Spark
+    // decorrelates the EXISTS into a left-semi join.
+    "q44_exists_sql" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND o_totalprice > 300000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Monotone running aggregates: the final state per user equals the
+    // batch aggregate for any micro-batch split.
+    "q45_stream_running_max" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
     // exactly (the t1 order-insensitivity rule).

@@ -22,4 +22,14 @@ object SqlQueries {
 
   def brandAggSql(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, graft.SparkEntry.oracleSql("q12_part_agg"))
+
+  /** Correlated EXISTS subquery, run as the LITERAL oracle text (q44).
+    * Catalyst decorrelates it into a left-semi hash join on l_orderkey —
+    * the subquery never executes per-row, which is the difference between
+    * O(n) and O(n²) at scale; `RewriteCorrelatedScalarSubquery` and
+    * `RewritePredicateSubquery` do this for free because the plan is
+    * declarative.
+    */
+  def existsSql(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, graft.SparkEntry.oracleSql("q44_exists_sql"))
 }

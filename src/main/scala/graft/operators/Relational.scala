@@ -395,6 +395,48 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Multiset difference (EXCEPT ALL): urgent-order customers minus
+    * finished-urgent-order customers, KEEPING multiplicity — a customer
+    * with 3 urgent orders and 1 finished one survives twice, which
+    * DISTINCT-based EXCEPT (q9) cannot express. Spark plans this as one
+    * aggregation computing per-row count deltas — same cost model as a
+    * group-by, no join.
+    */
+  def q42ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .exceptAll(
+        o.where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Gap filling — resample the per-day event counts onto a dense
+    * (day × event_type) spine so time-series consumers see explicit
+    * zeros. The spine is generated (sequence over the min..max span
+    * crossed with the distinct types), both sides tiny after their
+    * aggregations, then the sparse counts left-join onto it. At 100 TB
+    * the spine stays spine-sized: days × types is thousands of rows
+    * regardless of event volume, so the join broadcasts.
+    */
+  def q43GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day")))
+
+  /** Core of [[q43GapFill]] over any (event_type, day) frame — split out
+    * so the zero-fill branch is testable with constructed gaps (the
+    * harness tables happen to be gap-free at every SF).
+    */
+  def gapFill(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Approximate aggregates next to their exact twins — the sketches that
     * replace exact distinct/percentile at 100 TB: HyperLogLog++
     * (`approx_count_distinct`, one fixed-size sketch per group merged

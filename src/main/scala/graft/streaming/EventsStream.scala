@@ -187,6 +187,46 @@ object EventsStream {
     spark.read.parquet(out).orderBy(col("day"), col("event_type"))
   }
 
+  /** Per-user running aggregate via `mapGroupsWithState` — the third
+    * stateful-API surface next to `flatMapGroupsWithState` (Sessionize)
+    * and the built-in stateful ops: arbitrary user state (here running
+    * count + max), one emitted row per key per micro-batch in update
+    * mode. State is a fixed-size record per user — bounded by key
+    * cardinality, not stream length.
+    *
+    * Both tracked quantities are monotone, so taking the per-user max
+    * over the update log makes the result identical for ANY micro-batch
+    * split of the input — the oracle replays it as a plain batch
+    * aggregate.
+    */
+  def runRunningMaxAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val name = s"graft_stream_runmax_${runId.incrementAndGet()}"
+    val q = readEventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        var (n, mx) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+        evs.foreach { e => n += 1; if (e._2 > mx) mx = e._2 }
+        state.update((n, mx))
+        (uid, n, mx)
+      }
+      .toDF("user_id", "n_events", "max_value")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Attribution window for [[runFunnelJoinAvailableNow]]. */
   val funnelWindow = "1 hour"
 

@@ -121,6 +121,36 @@ class Round3OpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("gapFill: constructed gaps come back as explicit zeros over the dense spine") {
+    import spark.implicits._
+    // type a: days 1,3 (gap on 2); type b: day 2 only (gaps on 1 and 3)
+    val ev = Seq(("a", "2024-01-01"), ("a", "2024-01-03"), ("a", "2024-01-03"),
+        ("b", "2024-01-02"))
+      .toDF("event_type", "d").select(col("event_type"), col("d").cast("date").as("day"))
+    val out = Relational.gapFill(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 0L),
+      ("2024-01-02", "a", 0L), ("2024-01-02", "b", 1L),
+      ("2024-01-03", "a", 2L), ("2024-01-03", "b", 0L)))
+  }
+
+  test("except all keeps multiplicity: counts equal per-key count difference") {
+    import spark.implicits._
+    val got = Relational.q42ExceptAll(spark, sf0001)
+      .groupBy("o_custkey").count()
+    val o = graft.sources.Tables.orders(spark, sf0001)
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nu"))
+    val urgentF = o.where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("nf"))
+    val expect = urgent.join(urgentF, Seq("o_custkey"), "left")
+      .select(col("o_custkey"), (col("nu") - coalesce(col("nf"), lit(0L))).as("diff"))
+      .where(col("diff") > 0)
+    assert(got.join(expect, "o_custkey").where(col("count") =!= col("diff")).count() == 0)
+    assert(got.count() == expect.count())
+  }
+
   test("approx aggs: HLL estimate within 10% of exact; p90 within the value range") {
     val rows = Relational.q40ApproxAggs(spark, sf0001).collect()
     assert(rows.nonEmpty)
