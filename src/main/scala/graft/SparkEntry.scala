@@ -121,6 +121,7 @@ object SparkEntry {
     "q43_gapfill" -> Relational.q43GapFill _,
     "q44_exists_sql" -> graft.engine.SqlQueries.existsSql _,
     "q45_stream_running_max" -> graft.streaming.EventsStream.runRunningMaxAvailableNow _,
+    "q46_collect_suite" -> Relational.q46CollectSuite _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -951,6 +952,16 @@ object SparkEntry {
     "q45_stream_running_max" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Collected arrays are sorted before use (collect order is never
+    // deterministic); int-cast before string join so both engines render
+    // identically.
+    "q46_collect_suite" ->
+      """SELECT l_orderkey, len(qs) AS n_items, qs[-1] AS max_qty,
+        |  array_to_string([CAST(CAST(x AS INT) AS VARCHAR) for x in qs[1:3]], ',') AS low3
+        |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1)
+        |ORDER BY l_orderkey""".stripMargin,
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
     // exactly (the t1 order-insensitivity rule).

@@ -455,6 +455,25 @@ object Relational {
         percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
       .orderBy(col("event_type"))
 
+  /** Collection-function suite over per-group collected arrays:
+    * `collect_list` (made deterministic with `array_sort` — collect order
+    * is partition-arrival order and NEVER stable, so every collect in
+    * this engine sorts or aggregates immediately), negative `element_at`,
+    * `slice`, `transform`, `array_join`. One shuffle; the array stays
+    * group-sized, never corpus-sized.
+    */
+  def q46CollectSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 100 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        element_at(col("qs"), -1).as("max_qty"),
+        array_join(transform(slice(col("qs"), 1, 3),
+          x => x.cast("int").cast("string")), ",").as("low3"))
+      .orderBy(col("l_orderkey"))
+
   /** GROUPING SETS via the Dataset API (Spark 4's `groupingSets`) — the
     * subtotal shape CUBE can't express: (status, priority) detail plus
     * status subtotals plus the grand total, skipping the priority-only

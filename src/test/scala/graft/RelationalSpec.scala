@@ -56,7 +56,13 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("every declared query has either an oracle or is rows-only by intent") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q40's HLL++/quantile sketches are deterministic in Spark but not
+    // reproducible by DuckDB's different sketch implementations — the one
+    // deliberate rows-only entry (its accuracy is asserted in
+    // Round3OpsSpec against the exact twins instead).
+    val rowsOnlyByIntent = Set("q40_approx_aggs")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByIntent
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 }
