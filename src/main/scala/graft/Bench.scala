@@ -31,7 +31,10 @@ object Bench {
     warm(graft.sources.Tables.events(spark, sfDir).count())
 
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Name-sorted: Map iteration order is hash-arbitrary, which would move
+    // queries relative to residual warm-up between rounds and make
+    // per-query timings incomparable across BENCH_r{N} files.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
