@@ -122,6 +122,7 @@ object SparkEntry {
     "q44_exists_sql" -> graft.engine.SqlQueries.existsSql _,
     "q45_stream_running_max" -> graft.streaming.EventsStream.runRunningMaxAvailableNow _,
     "q46_collect_suite" -> Relational.q46CollectSuite _,
+    "t9_bpeish_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeishTokens(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -962,6 +963,19 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
         |      FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY 1)
         |ORDER BY l_orderkey""".stripMargin,
+
+    // BPE-ish pretokenizer counts; the regex is interpolated (single
+    // quotes doubled for the SQL literal) so one pattern drives both
+    // engines.
+    "t9_bpeish_tokens" -> {
+      val pat = TextAnalysis.bpeishRe.replace("'", "''")
+      s"""SELECT lang,
+        |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '$pat'))) AS bpe_tokens,
+        |  round(CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+        |        / sum(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6) AS bpe_per_ws
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
     // exactly (the t1 order-insensitivity rule).

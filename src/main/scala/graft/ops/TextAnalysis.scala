@@ -161,6 +161,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** GPT-2-style pretokenizer regex, simplified to the RE2-safe subset
+    * (no lookahead) so the oracle runs it verbatim: contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. Shared
+    * with the oracle via interpolation.
+    */
+  val bpeishRe = "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting under a BPE-ish pretokenizer vs whitespace — the
+    * "how many training tokens is this corpus" estimate, where whitespace
+    * counts undershoot subword reality. Pure projection + one small agg;
+    * the per-language ratio divides two exact integer sums once, so it is
+    * engine-deterministic.
+    */
+  def bpeishTokens(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(tokens(col("text")))
+    val bpe = regexp_count(col("text"), lit(bpeishRe))
+    Tables.documents(spark, dir)
+      .select(col("lang"), ws.as("ws"), bpe.as("bpe"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
+        round(sum(col("bpe")).cast("double") / sum(col("ws")), 6).as("bpe_per_ws"))
+      .orderBy(col("lang"))
+  }
+
   /** Golden corpus for [[redactPii]] — the synthetic `documents` table
     * contains no PII-shaped strings, so the redaction op is exercised over
     * an inline corpus (one definition: these rows are interpolated into

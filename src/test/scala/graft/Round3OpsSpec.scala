@@ -161,6 +161,15 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeish pretokenizer: contractions, digit runs, punctuation split as expected") {
+    import spark.implicits._
+    val n = Seq("don't stop it's 42 ok!").toDF("text")
+      .select(regexp_count(col("text"), lit(TextAnalysis.bpeishRe)).as("n"))
+      .head().getInt(0)
+    // don | 't | _stop | _it | 's | _42 | _ok | !
+    assert(n == 8)
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     import spark.implicits._
     val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
