@@ -20,10 +20,13 @@ import org.apache.spark.sql.types.IntegerType
   * Guards:
   *   - only `row_number` (rank/dense_rank keep >k rows on ties — not
   *     expressible as a bounded heap of k);
-  *   - the rank attribute must not survive the enclosing projection (the
-  *     operator does not produce it);
   *   - non-empty partition spec (a global top-k is Spark's own
   *     TakeOrderedAndProject) and non-empty ordering.
+  *
+  * When the projection still references the row_number column, the
+  * operator is planted in rank-emitting mode (the final pass appends the
+  * 1-based rank, sorting each key's ≤ k retained rows); otherwise the
+  * cheaper no-rank mode runs.
   *
   * Tie semantics: with a non-total `order by`, which rows row_number
   * retains is already nondeterministic in Spark (partition-order
@@ -62,8 +65,19 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         Window(Seq(al @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(ps, os, _)), _)), _, _, child, _)))
         if k >= 1 && ps.nonEmpty && os.nonEmpty &&
-          rnAttr.exprId == al.exprId &&
-          projList.forall(!_.references.contains(al.toAttribute)) =>
-      Project(projList, TopKPerKey(ps, os, k, child))
+          rnAttr.exprId == al.exprId =>
+      val rankKept = projList.exists(_.references.contains(al.toAttribute))
+      val rank = if (rankKept) Some(al.toAttribute) else None
+      Project(projList, TopKPerKey(ps, os, k, child, rank))
+
+    // Bare filter (no enclosing projection): the rank column is part of
+    // the result, so plant the operator in rank-emitting mode. Output
+    // attribute order matches the Window node (child.output :+ rn).
+    case Filter(RnLimit(rnAttr, k),
+        Window(Seq(al @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(ps, os, _)), _)), _, _, child, _))
+        if k >= 1 && ps.nonEmpty && os.nonEmpty &&
+          rnAttr.exprId == al.exprId =>
+      TopKPerKey(ps, os, k, child, Some(al.toAttribute))
   }
 }

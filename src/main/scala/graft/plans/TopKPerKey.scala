@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, BaseOrdering, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -44,9 +44,11 @@ case class TopKPerKey(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, "TopKPerKey: k must be positive")
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
@@ -117,6 +119,44 @@ private[plans] object TopKHeaps {
       override def next(): InternalRow = { fill(); pending.next() }
     }
   }
+
+  /** Final-pass variant that emits each key's retained rows in `ordering`
+    * order with a 1-based rank column appended (row_number semantics).
+    * Unbounded hash state like the plain final pass; the per-key sort is
+    * over ≤ k rows.
+    */
+  def retainRanked(
+      iter: Iterator[InternalRow],
+      grouping: Seq[Expression],
+      ordering: Seq[SortOrder],
+      output: Seq[Attribute],
+      k: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(grouping, output)
+    val ord: BaseOrdering = RowOrdering.create(ordering, output)
+    val heapOrd = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+    }
+    import scala.jdk.CollectionConverters._
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+    }
+    heaps.values().iterator().asScala.flatMap { heap =>
+      val arr = heap.toArray(new Array[InternalRow](heap.size))
+      java.util.Arrays.sort(arr, ord)
+      arr.iterator.zipWithIndex.map { case (r, i) =>
+        new JoinedRow(r, new GenericInternalRow(Array[Any](i + 1))): InternalRow
+      }
+    }
+  }
 }
 
 /** Map-side phase: bounds what enters the shuffle to k rows per key per
@@ -150,20 +190,33 @@ case class PartialTopKPerKeyExec(
 
 /** Reduce-side phase: requires co-location by key (EnsureRequirements
   * inserts the hash exchange), then the same bounded pass is exact.
+  *
+  * With `rankAttr` set, each key's retained rows are emitted in order
+  * with their 1-based rank appended — this is what lets the rewrite also
+  * serve window queries that KEEP the row_number column. The sort is per
+  * key over ≤ k rows (k log k per key), nothing like the full-partition
+  * sort the window operator would do.
   */
 case class FinalTopKPerKeyExec(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
+    rankAttr: Option[Attribute],
     child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(grouping) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
-    child.execute().mapPartitions(
-      iter => TopKHeaps.retain(iter, grouping, ordering, output, k, Int.MaxValue),
-      preservesPartitioning = true)
+    if (rankAttr.isEmpty)
+      child.execute().mapPartitions(
+        iter => TopKHeaps.retain(iter, grouping, ordering, child.output, k, Int.MaxValue),
+        preservesPartitioning = true)
+    else
+      child.execute().mapPartitions(
+        iter => TopKHeaps.retainRanked(iter, grouping, ordering, child.output, k),
+        preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKPerKeyExec =
     copy(child = newChild)
 }
@@ -171,8 +224,8 @@ case class FinalTopKPerKeyExec(
 /** Plans the logical node as partial → (exchange) → final. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(grouping, ordering, k, child) =>
-      FinalTopKPerKeyExec(grouping, ordering, k,
+    case TopKPerKey(grouping, ordering, k, child, rankAttr) =>
+      FinalTopKPerKeyExec(grouping, ordering, k, rankAttr,
         PartialTopKPerKeyExec(grouping, ordering, k, planLater(child))) :: Nil
     case _ => Nil
   }

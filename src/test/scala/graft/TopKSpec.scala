@@ -75,22 +75,40 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collect(plan) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
     // and the rewritten plan computes the right thing: 4 rows per key,
-    // each the window formulation's pick (checked per-key against a
-    // no-rewrite computation via rn kept in the output)
+    // each the window formulation's pick (reference computed with the
+    // rewrite disabled, so WindowExec really produces it)
     val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
-    val keepRn = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 4)
-    assert(q.orderBy("key", "id").collect().toSeq ==
-      keepRn.drop("rn").orderBy("key", "id").collect().toSeq)
+    spark.conf.set(graft.plans.RewriteWindowTopK.enabledKey, "false")
+    val want =
+      try df.withColumn("rn", row_number().over(w)).where(col("rn") <= 4)
+        .drop("rn").orderBy("key", "id").collect().toSeq
+      finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
+    assert(q.orderBy("key", "id").collect().toSeq == want)
   }
 
-  test("RewriteWindowTopK does NOT fire when the rank column survives") {
+  test("rank-emitting mode fires when the rank column survives, and ranks match WindowExec") {
     val df = spark.range(1000)
       .select((col("id") % 10).as("key"), (col("id") % 97).as("v"), col("id"))
     val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
     val q = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("key"), col("rn"), col("id"))
     val plan = q.queryExecution.executedPlan
-    assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isEmpty,
-      "rewrite must not fire when rn is still referenced")
+    val fin = collectFirst(plan) { case f: FinalTopKPerKeyExec => f }
+    assert(fin.isDefined, s"rank-mode rewrite did not fire:\n$plan")
+    assert(fin.get.rankAttr.isDefined)
+    assert(collect(plan) {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we }.isEmpty)
+    spark.conf.set(graft.plans.RewriteWindowTopK.enabledKey, "false")
+    val want =
+      try df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("key"), col("rn"), col("id"))
+        .orderBy("key", "rn").collect().toSeq
+      finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
+    assert(q.orderBy("key", "rn").collect().toSeq == want)
+    // bare-filter shape (no projection after the filter) also rewrites
+    val bare = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    assert(collectFirst(bare.queryExecution.executedPlan) {
+      case f: FinalTopKPerKeyExec => f }.isDefined)
   }
 
   test("spark.graft.rewriteWindowTopK=false disables the rewrite") {
