@@ -31,8 +31,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Measured (tools/TopKBench, local[8], 20M rows, k=5, warm, with the
   * rewrite rule excluded from the window branch so WindowExec really
-  * runs): 1k keys — heap 0.55–0.72 s vs window 2.7–4.4 s (≈5×, from the
-  * 4000× shuffle-volume reduction; wider still over a cluster network).
+  * runs): 1k keys — heap 0.46–0.68 s (rank-emitting mode 0.39–0.44 s —
+  * the per-key k·log k sort is cheaper than the extra project the
+  * no-rank path pays) vs window 3.7–4.3 s (≈6–9×, from the 4000×
+  * shuffle-volume reduction; wider still over a cluster network).
   * 2M keys (degenerate: output is half the input) — heap 11.9–21.0 s vs
   * window 6.4–12.1 s: when almost every row is retained there is nothing
   * to prune and radix sort beats per-row hash+heap work. The operator is

@@ -52,6 +52,14 @@ object TopKBench {
         assert(planOf(q).contains("TopKPerKey"), "heap branch is not running TopKPerKey")
         q.count()
       }
+      time("topk heap ranked") {
+        // keep-rank idiom → rank-emitting rewrite (select forces the
+        // Project(Filter(Window)) shape with rn surviving)
+        val q = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+          .select(col("key"), col("rn"), col("id"))
+        assert(planOf(q).contains("TopKPerKey"), "ranked branch is not running TopKPerKey")
+        q.count()
+      }
     }
     spark.stop()
   }
