@@ -123,6 +123,8 @@ object SparkEntry {
     "q45_stream_running_max" -> graft.streaming.EventsStream.runRunningMaxAvailableNow _,
     "q46_collect_suite" -> Relational.q46CollectSuite _,
     "t9_bpeish_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeishTokens(s, d)),
+    "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -976,6 +978,44 @@ object SparkEntry {
         |        / sum(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6) AS bpe_per_ws
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // Left-outer interval join replay: matched rows are the plain interval
+    // join; an unmatched click appears (with nulls) iff the final global
+    // watermark — min over both sides of (side max ts − delay) — passed
+    // click_ts + window, which is exactly Spark's state-eviction rule for
+    // outer emission (verified empirically at sf0.001: 204/204).
+    "q47_stream_funnel_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT click_id, user_id, click_ts, purchase_id, purchase_ts
+        |      FROM c JOIN p ON user_id = p_user
+        |        AND purchase_ts > click_ts AND purchase_ts <= click_ts + INTERVAL 1 HOUR),
+        |wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p))
+        |         - INTERVAL 1 HOUR AS w),
+        |um AS (SELECT c.click_id, c.user_id, c.click_ts,
+        |         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+        |       FROM c, wm
+        |       WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        |         AND c.click_ts + INTERVAL 1 HOUR < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // Gopher rules: all ratios divide exact integers once.
+    "t10_gopher_rules" ->
+      """WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |f AS (SELECT doc_id, len(t) AS ntok, greatest(len(t) - 2, 0) AS ntri,
+        |    len(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS ndis,
+        |    length(text) AS nchar,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nsym,
+        |    CAST(list_sum([len(x) for x in t]) AS BIGINT) AS totlen
+        |  FROM toks)
+        |SELECT doc_id, CAST(ntok AS INT) AS ntok,
+        |  round(CASE WHEN ntri > 0 THEN CAST(ntri - ndis AS DOUBLE) / ntri ELSE 0.0 END, 6) AS dup_trigram_frac,
+        |  round(CAST(totlen AS DOUBLE) / ntok, 6) AS mean_word_len,
+        |  round(CAST(nsym AS DOUBLE) / nchar, 6) AS symbol_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
     // exactly (the t1 order-insensitivity rule).

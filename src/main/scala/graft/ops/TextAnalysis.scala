@@ -161,6 +161,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition/shape rules — the classic cheap filters from
+    * the Gopher/MassiveText cleaning recipe, per document: duplicate
+    * 3-gram fraction (1 − distinct/total trigrams; boilerplate and looped
+    * text score high), mean word length, and non-alphanumeric character
+    * ratio. Pure projection (one compiled pass per row, no shuffle except
+    * the final ORDER BY for the gate); a real pipeline uses these as
+    * WHERE thresholds, which then push down to the scan.
+    *
+    * All three ratios divide exact integers once, so they are
+    * engine-deterministic at 6 dp.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val ntok = size(t)
+    val ntri = greatest(ntok - 2, lit(0))
+    val ndistinct = size(shingles(col("text"))) // shingles are distinct by construction
+    val nchar = length(col("text"))
+    val nsym = nchar - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val totlen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ntok.as("ntok"),
+        round(when(ntri > 0,
+            (ntri - ndistinct).cast("double") / ntri).otherwise(lit(0.0)), 6)
+          .as("dup_trigram_frac"),
+        round(totlen.cast("double") / ntok, 6).as("mean_word_len"),
+        round(nsym.cast("double") / nchar, 6).as("symbol_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-2-style pretokenizer regex, simplified to the RE2-safe subset
     * (no lookahead) so the oracle runs it verbatim: contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs. Shared

@@ -163,6 +163,45 @@ object EventsStream {
     spark.table(name).orderBy(col("day"), col("event_type"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the funnel with explicit
+    * non-conversions: every click emits, either with its attributed
+    * purchase(s) or, once the watermark proves no purchase can still
+    * arrive inside the attribution window, with nulls. Unlike the inner
+    * join (q32), outer emission REQUIRES the watermark: an unmatched
+    * click is only known unmatched when the global watermark passes
+    * click_ts + window, so the delay here is the real [[funnelWindow]]
+    * (state eviction is the feature, not a hazard) and the final no-data
+    * micro-batch flushes the evictions before AvailableNow terminates.
+    */
+  def runFunnelLeftOuterAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_funnel_outer_${runId.incrementAndGet()}"
+    val clicks = readEventsStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", funnelWindow)
+    val purchases = readEventsStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", funnelWindow)
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $funnelWindow"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** foreachBatch file sink — the production path for streaming into a
     * columnar store that has no native streaming sink: each micro-batch
     * lands as parquet via the same [[graft.engine.Sinks]] the batch engine
