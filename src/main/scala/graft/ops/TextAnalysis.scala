@@ -150,10 +150,14 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val total = toks.count() // one job; a literal in the plan thereafter
-    val sur = floor(-log(col("cnt").cast("double") / lit(total.toDouble)) * lit(1e6))
+    // corpus total derived IN-PLAN from the tiny post-aggregation freq
+    // table (sum of counts == token total) — no driver action, no third
+    // scan of the corpus
+    val tot = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    val sur = floor(-log(col("cnt").cast("double") / col("total")) * lit(1e6))
       .cast("decimal(38,0)")
     toks.join(broadcast(freq), "token")
+      .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("ntok"),
         round((sum(sur).cast("double") / count(lit(1)) / lit(1e6)), 6)

@@ -151,11 +151,17 @@ private[plans] object TopKHeaps {
       if (heap.size < k) heap.add(row.copy())
       else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
     }
+    // Emit UnsafeRows: parents that buffer or serialize (Sort, Exchange,
+    // collect) cast to UnsafeRow, so a raw JoinedRow would crash when no
+    // ProjectExec sits above (the bare-filter rewrite shape).
+    val toUnsafe = UnsafeProjection.create(
+      (output.map(_.dataType) :+ org.apache.spark.sql.types.IntegerType).toArray)
+    val joined = new JoinedRow
     heaps.values().iterator().asScala.flatMap { heap =>
       val arr = heap.toArray(new Array[InternalRow](heap.size))
       java.util.Arrays.sort(arr, ord)
       arr.iterator.zipWithIndex.map { case (r, i) =>
-        new JoinedRow(r, new GenericInternalRow(Array[Any](i + 1))): InternalRow
+        toUnsafe(joined(r, new GenericInternalRow(Array[Any](i + 1)))): InternalRow
       }
     }
   }

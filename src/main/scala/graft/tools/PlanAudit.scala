@@ -10,7 +10,7 @@ object PlanAudit {
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val p = df.queryExecution.executedPlan.toString
-      val ex = "Exchange".r.findAllIn(p).length
+      val ex = "ShuffleExchange".r.findAllIn(p).length // not Broadcast/ReusedExchange
       val bc = "BroadcastHashJoin|BroadcastNestedLoop".r.findAllIn(p).length
       val smj = "SortMergeJoin".r.findAllIn(p).length
       val wsc = "WholeStageCodegen".r.findAllIn(p).length

@@ -105,10 +105,15 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .orderBy("key", "rn").collect().toSeq
       finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
     assert(q.orderBy("key", "rn").collect().toSeq == want)
-    // bare-filter shape (no projection after the filter) also rewrites
+    // bare-filter shape (no projection after the filter) also rewrites —
+    // and EXECUTES: collect/orderBy above the operator demand UnsafeRow,
+    // so this exercises the unsafe-projection emit path end-to-end
     val bare = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
     assert(collectFirst(bare.queryExecution.executedPlan) {
       case f: FinalTopKPerKeyExec => f }.isDefined)
+    val bareRows = bare.orderBy("key", "rn").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(2))) // (key, rn, id)
+    assert(bareRows == want.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
   }
 
   test("spark.graft.rewriteWindowTopK=false disables the rewrite") {
