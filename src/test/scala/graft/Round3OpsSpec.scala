@@ -170,6 +170,48 @@ class Round3OpsSpec extends SparkSpec {
     assert(n == 8)
   }
 
+  test("gopherRules equals a Scala reference implementation on every sf0.001 doc") {
+    def ref(text: String): (Int, Double, Double, Double) = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      val ntri = math.max(t.length - 2, 0)
+      val ndis = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct.size
+      val dup = if (ntri > 0) (ntri - ndis).toDouble / ntri else 0.0
+      val mwl = t.map(_.length).sum.toDouble / t.length
+      val nsym = text.count(c => !c.isLetterOrDigit && c != ' ')
+      val sym = nsym.toDouble / text.length
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t.length, r6(dup), r6(mwl), r6(sym))
+    }
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.gopherRules(spark, sf0001).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val want = ref(texts(r.getLong(0)))
+      val have = (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(have == want, s"doc ${r.getLong(0)}: $have != $want")
+    }
+  }
+
+  test("unigramSurprisal equals a Scala reference implementation on every sf0.001 doc") {
+    val texts = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allToks = texts.values.toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+    val freq = allToks.groupBy(identity).map { case (w, ws) => w -> ws.size }
+    val total = allToks.size.toDouble
+    def ref(text: String): (Long, Double) = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      val s = t.map(w => math.floor(-math.log(freq(w) / total) * 1e6).toLong).sum
+      (t.length.toLong,
+        BigDecimal(s.toDouble / t.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    TextAnalysis.unigramSurprisal(spark, sf0001).collect().foreach { r =>
+      val want = ref(texts(r.getLong(0)))
+      assert((r.getLong(1), r.getDouble(2)) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     import spark.implicits._
     val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
