@@ -125,6 +125,7 @@ object SparkEntry {
     "t9_bpeish_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeishTokens(s, d)),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
+    "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -1001,6 +1002,13 @@ object SparkEntry {
         |         AND c.click_ts + INTERVAL 1 HOUR < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM um
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // Binary-payload dedup: sha256 over the raw bytes (payload here is
+    // the UTF-8 text, so the oracle hashes the string directly).
+    "m3_media_dedup" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies,
+        |  min(length(text)) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     // Gopher rules: all ratios divide exact integers once.
     "t10_gopher_rules" ->

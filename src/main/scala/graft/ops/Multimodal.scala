@@ -112,6 +112,22 @@ object Multimodal {
         col("frame").cast("string").as("frame_text"))
       .orderBy(col("media_id"), col("frame_no"))
 
+  /** Exact media dedup on the raw BINARY payload (m3) — dedup identical
+    * assets BEFORE any decode: in a real pipeline the same image/video
+    * arrives under many URLs, and hashing the bytes map-side means the
+    * blobs themselves never shuffle — only (hash, id, length) triples do.
+    * One partial-agg shuffle on the 256-bit digest, same scale shape as
+    * d1, but over the binary column.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaFromDocuments(spark, dir).toDF()
+      .select(col("media_id"), sha2(col("payload"), 256).as("h"),
+        length(col("payload")).as("n_bytes"))
+      .groupBy(col("h"))
+      .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("n_copies"),
+        min(col("n_bytes")).as("n_bytes"))
+      .orderBy(col("keeper"))
+
   /** Correctness surface: media_id, byte count, and the 8 histogram
     * features as rounded columns (ORDER BY media_id).
     */
