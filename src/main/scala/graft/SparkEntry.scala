@@ -126,6 +126,7 @@ object SparkEntry {
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
+    "q48_rolling_range" -> Relational.q48RollingRange _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -1002,6 +1003,16 @@ object SparkEntry {
         |         AND c.click_ts + INTERVAL 1 HOUR < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM um
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // RANGE frame in exact epoch microseconds on both engines.
+    "q48_rolling_range" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_7d,
+        |  round(sum(value) OVER w, 2) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Binary-payload dedup: sha256 over the raw bytes (payload here is
     // the UTF-8 text, so the oracle hashes the string directly).

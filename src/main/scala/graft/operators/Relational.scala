@@ -474,6 +474,28 @@ object Relational {
           x => x.cast("int").cast("string")), ",").as("low3"))
       .orderBy(col("l_orderkey"))
 
+  /** Rolling 7-day window per event type — a RANGE frame over event time
+    * (every event sees the aggregate of its type's trailing week,
+    * including same-timestamp peers regardless of row order — which is
+    * what makes RANGE, unlike ROWS, deterministic under ties). Time is
+    * compared in exact epoch MICROseconds on both engines, so frame
+    * membership is integer arithmetic, not float or second-truncated.
+    * At scale this is one shuffle on the partition key; the frame
+    * evaluation is streaming per partition (no per-row rescan).
+    */
+  def q48RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L // µs
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-week, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("value")).over(w), 2).as("sum_7d"))
+      .orderBy(col("event_id"))
+  }
+
   /** GROUPING SETS via the Dataset API (Spark 4's `groupingSets`) — the
     * subtotal shape CUBE can't express: (status, priority) detail plus
     * status subtotals plus the grand total, skipping the priority-only
