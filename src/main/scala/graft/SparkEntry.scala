@@ -127,6 +127,7 @@ object SparkEntry {
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
+    "q49_union_by_name" -> Relational.q49UnionByName _,
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -1003,6 +1004,18 @@ object SparkEntry {
         |         AND c.click_ts + INTERVAL 1 HOUR < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM um
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // DuckDB's UNION ALL BY NAME mirrors unionByName(allowMissing).
+    "q49_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_cust_bal,
+        |    'customer' AS side
+        |  FROM customer GROUP BY 1
+        |  UNION ALL BY NAME
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp, 'supplier' AS side
+        |  FROM supplier GROUP BY 1
+        |) ORDER BY side, nationkey""".stripMargin,
 
     // RANGE frame in exact epoch microseconds on both engines.
     "q48_rolling_range" ->

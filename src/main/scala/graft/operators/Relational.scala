@@ -474,6 +474,31 @@ object Relational {
           x => x.cast("int").cast("string")), ",").as("low3"))
       .orderBy(col("l_orderkey"))
 
+  /** Union by NAME with schema evolution (`allowMissingColumns`) — the
+    * set-op for combining frames whose schemas drifted: columns align by
+    * name, absent columns null-fill. The positional union (q9) would
+    * silently mis-align these. Both sides pre-aggregate, so the union
+    * moves group rows, not base tables.
+    */
+  def q49UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      // exact decimal sum, NO rounding of a ratio: nationkey 17 averages
+      // to exactly 4201.315, where Spark's round(double) (HALF_UP on the
+      // shortest decimal string) says .32 and DuckDB's (binary value,
+      // which is just below the half) says .31 — an engine disagreement
+      // no summation fix can reconcile, so the op emits the exact sum
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_cust_bal"))
+      .withColumn("side", lit("customer"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+      .withColumn("side", lit("supplier"))
+    c.unionByName(s, allowMissingColumns = true)
+      .orderBy(col("side"), col("nationkey"))
+  }
+
   /** Rolling 7-day window per event type — a RANGE frame over event time
     * (every event sees the aggregate of its type's trailing week,
     * including same-timestamp peers regardless of row order — which is

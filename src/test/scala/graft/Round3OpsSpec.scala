@@ -212,6 +212,33 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream left-outer funnel equals the batch emulation of watermark eviction") {
+    val out = EventsStream.runFunnelLeftOuterAvailableNow(spark, sf0001).cache()
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val m = c.join(p, col("user_id") === col("p_user") &&
+      col("purchase_ts") > col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    // final watermark = min(per-side max event time) − delay
+    val wm = new java.sql.Timestamp(math.min(
+      c.agg(max("click_ts")).head().getTimestamp(0).getTime,
+      p.agg(max("purchase_ts")).head().getTimestamp(0).getTime) - 3600 * 1000L)
+    val matched = out.where(col("purchase_id").isNotNull)
+    assert(matched.count() == m.count())
+    val unmatched = out.where(col("purchase_id").isNull)
+    val expectUnmatched = c
+      .join(m.select(col("click_id").as("mc")).distinct(),
+        col("click_id") === col("mc"), "left_anti")
+      .where(col("click_ts") + expr("INTERVAL 1 HOUR") < lit(wm))
+    assert(unmatched.select("click_id").collect().map(_.getLong(0)).toSet ==
+      expectUnmatched.select("click_id").collect().map(_.getLong(0)).toSet)
+    out.unpersist()
+  }
+
   test("stream-static enrichment equals the batch join at sf0.001") {
     import spark.implicits._
     val streamed = EventsStream.runStaticEnrichedAvailableNow(spark, sf0001)
