@@ -91,8 +91,12 @@ object SparkEntry {
       graft.sources.Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(
-          org.apache.spark.sql.functions.expr("bottom_k_md5(text, 8)").as("sketch"),
+          org.apache.spark.sql.functions.expr("bottom_k_md5(text, 8)").as("sk"),
           org.apache.spark.sql.functions.countDistinct(col("text")).as("n_distinct"))
+        // serialize the sketch: the gate harness only handles scalar columns
+        .select(col("lang"),
+          org.apache.spark.sql.functions.array_join(col("sk"), ",").as("sketch"),
+          col("n_distinct"))
         .orderBy(col("lang"))),
     "b2_kmv_estimate" -> ((s: SparkSession, d: String) => Corpus.kmvEstimate(s, d)),
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
@@ -607,7 +611,7 @@ object SparkEntry {
     "t1_lang_stats" ->
       """WITH toks AS (SELECT lang, n_chars,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(len(t)) AS total_tokens,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
         |  round(avg(len(t)), 4) AS avg_tokens,
         |  round(avg(n_chars), 4) AS avg_chars,
         |  round(CAST(sum(CAST(floor((CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(t)) * 1e12) AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6) AS avg_stop_ratio
@@ -810,7 +814,7 @@ object SparkEntry {
     // ascending — DuckDB replicates the whole aggregate declaratively.
     "b1_bottomk_sketch" ->
       """SELECT lang,
-        |  list_sort(list_distinct(list(md5(text))))[1:8] AS sketch,
+        |  array_to_string(list_sort(list_distinct(list(md5(text))))[1:8], ',') AS sketch,
         |  count(DISTINCT text) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -928,6 +932,16 @@ object SparkEntry {
         |SELECT cluster_id, cluster_size, doc_id AS keeper_doc, score AS keeper_score
         |FROM r WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
 
+    // Approximate aggregates: the sketches aren't reproducible in DuckDB,
+    // so the checkable surface is exact twins + tolerance booleans. The
+    // oracle recomputes the exact side and pins the booleans TRUE — a
+    // Spark-side sketch drifting outside tolerance flips a boolean and
+    // fails the hash.
+    "q40_approx_aggs" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS users_ok, TRUE AS p90_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q42_except_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT ALL
@@ -975,8 +989,8 @@ object SparkEntry {
     "t9_bpeish_tokens" -> {
       val pat = TextAnalysis.bpeishRe.replace("'", "''")
       s"""SELECT lang,
-        |  sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '$pat'))) AS bpe_tokens,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpe_tokens,
         |  round(CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
         |        / sum(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6) AS bpe_per_ws
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
@@ -1083,7 +1097,7 @@ object SparkEntry {
         |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
         |SELECT lang, CAST(floor((cum - ntok) / ${Corpus.packTokens}.0) AS BIGINT) AS pack_id,
-        |  count(*) AS n_docs, sum(ntok) AS n_tokens,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 

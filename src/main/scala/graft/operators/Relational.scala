@@ -444,7 +444,11 @@ object Relational {
     * `percentile_approx` (mergeable quantile sketch vs a full sort).
     * Deterministic given the data (hash-based, no RNG) but not
     * reproducible in DuckDB's different sketch implementations, so the
-    * gate records the weaker rows-only check (no oracle entry).
+    * oracle-checkable surface is the exact twins plus tolerance booleans:
+    * the raw sketch values never leave the plan, and the oracle pins the
+    * booleans as literal TRUE (HLL++ rsd defaults to 5%; the quantile
+    * sketch at accuracy 1000 is near-exact at gate scale, so the bounds
+    * below are generous without being vacuous).
     */
   def q40ApproxAggs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -452,7 +456,13 @@ object Relational {
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"))
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx"),
+        expr("percentile(value, 0.9)").as("p90_exact"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.15, lit(10.0))).as("users_ok"),
+        (abs(col("p90_approx") - col("p90_exact")) <=
+          greatest(abs(col("p90_exact")) * 0.05, lit(1.0))).as("p90_ok"))
       .orderBy(col("event_type"))
 
   /** Collection-function suite over per-group collected arrays:

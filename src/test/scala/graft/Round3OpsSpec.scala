@@ -151,13 +151,13 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.count() == expect.count())
   }
 
-  test("approx aggs: HLL estimate within 10% of exact; p90 within the value range") {
+  test("approx aggs: HLL and p90 tolerance booleans all true, exact counts positive") {
     val rows = Relational.q40ApproxAggs(spark, sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.10,
-        s"${r.getString(0)}: HLL $approx vs exact $exact")
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: exact_users")
+      assert(r.getBoolean(2), s"${r.getString(0)}: users_ok")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p90_ok")
     }
   }
 
