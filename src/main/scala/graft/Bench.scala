@@ -56,6 +56,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
 
     println(line)
+    System.out.flush()
+    // Durable copy regardless of env: round 3's stdout capture truncated
+    // mid-JSON, losing the tail of the line. A file in cwd survives that.
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

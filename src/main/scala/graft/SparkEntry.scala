@@ -115,7 +115,7 @@ object SparkEntry {
     // against q14's oracle.
     "q39_sink_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.engine.Sinks.jsonRoundTrip(Relational.q14EventsDaily(s, d),
-          "/tmp/graft_q39_roundtrip")
+          s"/tmp/graft_q39_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}")
         .orderBy(col("day"), col("event_type"))),
     // Approximate aggregates (HLL++, quantile sketch): deterministic in
     // Spark but not DuckDB-reproducible — rows-only check by design.
@@ -580,7 +580,8 @@ object SparkEntry {
 
     "s1_cosine_topk" ->
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |n0 AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |n AS (SELECT * FROM n0 WHERE nrm > 0),
         |p AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
         |        list_sum([q.e[i] * c.e[i] for i in range(1, len(q.e)+1)]) / (q.nrm * c.nrm) AS cosine
         |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
@@ -754,7 +755,7 @@ object SparkEntry {
     "s4_quantized_topk" ->
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |sc AS (SELECT vec_id, e, list_max([abs(x) for x in e]) / 127.0 AS s FROM v),
-        |q AS (SELECT vec_id, [round(x / s) for x in e] AS q FROM sc),
+        |q AS (SELECT vec_id, [round(x / s) for x in e] AS q FROM sc WHERE s > 0),
         |n AS (SELECT vec_id, q, sqrt(list_sum([x*x for x in q])) AS qnrm FROM q),
         |p AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
         |        list_sum([a.q[i]*b.q[i] for i in range(1, len(a.q)+1)]) / (a.qnrm*b.qnrm) AS qcos
@@ -1059,8 +1060,8 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, CAST(ntok AS INT) AS ntok,
         |  round(CASE WHEN ntri > 0 THEN CAST(ntri - ndis AS DOUBLE) / ntri ELSE 0.0 END, 6) AS dup_trigram_frac,
-        |  round(CAST(totlen AS DOUBLE) / ntok, 6) AS mean_word_len,
-        |  round(CAST(nsym AS DOUBLE) / nchar, 6) AS symbol_ratio
+        |  round(CASE WHEN ntok > 0 THEN CAST(totlen AS DOUBLE) / ntok ELSE 0.0 END, 6) AS mean_word_len,
+        |  round(CASE WHEN nchar > 0 THEN CAST(nsym AS DOUBLE) / nchar ELSE 0.0 END, 6) AS symbol_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed

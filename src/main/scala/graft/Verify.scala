@@ -4,10 +4,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names, for fast local
+    // iteration (the driver always runs the full set with 2 args)
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet else Set.empty
     val spark = GraftSession.create("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): the shuffle barrier keeps upstream
       // stages at full parallelism while still writing a single file.
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")

@@ -42,7 +42,10 @@ object Similarity {
     * queries×corpus result.
     */
   def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val v = withNorm(Tables.embeddings(spark, dir))
+    // zero-norm vectors have undefined cosine — drop them BEFORE the
+    // divide (NaN ordering differs between Spark and DuckDB, so a NaN
+    // must never reach the rank sort)
+    val v = withNorm(Tables.embeddings(spark, dir)).where(col("nrm") > 0)
     val q = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
@@ -67,9 +70,15 @@ object Similarity {
     */
   def quantizedCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
     val e = transform(col("embedding"), x => x.cast("double"))
-    val scale = aggregate(e, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    // scale = 0 ⇔ all-zero vector: undefined cosine, and x/0.0 would put
+    // a NaN into the plan — filter on the (never-NaN) scale instead
     val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(e, x => round(x / scale).cast("double")).as("q"))
+      .select(col("vec_id"), e.as("e"))
+      .withColumn("scale",
+        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .where(col("scale") > 0)
+      .select(col("vec_id"),
+        transform(col("e"), x => round(x / col("scale")).cast("double")).as("q"))
       .withColumn("qnrm", sqrt(dot(col("q"), col("q"))))
     val qs = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qn"))

@@ -189,8 +189,12 @@ object TextAnalysis {
         round(when(ntri > 0,
             (ntri - ndistinct).cast("double") / ntri).otherwise(lit(0.0)), 6)
           .as("dup_trigram_frac"),
-        round(totlen.cast("double") / ntok, 6).as("mean_word_len"),
-        round(nsym.cast("double") / nchar, 6).as("symbol_ratio"))
+        // zero guards: an empty/whitespace-only doc must yield 0.0, not
+        // NaN/Infinity (the oracle's list_sum of an empty list is NULL)
+        round(when(ntok > 0, totlen.cast("double") / ntok).otherwise(lit(0.0)), 6)
+          .as("mean_word_len"),
+        round(when(nchar > 0, nsym.cast("double") / nchar).otherwise(lit(0.0)), 6)
+          .as("symbol_ratio"))
       .orderBy(col("doc_id"))
   }
 

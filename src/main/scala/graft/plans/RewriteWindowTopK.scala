@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types._
 
 /** Optimizer rule: rewrite the standard per-key top-k idiom
   *
@@ -55,6 +55,29 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     */
   val enabledKey = "spark.graft.rewriteWindowTopK"
 
+  /** Degenerate-limit guard: a rank filter like `rn <= 100000000` is an
+    * effectively-unbounded retain — the heap operator would hold ~all
+    * rows per key in memory, where WindowExec's external sort spills.
+    * Past this k the window plan stays.
+    */
+  val maxK = 1 << 20
+
+  /** Float/double partition keys bail out: NormalizeFloatingNumbers runs
+    * AFTER the operator-optimization batch this rule sits in, so a
+    * replaced Window node would hash -0.0 vs 0.0 (and NaN bit patterns)
+    * as distinct keys in both the exchange and the heap map — silently
+    * diverging from WindowExec's normalized grouping.
+    */
+  private def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case a: ArrayType => containsFloat(a.elementType)
+    case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+    case _ => false
+  }
+  private def floatKey(ps: Seq[Expression]): Boolean =
+    ps.exists(e => containsFloat(e.dataType))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(enabledKey, "true").toBoolean) plan
     else applyRewrite(plan)
@@ -64,8 +87,8 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
         Filter(RnLimit(rnAttr, k),
         Window(Seq(al @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(ps, os, _)), _)), _, _, child, _)))
-        if k >= 1 && ps.nonEmpty && os.nonEmpty &&
-          rnAttr.exprId == al.exprId =>
+        if k >= 1 && k <= maxK && ps.nonEmpty && os.nonEmpty &&
+          !floatKey(ps) && rnAttr.exprId == al.exprId =>
       val rankKept = projList.exists(_.references.contains(al.toAttribute))
       val rank = if (rankKept) Some(al.toAttribute) else None
       Project(projList, TopKPerKey(ps, os, k, child, rank))
@@ -76,8 +99,8 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     case Filter(RnLimit(rnAttr, k),
         Window(Seq(al @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(ps, os, _)), _)), _, _, child, _))
-        if k >= 1 && ps.nonEmpty && os.nonEmpty &&
-          rnAttr.exprId == al.exprId =>
+        if k >= 1 && k <= maxK && ps.nonEmpty && os.nonEmpty &&
+          !floatKey(ps) && rnAttr.exprId == al.exprId =>
       TopKPerKey(ps, os, k, child, Some(al.toAttribute))
   }
 }

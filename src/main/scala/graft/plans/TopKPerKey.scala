@@ -108,7 +108,9 @@ private[plans] object TopKHeaps {
               heap = null
             }
             if (heap == null) {
-              heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
+              // capacity min(k,16): PQ grows dynamically; eager Object[k]
+              // per key would OOM on a large-k rewrite before any row lands
+              heap = new java.util.PriorityQueue[InternalRow](math.min(k, 16), heapOrd)
               heaps.put(key.copy(), heap)
             }
             if (heap.size < k) heap.add(row.copy())
@@ -145,7 +147,7 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k, heapOrd)
+        heap = new java.util.PriorityQueue[InternalRow](math.min(k, 16), heapOrd)
         heaps.put(key.copy(), heap)
       }
       if (heap.size < k) heap.add(row.copy())

@@ -212,7 +212,9 @@ object EventsStream {
     * batch q14 — the oracle check.
     */
   def runDailyToParquetAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_stream_fb_${runId.incrementAndGet()}"
+    // per-process UUID, not just a per-JVM counter: two concurrent JVMs
+    // (sbt test + Bench) must not read back each other's micro-batches
+    val name = s"graft_stream_fb_${java.util.UUID.randomUUID().toString.take(8)}_${runId.incrementAndGet()}"
     val out = s"/tmp/$name"
     val q = dailyAgg(readEventsStream(spark, dir))
       .writeStream

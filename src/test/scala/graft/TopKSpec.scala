@@ -128,6 +128,28 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
   }
 
+  test("rewrite bails on float/double partition keys and degenerate k") {
+    // double key: NormalizeFloatingNumbers runs after our batch, so the
+    // rewrite must leave the Window plan (else -0.0 vs 0.0 split keys)
+    val dfd = spark.range(1000)
+      .select((col("id") % 10).cast("double").as("key"), (col("id") % 97).as("v"), col("id"))
+    val pd = windowTopK(dfd, 3).queryExecution.executedPlan
+    assert(collectFirst(pd) { case f: FinalTopKPerKeyExec => f }.isEmpty,
+      s"rewrite must bail on double keys:\n$pd")
+    assert(collect(pd) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.nonEmpty)
+    // -0.0 and 0.0 must land in the same group either way
+    val dfz = Seq((0.0, 1L, 1L), (-0.0, 2L, 2L)).toDF("key", "v", "id")
+    assert(windowTopK(dfz, 1).collect().length == 1)
+    // degenerate k (effectively-unbounded rank filter): keep WindowExec,
+    // whose external sort spills instead of holding ~all rows on heaps
+    val dfl = spark.range(1000)
+      .select((col("id") % 10).as("key"), (col("id") % 97).as("v"), col("id"))
+    val pl = windowTopK(dfl, 100000000).queryExecution.executedPlan
+    assert(collectFirst(pl) { case f: FinalTopKPerKeyExec => f }.isEmpty,
+      s"rewrite must bail on k > maxK:\n$pl")
+  }
+
   test("q31 oracle twin: custom operator equals window formulation on orders") {
     val got = TopK.topOrdersPerCustomer(spark, sf0001).collect().toSeq
     val orders = graft.sources.Tables.orders(spark, sf0001)
