@@ -115,19 +115,23 @@ object TextAnalysis {
   /** TF-IDF: top terms by tf·idf across the corpus. Two aggregations (term
     * frequency per (doc, token); document frequency per token — the df side
     * is tiny after aggregation and broadcasts back). idf = ln(N/df) with N
-    * fixed from a separate count (a scalar, not a per-row recompute).
+    * derived IN-PLAN as a broadcast scalar (the t8 pattern) — no driver
+    * `count()` action, no extra corpus scan.
     */
   def tfidfTop(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // corpus size: one job, then a literal in the plan
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .join(docs.select(col("doc_id"), size(tokens(col("text"))).as("ntok")), "doc_id")
     val df = toks.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus size as an in-plan broadcast scalar — counts ALL documents
+    // (token-less included), matching count(*) semantics
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tfidf = (col("tf").cast("double") / col("ntok")) *
-      log(lit(n.toDouble) / col("df"))
+      log(col("n_docs") / col("df"))
     tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("token"), round(tfidf, 6).as("tfidf"))
       .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
       .limit(topN)

@@ -8,7 +8,8 @@ import graft.ops.{Dedup, Similarity, Text, TextAnalysis}
   * cross-engine hash-match itself is covered by the CORRECTNESS gate;
   * these pin intra-engine semantics and structural invariants).
   */
-class OpsSpec extends SparkSpec {
+class OpsSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("tokens drops empties, keeps duplicates") {
@@ -90,6 +91,22 @@ class OpsSpec extends SparkSpec {
     val bf = Similarity.cosineTopK(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
     assert(ivf.forall(r => r.getDouble(4) <= bf((r.getLong(0), r.getInt(1))) + 1e-9))
+  }
+
+  test("s1/s3 flagship plans rewrite through the bounded top-k operator") {
+    // pins the RewriteWindowTopK ⇒ Partial/FinalTopKPerKeyExec path on the
+    // ACTUAL production queries, so a Catalyst upgrade (or a rewrite-guard
+    // change) can't silently fall back to WindowExec's full sort
+    for ((name, df) <- Seq(
+        "s1" -> Similarity.cosineTopK(spark, sf0001),
+        "s3" -> Similarity.annIvf(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan
+      val fin = collect(plan) { case f: graft.plans.FinalTopKPerKeyExec => f }
+      assert(fin.nonEmpty, s"$name lost the TopKPerKey rewrite:\n$plan")
+      val wins = collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.isEmpty, s"$name fell back to WindowExec:\n$plan")
+    }
   }
 
   test("lang stats covers the five labeled languages") {
