@@ -38,6 +38,37 @@ object OohExtractors {
     "nbsp" -> 160, "mdash" -> 8212, "ndash" -> 8211,
     "rsquo" -> 8217, "lsquo" -> 8216, "rdquo" -> 8221, "ldquo" -> 8220)
 
+  /** Block tags whose start (or a container's close) implicitly ends an
+    * open `<p>` in the HTML5 tree builder — the subset occurring in OOH
+    * CDATA. `li` open/close also ends an open `p` (the p lives inside the
+    * li, which is about to end).
+    */
+  private val pBoundary =
+    "</?(?:h[1-6]|ul|ol|div|table|section)[\\s>]|<p[\\s>]|</?li[\\s>]"
+
+  /** HTML5-style auto-close for the two unclosed tags real OOH exports
+    * contain (jsdom parses these fine; Spark's strict `xpath` does not):
+    *   - `<p>` closes at the next block/`<p>`/`<li>` boundary or end;
+    *   - `<li>` closes at the next `<li>`, the list's `</ul>`/`</ol>`, or
+    *     end.
+    * The tempered dot `(?:(?!stop).)*` can only end at the FIRST stop
+    * token: when that token is the tag's own close the fragment is
+    * already well-formed and the regex leaves it byte-identical; when it
+    * is a boundary, the close tag is inserted — exactly the tree
+    * builder's rule. Known non-goal (as before this pass): an explicitly
+    * closed `<p>` containing a block element, which HTML5 itself reparents.
+    */
+  private def autoClose(c: Column): Column = {
+    val p = regexp_replace(
+      c,
+      s"(?s)<p(\\s[^>]*)?>((?:(?!</p>|$pBoundary).)*)(?=$pBoundary|$$)",
+      "<p$1>$2</p>")
+    regexp_replace(
+      p,
+      "(?s)<li(\\s[^>]*)?>((?:(?!</li>|<li[\\s>]|</(?:ul|ol)>).)*)(?=<li[\\s>]|</(?:ul|ol)>|$)",
+      "<li$1>$2</li>")
+  }
+
   def htmlAsXml(c: Column): Column = {
     val named = namedEntities.foldLeft(c) { case (acc, (name, cp)) =>
       regexp_replace(acc, s"&$name;", s"&#$cp;")
@@ -48,7 +79,7 @@ object OohExtractors {
     val voids = regexp_replace(
       regexp_replace(entities, "<(br|hr)\\s*>", "<$1/>"),
       "<img\\s+([^>/]*)>", "<img $1/>")
-    concat(lit("<root>"), voids, lit("</root>"))
+    concat(lit("<root>"), autoClose(voids), lit("</root>"))
   }
 
   /** P2 `xpathSelect` (index.js:7-17): evaluate an XPath over an HTML

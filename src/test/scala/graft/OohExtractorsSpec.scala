@@ -39,6 +39,36 @@ class OohExtractorsSpec extends SparkSpec {
       "<table><tr><td>x<img src=\"foo.png\"></td></tr></table>") == "x")
   }
 
+  test("unclosed <p> auto-closes at the next block boundary or end (jsdom parity)") {
+    // before another <p>
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>first<p>second</p>") == "firstsecond")
+    // before a header
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>intro<h3>Header</h3><p>after</p>") == "introafter")
+    // at end of fragment
+    assert(one(cdataConcat(col("s"), "//p/text()"), "<p>dangling") == "dangling")
+    // before a list; attributes survive
+    assert(one(cdataConcat(col("s"), "//p[@class='x']/text()"),
+      "<p class=\"x\">lead<ul><li>a</li></ul>") == "lead")
+    // well-formed input is untouched (inline tags are not boundaries)
+    assert(one(cdataConcat(col("s"), "//p//text()"),
+      "<p>a <b>bold</b> ok</p><p>b</p>") == "a bold okb")
+  }
+
+  test("unclosed <li> auto-closes at the next <li>, list end, or end (jsdom parity)") {
+    assert(one(cdataConcat(col("s"), "//li/text()"),
+      "<ul><li>one<li>two<li>three</ul>") == "onetwothree")
+    // mixed: closed and unclosed items
+    assert(one(cdataConcat(col("s"), "//li/text()"),
+      "<ul><li>a</li><li>b<li>c</li></ul>") == "abc")
+    // unclosed <p> inside an unclosed <li>
+    assert(one(cdataConcat(col("s"), "//li/p/text()"),
+      "<ul><li><p>x<li><p>y</ul>") == "xy")
+    // dangling li closed by its list's own close tag
+    assert(one(cdataConcat(col("s"), "//li/text()"), "<ul><li>tail</ul>") == "tail")
+  }
+
   test("each named entity decodes to its own codepoint (jsdom parity)") {
     assert(one(cdataConcat(col("s"), "//p/text()"),
       "<p>a&mdash;b&ndash;c&rsquo;d&lsquo;e&rdquo;f&ldquo;g&nbsp;h</p>")
