@@ -156,73 +156,33 @@ object Dedup {
     * keeper assignment: one row per clustered doc with its cluster id,
     * cluster size, and keeper flag.
     *
-    * Pregel-style min-label propagation with POINTER JUMPING: each round,
-    * every node takes the min of its own label and its neighbors' labels
-    * (one join on the edge list), then follows its label one hop in the
-    * label table (`label(n) := label(label(n))` — a self-join on the far
-    * smaller label table). The jump halves pointer-chain depth per round,
-    * so convergence is O(log diameter) neighbor joins instead of
-    * O(diameter) — measured on sf0.1's chain-shaped SimHash graph: 5
-    * rounds instead of 13. (Labels are monotone non-increasing and every
-    * label value is a node id inside the same component, so the jump
-    * preserves the invariants; the fixpoint is still the component min.)
+    * Connected components via [[ConnectedComponents.labelPropagation]]
+    * (pointer-jumped min-label flooding, O(log diameter) rounds — the
+    * fast path: near-dup graphs are tiny star-ish clusters, measured 5
+    * rounds on sf0.1). If an adversarially deep component exhausts the
+    * round cap, falls back to [[ConnectedComponents.starContraction]]
+    * (alternating large-star/small-star), which converges in O(log n)
+    * rounds on ANY graph shape — so the operator never silently ships a
+    * partial labeling and never fails on a pathological graph either.
     *
-    * Scale design: each round is one shuffle join on `src` plus a
+    * Scale design: each round is one shuffle join on the edge list plus a
     * min-aggregate plus a label-table self-join — never materializes
-    * anything bigger than the edge list. `localCheckpoint` truncates
-    * lineage each round so the plan stays O(1) deep regardless of
-    * iteration count (on a cluster this would be `checkpoint()` to
-    * durable storage). Convergence is detected by the label-sum fixpoint:
-    * labels only ever decrease, so an unchanged sum means an unchanged
-    * labeling — one scalar aggregate per round, no row-level diff join.
+    * anything bigger than the edge list; per-round checkpointing keeps
+    * the plan O(1) deep. `checkpointDir = Some(hdfsPath)` switches the
+    * per-round lineage truncation from `localCheckpoint` to durable
+    * `checkpoint()` for cluster runs (survives executor loss).
     */
-  def dupClusters(spark: SparkSession, dir: String, maxIters: Int = 50): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = checkpointDir
+      .map(ConnectedComponents.durable(spark, _))
+      .getOrElse(ConnectedComponents.local)
     val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst")
-      .repartition(col("src"))
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val prev = labels
-      // checkpointed BEFORE the self-join below — referenced twice, and an
-      // unmaterialized plan would recompute the neighbor join per branch
-      val prop = edges.as("e")
-        .join(prev.as("l"), col("e.src") === col("l.node"))
-        .select(col("e.dst").as("node"), col("l.label").as("label"))
-        .union(prev)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      // pointer jump: label(n) := min(label(n), label(label(n))). Every
-      // label value is a node id of the same component, so the (tiny)
-      // label-table self-join is total; `least` is monotone insurance.
-      labels = prop.as("x")
-        .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("y"),
-          col("x.label") === col("jn"), "left")
-        .select(col("x.node").as("node"),
-          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
-      converged = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    edges.unpersist()
-    // A silent partial labeling would split one real cluster into several
-    // keepers and a dedup pipeline would keep the wrong documents — fail
-    // loudly instead (an adversarially deep component wants the
-    // large-star/small-star variant, not a bigger cap).
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters: label propagation did not converge within $maxIters rounds " +
-        "(component diameter exceeds the cap)")
+    val labels = ConnectedComponents.labelPropagation(pairs, maxIters, ckpt)
+      .map(_._1)
+      // fallback keeps its own cap: it bounds rounds by O(log n), not by
+      // the diameter-sensitive budget that just ran out
+      .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
