@@ -115,7 +115,7 @@ object SparkEntry {
     // against q14's oracle.
     "q39_sink_roundtrip" -> ((s: SparkSession, d: String) =>
       graft.engine.Sinks.jsonRoundTrip(Relational.q14EventsDaily(s, d),
-          s"/tmp/graft_q39_roundtrip_${java.util.UUID.randomUUID().toString.take(8)}")
+          graft.util.TmpDirs.scratch("graft_q39_roundtrip_").toString)
         .orderBy(col("day"), col("event_type"))),
     // Approximate aggregates (HLL++, quantile sketch): deterministic in
     // Spark but not DuckDB-reproducible — rows-only check by design.

@@ -55,8 +55,16 @@ object OohExtractors {
     * token: when that token is the tag's own close the fragment is
     * already well-formed and the regex leaves it byte-identical; when it
     * is a boundary, the close tag is inserted — exactly the tree
-    * builder's rule. Known non-goal (as before this pass): an explicitly
-    * closed `<p>` containing a block element, which HTML5 itself reparents.
+    * builder's rule.
+    *
+    * The `<li>` stop set also halts on OPENING `<ul>`/`<ol>` tags while the
+    * lookahead does not accept them: an `<li>` that directly contains a
+    * nested list therefore never matches and is left byte-identical —
+    * well-formed nested lists must not have a stray `</li>` injected before
+    * their inner list. Known non-goals (both left untouched, as before):
+    * an explicitly closed `<p>` containing a block element (HTML5 itself
+    * reparents those), and an UNclosed `<li>` whose body starts a nested
+    * list.
     */
   private def autoClose(c: Column): Column = {
     val p = regexp_replace(
@@ -65,7 +73,7 @@ object OohExtractors {
       "<p$1>$2</p>")
     regexp_replace(
       p,
-      "(?s)<li(\\s[^>]*)?>((?:(?!</li>|<li[\\s>]|</(?:ul|ol)>).)*)(?=<li[\\s>]|</(?:ul|ol)>|$)",
+      "(?s)<li(\\s[^>]*)?>((?:(?!</li>|<li[\\s>]|</?(?:ul|ol)[\\s>]).)*)(?=<li[\\s>]|</(?:ul|ol)>|$)",
       "<li$1>$2</li>")
   }
 

@@ -33,14 +33,54 @@ object ConnectedComponents {
   /** Lineage-truncation strategy applied once per iteration. */
   type Ckpt = DataFrame => DataFrame
 
+  /** Workaround for a Spark 4.1 constraint-propagation crash on
+    * checkpointed plans: `localCheckpoint` preserves the origin plan's
+    * constraints on its `LogicalRDD`, and those expressions can reference
+    * attributes that are NOT in the LogicalRDD's output (e.g. join-side
+    * attrs pruned by the checkpointed projection). `Union.rewriteConstraints`
+    * then does a strict AttributeMap lookup over child outputs and dies
+    * with `key not found: <attr>`. Both iterative algorithms union a
+    * checkpointed table every round, so every action inside the loops runs
+    * with constraint propagation off (it only ADDS inferred filters — pure
+    * optimization, no semantics), restored afterwards. The returned label
+    * tables are plain checkpointed scans with no Union, so downstream
+    * consumers are unaffected.
+    */
+  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** In-memory (with disk spill) checkpoint — right for local mode. */
   val local: Ckpt = _.localCheckpoint(true)
 
   /** Durable checkpoint to `dir` — right for a multi-executor cluster
     * (survives executor loss; `dir` should be HDFS/S3, not local disk).
+    *
+    * The checkpoint dir is SESSION-GLOBAL SparkContext state, so this sets
+    * it only when unset and fails loudly if a different dir is already
+    * configured — silently redirecting another holder's checkpoints (the
+    * previous behavior) could strand in-flight lineage truncation on a
+    * path about to be cleaned up. (`setCheckpointDir` stores a
+    * UUID-suffixed subdirectory of the requested path, hence the
+    * prefix comparison.)
     */
   def durable(spark: SparkSession, dir: String): Ckpt = {
-    spark.sparkContext.setCheckpointDir(dir)
+    // setCheckpointDir qualifies the path (scheme + authority), so strip
+    // the scheme from both sides before the prefix comparison
+    def bare(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").stripSuffix("/")
+    val want = bare(dir)
+    spark.sparkContext.getCheckpointDir match {
+      case None => spark.sparkContext.setCheckpointDir(dir)
+      case Some(cur) if bare(cur).startsWith(want) => ()
+      case Some(cur) =>
+        throw new IllegalStateException(
+          s"SparkContext checkpoint dir already set to '$cur'; refusing to " +
+            s"redirect it to '$dir' — pass that dir explicitly or use a new session")
+    }
     df => df.checkpoint(true)
   }
 
@@ -61,7 +101,8 @@ object ConnectedComponents {
     * scalar aggregate per round, no row-level diff join).
     */
   def labelPropagation(edges: DataFrame, maxIters: Int,
-      ckpt: Ckpt = local): Option[(DataFrame, Int)] = {
+      ckpt: Ckpt = local): Option[(DataFrame, Int)] =
+      withoutConstraintPropagation(edges.sparkSession) {
     val pairs = edges.toDF("src", "dst")
     val sym = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst")
@@ -125,7 +166,8 @@ object ConnectedComponents {
     * partial clustering.
     */
   def starContraction(edges: DataFrame, maxIters: Int = 50,
-      ckpt: Ckpt = local): (DataFrame, Int) = {
+      ckpt: Ckpt = local): (DataFrame, Int) =
+      withoutConstraintPropagation(edges.sparkSession) {
     val nodes = ckpt(edges.toDF("src", "dst")
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct())
 

@@ -50,6 +50,32 @@ object EventsStream {
 
   private val runId = new AtomicInteger(0)
 
+  /** Shuffle-partition count for the streaming queries, settable via
+    * SPARK_GRAFT_STREAM_PARTITIONS. Streaming state parallelism is FROZEN
+    * into the checkpoint at first run, and every state store instance pays
+    * a per-micro-batch commit (a stream-stream join carries FOUR stores
+    * per partition), so partitions should match state size, not core
+    * count: the events stream's state is thousands of keys, where 32-way
+    * state parallelism is pure commit overhead. A production deployment
+    * sizes this to horizon-bounded key cardinality / target per-task state
+    * (and can NOT change it without a new checkpoint — start high enough
+    * for peak state, it is the one non-elastic knob in the pipeline).
+    */
+  val streamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8)
+
+  /** A same-context session whose shuffle-partition conf is sized for
+    * streaming state ([[streamShufflePartitions]]). Cloning (not mutating
+    * the caller's conf) keeps concurrently-planned batch queries on the
+    * batch setting; the returned DataFrames carry the clone, so downstream
+    * actions are unaffected.
+    */
+  private[streaming] def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    s
+  }
+
   /** Watermark delay for the append-mode hourly pipeline. */
   val watermarkDelay = "10 minutes"
 
@@ -74,8 +100,9 @@ object EventsStream {
     * the complete-mode daily aggregation, not just a narrower window.
     */
   def runHourlyAppendAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
-    val q = hourlyAggWatermarked(readEventsStream(spark, dir))
+    val q = hourlyAggWatermarked(readEventsStream(ss, dir))
       .writeStream
       .format("memory")
       .queryName(name)
@@ -83,7 +110,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("hour_start"), col("event_type"))
+    ss.table(name).orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Dedup-state horizon for [[runDedupAvailableNow]]. Deliberately wider
@@ -109,8 +136,9 @@ object EventsStream {
     * parity the oracle checks.
     */
   def runDedupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = readEventsStream(spark, dir)
+    val q = readEventsStream(ss, dir)
       .withColumn("day_ts", col("ts").cast("date"))
       .withWatermark("ts", dedupHorizon)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day_ts")
@@ -122,7 +150,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("event_type"), col("day_ts"))
+    ss.table(name).orderBy(col("user_id"), col("event_type"), col("day_ts"))
   }
 
   /** Event-type weight dimension for [[runStaticEnrichedAvailableNow]]
@@ -143,10 +171,11 @@ object EventsStream {
     * table.
     */
   def runStaticEnrichedAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
     val dim = broadcast(
-      spark.createDataFrame(typeWeights).toDF("event_type", "weight"))
-    val q = readEventsStream(spark, dir)
+      ss.createDataFrame(typeWeights).toDF("event_type", "weight"))
+    val q = readEventsStream(ss, dir)
       .join(dim, "event_type")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -160,7 +189,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("day"), col("event_type"))
+    ss.table(name).orderBy(col("day"), col("event_type"))
   }
 
   /** Stream-stream LEFT OUTER interval join — the funnel with explicit
@@ -174,12 +203,13 @@ object EventsStream {
     * micro-batch flushes the evictions before AvailableNow terminates.
     */
   def runFunnelLeftOuterAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_funnel_outer_${runId.incrementAndGet()}"
-    val clicks = readEventsStream(spark, dir)
+    val clicks = readEventsStream(ss, dir)
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", funnelWindow)
-    val purchases = readEventsStream(spark, dir)
+    val purchases = readEventsStream(ss, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
@@ -198,7 +228,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
@@ -212,11 +242,9 @@ object EventsStream {
     * batch q14 — the oracle check.
     */
   def runDailyToParquetAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    // per-process UUID, not just a per-JVM counter: two concurrent JVMs
-    // (sbt test + Bench) must not read back each other's micro-batches
-    val name = s"graft_stream_fb_${java.util.UUID.randomUUID().toString.take(8)}_${runId.incrementAndGet()}"
-    val out = s"/tmp/$name"
-    val q = dailyAgg(readEventsStream(spark, dir))
+    val ss = streamSession(spark)
+    val out = graft.util.TmpDirs.scratch(s"graft_stream_fb_${runId.incrementAndGet()}_").toString
+    val q = dailyAgg(readEventsStream(ss, dir))
       .writeStream
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
@@ -225,7 +253,7 @@ object EventsStream {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(out).orderBy(col("day"), col("event_type"))
+    ss.read.parquet(out).orderBy(col("day"), col("event_type"))
   }
 
   /** Per-user running aggregate via `mapGroupsWithState` — the third
@@ -241,10 +269,11 @@ object EventsStream {
     * aggregate.
     */
   def runRunningMaxAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val ss = streamSession(spark)
+    import ss.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val name = s"graft_stream_runmax_${runId.incrementAndGet()}"
-    val q = readEventsStream(spark, dir)
+    val q = readEventsStream(ss, dir)
       .select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
@@ -262,7 +291,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
       .orderBy(col("user_id"))
@@ -289,12 +318,13 @@ object EventsStream {
     * join, which is what the oracle replays.
     */
   def runFunnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
-    val clicks = readEventsStream(spark, dir)
+    val clicks = readEventsStream(ss, dir)
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", dedupHorizon)
-    val purchases = readEventsStream(spark, dir)
+    val purchases = readEventsStream(ss, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
@@ -312,15 +342,16 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    ss.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   /** One-shot streaming run: drain the events table with AvailableNow into
     * a complete-mode memory sink and return the result, ordered like q14.
     */
   def runDailyAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
     val name = s"graft_stream_daily_${runId.incrementAndGet()}"
-    val q = dailyAgg(readEventsStream(spark, dir))
+    val q = dailyAgg(readEventsStream(ss, dir))
       .writeStream
       .format("memory")
       .queryName(name)
@@ -328,6 +359,6 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("day"), col("event_type"))
+    ss.table(name).orderBy(col("day"), col("event_type"))
   }
 }

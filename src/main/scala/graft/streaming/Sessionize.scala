@@ -113,9 +113,10 @@ object Sessionize {
     * flatMapGroupsWithState, AvailableNow, ordered like the batch twin.
     */
   def sessionsStreamingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val name = s"graft_sessions_${System.identityHashCode(spark)}_${java.util.UUID.randomUUID.toString.take(8)}"
-    val ev = EventsStream.readEventsStream(spark, dir)
+    val ss = EventsStream.streamSession(spark)
+    import ss.implicits._
+    val name = s"graft_sessions_${System.identityHashCode(ss)}_${java.util.UUID.randomUUID.toString.take(8)}"
+    val ev = EventsStream.readEventsStream(ss, dir)
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
     val q = ev.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(handleGroup)
@@ -128,6 +129,6 @@ object Sessionize {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("session_start"))
+    ss.table(name).orderBy(col("user_id"), col("session_start"))
   }
 }

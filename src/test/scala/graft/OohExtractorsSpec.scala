@@ -69,6 +69,19 @@ class OohExtractorsSpec extends SparkSpec {
     assert(one(cdataConcat(col("s"), "//li/text()"), "<ul><li>tail</ul>") == "tail")
   }
 
+  test("well-formed nested lists are left byte-identical by the <li> pass") {
+    // the stop set halts on <ul>/<ol> opens while the lookahead rejects
+    // them, so an <li> containing a nested list never matches — no stray
+    // </li> is injected before the inner list (would break strict xpath)
+    assert(one(cdataConcat(col("s"), "//li//text()"),
+      "<ul><li>a<ul><li>b</li></ul></li></ul>") == "ab")
+    assert(one(cdataConcat(col("s"), "//li//text()"),
+      "<ol><li>1<ol><li>1.1</li><li>1.2</li></ol></li><li>2</li></ol>") == "11.11.22")
+    // unclosed sibling AFTER a well-formed nested item still auto-closes
+    assert(one(cdataConcat(col("s"), "//li//text()"),
+      "<ul><li>a<ul><li>b</li></ul></li><li>c<li>d</ul>") == "abcd")
+  }
+
   test("each named entity decodes to its own codepoint (jsdom parity)") {
     assert(one(cdataConcat(col("s"), "//p/text()"),
       "<p>a&mdash;b&ndash;c&rsquo;d&lsquo;e&rdquo;f&ldquo;g&nbsp;h</p>")
