@@ -87,7 +87,10 @@ object TextSketches {
         (cs: Seq[Expression]) => ArrayDot(cs.head, cs(1))),
       (FunctionIdentifier("srp_bucket"),
         new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
-        (cs: Seq[Expression]) => SrpBucket(cs.head)))
+        (cs: Seq[Expression]) => SrpBucket(cs.head)),
+      (FunctionIdentifier("int8_quantize"),
+        new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+        (cs: Seq[Expression]) => Int8Quantize(cs.head)))
 }
 
 /** `shingles(text[, k])` — distinct k-word shingles in first-occurrence
@@ -401,5 +404,81 @@ object SrpBucket {
       p += 1
     }
     UTF8String.fromString(new String(out))
+  }
+}
+
+/** `int8_quantize(embedding)` — symmetric int8 quantization in one codegen
+  * pass: per-vector scale = max|x|/127, components `round(x/scale)` as
+  * doubles (integers in [-127, 127], exact in IEEE 754). Null for the
+  * all-zero/empty vector (scale 0 ⇒ undefined direction) and on any null
+  * element. Byte-identical to the HOF formulation it replaces
+  * (`aggregate` max + `transform` round, interpreted per element —
+  * quantization is the full-corpus pass of the ANN pipeline, so it
+  * belongs in compiled code): rounding uses the same BigDecimal HALF_UP
+  * Spark's `round` applies to doubles.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_quantize requires array<float|double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Quantize.compute(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.exprs.Int8Quantize.compute($c, $isFloat);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+  /** Spark `Round` semantics for DoubleType at scale 0: decimal HALF_UP
+    * over the double's shortest decimal representation (scala BigDecimal),
+    * NOT `Math.round` (which differs on negative .5 ties).
+    */
+  private def roundHalfUp(x: Double): Double =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def compute(e: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = e.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (e.isNullAt(i)) return null
+      val a = math.abs(if (isFloat) e.getFloat(i).toDouble else e.getDouble(i))
+      if (a > mx) mx = a
+      i += 1
+    }
+    val scale = mx / 127.0
+    if (!(scale > 0)) return null
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+      out(i) = roundHalfUp(x / scale)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

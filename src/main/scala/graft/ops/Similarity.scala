@@ -69,16 +69,13 @@ object Similarity {
     * engine-deterministic despite quantization.
     */
   def quantizedCosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
-    val e = transform(col("embedding"), x => x.cast("double"))
-    // scale = 0 ⇔ all-zero vector: undefined cosine, and x/0.0 would put
-    // a NaN into the plan — filter on the (never-NaN) scale instead
+    // one codegen pass per vector ([[graft.exprs.Int8Quantize]]); null ⇔
+    // scale 0 ⇔ all-zero vector, whose cosine is undefined — filtered
+    // before the divide so no NaN ever reaches the rank sort
     val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), e.as("e"))
-      .withColumn("scale",
-        aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
-      .where(col("scale") > 0)
       .select(col("vec_id"),
-        transform(col("e"), x => round(x / col("scale")).cast("double")).as("q"))
+        call_function("int8_quantize", col("embedding")).as("q"))
+      .where(col("q").isNotNull)
       .withColumn("qnrm", sqrt(dot(col("q"), col("q"))))
     val qs = v.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qn"))
@@ -154,13 +151,19 @@ object Similarity {
     def centCos(c: (Long, Array[Double], Double)): Column =
       dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))
 
-    // corpus → cell: argmax centroid cosine, first (smallest) cid on ties
-    val best = greatest(cents.map(centCos): _*)
-    val cell = cents.foldRight(lit(-1L)) { case (c, acc) =>
-      when(centCos(c) === best, lit(c._1)).otherwise(acc)
-    }
-    // foldRight puts cid 0's `when` OUTERMOST, so ties resolve to the
-    // smallest cid — matching the oracle's ORDER BY cos DESC, cid ASC.
+    // corpus → cell: argmax centroid cosine as ONE array_max over
+    // (cos, −cid) structs — each centroid dot computed exactly once (the
+    // previous greatest + when-fold re-evaluated every dot in the tie
+    // scan and doubled the generated code), and struct ordering gives the
+    // tie-break for free: max cos, then max −cid = smallest cid —
+    // matching the oracle's ORDER BY cos DESC, cid ASC. A zero-norm
+    // vector's cosines are all NaN (sorts greatest): such rows get the
+    // out-of-domain cell −1, as before, and never join a probe.
+    val bestS = array_max(array(cents.map { c =>
+      struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
+    }: _*))
+    val cell = when(isnan(bestS.getField("c")), lit(-1L))
+      .otherwise(-bestS.getField("negcid"))
     val asg = v.withColumn("cell", cell)
 
     // queries → their ivfProbes nearest cells (rank over 16 rows per query)

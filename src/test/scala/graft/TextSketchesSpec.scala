@@ -111,6 +111,27 @@ class TextSketchesSpec extends SparkSpec {
     assert(mismatches(df) == 0)
   }
 
+  test("int8_quantize == HOF reference over sf0.001 embeddings") {
+    // the aggregate-max + transform-round formulation it replaces
+    val e = transform(col("embedding"), x => x.cast("double"))
+    val scale = aggregate(e, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    val want = when(scale > 0, transform(e, x => round(x / scale).cast("double")))
+    val df = Tables.embeddings(spark, sf0001).select(
+      want.as("want"),
+      call_function("int8_quantize", col("embedding")).as("got"))
+    assert(mismatches(df) == 0)
+  }
+
+  test("int8_quantize: all-zero vector is null; ties round HALF_UP like round()") {
+    val z = Seq(Seq(0.0f, 0.0f)).toDF("a")
+      .select(call_function("int8_quantize", col("a"))).head()
+    assert(z.isNullAt(0))
+    // max = 127 so scale = 1: ±2.5 must round like Spark's round(): 3 / -3
+    val t = Seq(Seq(2.5, -2.5, 127.0)).toDF("a")
+      .select(call_function("int8_quantize", col("a"))).head().getSeq[Double](0)
+    assert(t == Seq(3.0, -3.0, 127.0))
+  }
+
   // --- edge cases ----------------------------------------------------------
 
   test("shingles: fewer than k tokens yields empty array; null passes through") {
