@@ -252,18 +252,22 @@ object Dedup {
     val sigs = simhashSignatures(spark, dir)
       .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
       .repartition(col("doc_id"))
+    // Halves and probe variants as 16-bit INTEGERS (band 0 = high half):
+    // variant generation is one xor per mask instead of three-substring
+    // string surgery, and the candidate join hashes/shuffles 8-byte longs
+    // instead of 16-char strings. Same probing scheme, same recall proof.
     val index = sigs.select(col("doc_id"), col("sigint"),
-      explode(transform(sequence(lit(0), lit(1)), b =>
-        struct(b.as("band"), col("simhash").substr(b * 16 + 1, lit(16)).as("half")))).as("e"))
+      explode(array(
+        struct(lit(0).as("band"),
+          shiftrightunsigned(col("sigint"), 16).as("half")),
+        struct(lit(1).as("band"),
+          col("sigint").bitwiseAND(lit(0xffffL)).as("half")))).as("e"))
       .select(col("doc_id"), col("sigint"), col("e.band"), col("e.half"))
     // Every variant of each half within Hamming distance 1: the half itself
-    // (i=0) plus the 16 single-bit flips (i=1..16 flips char i).
+    // (mask 0) plus the 16 single-bit flips.
+    val flipMasks = array((Seq(0L) ++ (0 until 16).map(1L << _)).map(lit): _*)
     val probes = index.select(col("doc_id"), col("sigint"), col("band"),
-      explode(transform(sequence(lit(0), lit(16)), i =>
-        when(i === 0, col("half")).otherwise(concat(
-          col("half").substr(lit(1), i - 1),
-          when(col("half").substr(i, lit(1)) === "0", lit("1")).otherwise(lit("0")),
-          col("half").substr(i + 1, lit(16) - i))))).as("variant"))
+      explode(transform(flipMasks, m => col("half").bitwiseXOR(m))).as("variant"))
     // Verify BEFORE deduplicating: the <=maxHamming filter runs on the raw
     // join output (cheap bit_count, no wide strings), so the pair-dedup
     // shuffle only carries survivors.

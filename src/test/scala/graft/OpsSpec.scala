@@ -65,6 +65,20 @@ class OpsSpec extends SparkSpec
     assert(p.forall(r => r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("simhash pairs == brute-force all-pairs at hamming <= 3 (full recall)") {
+    // pins the probed half-band candidate generation (incl. the integer
+    // band/variant encoding) against exhaustive ground truth
+    val sigs = Dedup.simhashSignatures(spark, sf0001).collect()
+      .map(r => (r.getLong(0), java.lang.Long.parseLong(r.getString(1), 2)))
+    val want = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs
+      if d1 < d2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    val got = Dedup.simhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("cosine top-k: k rows per query, cosine in [-1,1], ranks contiguous") {
     val t = Similarity.cosineTopK(spark, sf0001).collect()
     assert(t.length == 30) // 10 queries x top-3
