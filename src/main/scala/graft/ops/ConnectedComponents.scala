@@ -108,8 +108,14 @@ object ConnectedComponents {
       .toDF("src", "dst")
       .repartition(col("src"))
       .persist()
-    var labels = ckpt(sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
+    // init label(n) = min(n, min neighbor) — the same one-aggregation cost
+    // as a distinct-node scan (sym is symmetric, so src covers every
+    // node), but it IS round one's neighbor-min, so the loop starts a
+    // round ahead; the invariants (label ≤ node, label in-component,
+    // monotone non-increasing) hold from the start.
+    var labels = ckpt(sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)

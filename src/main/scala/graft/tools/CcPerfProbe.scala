@@ -12,6 +12,11 @@ object CcPerfProbe {
     time("warm_sigs")(graft.ops.Dedup.simhashSignatures(spark, dir).count())
     time("d5_pairs")(graft.ops.Dedup.simhashPairs(spark, dir).count())
     time("d5_again")(graft.ops.Dedup.simhashPairs(spark, dir).count())
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.simhashPairs(spark, dir)
+      .select(org.apache.spark.sql.functions.col("d1"), org.apache.spark.sql.functions.col("d2"))
+    val res = graft.ops.ConnectedComponents.labelPropagation(pairs, 50)
+    println(f"PROBE lp ${(System.nanoTime()-t0)/1e9}%.2f s rounds=${res.get._2} rows=${res.get._1.count()}")
     time("d7")(graft.ops.Dedup.dupClusters(spark, dir).count())
     time("d8")(graft.ops.Dedup.keeperByQuality(spark, dir).count())
     spark.stop()
