@@ -11,6 +11,9 @@ object StreamProbe {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8))
+    if (sys.env.contains("PROBE_ROCKSDB"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val es = graft.streaming.EventsStream
     val ev = es.readEventsStream(ss, dir)
     val clicks = ev

@@ -65,6 +65,19 @@ class OpsSpec extends SparkSpec
     assert(p.forall(r => r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("simhash pairs compute signatures once (reused exchange, not two scans)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = Dedup.simhashPairs(spark, sf0001)
+    df.collect()
+    val reused = helper.collect(df.queryExecution.executedPlan) {
+      case r: ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      "expected the signature exchange to be reused by both join branches")
+  }
+
   test("simhash pairs == brute-force all-pairs at hamming <= 3 (full recall)") {
     // pins the probed half-band candidate generation (incl. the integer
     // band/variant encoding) against exhaustive ground truth

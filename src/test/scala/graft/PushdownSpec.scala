@@ -44,4 +44,27 @@ class PushdownSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(readSchema.contains("doc_id") && readSchema.contains("lang"))
     assert(!readSchema.contains("text"), s"text not pruned: $readSchema")
   }
+
+  test("partitionBy sink yields partition-pruned reads (S6 directory partitioning)") {
+    // the sink's partitionBy contract: a filter on the partition key must
+    // prune DIRECTORIES (file listing), not just row groups — at 100 TB
+    // the difference between touching one day and every file of the table
+    val out = graft.util.TmpDirs.scratch("graft_part_sink_").toString
+    val days = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ts").cast("date").as("day"))
+    graft.engine.Sinks.parquet(days, out, partitionBy = Seq("day"))
+    val back = spark.read.parquet(out)
+    val oneDay = days.select(col("day")).distinct().orderBy(col("day")).head().getDate(0)
+    val q = back.where(col("day") === lit(oneDay))
+    val s = scans(q).head
+    // partition filter recorded, and only the matching directory's files read
+    assert(s.metadata("PartitionFilters").contains("day"),
+      s"no partition filter: ${s.metadata("PartitionFilters")}")
+    assert(s.relation.location.inputFiles.length > 1) // table spans many days
+    assert(s.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${s.selectedPartitions.partitionCount}")
+    // and the data read back for that day matches the source
+    assert(q.count() == days.where(col("day") === lit(oneDay)).count())
+  }
 }
