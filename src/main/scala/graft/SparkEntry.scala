@@ -117,6 +117,12 @@ object SparkEntry {
       graft.engine.Sinks.jsonRoundTrip(Relational.q14EventsDaily(s, d),
           graft.util.TmpDirs.scratch("graft_q39_roundtrip_").toString)
         .orderBy(col("day"), col("event_type"))),
+    // S6 CSV twin of q39: same batch aggregate through the headered-CSV
+    // sink and source under the writer's schema.
+    "q50_csv_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.engine.Sinks.csvRoundTrip(Relational.q14EventsDaily(s, d),
+          graft.util.TmpDirs.scratch("graft_q50_roundtrip_").toString)
+        .orderBy(col("day"), col("event_type"))),
     // Approximate aggregates (HLL++, quantile sketch): deterministic in
     // Spark but not DuckDB-reproducible — rows-only check by design.
     "q40_approx_aggs" -> Relational.q40ApproxAggs _,
@@ -173,6 +179,7 @@ object SparkEntry {
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +
+      ("q50_csv_roundtrip" -> m("q14_events_daily")) +
       ("q41_stream_foreachbatch" -> m("q14_events_daily"))
   }
 

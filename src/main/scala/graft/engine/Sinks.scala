@@ -39,4 +39,21 @@ object Sinks {
     json(df, path)
     df.sparkSession.read.schema(df.schema).json(path)
   }
+
+  /** S6 variant: headered CSV — the interchange format real ingest still
+    * arrives in. Splittable parallel read like JSON; same explicit-schema
+    * discipline (CSV "inference" costs a full scan AND guesses types).
+    */
+  def csv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** CSV sink→source round trip under the writer's schema; the q50 gate
+    * hash-compares the round-tripped rows against the batch oracle —
+    * which is what pins the lossless text encoding of dates/longs/doubles
+    * (doubles print shortest-round-trip form, so read-back is exact).
+    */
+  def csvRoundTrip(df: DataFrame, path: String): DataFrame = {
+    csv(df, path)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+  }
 }

@@ -34,11 +34,21 @@ object EventsStream {
       .select(col("window.start").cast("date").as("day"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Schema of `<dir>/events.parquet`, read once per (JVM, dir): every
+    * streaming query needs the explicit schema (inference on a stream is
+    * disabled for good reason — at scale it is an extra full listing+scan
+    * per query start), but reading the footer is a driver job, and nine
+    * streaming queries were each paying it.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** The raw events parquet as a stream (nanos ts normalized exactly like
     * the batch loader in [[Tables.events]]).
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = schemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(s"$d/events.parquet").schema)
     // The file stream source wants a directory: stream the sf dir with a
     // glob restricted to the events table.
     spark.readStream
