@@ -81,6 +81,9 @@ object Bench {
     val fullLine = mkLine(queriesJson(identity, _.toString), total.toString)
     val compactLine = mkLine(queriesJson(shortKey, sec2), sec2(total))
 
+    if (compactLine.length > 1800)
+      System.err.println(s"WARNING: bench stdout line is ${compactLine.length} chars; " +
+        "the driver keeps only a 2000-char tail — shorten keys/precision before it truncates")
     println(compactLine)
     System.out.flush()
     // Durable full-detail copy: the driver's stdout capture keeps only a
