@@ -74,12 +74,18 @@ object Bench {
     def queriesJson(fmtKey: String => String, fmtVal: Double => String): String =
       results.map { case (k, v) => s""""${esc(fmtKey(k))}":${fmtVal(v)}""" }
         .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    def errJson(maxMsg: Int): String =
+      errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(maxMsg))}"""" }
+        .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def mkLine(qs: String, totalStr: String): String =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"${esc(sfDir)}"}"""
-    val fullLine = mkLine(queriesJson(identity, _.toString), total.toString)
-    val compactLine = mkLine(queriesJson(shortKey, sec2), sec2(total))
+    def mkLine(qs: String, totalStr: String, errs: String): String =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    val fullLine = mkLine(queriesJson(identity, _.toString), total.toString, errJson(200))
+    // 30-char error snippets on stdout: a multi-failure run with 200-char
+    // messages would push the line past the driver's 2000-char tail —
+    // re-truncating it exactly when the errors matter. Full messages live
+    // in the file copy and failure is already signalled by exit 1.
+    val compactLine = mkLine(queriesJson(shortKey, sec2), sec2(total), errJson(30))
 
     if (compactLine.length > 1800)
       System.err.println(s"WARNING: bench stdout line is ${compactLine.length} chars; " +

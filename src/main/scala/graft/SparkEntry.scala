@@ -123,8 +123,10 @@ object SparkEntry {
       graft.engine.Sinks.csvRoundTrip(Relational.q14EventsDaily(s, d),
           graft.util.TmpDirs.scratch("graft_q50_roundtrip_").toString)
         .orderBy(col("day"), col("event_type"))),
-    // Approximate aggregates (HLL++, quantile sketch): deterministic in
-    // Spark but not DuckDB-reproducible — rows-only check by design.
+    // Approximate aggregates (HLL++, quantile sketch): the sketch values
+    // are not DuckDB-reproducible, so the query emits exact twins plus
+    // |approx − exact| ≤ tol booleans and the oracle asserts literal TRUEs
+    // — hash-checked like every other entry.
     "q40_approx_aggs" -> Relational.q40ApproxAggs _,
     "q41_stream_foreachbatch" -> graft.streaming.EventsStream.runDailyToParquetAvailableNow _,
     "q42_except_all" -> Relational.q42ExceptAll _,

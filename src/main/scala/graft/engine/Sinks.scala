@@ -51,6 +51,13 @@ object Sinks {
     * hash-compares the round-tripped rows against the batch oracle —
     * which is what pins the lossless text encoding of dates/longs/doubles
     * (doubles print shortest-round-trip form, so read-back is exact).
+    *
+    * CAVEAT the format imposes: CSV cannot portably distinguish a null
+    * string from an empty one (both sides of the default nullValue/
+    * emptyValue conventions conflate them), so "" and null string fields
+    * may swap identities through this round trip. Callers with nullable
+    * or empty string columns should use [[jsonRoundTrip]], which
+    * preserves the distinction.
     */
   def csvRoundTrip(df: DataFrame, path: String): DataFrame = {
     csv(df, path)

@@ -45,13 +45,24 @@ object ConnectedComponents {
     * optimization, no semantics), restored afterwards. The returned label
     * tables are plain checkpointed scans with no Union, so downstream
     * consumers are unaffected.
+    *
+    * The toggle mutates SESSION-scoped conf, so CC loops serialize on one
+    * lock: two interleaved save/restores would otherwise strand the conf
+    * at `false` for the session (A saves true, B saves false, A restores
+    * true, B restores false). Unrelated queries planned on the same
+    * session during a loop still see propagation off — a perf-only,
+    * never-correctness effect, documented rather than prevented (scoping
+    * the conf needs a session clone, and a DataFrame cannot be re-bound
+    * to one from the public API).
     */
-  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, prev)
-  }
+  private val confLock = new Object
+  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T =
+    confLock.synchronized {
+      val key = "spark.sql.constraintPropagation.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, prev)
+    }
 
   /** In-memory (with disk spill) checkpoint — right for local mode. */
   val local: Ckpt = _.localCheckpoint(true)
@@ -68,14 +79,18 @@ object ConnectedComponents {
     * prefix comparison.)
     */
   def durable(spark: SparkSession, dir: String): Ckpt = {
-    // setCheckpointDir qualifies the path (scheme + authority), so strip
-    // the scheme from both sides before the prefix comparison
+    // setCheckpointDir stores a UUID subdirectory of the requested path,
+    // qualified with scheme + authority; strip the scheme for comparison
+    // (an unqualified `dir` must still match its qualified form) and
+    // accept only an exact match or a PATH-COMPONENT child — a plain
+    // string prefix would wave through sibling dirs like `/ck-old` for a
+    // requested `/ck`.
     def bare(p: String): String =
       p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", "").stripSuffix("/")
     val want = bare(dir)
     spark.sparkContext.getCheckpointDir match {
       case None => spark.sparkContext.setCheckpointDir(dir)
-      case Some(cur) if bare(cur).startsWith(want) => ()
+      case Some(cur) if bare(cur) == want || bare(cur).startsWith(want + "/") => ()
       case Some(cur) =>
         throw new IllegalStateException(
           s"SparkContext checkpoint dir already set to '$cur'; refusing to " +

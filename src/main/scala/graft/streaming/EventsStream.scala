@@ -72,7 +72,12 @@ object EventsStream {
     * for peak state, it is the one non-elastic knob in the pipeline).
     */
   val streamShufflePartitions: Int =
-    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8)
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map { v =>
+      // fail with a message naming the env var: a bare .toInt here dies as
+      // an ExceptionInInitializerError that never mentions the cause
+      v.trim.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive int, got '$v'"))
+    }.getOrElse(8)
 
   /** A same-context session whose shuffle-partition conf is sized for
     * streaming state ([[streamShufflePartitions]]). Cloning (not mutating
@@ -215,20 +220,7 @@ object EventsStream {
   def runFunnelLeftOuterAvailableNow(spark: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(spark)
     val name = s"graft_stream_funnel_outer_${runId.incrementAndGet()}"
-    val clicks = readEventsStream(ss, dir)
-      .where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", funnelWindow)
-    val purchases = readEventsStream(ss, dir)
-      .where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", funnelWindow)
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $funnelWindow"),
-        "left_outer")
+    val q = funnelJoin(ss, dir, joinType = "left_outer", delay = funnelWindow)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
       .writeStream
@@ -327,22 +319,35 @@ object EventsStream {
     * with AvailableNow the emitted set is exactly the batch interval
     * join, which is what the oracle replays.
     */
-  def runFunnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val ss = streamSession(spark)
-    val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
+  /** The funnel interval join BODY, shared by the inner (q32) and
+    * left-outer (q47) runs and by the perf probe — one definition, so a
+    * probe or a variant can never silently drift from what the gate
+    * queries execute. `delay` is the watermark on both sides (see the
+    * run methods for why inner uses [[dedupHorizon]] and outer the real
+    * [[funnelWindow]]).
+    */
+  def funnelJoin(ss: SparkSession, dir: String, joinType: String,
+      delay: String): DataFrame = {
     val clicks = readEventsStream(ss, dir)
       .where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", dedupHorizon)
+      .withWatermark("click_ts", delay)
     val purchases = readEventsStream(ss, dir)
       .where(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", dedupHorizon)
-    val q = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") > col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $funnelWindow"))
+      .withWatermark("purchase_ts", delay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $funnelWindow"),
+      joinType)
+  }
+
+  def runFunnelJoinAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(spark)
+    val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
+    val q = funnelJoin(ss, dir, joinType = "inner", delay = dedupHorizon)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
       .writeStream

@@ -15,8 +15,12 @@ object CcPerfProbe {
     val t0 = System.nanoTime()
     val pairs = graft.ops.Dedup.simhashPairs(spark, dir)
       .select(org.apache.spark.sql.functions.col("d1"), org.apache.spark.sql.functions.col("d2"))
-    val res = graft.ops.ConnectedComponents.labelPropagation(pairs, 50)
-    println(f"PROBE lp ${(System.nanoTime()-t0)/1e9}%.2f s rounds=${res.get._2} rows=${res.get._1.count()}")
+    graft.ops.ConnectedComponents.labelPropagation(pairs, 50) match {
+      case Some((labels, rounds)) =>
+        println(f"PROBE lp ${(System.nanoTime()-t0)/1e9}%.2f s rounds=$rounds rows=${labels.count()}")
+      case None =>
+        println(f"PROBE lp ${(System.nanoTime()-t0)/1e9}%.2f s DID NOT CONVERGE in 50 rounds")
+    }
     time("d7")(graft.ops.Dedup.dupClusters(spark, dir).count())
     time("d8")(graft.ops.Dedup.keeperByQuality(spark, dir).count())
     spark.stop()
