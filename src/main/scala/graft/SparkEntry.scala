@@ -139,6 +139,9 @@ object SparkEntry {
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
+    // the two-pass bucketed re-plan of q48 (types x buckets parallelism
+    // instead of a 5-way ceiling); must equal q48 exactly
+    "q51_rolling_bucketed" -> Relational.q51RollingRangeBucketed _,
     "q49_union_by_name" -> Relational.q49UnionByName _,
   )
 
@@ -181,6 +184,8 @@ object SparkEntry {
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +
+      // the bucketed rolling window must reproduce the single-key window
+      ("q51_rolling_bucketed" -> m("q48_rolling_range")) +
       ("q50_csv_roundtrip" -> m("q14_events_daily")) +
       ("q41_stream_foreachbatch" -> m("q14_events_daily"))
   }

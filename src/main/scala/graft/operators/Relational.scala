@@ -531,6 +531,48 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** q48's rolling week re-planned for 100 TB (q51): the single-key window
+    * above partitions by `event_type` alone — 5 distinct values caps
+    * parallelism at 5 tasks of ~20 TB each at scale. This variant is the
+    * SCALE.md two-pass rewrite, gate-checked against the SAME oracle:
+    *
+    * 1. Re-key by (event_type, time_bucket) with bucket width = the frame
+    *    length, so partitions number types × buckets and AQE can split
+    *    further.
+    * 2. Emit every event twice: into its own bucket (a real row AND a
+    *    contributor) and as a GHOST contributor into the NEXT bucket. A
+    *    row's trailing-week frame spans at most its own and the previous
+    *    bucket (width ≥ frame), so with ghosts present one per-bucket
+    *    RANGE window computes the exact global frame; ghost rows' own
+    *    aggregates are discarded.
+    *
+    * Cost: one shuffle of 2× the events on the composite key, bounded
+    * per-task work — versus one shuffle with a hard 5-way ceiling. The
+    * ghost trick replaces the broadcast suffix-table stitch sketched in
+    * SCALE.md with pure window machinery (no driver state, no second
+    * join); aggregates must be decomposable over duplicates being
+    * filtered, which count/sum are since ghosts never emit.
+    */
+  def q51RollingRangeBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L // µs
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("bucket", floor(col("us") / week))
+    val contributors = ev.withColumn("is_ghost", lit(false))
+      .unionByName(ev.withColumn("bucket", col("bucket") + 1)
+        .withColumn("is_ghost", lit(true)))
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("us")).rangeBetween(-week, 0)
+    contributors
+      .select(col("event_id"), col("event_type"), col("is_ghost"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("value")).over(w), 2).as("sum_7d"))
+      .where(!col("is_ghost"))
+      .select(col("event_id"), col("event_type"), col("n_7d"), col("sum_7d"))
+      .orderBy(col("event_id"))
+  }
+
   /** GROUPING SETS via the Dataset API (Spark 4's `groupingSets`) — the
     * subtotal shape CUBE can't express: (status, priority) detail plus
     * status subtotals plus the grand total, skipping the priority-only

@@ -55,14 +55,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("every declared query has either an oracle or is rows-only by intent") {
-    // q40's HLL++/quantile sketches are deterministic in Spark but not
-    // reproducible by DuckDB's different sketch implementations — the one
-    // deliberate rows-only entry (its accuracy is asserted in
-    // Round3OpsSpec against the exact twins instead).
-    val rowsOnlyByIntent = Set("q40_approx_aggs")
-    val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByIntent
+  test("every declared query has an oracle") {
+    // since round 4 even the approx aggregates (q40) are oracle-checked,
+    // via exact twins + tolerance booleans — no rows-only exceptions left
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("q51 bucketed rolling window == q48 single-key window, and shuffles on (type, bucket)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q48 = graft.operators.Relational.q48RollingRange(spark, sf0001).collect()
+    val df51 = graft.operators.Relational.q51RollingRangeBucketed(spark, sf0001)
+    val q51 = df51.collect()
+    assert(q51.toSeq == q48.toSeq) // identical rows in identical order
+    // the point of q51: window parallelism is types x buckets, so the
+    // exchange must hash on BOTH keys, not event_type alone
+    val helper = new AdaptiveSparkPlanHelper {}
+    val exprs = helper.collect(df51.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    assert(exprs.exists(p => p.contains("event_type") && p.contains("bucket")),
+      s"no (event_type, bucket) exchange found in: $exprs")
   }
 }
