@@ -55,6 +55,10 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("entry() runs the flagship pipeline and yields rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every declared query has an oracle") {
     // since round 4 even the approx aggregates (q40) are oracle-checked,
     // via exact twins + tolerance booleans — no rows-only exceptions left
