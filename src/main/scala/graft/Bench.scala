@@ -2,15 +2,23 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.collection.mutable
 import scala.util.control.NonFatal
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE bare JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Harness notes (round-1/3/4 postmortems):
+  * Harness notes (round-1/3/4/5 postmortems):
   *   - a warm-up pass runs first so the first timed query does not absorb
   *     JVM/codegen/first-parquet-read startup;
+  *   - **timings are per-query medians over `passes` interleaved passes**
+  *     (default 3, `SPARK_GRAFT_BENCH_PASSES` overrides): single-run
+  *     timings swung 4–6× between rounds on unchanged plans (q1/q19/t2,
+  *     r4→r5), making regressions indistinguishable from noise. Passes are
+  *     interleaved (A,B,…,A,B,… rather than A,A,A,B,B,B) so a transient
+  *     load spike lands in at most one sample per query and the median
+  *     discards it;
   *   - query failures are NOT swallowed into a fast wall time — a failed
   *     query records `-1` in `queries`, lands in an `"errors"` object, and
   *     the process exits nonzero;
@@ -22,13 +30,94 @@ import scala.util.control.NonFatal
   *     line uses COMPACT query keys (unique prefix before the first `_`,
   *     e.g. `"q1"`, matching the spec's own example) and 2-dp timings to
   *     stay well under that buffer even with the sbt `[success]` trailer;
-  *   - the full-name full-precision line is written to BENCH_LOCAL.json in
-  *     cwd and to SPARK_GRAFT_BENCH_OUT if set — that is the durable copy
-  *     for cross-round per-query comparison.
+  *   - the full-name full-precision line (median plus per-query min/max)
+  *     is written to BENCH_LOCAL.json in cwd and to SPARK_GRAFT_BENCH_OUT
+  *     if set — that is the durable copy for cross-round per-query
+  *     comparison.
+  *
+  * The line-construction helpers are pure functions on this object so
+  * BenchLineSpec can assert the stdout line stays under the driver's
+  * buffer even with future query-set growth.
   */
 object Bench {
+
+  /** Per-query timing samples reduced for reporting. `med` is the value
+    * the stdout line and cross-round comparisons use; a query that failed
+    * on ANY pass reports -1 (failure must stay loud, not be median'd
+    * away).
+    */
+  final case class QStat(name: String, med: Double, min: Double, max: Double)
+
+  /** Median of the sorted samples (mean of the two middles for even n). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n == 0) -1.0
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** Compact key: the prefix before the first '_' when unique across the
+    * query set (q1, d7, s4, …), the full name otherwise (ooh_occupations /
+    * ooh_report share "ooh"). Deterministic, round-stable.
+    */
+  def shortKeys(names: Seq[String]): String => String = {
+    val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
+    (name: String) => {
+      val p = name.takeWhile(_ != '_')
+      if (byPrefix(p).sizeIs == 1) p else name
+    }
+  }
+
+  def sec2(v: Double): String = {
+    val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    if (s.isEmpty || s == "-") s + "0" else s
+  }
+
+  private def objJson(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+
+  private def errJson(errors: Map[String, String], maxMsg: Int): String =
+    objJson(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> s""""${esc(v.take(maxMsg))}"""" })
+
+  /** The compact stdout line — must stay under the driver's 2000-char
+    * tail. 30-char error snippets: a multi-failure run with 200-char
+    * messages would push the line past the buffer exactly when the errors
+    * matter; full messages live in the file copy and failure is already
+    * signalled by exit 1.
+    */
+  def compactLine(stats: Seq[QStat], errors: Map[String, String],
+      passes: Int, sfDir: String): String = {
+    val short = shortKeys(stats.map(_.name))
+    val qs = objJson(stats.map(s => short(s.name) -> sec2(s.med)))
+    val total = stats.collect { case s if s.med >= 0 => s.med }.sum
+    s"""{"metric":"total","value":${sec2(total)},"unit":"sec","passes":$passes,""" +
+      s""""queries":$qs,"errors":${errJson(errors, 30)},"sf":"${esc(sfDir)}"}"""
+  }
+
+  /** The full-precision file line: median under "queries" (so cross-round
+    * file comparisons keep one stable key), min/max alongside.
+    */
+  def fullLine(stats: Seq[QStat], errors: Map[String, String],
+      passes: Int, sfDir: String): String = {
+    val qs = objJson(stats.map(s => s.name -> s.med.toString))
+    val mins = objJson(stats.map(s => s.name -> s.min.toString))
+    val maxs = objJson(stats.map(s => s.name -> s.max.toString))
+    val total = stats.collect { case s if s.med >= 0 => s.med }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""queries":$qs,"min":$mins,"max":$maxs,""" +
+      s""""errors":${errJson(errors, 200)},"sf":"${esc(sfDir)}"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(3)
     val spark = GraftSession.create("graft-bench")
 
     // Warm-up: touch each hot table scan + a shuffle + the sketch-expression
@@ -44,59 +133,36 @@ object Bench {
     // Name-sorted: Map iteration order is hash-arbitrary, which would move
     // queries relative to residual warm-up between rounds and make
     // per-query timings incomparable across BENCH_r{N} files.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = mutable.LinkedHashMap(named.map { case (n, _) =>
+      n -> mutable.ArrayBuffer.empty[Double] }: _*)
+    for (_ <- 1 to passes; (name, fn) <- named) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case NonFatal(e) =>
+      try {
+        fn(spark, sfDir).count()
+        samples(name) += (System.nanoTime() - t0) / 1e9
+      } catch { case NonFatal(e) =>
+        if (!errors.contains(name))
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val stats = samples.toSeq.map { case (name, xs) =>
+      if (errors.contains(name) || xs.isEmpty) QStat(name, -1.0, -1.0, -1.0)
+      else QStat(name, median(xs.toSeq), xs.min, xs.max)
     }
 
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
-    // Compact key: the prefix before the first '_' when unique across the
-    // query set (q1, d7, s4, …), the full name otherwise (ooh_occupations /
-    // ooh_report share "ooh"). Deterministic, round-stable.
-    val byPrefix = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
-    def shortKey(name: String): String = {
-      val p = name.takeWhile(_ != '_')
-      if (byPrefix(p).sizeIs == 1) p else name
-    }
-    def sec2(v: Double): String = {
-      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      if (s.isEmpty || s == "-") s + "0" else s
-    }
-    def queriesJson(fmtKey: String => String, fmtVal: Double => String): String =
-      results.map { case (k, v) => s""""${esc(fmtKey(k))}":${fmtVal(v)}""" }
-        .mkString("{", ",", "}")
-    def errJson(maxMsg: Int): String =
-      errors.map { case (k, v) => s""""${esc(k)}":"${esc(v.take(maxMsg))}"""" }
-        .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def mkLine(qs: String, totalStr: String, errs: String): String =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
-    val fullLine = mkLine(queriesJson(identity, _.toString), total.toString, errJson(200))
-    // 30-char error snippets on stdout: a multi-failure run with 200-char
-    // messages would push the line past the driver's 2000-char tail —
-    // re-truncating it exactly when the errors matter. Full messages live
-    // in the file copy and failure is already signalled by exit 1.
-    val compactLine = mkLine(queriesJson(shortKey, sec2), sec2(total), errJson(30))
-
-    if (compactLine.length > 1800)
-      System.err.println(s"WARNING: bench stdout line is ${compactLine.length} chars; " +
+    val compact = compactLine(stats, errors, passes, sfDir)
+    if (compact.length > 1800)
+      System.err.println(s"WARNING: bench stdout line is ${compact.length} chars; " +
         "the driver keeps only a 2000-char tail — shorten keys/precision before it truncates")
-    println(compactLine)
+    println(compact)
     System.out.flush()
     // Durable full-detail copy: the driver's stdout capture keeps only a
     // 2000-char tail, so the full-name full-precision line lives in files.
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    val full = fullLine(stats, errors, passes, sfDir)
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case NonFatal(_) => () }
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), fullLine + "\n"))
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), full + "\n"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

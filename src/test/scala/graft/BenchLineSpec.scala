@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout contract: the driver keeps only the LAST 2000
+  * chars of stdout (BENCH_r03/r04 both tail-truncated mid-line → parsed:
+  * null), so the compact line must stay comfortably under that even as
+  * the query set grows. Asserted at the CURRENT query count plus 20
+  * synthetic future queries, per the round-5 verdict.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def syntheticStats(extra: Int): Seq[Bench.QStat] = {
+    val current = SparkEntry.queries.keys.toSeq.sorted
+    // future queries get realistically-long names and two-digit timings
+    val future = (0 until extra).map(i => f"z$i%02d_future_operator_name")
+    (current ++ future).map(n => Bench.QStat(n, 12.34, 11.0, 99.99))
+  }
+
+  test("compact stdout line stays under the driver's tail at +20 queries") {
+    val line = Bench.compactLine(syntheticStats(20), Map.empty, 3, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"compact line is ${line.length} chars:\n$line")
+  }
+
+  test("compact line survives a multi-failure run without blowing the buffer") {
+    val stats = syntheticStats(20)
+    val errors = stats.take(10).map(s =>
+      s.name -> ("x" * 500)).toMap // snippets must be truncated to 30 chars
+    val line = Bench.compactLine(stats.map(s =>
+      if (errors.contains(s.name)) s.copy(med = -1, min = -1, max = -1) else s),
+      errors, 3, "/root/testdata/sf0.1")
+    assert(line.length < 2000, s"compact line is ${line.length} chars")
+    assert(!line.contains("x" * 31), "error snippet not truncated to 30 chars")
+  }
+
+  test("median: odd, even, empty") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    assert(Bench.median(Nil) == -1.0)
+  }
+
+  test("compact keys: unique prefixes shorten, shared prefixes keep full name") {
+    val short = Bench.shortKeys(Seq("q1_agg", "d7_clusters", "ooh_occupations", "ooh_report"))
+    assert(short("q1_agg") == "q1")
+    assert(short("d7_clusters") == "d7")
+    assert(short("ooh_occupations") == "ooh_occupations")
+    assert(short("ooh_report") == "ooh_report")
+  }
+
+  test("sec2 renders 2-dp with trailing zeros stripped and -1 intact") {
+    assert(Bench.sec2(1.234) == "1.23")
+    assert(Bench.sec2(1.2) == "1.2")
+    assert(Bench.sec2(12.0) == "12")
+    assert(Bench.sec2(0.001) == "0")
+    assert(Bench.sec2(-1.0) == "-1")
+  }
+}
