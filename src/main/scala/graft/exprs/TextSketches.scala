@@ -90,7 +90,15 @@ object TextSketches {
         (cs: Seq[Expression]) => SrpBucket(cs.head)),
       (FunctionIdentifier("int8_quantize"),
         new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
-        (cs: Seq[Expression]) => Int8Quantize(cs.head)))
+        (cs: Seq[Expression]) => Int8Quantize(cs.head)),
+      (FunctionIdentifier("lexicon_counts"),
+        new ExpressionInfo(classOf[LexiconCounts].getName, "lexicon_counts"),
+        (cs: Seq[Expression]) => {
+          if (cs.size != 2 || !cs(1).foldable) throw new IllegalArgumentException(
+            "lexicon_counts: the lexicon spec must be a constant string")
+          LexiconCounts(cs.head,
+            cs(1).eval().asInstanceOf[UTF8String].toString)
+        }))
 }
 
 /** `shingles(text[, k])` — distinct k-word shingles in first-occurrence
@@ -479,6 +487,79 @@ object Int8Quantize {
       out(i) = roundHalfUp(x / scale)
       i += 1
     }
+    new GenericArrayData(out)
+  }
+}
+
+/** `lexicon_counts(text, 'w1,w2|w3,w4|…')` — ONE tokenizing pass per row
+  * that returns `array<long>` of length N+2 for N `|`-separated lexicons:
+  * `[hits in lexicon 1, …, hits in lexicon N, token count, distinct token
+  * count]`. Tokenization is `Text.tokens` semantics (single-space split,
+  * empties dropped, duplicates preserved); a token present in several
+  * lexicons counts for each — the same semantics as N independent
+  * `size(filter(t, isin(...)))` passes, which this replaces: those HOF
+  * lambdas are interpreted per element and re-tokenize per lexicon (the
+  * language-ID scorer paid 4 interpreted passes per row), while this is one
+  * compiled loop with O(1) set probes that participates in whole-stage
+  * codegen.
+  */
+case class LexiconCounts(child: Expression, spec: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lexicon_counts requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lexicon_counts"
+
+  @transient private lazy val lexicons: Array[java.util.HashSet[String]] =
+    LexiconCounts.parse(spec)
+
+  override def nullSafeEval(input: Any): Any =
+    LexiconCounts.compute(input.asInstanceOf[UTF8String].toString, lexicons)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // the parsed sets ride along as a codegen reference object — parsed
+      // once on the driver, never per row
+      val ref = ctx.addReferenceObj("lexicons", lexicons, "java.util.HashSet[]")
+      s"${ev.value} = graft.exprs.LexiconCounts.compute($c.toString(), $ref);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconCounts =
+    copy(child = newChild)
+}
+
+object LexiconCounts {
+  def parse(spec: String): Array[java.util.HashSet[String]] =
+    spec.split("\\|", -1).map { lex =>
+      val s = new java.util.HashSet[String]()
+      lex.split(",").foreach(w => if (w.nonEmpty) s.add(w))
+      s
+    }
+
+  def compute(s: String, lexicons: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = TextSketches.tokenize(s)
+    val n = lexicons.length
+    val out = new Array[Any](n + 2)
+    val counts = new Array[Long](n)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      seen.add(t)
+      var j = 0
+      while (j < n) {
+        if (lexicons(j).contains(t)) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) { out(i) = counts(i); i += 1 }
+    out(n) = toks.length.toLong
+    out(n + 1) = seen.size.toLong
     new GenericArrayData(out)
   }
 }

@@ -34,8 +34,18 @@ object Text {
   /** Small English stopword set used by the heuristic scorers. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** One compiled pass over the text returning `[hits in lexicon 1, …,
+    * hits in lexicon N, token count, distinct token count]` as
+    * `array<long>` — the native [[graft.exprs.LexiconCounts]] codegen
+    * expression. The equivalent N-pass `size(filter(t, isin(...)))` HOF
+    * formulation lives in LexiconCountsSpec as the reference oracle.
+    */
+  def lexiconCounts(text: Column, lexicons: Seq[Seq[String]]): Column =
+    call_function("lexicon_counts", text,
+      lit(lexicons.map(_.mkString(",")).mkString("|")))
+
   def stopwordRatio(text: Column): Column = {
-    val t = tokens(text)
-    size(filter(t, w => w.isin(stopwords: _*))).cast("double") / size(t)
+    val lc = lexiconCounts(text, Seq(stopwords))
+    element_at(lc, 1).cast("double") / element_at(lc, 2)
   }
 }

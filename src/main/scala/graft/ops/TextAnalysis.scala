@@ -26,9 +26,12 @@ object TextAnalysis {
     * and divided once at the end — identical bits on any engine, any plan.
     */
   def langStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
+    // one compiled lexicon_counts pass yields the token count AND the
+    // stopword hits (stopwordRatio reads the same expression — whole-stage
+    // codegen's subexpression elimination computes it once per row)
+    val lc = lexiconCounts(col("text"), Seq(stopwords))
     Tables.documents(spark, dir)
-      .select(col("lang"), col("n_chars"), size(t).as("ntok"),
+      .select(col("lang"), col("n_chars"), element_at(lc, 2).as("ntok"),
         floor(stopwordRatio(col("text")) * lit(1e12)).as("sr_scaled"))
       .groupBy(col("lang"))
       .agg(
@@ -59,9 +62,11 @@ object TextAnalysis {
     * lang column.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val scores = lexicons.map { case (l, ws) =>
-      l -> size(filter(t, w => w.isin(ws: _*)))
+    // ONE native lexicon_counts pass scores all four lexicons (was four
+    // interpreted size(filter(...)) HOF passes per row)
+    val lc = lexiconCounts(col("text"), lexicons.map(_._2))
+    val scores = lexicons.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(lc, i + 1)
     }.toMap
     val g = greatest(lexicons.map(l => scores(l._1)): _*)
     val best = when(g === 0, lit("und"))
@@ -82,15 +87,18 @@ object TextAnalysis {
     * [[Dedup.keeperByQuality]].
     */
   def scored(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val ntok = size(t).cast("double")
-    val distinctRatio = size(array_distinct(t)).cast("double") / ntok
+    // lexicon_counts carries [stopword hits, ntok, ndistinct] in one
+    // compiled pass — no tokenize-per-feature HOF lambdas
+    val lc = lexiconCounts(col("text"), Seq(stopwords))
+    val ntokL = element_at(lc, 2)
+    val ntok = ntokL.cast("double")
+    val distinctRatio = element_at(lc, 3).cast("double") / ntok
     val score =
       lit(0.4) * least(ntok / 128, lit(1.0)) +
       lit(0.4) * distinctRatio +
       lit(0.2) * least(stopwordRatio(col("text")) * 4, lit(1.0))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), size(t).as("ntok"),
+      .select(col("doc_id"), ntokL.cast("int").as("ntok"),
         round(distinctRatio, 6).as("distinct_ratio"),
         round(score, 6).as("score"))
   }
