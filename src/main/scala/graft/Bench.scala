@@ -137,6 +137,11 @@ object Bench {
     val samples = mutable.LinkedHashMap(named.map { case (n, _) =>
       n -> mutable.ArrayBuffer.empty[Double] }: _*)
     for (_ <- 1 to passes; (name, fn) <- named) {
+      // per-pass memo reset: d7/d8 share a session-scoped cluster-label
+      // cache (dedup-state reuse); within a pass that reuse is the real
+      // pipeline behavior being measured, but letting it persist ACROSS
+      // passes would time later passes against pre-built state
+      if (name == named.head._1) graft.ops.Dedup.clearLabelCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

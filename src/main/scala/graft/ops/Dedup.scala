@@ -172,17 +172,44 @@ object Dedup {
     * per-round lineage truncation from `localCheckpoint` to durable
     * `checkpoint()` for cluster runs (survives executor loss).
     */
+  /** Memoized cluster label tables — dedup-state reuse within a session.
+    *
+    * The CC loop is an EAGER multi-round job (it runs at call time, each
+    * round materialized through a checkpoint), so every caller that
+    * re-derives the labeling re-pays the most expensive job in the dedup
+    * pipeline: [[keeperByQuality]] (d8) used to re-run all of [[dupClusters]]
+    * (d7). A production pipeline persists the label table once and feeds
+    * every downstream stage from it; this cache is that persistence,
+    * scoped to (session, dir, iteration budget, checkpoint dir) so a
+    * different input or session can never see a stale labeling.
+    * [[clearLabelCache]] drops the memo (the bench calls it between passes
+    * so per-pass timings stay honest).
+    */
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Option[String]), DataFrame]
+
+  def clearLabelCache(): Unit = labelCache.clear()
+
+  /** The (node → component-min) label table over the SimHash near-dup pair
+    * graph — checkpointed (lineage O(1)) and memoized per session+input.
+    */
+  def clusterLabels(spark: SparkSession, dir: String, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame =
+    labelCache.computeIfAbsent((spark, dir, maxIters, checkpointDir), _ => {
+      val ckpt = checkpointDir
+        .map(ConnectedComponents.durable(spark, _))
+        .getOrElse(ConnectedComponents.local)
+      val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
+      ConnectedComponents.labelPropagation(pairs, maxIters, ckpt)
+        .map(_._1)
+        // fallback keeps its own cap: it bounds rounds by O(log n), not by
+        // the diameter-sensitive budget that just ran out
+        .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+    })
+
   def dupClusters(spark: SparkSession, dir: String, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt = checkpointDir
-      .map(ConnectedComponents.durable(spark, _))
-      .getOrElse(ConnectedComponents.local)
-    val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
-    val labels = ConnectedComponents.labelPropagation(pairs, maxIters, ckpt)
-      .map(_._1)
-      // fallback keeps its own cap: it bounds rounds by O(log n), not by
-      // the diameter-sensitive budget that just ran out
-      .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+    val labels = clusterLabels(spark, dir, maxIters, checkpointDir)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
@@ -202,13 +229,23 @@ object Dedup {
     * everything after the join shuffles only clustered docs, a vanishing
     * fraction of the corpus.
     */
-  def keeperByQuality(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(spark, dir)
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  def keeperByQuality(spark: SparkSession, dir: String): DataFrame =
+    keeperByQuality(
+      dupClusters(spark, dir)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size")),
+      TextAnalysis.scored(spark, dir))
+
+  /** Pure form: keeper assignment from an ALREADY-COMPUTED cluster table
+    * (doc_id, cluster_id, cluster_size) and score table (doc_id, score) —
+    * the label table is the expensive artifact, so callers hand it in
+    * (the session-scoped memo behind [[dupClusters]] makes the
+    * convenience overload above equally cheap after d7 has run).
+    */
+  def keeperByQuality(clusters: DataFrame, scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
     clusters
-      .join(TextAnalysis.scored(spark, dir).select(col("doc_id"), col("score")), "doc_id")
+      .join(scored.select(col("doc_id"), col("score")), "doc_id")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("cluster_id"), col("cluster_size"),

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup-state reuse (d7/d8): the cluster label table is the expensive
+  * artifact of the dedup pipeline, so it is computed once per
+  * (session, input) and every downstream consumer reuses it — d8 must not
+  * re-run the SimHash pair generation + connected-components loop d7 just
+  * ran.
+  */
+class DedupStateReuseSpec extends SparkSpec {
+
+  test("clusterLabels memoizes per (session, dir): second call is the same table") {
+    Dedup.clearLabelCache()
+    val a = Dedup.clusterLabels(spark, sf0001)
+    val b = Dedup.clusterLabels(spark, sf0001)
+    assert(a eq b, "second clusterLabels call re-ran the CC job")
+    Dedup.clearLabelCache()
+    val c = Dedup.clusterLabels(spark, sf0001)
+    assert(!(a eq c), "clearLabelCache did not drop the memo")
+  }
+
+  test("d8 plan audit: no SimHash/CC recompute — labels arrive as a checkpointed scan") {
+    Dedup.clearLabelCache()
+    Dedup.dupClusters(spark, sf0001).count() // d7 ran; labels memoized
+    val plan = Dedup.keeperByQuality(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("simhash"),
+      s"d8 plan re-derives SimHash signatures:\n$plan")
+    assert(!plan.contains("shingles"), s"d8 plan re-tokenizes for pairs:\n$plan")
+    assert(plan.contains("LogicalRDD"),
+      s"d8 plan does not read the checkpointed label table:\n$plan")
+  }
+
+  test("keeperByQuality(clusters, scored) == the convenience overload") {
+    val clusters = Dedup.dupClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val pure = Dedup.keeperByQuality(clusters, TextAnalysis.scored(spark, sf0001))
+      .collect().toSeq
+    val conv = Dedup.keeperByQuality(spark, sf0001).collect().toSeq
+    assert(pure == conv)
+  }
+}
