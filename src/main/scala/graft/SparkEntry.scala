@@ -143,6 +143,21 @@ object SparkEntry {
     // instead of a 5-way ceiling); must equal q48 exactly
     "q51_rolling_bucketed" -> Relational.q51RollingRangeBucketed _,
     "q49_union_by_name" -> Relational.q49UnionByName _,
+    // Bucketed co-located fact-fact join: write-time shuffle paid once,
+    // the join itself is zero-Exchange (plan pinned in BucketingSpec,
+    // values pinned here against the plain-join oracle).
+    "q52_bucketed_join" -> graft.engine.Bucketing.bucketedOrdersJoinAgg _,
+    // Partitioned sink + pruned read-back: the partition-directory filter
+    // must change WHICH FILES are read (pinned in PushdownSpec), never
+    // WHAT the surviving rows compute (pinned here).
+    "q53_partitioned_prune" -> ((s: SparkSession, d: String) => {
+      val out = graft.util.TmpDirs.scratch("graft_q53_part_").toString
+      graft.engine.Sinks.parquet(Relational.q14EventsDaily(s, d), out,
+        partitionBy = Seq("event_type"))
+      s.read.parquet(out).where(col("event_type") === "purchase")
+        .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -1136,6 +1151,25 @@ object SparkEntry {
         |  $rows) AS t(id, text)
         |ORDER BY id""".stripMargin
     },
+
+    // The bucketed join must produce exactly the plain join's aggregate —
+    // bucketing moves the shuffle to write time, never changes results.
+    "q52_bucketed_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(o_totalprice), 2) AS sum_order_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Partition pruning selects files, not rows: the pruned read-back of
+    // the partitioned daily aggregate equals computing it with the filter.
+    "q53_partitioned_prune" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY day""".stripMargin,
 
     "w1_rolling_fingerprint" -> {
       // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the

@@ -1,6 +1,9 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Bucketed-table support: the co-location strategy for repeated big-big
   * joins at scale.
@@ -34,4 +37,46 @@ object Bucketing {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Bucketed tables already written this session, per input dir — the
+    * write-time shuffle is the one-off cost bucketing exists to pay once,
+    * so repeat queries against the same input reuse the tables (mode
+    * overwrite keeps a fresh session from trusting stale warehouse dirs).
+    */
+  private val written = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]
+
+  /** q52 correctness surface: the canonical repeated fact-fact join
+    * (lineitem ⋈ orders on orderkey), planned through bucketed tables so
+    * the join itself is a zero-Exchange sort-merge join (BucketingSpec pins
+    * the no-shuffle plan property; this query pins the VALUES against the
+    * DuckDB oracle). The `merge` hint keeps the planner from broadcasting
+    * the small side at test scale — at 100 TB neither fact broadcasts, and
+    * the bucketed SMJ is exactly the plan this would pick.
+    *
+    * Only the columns the query needs are written into the bucketed copies
+    * (column pruning at write time — the bucketed table is a projection,
+    * not a second copy of the fact).
+    */
+  def bucketedOrdersJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = written.computeIfAbsent((spark, dir), _ => {
+      val suffix = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val lt = s"graft_lineitem_b_$suffix"
+      val ot = s"graft_orders_b_$suffix"
+      writeBucketed(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice")),
+        lt, "l_orderkey", 8)
+      writeBucketed(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice")),
+        ot, "o_orderkey", 8)
+      (lt, ot)
+    })
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("o_totalprice")), 2).as("sum_order_price"))
+      .orderBy(col("l_returnflag"))
+  }
 }

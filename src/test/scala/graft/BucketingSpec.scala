@@ -45,6 +45,18 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("q52 query surface: zero Exchange below the bucketed sort-merge join") {
+    val df = Bucketing.bucketedOrdersJoinAgg(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // tree-string order: the join's scan subtrees print AFTER the join
+    // node, parents (agg/sort) before — so everything after the SMJ line
+    // must be Exchange-free for the join inputs to be co-located
+    val parts = plan.split("SortMergeJoin", 2)
+    assert(parts.length == 2, s"no SortMergeJoin in the q52 plan:\n$plan")
+    assert(!parts(1).contains("Exchange"),
+      s"shuffle below the bucketed join:\n$plan")
+  }
+
   test("unbucketed twin of the same join DOES shuffle (the property is real)") {
     val plain = Tables.lineitem(spark, sf0001)
       .join(Tables.orders(spark, sf0001),
