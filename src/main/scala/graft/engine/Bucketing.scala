@@ -46,6 +46,22 @@ object Bucketing {
   private val written = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String)]
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rmrf)
+    f.delete(); ()
+  }
+
+  /** Drop a managed table AND its warehouse location: the in-memory
+    * catalog forgets tables between sessions but their directories
+    * persist, and saveAsTable refuses to adopt an orphan location
+    * (LOCATION_ALREADY_EXISTS) even in overwrite mode.
+    */
+  def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    rmrf(new java.io.File(wh, table))
+  }
+
   /** q52 correctness surface: the canonical repeated fact-fact join
     * (lineitem ⋈ orders on orderkey), planned through bucketed tables so
     * the join itself is a zero-Exchange sort-merge join (BucketingSpec pins
@@ -63,6 +79,8 @@ object Bucketing {
       val suffix = (dir.hashCode.toLong & 0xffffffffL).toHexString
       val lt = s"graft_lineitem_b_$suffix"
       val ot = s"graft_orders_b_$suffix"
+      dropStale(spark, lt)
+      dropStale(spark, ot)
       writeBucketed(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice")),
         lt, "l_orderkey", 8)

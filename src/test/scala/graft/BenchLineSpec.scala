@@ -33,6 +33,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("x" * 31), "error snippet not truncated to 30 chars")
   }
 
+  test("compact line reports per-query MIN and declares the statistic") {
+    val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0),
+      Bench.QStat("d7_clusters", 8.0, 7.5, 50.0))
+    val line = Bench.compactLine(stats, Map.empty, 3, "sf")
+    assert(line.contains(""""stat":"min""""))
+    assert(line.contains(""""q1":1.5"""))
+    assert(line.contains(""""d7":7.5"""))
+    assert(line.contains(""""value":9"""), s"total must sum mins: $line")
+  }
+
+  test("stdout errors object is capped with an (omitted) count") {
+    val stats = syntheticStats(0)
+    val errors = stats.take(Bench.maxStdoutErrors + 5)
+      .map(s => s.name -> "boom").toMap
+    val line = Bench.compactLine(stats, errors, 3, "sf")
+    assert(line.contains(""""(omitted)":5"""), line)
+    assert(errors.keys.toSeq.sorted.take(Bench.maxStdoutErrors)
+      .forall(k => line.contains(k)), "first N error names must survive")
+    // the full file line keeps every error, uncapped
+    val full = Bench.fullLine(stats, errors, 3, "sf")
+    assert(errors.keys.forall(k => full.contains(k)))
+    assert(!full.contains("(omitted)"))
+  }
+
   test("median: odd, even, empty") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
