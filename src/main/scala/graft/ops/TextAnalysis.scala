@@ -125,14 +125,28 @@ object TextAnalysis {
     * is tiny after aggregation and broadcasts back). idf = ln(N/df) with N
     * derived IN-PLAN as a broadcast scalar (the t8 pattern) — no driver
     * `count()` action, no extra corpus scan.
+    *
+    * The explicit hash-partitioning on (doc_id, token) is a
+    * materialization barrier AND the distribution the tf aggregation
+    * needs, so tf aggregates exchange-free; df is derived FROM the tf
+    * aggregation (tf has exactly one row per (doc, token), so counting tf
+    * rows per token IS the document frequency) — both consumers sit on
+    * ONE shuffle whose scan+explode runs once (ReuseExchange, the d2
+    * pattern; previously the corpus was exploded twice and the df branch
+    * re-deduplicated what tf had already grouped). The explicit
+    * doc_id-not-null filter keeps the two subtrees byte-identical — the
+    * ntok join would otherwise push an isnotnull into only ITS branch's
+    * scan and defeat the reuse.
     */
   def tfidfTop(spark: SparkSession, dir: String, topN: Int = 25): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .where(col("doc_id").isNotNull)
+      .repartition(col("doc_id"), col("token"))
+    val tfRaw = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = tfRaw
       .join(docs.select(col("doc_id"), size(tokens(col("text"))).as("ntok")), "doc_id")
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val df = tfRaw.groupBy("token").agg(count(lit(1)).as("df"))
     // corpus size as an in-plan broadcast scalar — counts ALL documents
     // (token-less included), matching count(*) semantics
     val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))

@@ -154,4 +154,19 @@ class OpsSpec extends SparkSpec
     assert(fp.getString(1).matches("[0-9a-f]{160}"))
     assert(fp.getString(2).matches("[0-9a-f]{32}"))
   }
+
+  test("tfidf explodes the corpus once: tf and df branches share one exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.GenerateExec
+    val helper = new AdaptiveSparkPlanHelper {}
+    val df = TextAnalysis.tfidfTop(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(helper.collect(plan) { case r: ReusedExchangeExec => r }.nonEmpty,
+      "expected the (doc_id, token) exchange to be reused by the df branch")
+    // and the reuse means only ONE explode of the token stream executes
+    assert(helper.collect(plan) { case g: GenerateExec => g }.size == 1,
+      "the corpus token stream must be exploded exactly once")
+  }
 }
