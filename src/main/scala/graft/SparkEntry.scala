@@ -73,6 +73,7 @@ object SparkEntry {
         .selectExpr("doc_id", "rolling_min_hash(text) AS rolling_min")
         .orderBy("doc_id")),
     "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s5_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
@@ -738,6 +739,52 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // IVF with Lloyd's-TRAINED centroids: the oracle replays the full
+    // deterministic training loop — first-k init, ivfLloydIters unrolled
+    // CTE rounds of (assign by cosine, ties → smaller cid) then
+    // (component mean via exact scaled-integer sums, empty/degenerate
+    // cell keeps its previous centroid) — then the s3 probe/top-k shape
+    // over the trained cells. Every constant interpolated from
+    // graft.ops.Similarity; every float fold is double, ascending index.
+    "s5_ann_ivf_trained" -> {
+      val iters = graft.ops.Similarity.ivfLloydIters
+      val iterCtes = (0 until iters).map { i =>
+        s"""a$i AS (SELECT n.vec_id, n.e, c.cid,
+          |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+          |       FROM n, c$i c WHERE n.nrm > 0),
+          |r$i AS (SELECT vec_id, e, cid,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM a$i),
+          |g$i AS (SELECT cid, j, sum(CAST(floor(x * 1000000) AS BIGINT)) AS s, count(*) AS cnt
+          |       FROM (SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS j FROM r$i WHERE rc = 1)
+          |       GROUP BY cid, j),
+          |m$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (cnt * 1000000.0) ORDER BY j) AS ce FROM g$i GROUP BY cid),
+          |k$i AS (SELECT p.cid,
+          |         CASE WHEN m.ce IS NOT NULL AND list_sum([x * x for x in m.ce]) > 0
+          |              THEN m.ce ELSE p.ce END AS ce
+          |       FROM c$i p LEFT JOIN m$i m USING (cid)),
+          |c${i + 1} AS (SELECT cid, ce, sqrt(list_sum([x * x for x in ce])) AS cn FROM k$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
+        |$iterCtes,
+        |aa AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+        |       FROM n, c$iters c),
+        |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM aa),
+        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
+        |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
+        |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
+        |cand AS (SELECT p.qid, x.vec_id, x.cell,
+        |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
+        |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
+        |r AS (SELECT qid, vec_id, cell, cosine,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+    },
 
     // Append-mode watermarked windows: only windows closed by the FINAL
     // watermark (max event time truncated to Spark's millisecond watermark

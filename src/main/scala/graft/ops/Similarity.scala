@@ -138,18 +138,96 @@ object Similarity {
     * Tie-breaks are deterministic everywhere: equal cosine → smaller cell
     * id (assignment and probe ranking), then smaller vec_id (top-k).
     */
-  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
+    ivfTopK(spark, dir, firstKCentroids(spark, dir), nQueries, k)
+
+  /** A centroid payload: (cid, components-as-double, norm). Passed by
+    * value, never indexed by cid — centroid ids need not be dense or
+    * zero-based.
+    */
+  type Centroid = (Long, Array[Double], Double)
+
+  private def centCos(c: Centroid): Column =
+    dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))
+
+  /** The fixed deterministic centroid set: the first `ivfCells` vectors
+    * (ascending vec_id) — the oracle-exact twin [[trainIvfCentroids]]
+    * starts from.
+    */
+  def firstKCentroids(spark: SparkSession, dir: String): Seq[Centroid] =
+    withNorm(Tables.embeddings(spark, dir))
+      .where(col("vec_id") < ivfCells).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Fixed Lloyd's iterations for [[trainIvfCentroids]] — a constant so
+    * the DuckDB oracle unrolls exactly this many CTE rounds.
+    */
+  val ivfLloydIters = 2
+
+  /** Deterministic Lloyd's (k-means) training for the IVF cells: first-k
+    * init, `iters` fixed iterations, every step engine-reproducible so the
+    * DuckDB oracle replays training bit-for-bit:
+    *
+    *   - assignment: nearest centroid by cosine, ties → smaller cid (the
+    *     same rule the query path uses); zero-norm vectors never train;
+    *   - update: component-wise mean via SCALED-INTEGER sums —
+    *     Σ floor(e_j·1e6) is exact and aggregation-order-insensitive
+    *     (a plain double sum would flip bits under Spark's partial-agg
+    *     order), divided once by (n·1e6) in double;
+    *   - an empty cell (or a degenerate all-zero mean) keeps its previous
+    *     centroid, so the cell count never silently shrinks.
+    *
+    * Scale shape: per iteration, one assignment projection (16 compiled
+    * array_dots per row, no join) plus one (cell, component) aggregation
+    * collecting cells×dims rows to the driver — centroids are model
+    * metadata, like a broadcast model: the corpus never shuffles, and at
+    * 100 TB each iteration is one map-side pass plus a 1024-row collect.
+    */
+  def trainIvfCentroids(spark: SparkSession, dir: String,
+      iters: Int = ivfLloydIters): Seq[Centroid] = {
+    val v = withNorm(Tables.embeddings(spark, dir)).where(col("nrm") > 0)
+    var cents = firstKCentroids(spark, dir)
+    for (_ <- 1 to iters) {
+      // same argmax-as-array_max construction as the query path: max
+      // (cos, −cid) struct = best cosine, ties to the smaller cell id
+      val bestS = array_max(array(cents.map { c =>
+        struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
+      }: _*))
+      val sums = v.select((-bestS.getField("negcid")).as("cell"),
+          posexplode(col("e")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, ce, cn) =>
+        byCell.get(cid).map { rows =>
+          val arr = new Array[Double](ce.length)
+          rows.foreach { r =>
+            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e6)
+          }
+          // ascending-index fold — the same operand order as ArrayDot and
+          // DuckDB's list_sum, so norms are bit-identical across engines
+          val nrm = math.sqrt(arr.foldLeft(0.0)((a, x) => a + x * x))
+          if (nrm > 0) (cid, arr, nrm) else (cid, ce, cn)
+        }.getOrElse((cid, ce, cn))
+      }
+    }
+    cents
+  }
+
+  /** s5: IVF ANN over Lloyd's-trained centroids — same query mechanics as
+    * [[annIvf]], better-centered cells (IvfTrainingSpec pins recall@k vs
+    * the exact brute force at ≥ the fixed-centroid baseline).
+    */
+  def annIvfTrained(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
+    ivfTopK(spark, dir, trainIvfCentroids(spark, dir), nQueries, k)
+
+  private def ivfTopK(spark: SparkSession, dir: String, cents: Seq[Centroid],
+      nQueries: Int, k: Int): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, dir))
-    // centroid payloads: (cid, components-as-double, norm), ascending cid
-    val cents: Seq[(Long, Array[Double], Double)] =
-      v.where(col("vec_id") < ivfCells).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
-        .sortBy(_._1).toSeq
-    // centroid passed by value, never indexed by cid — centroid ids need
-    // not be dense or zero-based
-    def centCos(c: (Long, Array[Double], Double)): Column =
-      dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))
 
     // corpus → cell: argmax centroid cosine as ONE array_max over
     // (cos, −cid) structs — each centroid dot computed exactly once (the
