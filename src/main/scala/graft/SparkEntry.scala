@@ -139,6 +139,9 @@ object SparkEntry {
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
+    // Real codec path: P6 PPM decode over checked-in binary fixtures,
+    // reduced to exact integer stats (golden-VALUES oracle).
+    "m4_ppm_decode" -> graft.ops.Multimodal.ppmDecode _,
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -1124,6 +1127,19 @@ object SparkEntry {
       """SELECT sha256(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies,
         |  min(length(text)) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    // PPM decode: golden VALUES derived from the deterministic fixture
+    // generator (pixel (x,y,c) of image i = (7x + 13y + 29c + 31i) mod 256);
+    // corrupt.ppm is truncated and must reject to an all-NULL stats row.
+    "m4_ppm_decode" ->
+      """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b
+        |FROM (VALUES
+        |  ('corrupt.ppm', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('img0.ppm', CAST(8 AS INT), CAST(6 AS INT), CAST(48 AS BIGINT), CAST(2736 AS BIGINT), CAST(4128 AS BIGINT), CAST(5520 AS BIGINT)),
+        |  ('img1.ppm', CAST(5 AS INT), CAST(7 AS INT), CAST(35 AS BIGINT), CAST(2940 AS BIGINT), CAST(3955 AS BIGINT), CAST(4970 AS BIGINT)),
+        |  ('img2.ppm', CAST(16 AS INT), CAST(4 AS INT), CAST(64 AS BIGINT), CAST(8576 AS BIGINT), CAST(10432 AS BIGINT), CAST(11776 AS BIGINT))
+        |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
+        |ORDER BY name""".stripMargin,
 
     // Gopher rules: all ratios divide exact integers once.
     "t10_gopher_rules" ->

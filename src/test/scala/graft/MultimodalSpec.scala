@@ -52,11 +52,34 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
-  test("decode stub is deterministic and shaped like pixels") {
-    val px = Multimodal.decodePixelsStub("abc".getBytes("UTF-8"))
-    assert(px.length == 64)
-    assert(px sameElements Multimodal.decodePixelsStub("abc".getBytes("UTF-8")))
-    assert(px.forall(v => v >= 0 && v <= 255))
+  test("PPM decoder: header variants, comments, pixel extraction") {
+    def ppm(header: String, px: Array[Byte]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ px
+    val img = Multimodal.decodePpm(ppm("P6 2 1 255\n",
+      Array[Byte](10, 20, 30, 40, 50, 60))).get
+    assert(img.width == 2 && img.height == 1 && img.maxval == 255)
+    assert(img.pixels sameElements Array[Byte](10, 20, 30, 40, 50, 60))
+    // comments and mixed whitespace between header tokens
+    val c = Multimodal.decodePpm(ppm("P6\n# comment\n1\t1\n# again\n255 ",
+      Array[Byte](1, 2, 3))).get
+    assert(c.width == 1 && c.height == 1)
+  }
+
+  test("PPM decoder rejects malformed payloads whole") {
+    assert(Multimodal.decodePpm("P5 1 1 255 x".getBytes).isEmpty) // wrong magic
+    assert(Multimodal.decodePpm("P6 1 1 65535 ".getBytes ++ Array[Byte](1, 2, 3)).isEmpty) // 2-byte maxval unsupported
+    assert(Multimodal.decodePpm("P6 2 2 255\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty) // truncated
+    assert(Multimodal.decodePpm("P6 0 1 255\n".getBytes).isEmpty) // zero dim
+    assert(Multimodal.decodePpm(Array[Byte]()).isEmpty)
+  }
+
+  test("m4 decodes the checked-in fixtures; corrupt file yields a NULL row") {
+    val rows = Multimodal.ppmDecode(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("corrupt.ppm", "img0.ppm", "img1.ppm", "img2.ppm"))
+    assert(rows.head.isNullAt(1) && rows.head.isNullAt(4))
+    val img0 = rows(1)
+    assert(img0.getInt(1) == 8 && img0.getInt(2) == 6 && img0.getLong(3) == 48)
   }
 
   test("typed round-trip: custom MediaRecord datasets work end-to-end") {
