@@ -109,6 +109,11 @@ object SparkEntry {
     "q37_grouping_sets" -> Relational.q37GroupingSets _,
     "q38_stream_static" -> graft.streaming.EventsStream.runStaticEnrichedAvailableNow _,
     "d8_keeper_quality" -> ((s: SparkSession, d: String) => Dedup.keeperByQuality(s, d)),
+    // Asymmetric containment dedup: catches doc-inside-doc duplication
+    // that symmetric Jaccard misses.
+    "d9_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    // k-anonymity audit over quasi-identifier combinations.
+    "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
@@ -578,6 +583,35 @@ object SparkEntry {
         |FROM cand
         |WHERE round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin),
+
+    // Directional containment over the SAME df-capped inverted index as
+    // d2; each unordered pair emits both directions, denominator = the
+    // source doc's (uncapped) distinct-shingle count.
+    "d9_containment" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle FROM toks),
+        |dfq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${graft.ops.Dedup.maxShingleDf}),
+        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dirs AS (SELECT d1 AS src, d2 AS dst, inter FROM pairs
+        |         UNION ALL SELECT d2, d1, inter FROM pairs)
+        |SELECT src, dst, round(CAST(inter AS DOUBLE) / s.n, 6) AS containment
+        |FROM dirs JOIN sizes s ON src = s.doc_id
+        |WHERE CAST(inter AS DOUBLE) / s.n >= 0.9
+        |ORDER BY src, dst""".stripMargin,
+
+    // k-anonymity: groups of quasi-identifiers smaller than k, exact
+    // integer arithmetic throughout.
+    "t11_kanonymity" ->
+      """SELECT lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS size_bucket,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5
+        |ORDER BY lang, source, size_bucket""".stripMargin,
 
     "d4_simhash_sig" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

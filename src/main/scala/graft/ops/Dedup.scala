@@ -81,6 +81,39 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Directional containment near-dup pairs (d9): containment(src→dst) =
+    * |sh(src) ∩ sh(dst)| / |sh(src)| — the asymmetric companion to
+    * Jaccard. Jaccard misses the doc-inside-doc case (a paragraph quoted
+    * whole inside a much longer page scores low Jaccard but containment
+    * ≈ 1 from the short side), which is exactly the duplication shape
+    * boilerplate expansion and quotation produce in web corpora.
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: candidates ONLY from the
+    * df-capped shingle inverted index (one exchange reused by the cap
+    * aggregation, both join branches, and the size aggregation), one pair
+    * aggregation, then each unordered pair emits its two directions —
+    * never an all-pairs product.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleIndex(spark, dir).repartition(col("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+    val idx = sh.join(df.select("shingle"), "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = pairs.select(col("d1").as("src"), col("d2").as("dst"), col("inter"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst"), col("inter")))
+    val cont = col("inter").cast("double") / col("n")
+    directed.join(sizes, col("src") === sizes("doc_id"))
+      .where(cont >= threshold)
+      .select(col("src"), col("dst"), round(cont, 6).as("containment"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** MinHash geometry: 12 hashes = 4 bands x 3 rows. For Jaccard j the
     * candidate probability is 1-(1-j^3)^4 (≈0.9998 at j=0.9, ≈0.03 at
     * j=0.2) — the standard S-curve for a 0.8 threshold.

@@ -300,6 +300,26 @@ object TextAnalysis {
       .orderBy(col("id"))
   }
 
+  /** k-anonymity audit (t11) — the privacy companion to [[redactPii]]:
+    * after direct identifiers are scrubbed, documents can still be
+    * re-identified through QUASI-identifier combinations (here: language ×
+    * source × size bucket — the metadata a release would publish). A
+    * combination shared by fewer than k documents is a re-identification
+    * risk; this reports every such group with its size, the audit a
+    * release pipeline gates on (k-anonymity, Sweeney 2002).
+    *
+    * Scale shape: one partial-agg shuffle on the quasi-identifier tuple,
+    * then a tiny filtered result — the same cost as any groupBy count at
+    * 100 TB. All arithmetic is exact integers.
+    */
+  def kAnonymityAudit(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / lit(100.0)).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") < k)
+      .orderBy(col("lang"), col("source"), col("size_bucket"))
+
   /** Bottom-k sketch fingerprint: the 5 lexicographically smallest
     * md5(shingle) values concatenated, plus the exact content hash.
     * Shuffle-free (pure projection); at scale the fingerprint column

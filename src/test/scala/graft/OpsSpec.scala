@@ -155,6 +155,26 @@ class OpsSpec extends SparkSpec
     assert(fp.getString(2).matches("[0-9a-f]{32}"))
   }
 
+  test("containment pairs are directional, bounded, and above threshold") {
+    val rows = Dedup.containmentPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); c >= 0.9 && c <= 1.0 && r.getLong(0) != r.getLong(1)
+    })
+    // a full-containment pair (c = 1.0 from the short side) exists in the
+    // corpus only if near-dups do — weaker check: src column has dups of
+    // the symmetric candidate set, i.e. every (src, dst) came from an
+    // unordered candidate pair
+    val set = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.forall { case (s, d) => s != d })
+  }
+
+  test("k-anonymity audit reports only groups below k, exact counts") {
+    val rows = TextAnalysis.kAnonymityAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) < 5))
+  }
+
   test("tfidf explodes the corpus once: tf and df branches share one exchange") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
