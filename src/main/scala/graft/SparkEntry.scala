@@ -112,6 +112,12 @@ object SparkEntry {
     // Asymmetric containment dedup: catches doc-inside-doc duplication
     // that symmetric Jaccard misses.
     "d9_containment" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d)),
+    // Dedup-state persistence across runs: labels written to a parquet
+    // state dir and the clustering rebuilt from the read-back — must be
+    // byte-identical to computing fresh (d7's oracle).
+    "d10_clusters_persisted" -> ((s: SparkSession, d: String) =>
+      Dedup.dupClustersFromState(s, d,
+        graft.util.TmpDirs.scratch("graft_d10_state_").toString)),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
@@ -205,6 +211,8 @@ object SparkEntry {
       ("q20_sql_brand_agg" -> m("q12_part_agg")) +
       // the skew-safe as-of must produce exactly the plain as-of's result
       ("q21_asof_skew_safe" -> m("q15_asof_join")) +
+      // clustering rebuilt from persisted state == clustering computed fresh
+      ("d10_clusters_persisted" -> m("d7_dup_clusters")) +
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +

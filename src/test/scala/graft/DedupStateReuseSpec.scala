@@ -34,6 +34,23 @@ class DedupStateReuseSpec extends SparkSpec {
       s"d8 plan does not read the checkpointed label table:\n$plan")
   }
 
+  test("persisted label state reloads as a plain scan and reproduces d7 exactly") {
+    val stateDir = graft.util.TmpDirs.scratch("graft_state_spec_").toString
+    val fresh = Dedup.dupClusters(spark, sf0001).collect().toSeq
+    val persisted = Dedup.dupClustersFromState(spark, sf0001, stateDir).collect().toSeq
+    assert(persisted == fresh, "persistence changed the clustering")
+    // second run (state present, memo dropped): must NOT recompute —
+    // labels arrive from the parquet state, not a SimHash/CC job
+    Dedup.clearLabelCache()
+    val reloaded = Dedup.dupClustersFromState(spark, sf0001, stateDir)
+    val plan = reloaded.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("simhash") && !plan.contains("LogicalRDD"),
+      s"reload re-derived state instead of scanning it:\n$plan")
+    assert(plan.contains("Relation") && plan.contains("parquet"),
+      s"expected a parquet state scan:\n$plan")
+    assert(reloaded.collect().toSeq == fresh)
+  }
+
   test("keeperByQuality(clusters, scored) == the convenience overload") {
     val clusters = Dedup.dupClusters(spark, sf0001)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
