@@ -162,7 +162,7 @@ object Bench {
       // cache (dedup-state reuse); within a pass that reuse is the real
       // pipeline behavior being measured, but letting it persist ACROSS
       // passes would time later passes against pre-built state
-      if (name == named.head._1) graft.ops.Dedup.clearLabelCache()
+      if (name == named.head._1) graft.ops.Dedup.clearCaches()
       // a query that already failed is not retried on later passes: a
       // deterministic failure (the common case) would otherwise cost
       // passes × its failure time — worst when the failure is a timeout

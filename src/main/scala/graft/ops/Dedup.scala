@@ -51,31 +51,52 @@ object Dedup {
     */
   val maxShingleDf = 100
 
+  /** Candidate pair statistics shared by the n-gram Jaccard (d2) and
+    * containment (d9) verifiers: (d1, d2, inter, n1, n2) for every
+    * inverted-index candidate pair (d1 < d2), with each side's uncapped
+    * distinct-shingle count. Memoized per (session, dir) behind a lazy
+    * localCheckpoint — the inverted-index self-join is the expensive job
+    * of this family, and both thresholds are cheap projections over the
+    * SAME statistics, so computing them twice was pure waste. The bench
+    * drops the memo between passes ([[clearCaches]]).
+    */
+  private val pairStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def candidatePairStats(spark: SparkSession, dir: String): DataFrame =
+    pairStatsCache.computeIfAbsent((spark, dir), _ => {
+      // The explicit hash-partitioning on `shingle` is a materialization
+      // barrier AND the distribution both the df-cap aggregation and the
+      // inverted-index self-join require — all downstream consumers reuse
+      // ONE exchange (ReuseExchange), so the scan+shingle explode runs
+      // once, not once per consumer.
+      val sh = shingleIndex(spark, dir).repartition(col("shingle"))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxShingleDf)
+      val idx = sh.join(df.select("shingle"), "shingle")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      idx.as("a")
+        .join(idx.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          col("s1.n").as("n1"), col("s2.n").as("n2"))
+        // lazy checkpoint: materialized by the first consumer's action,
+        // every later consumer reads the stored blocks
+        .localCheckpoint(false)
+    })
+
   /** Near-dup pairs by exact n-gram Jaccard >= threshold, candidates from
-    * the shingle inverted index. Two shuffles (shingle join, pair group);
-    * no cross join anywhere.
+    * the shingle inverted index ([[candidatePairStats]]). Two shuffles
+    * (shingle join, pair group); no cross join anywhere.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // The explicit hash-partitioning on `shingle` is a materialization
-    // barrier AND the distribution both the df-cap aggregation and the
-    // inverted-index self-join require — all downstream consumers reuse ONE
-    // exchange (ReuseExchange), so the scan+shingle explode runs once, not
-    // once per consumer.
-    val sh = shingleIndex(spark, dir).repartition(col("shingle"))
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf)
-    val idx = sh.join(df.select("shingle"), "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
-      (col("s1.n") + col("s2.n") - col("inter"))
-    pairs
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      (col("n1") + col("n2") - col("inter"))
+    candidatePairStats(spark, dir)
       .where(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 6).as("jaccard"))
       .orderBy(col("d1"), col("d2"))
@@ -88,27 +109,20 @@ object Dedup {
     * ≈ 1 from the short side), which is exactly the duplication shape
     * boilerplate expansion and quotation produce in web corpora.
     *
-    * Same scale shape as [[ngramJaccardPairs]]: candidates ONLY from the
-    * df-capped shingle inverted index (one exchange reused by the cap
-    * aggregation, both join branches, and the size aggregation), one pair
-    * aggregation, then each unordered pair emits its two directions —
-    * never an all-pairs product.
+    * Same scale shape as [[ngramJaccardPairs]] — in fact the same
+    * memoized [[candidatePairStats]] table: candidates ONLY from the
+    * df-capped shingle inverted index, one pair aggregation shared with
+    * the Jaccard verifier, then each unordered pair emits its two
+    * directions — never an all-pairs product.
     */
   def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    val sh = shingleIndex(spark, dir).repartition(col("shingle"))
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf)
-    val idx = sh.join(df.select("shingle"), "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    val directed = pairs.select(col("d1").as("src"), col("d2").as("dst"), col("inter"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst"), col("inter")))
+    val stats = candidatePairStats(spark, dir)
+    val directed = stats
+      .select(col("d1").as("src"), col("d2").as("dst"), col("inter"), col("n1").as("n"))
+      .union(stats
+        .select(col("d2").as("src"), col("d1").as("dst"), col("inter"), col("n2").as("n")))
     val cont = col("inter").cast("double") / col("n")
-    directed.join(sizes, col("src") === sizes("doc_id"))
+    directed
       .where(cont >= threshold)
       .select(col("src"), col("dst"), round(cont, 6).as("containment"))
       .orderBy(col("src"), col("dst"))
@@ -215,13 +229,19 @@ object Dedup {
     * every downstream stage from it; this cache is that persistence,
     * scoped to (session, dir, iteration budget, checkpoint dir) so a
     * different input or session can never see a stale labeling.
-    * [[clearLabelCache]] drops the memo (the bench calls it between passes
+    * [[clearCaches]] drops the memo (the bench calls it between passes
     * so per-pass timings stay honest).
     */
   private val labelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Option[String]), DataFrame]
 
-  def clearLabelCache(): Unit = labelCache.clear()
+  /** Drop every per-session memo (cluster labels, candidate pair stats) —
+    * the bench calls this between passes so per-pass timings stay honest.
+    */
+  def clearCaches(): Unit = {
+    labelCache.clear()
+    pairStatsCache.clear()
+  }
 
   /** The (node → component-min) label table over the SimHash near-dup pair
     * graph — checkpointed (lineage O(1)) and memoized per session+input.

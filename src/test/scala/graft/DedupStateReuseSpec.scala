@@ -13,17 +13,17 @@ import graft.ops.{Dedup, TextAnalysis}
 class DedupStateReuseSpec extends SparkSpec {
 
   test("clusterLabels memoizes per (session, dir): second call is the same table") {
-    Dedup.clearLabelCache()
+    Dedup.clearCaches()
     val a = Dedup.clusterLabels(spark, sf0001)
     val b = Dedup.clusterLabels(spark, sf0001)
     assert(a eq b, "second clusterLabels call re-ran the CC job")
-    Dedup.clearLabelCache()
+    Dedup.clearCaches()
     val c = Dedup.clusterLabels(spark, sf0001)
-    assert(!(a eq c), "clearLabelCache did not drop the memo")
+    assert(!(a eq c), "clearCaches did not drop the memo")
   }
 
   test("d8 plan audit: no SimHash/CC recompute — labels arrive as a checkpointed scan") {
-    Dedup.clearLabelCache()
+    Dedup.clearCaches()
     Dedup.dupClusters(spark, sf0001).count() // d7 ran; labels memoized
     val plan = Dedup.keeperByQuality(spark, sf0001)
       .queryExecution.optimizedPlan.toString
@@ -34,6 +34,17 @@ class DedupStateReuseSpec extends SparkSpec {
       s"d8 plan does not read the checkpointed label table:\n$plan")
   }
 
+  test("d9 reuses d2's memoized candidate-pair table: no second inverted-index job") {
+    Dedup.clearCaches()
+    Dedup.ngramJaccardPairs(spark, sf0001).count() // d2 ran; stats memoized
+    val plan = Dedup.containmentPairs(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("shingles"),
+      s"d9 re-derived the shingle inverted index:\n$plan")
+    assert(plan.contains("LogicalRDD"),
+      s"d9 does not read the checkpointed pair table:\n$plan")
+  }
+
   test("persisted label state reloads as a plain scan and reproduces d7 exactly") {
     val stateDir = graft.util.TmpDirs.scratch("graft_state_spec_").toString
     val fresh = Dedup.dupClusters(spark, sf0001).collect().toSeq
@@ -41,7 +52,7 @@ class DedupStateReuseSpec extends SparkSpec {
     assert(persisted == fresh, "persistence changed the clustering")
     // second run (state present, memo dropped): must NOT recompute —
     // labels arrive from the parquet state, not a SimHash/CC job
-    Dedup.clearLabelCache()
+    Dedup.clearCaches()
     val reloaded = Dedup.dupClustersFromState(spark, sf0001, stateDir)
     val plan = reloaded.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("simhash") && !plan.contains("LogicalRDD"),
