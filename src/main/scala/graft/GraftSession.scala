@@ -31,6 +31,7 @@ object GraftSession {
       .withExtensions { ext =>
         ext.injectFunction(graft.exprs.RollingMinHash.registration)
         ext.injectFunction(graft.exprs.BottomKMd5.registration)
+        ext.injectFunction(graft.exprs.VectorSumScaled.registration)
         graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
         ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
         ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)

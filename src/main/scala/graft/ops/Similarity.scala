@@ -195,19 +195,19 @@ object Similarity {
       val bestS = array_max(array(cents.map { c =>
         struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
       }: _*))
-      val sums = v.select((-bestS.getField("negcid")).as("cell"),
-          posexplode(col("e")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("col").cast("double") * lit(1e6)).cast("long")).as("s"),
+      // component sums via the vector_sum_scaled UDAF: one buffer of dim
+      // longs per cell, mergeable map-side — no dim× row explosion, and
+      // floored scaled-integer sums are exact, so the result is identical
+      // under any partitioning (and to the oracle's per-component sums)
+      val sums = v.select((-bestS.getField("negcid")).as("cell"), col("e"))
+        .groupBy(col("cell"))
+        .agg(call_function("vector_sum_scaled", col("e"), lit(1e6)).as("s"),
           count(lit(1)).as("cnt"))
         .collect()
-      val byCell = sums.groupBy(_.getLong(0))
+      val byCell = sums.map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
       cents = cents.map { case (cid, ce, cn) =>
-        byCell.get(cid).map { rows =>
-          val arr = new Array[Double](ce.length)
-          rows.foreach { r =>
-            arr(r.getInt(1)) = r.getLong(2).toDouble / (r.getLong(3) * 1e6)
-          }
+        byCell.get(cid).map { case (s, cnt) =>
+          val arr = Array.tabulate(ce.length)(j => s(j).toDouble / (cnt * 1e6))
           // ascending-index fold — the same operand order as ArrayDot and
           // DuckDB's list_sum, so norms are bit-identical across engines
           val nrm = math.sqrt(arr.foldLeft(0.0)((a, x) => a + x * x))
