@@ -174,7 +174,16 @@ object TextAnalysis {
     */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // one exploded token stream, hash-partitioned on doc_id and reused by
+    // BOTH consumers (the freq aggregation and the broadcast-join scoring
+    // pass — the t6 ReuseExchange pattern); the broadcast join preserves
+    // the partitioning, so the final per-doc aggregation is exchange-free.
+    // The explicit token-not-null filter keeps the two subtrees identical
+    // (the freq join would otherwise push an isnotnull into only its
+    // branch and defeat the reuse).
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+      .repartition(col("doc_id"))
     val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
     // corpus total derived IN-PLAN from the tiny post-aggregation freq
     // table (sum of counts == token total) — no driver action, no third

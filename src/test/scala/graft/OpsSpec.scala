@@ -176,17 +176,25 @@ class OpsSpec extends SparkSpec
   }
 
   test("tfidf explodes the corpus once: tf and df branches share one exchange") {
+    assertSingleExplode(TextAnalysis.tfidfTop(spark, sf0001),
+      "the tf/df branches must share one exploded token stream")
+  }
+
+  test("unigram surprisal explodes the corpus once: freq and scoring share one exchange") {
+    assertSingleExplode(TextAnalysis.unigramSurprisal(spark, sf0001),
+      "the freq/scoring branches must share one exploded token stream")
+  }
+
+  private def assertSingleExplode(df: org.apache.spark.sql.DataFrame, hint: String): Unit = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.GenerateExec
     val helper = new AdaptiveSparkPlanHelper {}
-    val df = TextAnalysis.tfidfTop(spark, sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan
     assert(helper.collect(plan) { case r: ReusedExchangeExec => r }.nonEmpty,
-      "expected the (doc_id, token) exchange to be reused by the df branch")
-    // and the reuse means only ONE explode of the token stream executes
+      s"no ReusedExchange — $hint")
     assert(helper.collect(plan) { case g: GenerateExec => g }.size == 1,
-      "the corpus token stream must be exploded exactly once")
+      s"the corpus token stream must be exploded exactly once — $hint")
   }
 }
