@@ -91,6 +91,9 @@ object TextSketches {
       (FunctionIdentifier("int8_quantize"),
         new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
         (cs: Seq[Expression]) => Int8Quantize(cs.head)),
+      (FunctionIdentifier("ws_tokens"),
+        new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+        (cs: Seq[Expression]) => WsTokens(cs.head)),
       (FunctionIdentifier("lexicon_counts"),
         new ExpressionInfo(classOf[LexiconCounts].getName, "lexicon_counts"),
         (cs: Seq[Expression]) => {
@@ -560,6 +563,44 @@ object LexiconCounts {
     while (i < n) { out(i) = counts(i); i += 1 }
     out(n) = toks.length.toLong
     out(n + 1) = seen.size.toLong
+    new GenericArrayData(out)
+  }
+}
+
+/** `ws_tokens(text)` — whitespace tokens of `Text.tokens` semantics
+  * (single-space split, empties dropped, duplicates preserved) as one
+  * compiled pass. This is THE tokenizer feeding explode/size across the
+  * text operators; the HOF formulation (`filter(split(text, " "), ...)`)
+  * runs its lambda through the expression interpreter per element, which
+  * puts an interpreter in front of every downstream aggregation.
+  */
+case class WsTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ws_tokens requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ws_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    WsTokens.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.WsTokens.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
+object WsTokens {
+  def compute(s: String): ArrayData = {
+    val toks = TextSketches.tokenize(s)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
   }
 }

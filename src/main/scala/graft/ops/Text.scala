@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokens, empties dropped (duplicates preserved). */
+  /** Whitespace tokens, empties dropped (duplicates preserved). Backed by
+    * the native [[graft.exprs.WsTokens]] codegen expression — the HOF
+    * formulation (`filter(split(text, " "), _ =!= "")`) interprets its
+    * lambda per element, and this tokenizer sits in front of every text
+    * operator's hot path. Parity pinned in TextSketchesSpec.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    call_function("ws_tokens", text)
 
   /** Distinct k-word shingles in first-occurrence order. Empty array (not
     * null) when the document has fewer than k tokens. Backed by the native

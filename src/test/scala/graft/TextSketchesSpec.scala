@@ -71,6 +71,17 @@ class TextSketchesSpec extends SparkSpec {
 
   // --- parity over real data ---------------------------------------------
 
+  test("ws_tokens == HOF reference over sf0.001 documents (plus edge cases)") {
+    val df = Tables.documents(spark, sf0001).select(
+      tokensH(col("text")).as("want"),
+      call_function("ws_tokens", col("text")).as("got"))
+    assert(mismatches(df) == 0)
+    val edges = Seq("", "   ", "a  b", " lead", "trail ", "a b a").toDF("text")
+      .select(tokensH(col("text")).as("want"),
+        call_function("ws_tokens", col("text")).as("got"))
+    assert(mismatches(edges) == 0)
+  }
+
   test("shingles == HOF reference over sf0.001 documents") {
     val df = Tables.documents(spark, sf0001).select(
       shinglesH(col("text")).as("want"),
