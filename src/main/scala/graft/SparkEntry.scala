@@ -67,6 +67,9 @@ object SparkEntry {
     "t4_fingerprints" -> TextAnalysis.fingerprints _,
     "t5_token_freq" -> ((s: SparkSession, d: String) => TextAnalysis.tokenFreq(s, d)),
     "d6_embedding_neardup" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDupPairs(s, d)),
+    // Connected components over the embedding near-dup graph — the
+    // semantic-space twin of d7's lexical clusters.
+    "d11_embedding_clusters" -> ((s: SparkSession, d: String) => Similarity.embeddingDupClusters(s, d)),
     "t6_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     "w1_rolling_fingerprint" -> ((s: SparkSession, d: String) =>
       graft.sources.Tables.documents(s, d)
@@ -749,6 +752,31 @@ object SparkEntry {
         |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
         |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT v1, v2, cosine FROM p2 WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin,
+
+    // d6's pair CTE + d7's recursive component walk, in embedding space.
+    "d11_embedding_clusters" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |bk AS (SELECT vec_id, e, nrm,
+        |  array_to_string([CASE WHEN list_sum([
+        |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
+        |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, 8)], '') AS bucket
+        |  FROM n),
+        |p2 AS (SELECT a.vec_id AS v1, b2.vec_id AS v2,
+        |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
+        |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |pairs AS (SELECT v1, v2 FROM p2 WHERE cosine >= 0.4),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.vec_id, c.cluster_id, s.cluster_size,
+        |  CAST(CASE WHEN c.vec_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM comp c JOIN sz s USING (cluster_id)
+        |ORDER BY c.vec_id""".stripMargin,
 
     "t6_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),

@@ -119,6 +119,35 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Duplicate clusters in EMBEDDING space (d11): connected components
+    * over the [[embeddingNearDupPairs]] graph, labeling every clustered
+    * vector with its component's min vec_id — the same keeper-assignment
+    * step d7 performs for text near-dups, over the semantic (embedding)
+    * duplicate relation instead of the lexical one. A training pipeline
+    * needs BOTH: lexical dedup misses paraphrases; embedding dedup misses
+    * nothing a good encoder maps together.
+    *
+    * Same scale story as [[graft.ops.Dedup.dupClusters]]: pair candidates
+    * only from LSH bucket equality, CC via pointer-jumped label
+    * propagation (O(log diameter) rounds, checkpointed) with the
+    * star-contraction fallback.
+    */
+  def embeddingDupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.ops.ConnectedComponents
+    val pairs = embeddingNearDupPairs(spark, dir, threshold)
+      .select(col("v1"), col("v2"))
+    val labels = ConnectedComponents.labelPropagation(pairs, 50)
+      .map(_._1)
+      .getOrElse(ConnectedComponents.starContraction(pairs)._1)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).cast("int").as("is_keeper"))
+      .orderBy(col("vec_id"))
+  }
+
   val ivfCells = 16
   val ivfProbes = 2
 

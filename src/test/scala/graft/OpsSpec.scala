@@ -155,6 +155,19 @@ class OpsSpec extends SparkSpec
     assert(fp.getString(2).matches("[0-9a-f]{32}"))
   }
 
+  test("embedding dup clusters: labels are component minima over d6 pairs") {
+    val pairs = graft.ops.Similarity.embeddingNearDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val c = graft.ops.Similarity.embeddingDupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint of a pair is clustered, pairs share a cluster, and
+    // each cluster id is a member of its own cluster (the min node)
+    assert(pairs.nonEmpty && c.nonEmpty)
+    assert(pairs.forall { case (a, b) => c(a) == c(b) })
+    assert(c.values.toSet.forall(cid => c(cid) == cid))
+    assert(c.forall { case (n, cid) => cid <= n })
+  }
+
   test("containment pairs are directional, bounded, and above threshold") {
     val rows = Dedup.containmentPairs(spark, sf0001).collect()
     assert(rows.nonEmpty)
