@@ -84,10 +84,22 @@ object EventsStream {
     * the caller's conf) keeps concurrently-planned batch queries on the
     * batch setting; the returned DataFrames carry the clone, so downstream
     * actions are unaffected.
+    *
+    * Caller conf that MUST survive the clone is copied explicitly:
+    * `newSession()` starts from the context defaults, so a state-store
+    * provider chosen on the caller's session (e.g. RocksDB for large
+    * state) would otherwise be silently dropped exactly where it matters —
+    * inside the stateful query (StateStoreParitySpec proves end-to-end
+    * that the choice reaches the stream).
     */
+  private[streaming] val inheritedConfs = Seq(
+    "spark.sql.streaming.stateStore.providerClass")
+
   private[streaming] def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    inheritedConfs.foreach(k =>
+      spark.conf.getOption(k).foreach(v => s.conf.set(k, v)))
     s
   }
 

@@ -40,8 +40,22 @@ class StateStoreParitySpec extends SparkSpec {
     s"default-only=$onlyA rocksdb-only=$onlyB (sizes ${a.size} vs ${b.size})"
   }
 
-  test("q24 sessionization (flatMapGroupsWithState) is provider-independent") {
-    parity("q24")(Sessionize.sessionsBatch)
+  test("the provider conf actually reaches the stream session (negative control)") {
+    // a bogus provider must fail the stateful query loudly — if this did
+    // NOT throw, the conf was dropped on the way to the stream session and
+    // every parity test below would be comparing the default to itself
+    withProvider(Some("com.example.NoSuchStateStoreProvider")) {
+      val e = intercept[Throwable] {
+        EventsStream.runRunningMaxAvailableNow(spark, sf0001).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage) + x.getClass.getName).mkString(" | ")
+      assert(msgs.contains("NoSuchStateStoreProvider"), msgs)
+    }
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) is provider-independent") {
+    parity("sessionization")(Sessionize.sessionsStreamingAvailableNow)
   }
 
   test("q47 stream-stream LEFT OUTER interval join is provider-independent") {
