@@ -108,6 +108,9 @@ object SparkEntry {
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
     "c4_pack" -> ((s: SparkSession, d: String) => Corpus.pack(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
+    // Deterministic hash-bucket train/val/test assignment (per-language
+    // audit counts).
+    "c6_train_val_test" -> ((s: SparkSession, d: String) => Corpus.trainValTestSplit(s, d)),
     "q36_histogram" -> Relational.q36Histogram _,
     "q37_grouping_sets" -> Relational.q37GroupingSets _,
     "q38_stream_static" -> graft.streaming.EventsStream.runStaticEnrichedAvailableNow _,
@@ -1028,6 +1031,20 @@ object SparkEntry {
         |SELECT o.doc_id, n_shared, n_own, round(CAST(n_shared AS DOUBLE) / n_own, 6) AS ratio
         |FROM own o JOIN shared s2 ON o.doc_id = s2.doc_id
         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    // Train/val/test split: c2's md5 bucket cut at interpolated
+    // percentages — one definition drives both engines.
+    "c6_train_val_test" -> {
+      val t = Corpus.trainPct
+      val v = Corpus.trainPct + Corpus.valPct
+      s"""WITH b AS (SELECT lang,
+        |  CAST(CAST(list_sum([(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % 100 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < $t THEN 'train' WHEN bucket < $v THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
     },
 
     "q36_histogram" ->

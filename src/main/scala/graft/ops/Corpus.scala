@@ -76,6 +76,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-point percentages for [[trainValTestSplit]]: buckets below
+    * `trainPct` train, below `trainPct + valPct` validate, the rest test.
+    */
+  val trainPct = 90
+  val valPct = 5
+
+  /** Deterministic train/validation/test split (c6) — the assignment every
+    * training pipeline must make exactly once and never change: the same
+    * md5 bucket as [[hashSample]] (stateless per-row, reproducible across
+    * runs/engines/tables, pushes down to the scan), cut at fixed
+    * percentages. Contamination honesty at scale depends on this being a
+    * pure function of the document id — a rand()-based split reshuffles
+    * membership every run and silently leaks test docs into training.
+    * Output: per (lang, split) counts with the split name (audit surface;
+    * the split column itself is a projection any query can reuse).
+    */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).cast("int")
+    val split = when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Language rebalancing — deterministic downsampling of every language
     * to (approximately) the rarest language's size, the "don't let English
     * drown everything" step of corpus mixing. Uses the same md5 bucket as

@@ -98,4 +98,14 @@ class CorpusSpec extends SparkSpec {
       .orderBy(col("user_id"), col("event_type"), col("day_ts"))
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
+
+  test("train/val/test split: partitions the corpus, deterministic, ~90/5/5") {
+    val rows = Corpus.trainValTestSplit(spark, sf0001).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == 500L, "every document must land in exactly one split")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // deterministic: a second run produces identical counts
+    assert(Corpus.trainValTestSplit(spark, sf0001).collect().toSeq == rows.toSeq)
+  }
 }
