@@ -67,4 +67,13 @@ class PushdownSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // and the data read back for that day matches the source
     assert(q.count() == days.where(col("day") === lit(oneDay)).count())
   }
+
+  test("the q53 query surface itself prunes to one event_type directory") {
+    val df = SparkEntry.queries("q53_partitioned_prune")(spark, sf0001)
+    val s = scans(df).head
+    assert(s.metadata("PartitionFilters").contains("event_type"),
+      s"no partition filter: ${s.metadata("PartitionFilters")}")
+    assert(s.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${s.selectedPartitions.partitionCount}")
+  }
 }
