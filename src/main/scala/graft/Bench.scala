@@ -161,8 +161,18 @@ object Bench {
       // per-pass memo reset: d7/d8 share a session-scoped cluster-label
       // cache (dedup-state reuse); within a pass that reuse is the real
       // pipeline behavior being measured, but letting it persist ACROSS
-      // passes would time later passes against pre-built state
-      if (name == named.head._1) graft.ops.Dedup.clearCaches()
+      // passes would time later passes against pre-built state. The
+      // bucketed-table memo resets on the same schedule so q52's min
+      // includes the write it claims to measure. Cost ATTRIBUTION within
+      // a pass: d10's parquet STATE survives the reset by design (its
+      // name claims reload-from-state, and pass 1 built it), so from pass
+      // 2 on d10 is a pure columnar reload and the label memo is filled
+      // by d7 — the dedup family's fixed SimHash+CC cost lands on
+      // d7_dup_clusters in the per-query MIN column, not on d10.
+      if (name == named.head._1) {
+        graft.ops.Dedup.clearCaches()
+        graft.engine.Bucketing.clearCaches()
+      }
       // a query that already failed is not retried on later passes: a
       // deterministic failure (the common case) would otherwise cost
       // passes × its failure time — worst when the failure is a timeout

@@ -46,20 +46,27 @@ object Bucketing {
   private val written = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String)]
 
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(rmrf)
-    f.delete(); ()
-  }
+  /** Drop the written-tables memo — the bench calls this in the same
+    * per-pass reset as [[graft.ops.Dedup.clearCaches]], so every pass pays
+    * the bucketed write and q52's per-query MIN measures the same
+    * write+read work on every sample (the memo previously survived across
+    * passes, making pass 1 structurally slower than the rest).
+    */
+  def clearCaches(): Unit = written.clear()
 
   /** Drop a managed table AND its warehouse location: the in-memory
     * catalog forgets tables between sessions but their directories
     * persist, and saveAsTable refuses to adopt an orphan location
-    * (LOCATION_ALREADY_EXISTS) even in overwrite mode.
+    * (LOCATION_ALREADY_EXISTS) even in overwrite mode. Removal goes
+    * through the Hadoop FileSystem API so a non-file warehouse
+    * (hdfs/s3) cleans up the same way local disk does.
     */
   def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    rmrf(new java.io.File(wh, table))
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
   /** q52 correctness surface: the canonical repeated fact-fact join

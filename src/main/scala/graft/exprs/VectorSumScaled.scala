@@ -60,6 +60,10 @@ case class VectorSumScaled(
       s"vector_sum_scaled: vector length $n != group's ${acc.length}")
     var j = 0
     while (j < n) {
+      // fail-loud like the length check: a null element silently reading
+      // as 0 would corrupt the model it feeds
+      require(!arr.isNullAt(j),
+        s"vector_sum_scaled: null element at index $j")
       val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
       acc(j) += math.floor(x * scale).toLong
       j += 1

@@ -245,13 +245,21 @@ object Dedup {
 
   /** The (node → component-min) label table over the SimHash near-dup pair
     * graph — checkpointed (lineage O(1)) and memoized per session+input.
+    *
+    * Checkpointing is DURABLE by default: the CC loop is the one
+    * multi-round iterative job on the query surface, and at 100 TB a lost
+    * executor mid-loop must resume from the last round's files, not
+    * replay every join from the scan (`localCheckpoint` truncates lineage
+    * but dies with its executors). The default dir is per-context scratch
+    * locally and SPARK_GRAFT_CHECKPOINT_DIR (HDFS/S3) on a cluster
+    * ([[graft.util.TmpDirs.sessionCheckpointDir]]); pass `checkpointDir`
+    * to pin a specific path.
     */
   def clusterLabels(spark: SparkSession, dir: String, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame =
     labelCache.computeIfAbsent((spark, dir, maxIters, checkpointDir), _ => {
-      val ckpt = checkpointDir
-        .map(ConnectedComponents.durable(spark, _))
-        .getOrElse(ConnectedComponents.local)
+      val ckpt = ConnectedComponents.durable(spark,
+        checkpointDir.getOrElse(graft.util.TmpDirs.sessionCheckpointDir(spark)))
       val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
       ConnectedComponents.labelPropagation(pairs, maxIters, ckpt)
         .map(_._1)

@@ -125,8 +125,24 @@ object Multimodal {
   /** Checked-in PPM fixtures for [[ppmDecode]] (generated deterministically;
     * the m4 oracle inlines the golden per-channel sums). `corrupt.ppm` is
     * deliberately truncated to pin the reject path.
+    *
+    * The fixtures are ENGINE-SHIPPED assets on the classpath
+    * (`src/main/resources/ppm`), extracted once per JVM to a self-cleaning
+    * scratch dir so the binaryFile source can split-read them — no
+    * dependence on a checkout location or on test resources from main
+    * code (both broke any deployment not rooted at the build tree).
     */
-  val ppmFixtureDir = "/root/repo/src/test/resources/ppm"
+  private val ppmFixtureNames = Seq("corrupt.ppm", "img0.ppm", "img1.ppm", "img2.ppm")
+
+  lazy val ppmFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_ppm_fixtures_")
+    ppmFixtureNames.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/ppm/$n")
+      require(in != null, s"classpath resource /ppm/$n missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(n)) finally in.close()
+    }
+    dir.toString
+  }
 
   /** m4: decode real image bytes partition-parallel and reduce each to
     * exact integer stats (width, height, per-channel sums — no floats, so

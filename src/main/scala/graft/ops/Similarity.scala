@@ -137,9 +137,12 @@ object Similarity {
     import graft.ops.ConnectedComponents
     val pairs = embeddingNearDupPairs(spark, dir, threshold)
       .select(col("v1"), col("v2"))
-    val labels = ConnectedComponents.labelPropagation(pairs, 50)
+    // durable per-round checkpoints, same rationale as Dedup.clusterLabels
+    val ckpt = ConnectedComponents.durable(spark,
+      graft.util.TmpDirs.sessionCheckpointDir(spark))
+    val labels = ConnectedComponents.labelPropagation(pairs, 50, ckpt)
       .map(_._1)
-      .getOrElse(ConnectedComponents.starContraction(pairs)._1)
+      .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"),

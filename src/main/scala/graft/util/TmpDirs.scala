@@ -36,6 +36,20 @@ object TmpDirs {
     dir
   }
 
+  /** ONE durable-checkpoint scratch dir per SparkContext — the RDD
+    * checkpoint dir is context-global state
+    * ([[graft.ops.ConnectedComponents.durable]] refuses to redirect it),
+    * so every durable-checkpoint consumer in a JVM must agree on one
+    * path. Local runs get a self-cleaning temp dir; a cluster deployment
+    * points this at HDFS/object storage via SPARK_GRAFT_CHECKPOINT_DIR.
+    */
+  private val ckptDirs = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, String]
+
+  def sessionCheckpointDir(spark: org.apache.spark.sql.SparkSession): String =
+    ckptDirs.computeIfAbsent(spark.sparkContext, _ =>
+      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", scratch("graft_ckpt_").toString))
+
   private def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {

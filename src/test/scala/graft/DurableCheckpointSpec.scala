@@ -1,0 +1,59 @@
+package graft
+
+import java.io.File
+
+import graft.ops.Dedup
+
+/** Durable CC checkpointing is the QUERY-SURFACE default (round-7 verdict
+  * item 4): d7/d10/d11's connected-components loops truncate lineage with
+  * reliable `checkpoint()` files — the shape that survives executor loss
+  * mid-loop on a real cluster — not executor-local `localCheckpoint`
+  * blocks. This spec pins that the checkpoint files actually materialize
+  * under the per-context dir and that the returned label table's lineage
+  * is cut to a checkpointed scan.
+  */
+class DurableCheckpointSpec extends SparkSpec {
+
+  test("dupClusters checkpoints durably: files materialize, lineage is a checkpointed scan") {
+    Dedup.clearCaches()
+    val labels = Dedup.dupClusters(spark, sf0001)
+    labels.count()
+
+    // the context checkpoint dir is set and is the session-scoped scratch
+    // dir (or SPARK_GRAFT_CHECKPOINT_DIR on a real deployment)
+    val ckptRoot = spark.sparkContext.getCheckpointDir
+    assert(ckptRoot.isDefined, "no SparkContext checkpoint dir was set")
+    val want = graft.util.TmpDirs.sessionCheckpointDir(spark)
+    assert(ckptRoot.get.contains(new File(want).getName),
+      s"checkpoint dir ${ckptRoot.get} is not the session scratch dir $want")
+
+    // durable checkpoints are FILES on (distributed) storage, not
+    // executor-memory blocks: per-round rdd-* dirs with part files
+    val root = new File(new java.net.URI(ckptRoot.get).getPath)
+    def partFiles(d: File): Int =
+      Option(d.listFiles).toSeq.flatten.map { f =>
+        if (f.isDirectory) partFiles(f)
+        else if (f.getName.startsWith("part-")) 1 else 0
+      }.sum
+    assert(partFiles(root) > 0,
+      s"no checkpoint part files under $root — loop did not checkpoint durably")
+
+    // lineage cut: the label table plans as a scan of checkpointed data,
+    // not the multi-round join tree that produced it
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"),
+      s"label table lineage was not truncated to a checkpointed scan:\n$plan")
+    assert(!plan.toLowerCase.contains("simhash"),
+      s"label table plan still contains the signature job:\n$plan")
+  }
+
+  test("embedding clusters (d11) ride the same durable checkpoint path") {
+    val before = spark.sparkContext.getCheckpointDir
+    graft.ops.Similarity.embeddingDupClusters(spark, sf0001).count()
+    val after = spark.sparkContext.getCheckpointDir
+    assert(after.isDefined)
+    // one shared per-context dir — d11 must not fight d7 over the global
+    // checkpoint location (ConnectedComponents.durable refuses redirects)
+    before.foreach(b => assert(after.get == b))
+  }
+}
