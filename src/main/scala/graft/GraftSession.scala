@@ -32,6 +32,8 @@ object GraftSession {
         ext.injectFunction(graft.exprs.RollingMinHash.registration)
         ext.injectFunction(graft.exprs.BottomKMd5.registration)
         ext.injectFunction(graft.exprs.VectorSumScaled.registration)
+        ext.injectFunction(graft.exprs.IvfProbe.registration)
+        ext.injectFunction(graft.exprs.BpeStats.registration)
         graft.exprs.TextSketches.registrations.foreach(ext.injectFunction)
         ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
         ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)

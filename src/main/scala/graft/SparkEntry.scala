@@ -85,6 +85,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s5_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
+    // IVF with the NATIVE ivf_probe assignment expression at 64 cells —
+    // past the literal-centroid codegen ceiling (s6; plan is O(1) in k).
+    "s6_ann_ivf_wide" -> ((s: SparkSession, d: String) => Similarity.annIvfWide(s, d)),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
@@ -261,6 +264,28 @@ object SparkEntry {
       |ham AS (SELECT d1, d2,
       |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 33)]) AS INT) AS hamming
       |        FROM cand)""".stripMargin
+
+  /** First-k-centroid IVF oracle, parameterized by cell count (s3/s6). */
+  private def ivfFirstKOracle(cells: Int): String =
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+      |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < $cells),
+      |a1 AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+      |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+      |       FROM n, c),
+      |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc
+      |        FROM a1),
+      |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
+      |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
+      |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
+      |cand AS (SELECT p.qid, x.vec_id, x.cell,
+      |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
+      |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
+      |r AS (SELECT qid, vec_id, cell, cosine,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
+      |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -802,29 +827,14 @@ object SparkEntry {
         |FROM tf JOIN nt USING (doc_id) JOIN df USING (token) CROSS JOIN nn
         |ORDER BY tfidf DESC, doc_id, token LIMIT 25""".stripMargin,
 
-    // IVF ANN: centroids = vectors with vec_id < ivfCells; assignment and
+    // IVF ANN: centroids = vectors with vec_id < cells; assignment and
     // probe ranking tie-break by smaller cell id, top-k by smaller vec_id —
-    // all constants interpolated from graft.ops.Similarity.
-    "s3_ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
-        |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
-        |a1 AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
-        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
-        |       FROM n, c),
-        |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc
-        |        FROM a1),
-        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
-        |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
-        |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
-        |cand AS (SELECT p.qid, x.vec_id, x.cell,
-        |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
-        |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
-        |r AS (SELECT qid, vec_id, cell, cosine,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
-        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
-        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // all constants interpolated from graft.ops.Similarity. One template,
+    // two surfaces: s3 (literal-centroid path, 16 cells) and s6 (native
+    // ivf_probe path, 64 cells) — the engine-side plans differ, the
+    // semantics must not.
+    "s3_ann_ivf" -> ivfFirstKOracle(graft.ops.Similarity.ivfCells),
+    "s6_ann_ivf_wide" -> ivfFirstKOracle(graft.ops.Similarity.ivfCellsWide),
 
     // IVF with Lloyd's-TRAINED centroids: the oracle replays the full
     // deterministic training loop — first-k init, ivfLloydIters unrolled

@@ -182,13 +182,13 @@ object Similarity {
   private def centCos(c: Centroid): Column =
     dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))
 
-  /** The fixed deterministic centroid set: the first `ivfCells` vectors
+  /** The fixed deterministic centroid set: the first `n` vectors
     * (ascending vec_id) — the oracle-exact twin [[trainIvfCentroids]]
     * starts from.
     */
-  def firstKCentroids(spark: SparkSession, dir: String): Seq[Centroid] =
+  def firstKCentroids(spark: SparkSession, dir: String, n: Int = ivfCells): Seq[Centroid] =
     withNorm(Tables.embeddings(spark, dir))
-      .where(col("vec_id") < ivfCells).collect()
+      .where(col("vec_id") < n).collect()
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
       .sortBy(_._1).toSeq
@@ -288,8 +288,53 @@ object Similarity {
       .where(col("rc") <= ivfProbes)
       .select(col("qid"), col("qe"), col("qn"), col("pcell"))
 
-    // probe: corpus scanned once, probe list broadcast; a corpus vector is
-    // in exactly one cell, so no cross-probe duplicates to dedup
+    probeTopK(asg, probes, k)
+  }
+
+  /** The number of cells for the NATIVE-assignment IVF surface (s6) — past
+    * the literal-centroid codegen ceiling (the inlined `array_max` tree is
+    * O(cells·dim) generated code; 64 cells × 64 dims would be ~4096
+    * inlined struct fields, where the native path is one call at ANY k).
+    */
+  val ivfCellsWide = 64
+
+  /** s6: IVF ANN with cell assignment and probe ranking computed by the
+    * native [[graft.exprs.IvfProbe]] expression — the centroid matrix is
+    * a codegen reference object, so the plan (and its generated code) is
+    * O(1) in the cell count. Semantics are bit-identical to the literal
+    * path ([[annIvf]]) at equal centroids (IvfNativeSpec pins it); this
+    * surface runs at `ivfCellsWide` = 64 cells, where the literal
+    * construction would already be pathological.
+    */
+  def annIvfWide(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
+    ivfTopKNative(spark, dir, firstKCentroids(spark, dir, ivfCellsWide), nQueries, k)
+
+  private[graft] def ivfTopKNative(spark: SparkSession, dir: String,
+      cents: Seq[Centroid], nQueries: Int, k: Int): DataFrame = {
+    val spec = graft.exprs.IvfProbe.render(cents)
+    val v = withNorm(Tables.embeddings(spark, dir))
+    // corpus → cell: top-1 probe; NaN best cosine (zero-norm vector) maps
+    // to the out-of-domain cell −1, exactly like the literal path
+    val best = element_at(
+      call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
+    val cell = when(isnan(best.getField("ccos")), lit(-1L))
+      .otherwise(best.getField("cid"))
+    val asg = v.withColumn("cell", cell)
+    // queries → their ivfProbes nearest cells: the expression returns them
+    // already ranked (ccos desc, cid asc) — no window needed
+    val probes = v.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(call_function("ivf_probe", col("e"), lit(spec), lit(ivfProbes))).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("pcell"))
+    probeTopK(asg, probes, k)
+  }
+
+  /** Shared IVF tail: probe the assigned corpus with the broadcast query
+    * probe list and take the per-query top-k. The corpus is scanned once,
+    * never shuffled; a corpus vector is in exactly one cell, so no
+    * cross-probe duplicates to dedup.
+    */
+  private def probeTopK(asg: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     asg.join(broadcast(probes),
