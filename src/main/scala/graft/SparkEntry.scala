@@ -166,6 +166,9 @@ object SparkEntry {
     "q45_stream_running_max" -> graft.streaming.EventsStream.runRunningMaxAvailableNow _,
     "q46_collect_suite" -> Relational.q46CollectSuite _,
     "t9_bpeish_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeishTokens(s, d)),
+    // Real vocab-based BPE: greedy ranked merges + token ids, the DuckDB
+    // oracle replays the merge loop with a recursive CTE.
+    "t12_bpe_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeVocabTokens(s, d)),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
@@ -1181,6 +1184,62 @@ object SparkEntry {
         |  round(CAST(sum(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
         |        / sum(len(list_filter(string_split(text, ' '), x -> x <> ''))), 6) AS bpe_per_ws
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // Real BPE replayed in SQL: the recursive CTE drives each distinct
+    // word's symbol list to its merge fixpoint — per step, find the
+    // lowest-rank adjacent pair (leftmost occurrence) and merge it —
+    // using rank/id CASE tables interpolated from the SAME
+    // graft.exprs.BpeStats.merges constant the native expression parses.
+    // A word's final row is the one where no pair is mergeable
+    // (sentinel rank); ids are base-alphabet (ascii−33) for single chars
+    // and baseSize+rank for merge outputs, unknown −1.
+    "t12_bpe_tokens" -> {
+      import graft.exprs.BpeStats
+      val sentinel = 999999
+      val rankCase = (i: String) =>
+        s"CASE syms[$i] || ' ' || syms[$i+1] " +
+          BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
+            s"WHEN '$a $b' THEN $r" }.mkString(" ") + s" ELSE $sentinel END"
+      val mergedIdCase = "CASE sym " +
+        BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
+          s"WHEN '$a$b' THEN ${BpeStats.baseSize + r}" }.mkString(" ") + " ELSE -1 END"
+      s"""WITH RECURSIVE dw AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |wrd AS (SELECT DISTINCT w FROM dw),
+        |s0 AS (SELECT w, [w[i] for i in range(1, length(w)+1)] AS syms FROM wrd),
+        |steps(w, syms) AS (
+        |  SELECT w, syms FROM s0
+        |  UNION ALL
+        |  SELECT w,
+        |    syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
+        |  FROM (SELECT w, syms, coalesce(list_min(rks), $sentinel) AS mr,
+        |          list_position(rks, list_min(rks)) AS p
+        |        FROM (SELECT w, syms,
+        |                [${rankCase("i")} for i in range(1, len(syms))] AS rks
+        |              FROM steps))
+        |  WHERE mr < $sentinel),
+        |fin AS (
+        |  SELECT w, syms
+        |  FROM (SELECT w, syms,
+        |          coalesce(list_min([${rankCase("i")} for i in range(1, len(syms))]),
+        |                   $sentinel) AS mr
+        |        FROM steps)
+        |  WHERE mr >= $sentinel),
+        |wid AS (
+        |  SELECT w, count(*) AS ntok, sum(
+        |    CASE WHEN length(sym) = 1
+        |         THEN CASE WHEN ascii(sym) BETWEEN ${BpeStats.baseLo} AND ${BpeStats.baseHi}
+        |                   THEN ascii(sym) - ${BpeStats.baseLo} ELSE -1 END
+        |         ELSE $mergedIdCase END) AS idsum
+        |  FROM (SELECT w, unnest(syms) AS sym FROM fin)
+        |  GROUP BY w)
+        |SELECT lang, count(*) AS n_words,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(idsum) AS BIGINT) AS sum_token_id
+        |FROM dw JOIN wid USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // Left-outer interval join replay: matched rows are the plain interval

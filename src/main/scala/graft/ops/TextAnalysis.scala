@@ -257,6 +257,31 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** t12: REAL vocab-based BPE token counting — greedy ranked merges over
+    * [[graft.exprs.BpeStats.merges]] per whitespace word, token ids from
+    * the base-alphabet + merge vocabulary. Where t9 stops at
+    * pretokenization (counting word-ish spans), this produces actual
+    * subword token ids: `sum_token_id` pins the full id assignment, so a
+    * single mis-merged word anywhere in the corpus flips the hash.
+    *
+    * Scale shape: one compiled `bpe_stats` pass per row (the merge loop
+    * runs behind a Zipf-friendly word memo), then a per-language exact
+    * integer aggregation — no joins, no shuffles beyond the final group.
+    * The DuckDB oracle replays the merge loop itself with a recursive CTE
+    * over the distinct-word set, so both engines derive the encoding from
+    * the same ranked merge table rather than trusting golden values.
+    */
+  def bpeVocabTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        call_function("bpe_stats", col("text"),
+          lit(graft.exprs.BpeStats.spec)).as("b"))
+      .groupBy(col("lang"))
+      .agg(sum(element_at(col("b"), 1)).as("n_words"),
+        sum(element_at(col("b"), 2)).as("n_tokens"),
+        sum(element_at(col("b"), 3)).as("sum_token_id"))
+      .orderBy(col("lang"))
+
   /** Golden corpus for [[redactPii]] — the synthetic `documents` table
     * contains no PII-shaped strings, so the redaction op is exercised over
     * an inline corpus (one definition: these rows are interpolated into
