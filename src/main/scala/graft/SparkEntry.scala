@@ -139,6 +139,9 @@ object SparkEntry {
       Dedup.dupClustersFromState(s, d, d10StateDir(s, d))),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
+    // Exact-substring dedup: anchor-index candidates + diagonal-run exact
+    // span verification (the third dedup modality: verbatim spans).
+    "d13_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstringPairs(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
@@ -654,6 +657,30 @@ object SparkEntry {
         |FROM dirs JOIN sizes s ON src = s.doc_id
         |WHERE CAST(inter AS DOUBLE) / s.n >= 0.9
         |ORDER BY src, dst""".stripMargin,
+
+    // Exact-substring dedup: the oracle runs the IDENTICAL relational
+    // algorithm — positional anchor windows, df cap, anchor equi-join,
+    // islands-and-gaps per alignment diagonal — constants interpolated
+    // from graft.ops.Dedup (one definition, both engines).
+    "d13_exact_substring" -> {
+      val k = graft.ops.Dedup.anchorTokens
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |anch AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${k - 1}], ' ') AS anchor
+        |         FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+        |               FROM toks WHERE len(t) >= $k)),
+        |dfq AS (SELECT anchor FROM anch GROUP BY anchor
+        |        HAVING count(DISTINCT doc_id) <= ${graft.ops.Dedup.anchorMaxDf}),
+        |idx AS (SELECT a.doc_id, a.pos, a.anchor FROM anch a JOIN dfq USING (anchor)),
+        |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS i, b.pos AS j
+        |      FROM idx a JOIN idx b ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+        |r AS (SELECT d1, d2, j - i AS diag, i,
+        |        i - row_number() OVER (PARTITION BY d1, d2, j - i ORDER BY i) AS grp FROM m),
+        |runs AS (SELECT d1, d2, diag, grp, count(*) AS run FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2, CAST(max(run) + ${k - 1} AS BIGINT) AS span_len
+        |FROM runs GROUP BY d1, d2
+        |HAVING max(run) + ${k - 1} >= ${graft.ops.Dedup.minSpanTokens}
+        |ORDER BY d1, d2""".stripMargin
+    },
 
     // k-anonymity: groups of quasi-identifiers smaller than k, exact
     // integer arithmetic throughout.

@@ -341,6 +341,79 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** d13 anchor geometry: anchors are `anchorTokens`-token windows at
+    * EVERY position (positional, duplicates preserved — unlike the
+    * distinct shingle set d2 uses), df-capped like the shingle index.
+    */
+  val anchorTokens = 4
+  val anchorMaxDf = 100
+  val minSpanTokens = 12
+
+  /** d13: EXACT-substring dedup — the third dedup modality next to
+    * set-similarity (d2/d3/d5) and containment (d9): two documents that
+    * share a long VERBATIM token span (quotation, boilerplate block,
+    * syndicated paragraph) can score low Jaccard yet still leak the span
+    * into a training set. Emits (d1, d2, span_len) where span_len is the
+    * length in tokens of the LONGEST exactly-shared span, for pairs at or
+    * above `minSpan`.
+    *
+    * Construction (suffix-array-free, fully relational — both engines run
+    * the identical algorithm):
+    *   1. anchor index: every `anchorTokens`-token window (position kept);
+    *   2. df cap: anchors in more than `anchorMaxDf` docs are dropped —
+    *      the O(df²) fan-out guard, same dial as [[maxShingleDf]] (a span
+    *      ALL of whose anchors are corpus-hot is boilerplate the cap
+    *      intentionally ignores; the oracle applies the same cap);
+    *   3. candidates: equi-join on anchor text, d1 < d2 — pairs only
+    *      through the index, never all-pairs;
+    *   4. exact verification: a run of m CONSECUTIVE matching anchors on
+    *      one alignment diagonal (j − i constant) is precisely a shared
+    *      span of m + anchorTokens − 1 tokens — islands-and-gaps over
+    *      (pair, diagonal) partitions, then a per-pair max.
+    *
+    * Scale shape: one shuffle on anchor (index + cap share the exchange),
+    * one on the (pair, diagonal) group — both key-partitioned; the
+    * diagonal-run window partitions by (d1, d2, diag), which is finer
+    * than per-document, so no skewed window partition exists by
+    * construction.
+    */
+  def exactSubstringPairs(spark: SparkSession, dir: String,
+      minSpan: Int = minSpanTokens): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
+      .where(size(col("t")) >= anchorTokens)
+    // positional anchor index; explicit hash-partition on anchor is the
+    // materialization barrier the df-cap aggregation and the self-join
+    // both reuse (ReuseExchange — the d2 pattern)
+    val anch = toks
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(t) - $anchorTokens), " +
+          s"i -> array_join(slice(t, i + 1, $anchorTokens), ' '))")))
+      .toDF("doc_id", "pos", "anchor")
+      .repartition(col("anchor"))
+    val dfc = anch.groupBy(col("anchor"))
+      .agg(countDistinct(col("doc_id")).as("adf"))
+      .where(col("adf") <= anchorMaxDf)
+    val idx = anch.join(dfc.select("anchor"), "anchor")
+    val cand = idx.as("a")
+      .join(idx.as("b"),
+        col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("i"), col("b.pos").as("j"))
+    // islands-and-gaps on each alignment diagonal: consecutive i's on one
+    // (pair, diag) share (i − row_number), so run length = group count
+    val wd = Window.partitionBy(col("d1"), col("d2"), col("j") - col("i"))
+      .orderBy(col("i"))
+    cand
+      .withColumn("grp", col("i") - row_number().over(wd))
+      .groupBy(col("d1"), col("d2"), (col("j") - col("i")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("run")) + lit(anchorTokens - 1)).as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the
     * sign of Σ_tokens (2·bit_b(md5(token)) − 1). Signature rendered as a
     * 32-char bitstring by the native [[graft.exprs.SimHash32]] codegen
