@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.functions.{col, lit, pmod, to_json}
 
 import graft.operators._
 import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
@@ -137,6 +137,19 @@ object SparkEntry {
     // advertises (a fresh dir per call would re-pay the write forever).
     "d10_clusters_persisted" -> ((s: SparkSession, d: String) =>
       Dedup.dupClustersFromState(s, d, d10StateDir(s, d))),
+    // Incremental dedup-state merge: ingest 80% of the corpus, then merge
+    // the remaining 20% as a new batch — new-new and new-old pairs only
+    // via the persisted band index, old-old never recomputed; the result
+    // must be hash-identical to d7's full recompute on the union (shared
+    // oracle). A fresh state dir per invocation so every run (and every
+    // bench pass) measures the full two-ingest flow.
+    "d12_incremental_dedup" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d12_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalDedup.clusters(s, state)
+    }),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
     // Exact-substring dedup: anchor-index candidates + diagonal-run exact
@@ -238,6 +251,8 @@ object SparkEntry {
       ("q21_asof_skew_safe" -> m("q15_asof_join")) +
       // clustering rebuilt from persisted state == clustering computed fresh
       ("d10_clusters_persisted" -> m("d7_dup_clusters")) +
+      // split-ingest-then-merge == full recompute on the union
+      ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +

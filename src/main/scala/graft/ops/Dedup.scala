@@ -297,7 +297,7 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame =
     clustersOf(clusterLabels(spark, dir, maxIters, checkpointDir))
 
-  private def clustersOf(labels: DataFrame): DataFrame = {
+  private[graft] def clustersOf(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
@@ -450,22 +450,8 @@ object Dedup {
     val sigs = simhashSignatures(spark, dir)
       .withColumn("sigint", conv(col("simhash"), 2, 10).cast("long"))
       .repartition(col("doc_id"))
-    // Halves and probe variants as 16-bit INTEGERS (band 0 = high half):
-    // variant generation is one xor per mask instead of three-substring
-    // string surgery, and the candidate join hashes/shuffles 8-byte longs
-    // instead of 16-char strings. Same probing scheme, same recall proof.
-    val index = sigs.select(col("doc_id"), col("sigint"),
-      explode(array(
-        struct(lit(0).as("band"),
-          shiftrightunsigned(col("sigint"), 16).as("half")),
-        struct(lit(1).as("band"),
-          col("sigint").bitwiseAND(lit(0xffffL)).as("half")))).as("e"))
-      .select(col("doc_id"), col("sigint"), col("e.band"), col("e.half"))
-    // Every variant of each half within Hamming distance 1: the half itself
-    // (mask 0) plus the 16 single-bit flips.
-    val flipMasks = array((Seq(0L) ++ (0 until 16).map(1L << _)).map(lit): _*)
-    val probes = index.select(col("doc_id"), col("sigint"), col("band"),
-      explode(transform(flipMasks, m => col("half").bitwiseXOR(m))).as("variant"))
+    val index = halfBandsOf(sigs)
+    val probes = probeVariantsOf(index)
     // Verify BEFORE deduplicating: the <=maxHamming filter runs on the raw
     // join output (cheap bit_count, no wide strings), so the pair-dedup
     // shuffle only carries survivors.
@@ -479,4 +465,37 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Halves as 16-bit INTEGERS (band 0 = high half) of a (doc_id, sigint)
+    * signature table: variant generation is one xor per mask instead of
+    * three-substring string surgery, and the candidate join hashes 8-byte
+    * longs instead of 16-char strings. Shared by the one-shot pair job
+    * ([[simhashPairs]]) and the PERSISTED band index incremental ingest
+    * probes against ([[IncrementalDedup]]) — one geometry, two consumers.
+    */
+  private[graft] def halfBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sigint"),
+      explode(array(
+        struct(lit(0).as("band"),
+          shiftrightunsigned(col("sigint"), 16).as("half")),
+        struct(lit(1).as("band"),
+          col("sigint").bitwiseAND(lit(0xffffL)).as("half")))).as("e"))
+      .select(col("doc_id"), col("sigint"), col("e.band"), col("e.half"))
+
+  /** Every variant of each half within Hamming distance 1: the half itself
+    * (mask 0) plus the 16 single-bit flips — full recall for overall
+    * Hamming ≤ 3 by pigeonhole (≤1 differing bit in one half).
+    */
+  private[graft] def probeVariantsOf(index: DataFrame): DataFrame = {
+    val flipMasks = array((Seq(0L) ++ (0 until 16).map(1L << _)).map(lit): _*)
+    index.select(col("doc_id"), col("sigint"), col("band"),
+      explode(transform(flipMasks, m => col("half").bitwiseXOR(m))).as("variant"))
+  }
+
+  /** (doc_id, sigint) signatures of an arbitrary (doc_id, text, …)
+    * projection — the per-batch signing step of incremental ingest.
+    */
+  private[graft] def signedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      conv(call_function("simhash32", col("text")), 2, 10).cast("long").as("sigint"))
 }

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d12: INCREMENTAL dedup-state merge — the capability a daily 100 TB
+  * ingest cannot live without. Given persisted dedup state (the SimHash
+  * half-band index + cluster labels of everything ingested so far) and a
+  * batch of NEW documents, produce the updated clustering by:
+  *
+  *   1. signing ONLY the new batch (one `simhash32` pass over new docs);
+  *   2. probing the new docs' half-band variants against the COMBINED
+  *      exact-half index (persisted old + new) — this finds every
+  *      new-new and new-old pair within Hamming ≤ 3 (the pigeonhole
+  *      recall proof is direction-free: a probe of either endpoint hits
+  *      the other's exact half), and by construction NEVER regenerates an
+  *      old-old pair;
+  *   3. seeded connected components: edges = the new verified pairs ∪ the
+  *      previous labeling read back as star edges (node → label). Old
+  *      components enter as already-contracted stars, so CC work scales
+  *      with the new edge set, not corpus history;
+  *   4. writing the next state GENERATION — `v<N+1>/{bands,labels}` —
+  *      never overwriting `v<N>` in place (readers of the current
+  *      generation are unaffected; promote-by-version is the
+  *      object-store-safe pattern, and parquet cannot overwrite a
+  *      directory it is concurrently reading from anyway).
+  *
+  * Exactness: candidate recall is total for Hamming ≤ 3 and verification
+  * is the exact `bit_count(xor)` — so the pair GRAPH after n ingests is
+  * identical to the one-shot graph over the union, star edges preserve
+  * old connectivity exactly, and min-label CC is associative over
+  * components ⇒ the incremental labeling is hash-identical to d7's full
+  * recompute on the union (IncrementalDedupSpec + the shared d7 oracle
+  * pin it).
+  *
+  * Scale: per daily batch the work is O(|new| log + |new|·17 probe rows
+  * joined against the band index) plus a CC whose non-star edges are only
+  * the new pairs. The old corpus is touched ONLY through its persisted
+  * band index — no re-read of old text, no re-signing (the plan spec pins
+  * exactly one `simhash32` in the merge job).
+  */
+object IncrementalDedup {
+
+  /** The verified-pair stream of one ingest batch: new docs signed, their
+    * probe variants joined against `index` (which must contain the new
+    * docs' own bands plus all persisted ones). Lazy — [[merge]] executes
+    * it; the plan spec inspects it.
+    */
+  private[graft] def batchPairs(newSigs: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val probes = Dedup.probeVariantsOf(Dedup.halfBandsOf(newSigs))
+    val hamming = bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).cast("int")
+    // =!= plus least/greatest (not a < b as in the one-shot job): the
+    // probe side here is only the NEW batch, so both orientations of a
+    // new-old pair must be admitted, then normalized and deduplicated.
+    probes.as("a")
+      .join(index.as("b"),
+        col("a.band") === col("b.band") && col("a.variant") === col("b.half") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        hamming.as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("d1", "d2")
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest complete state generation under `stateDir` (a generation is
+    * complete when its labels table committed — bands are written first,
+    * so labels' _SUCCESS implies both).
+    */
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] = {
+    val f = fs(spark, stateDir)
+    val root = new Path(stateDir)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+      .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
+      .sorted.lastOption
+  }
+
+  private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
+  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+
+  /** Current labels (empty 2-col frame when no generation exists). */
+  def stateLabels(spark: SparkSession, stateDir: String): DataFrame =
+    latestVersion(spark, stateDir) match {
+      case Some(v) => spark.read.parquet(labelsPath(stateDir, v))
+      case None => emptyLabels(spark)
+    }
+
+  private def emptyLabels(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("node", "label")
+  }
+
+  /** Ingest `newDocs` (a (doc_id, text, …) projection whose doc_ids are
+    * disjoint from prior ingests) into the state at `stateDir`; returns
+    * the new generation number. The first call (no prior state) is the
+    * initial build — same code path with an empty index and no seeds.
+    *
+    * Generation `vN/bands` holds ONLY batch N's bands (append-style): the
+    * probe-able full index is the UNION of generation dirs, so per-ingest
+    * write volume is O(|new batch|) — consolidating the whole index per
+    * batch would rewrite the corpus-sized band table daily, which is
+    * exactly the cost this operator exists to avoid. (A real deployment
+    * compacts generations occasionally, like any LSM.) Labels ARE
+    * rewritten whole per generation — the label table is one slim row per
+    * CLUSTERED doc, a vanishing fraction of corpus size.
+    */
+  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
+      maxHamming: Int = 3): Int = {
+    require(maxHamming <= 3,
+      "IncrementalDedup.merge: half-band probing guarantees recall only for hamming <= 3")
+    val prev = latestVersion(spark, stateDir)
+    val next = prev.map(_ + 1).getOrElse(0)
+
+    // 1. sign the new batch once and persist its bands — the generation's
+    // own band dir is also the materialized copy the pair join reads (no
+    // recompute of the signature job across the two consumers)
+    Dedup.halfBandsOf(Dedup.signedDocs(newDocs).repartition(col("doc_id")))
+      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    val newBands = spark.read.parquet(bandsPath(stateDir, next))
+
+    // 2. the full exact-half index = every generation's bands (old ones
+    // read from persisted parquet — old TEXT is never re-read, old docs
+    // never re-signed)
+    val allBandPaths = (0 until next).map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
+    val fullIndex = spark.read.parquet(allBandPaths: _*)
+
+    // 3. new-new + new-old pairs, then seeded CC: previous labeling as
+    // star edges — old components arrive pre-contracted
+    val pairs = batchPairs(newBands.select(col("doc_id"), col("sigint")).distinct(),
+      fullIndex, maxHamming).select(col("d1"), col("d2"))
+    val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
+        .where(col("node") =!= col("label"))
+        .select(col("node").as("d1"), col("label").as("d2")))
+      .getOrElse(pairs.limit(0))
+    val edges = pairs.unionByName(seeds)
+    val ckpt = ConnectedComponents.durable(spark,
+      graft.util.TmpDirs.sessionCheckpointDir(spark))
+    val labels = ConnectedComponents.labelPropagation(edges, 50, ckpt)
+      .map(_._1)
+      .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
+
+    // 4. commit: labels' _SUCCESS marks the generation complete (bands
+    // were written first, so a crash between the two writes leaves an
+    // incomplete generation the next merge simply overwrites)
+    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
+
+  /** The d7-shaped cluster table from the current state. */
+  def clusters(spark: SparkSession, stateDir: String): DataFrame =
+    Dedup.clustersOf(stateLabels(spark, stateDir))
+}

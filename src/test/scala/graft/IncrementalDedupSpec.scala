@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IncrementalDedup}
+
+/** d12: incremental state merge must be EXACT (hash-identical to the full
+  * recompute on the union, for any batch split) and must touch the old
+  * corpus only through its persisted band index — never re-reading or
+  * re-signing old documents.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  private def clustersSorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("split-ingest-then-merge equals d7's full recompute on the union") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t1_").toString
+    assert(IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(5)) =!= 0)) == 0)
+    assert(IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(5)) === 0)) == 1)
+    val inc = clustersSorted(IncrementalDedup.clusters(spark, state))
+    val full = clustersSorted(Dedup.dupClusters(spark, sf0001))
+    assert(inc == full)
+  }
+
+  test("three-batch ingest (different split) also equals the full recompute") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t2_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 2))
+    assert(IncrementalDedup.latestVersion(spark, state).contains(2))
+    val inc = clustersSorted(IncrementalDedup.clusters(spark, state))
+    val full = clustersSorted(Dedup.dupClusters(spark, sf0001))
+    assert(inc == full)
+  }
+
+  test("merge jobs: new batch signed once; pair job reads old docs ONLY via the band index") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t3_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+
+    // the band-WRITE job of batch 2, exactly as merge builds it: one
+    // simhash pass over the new batch only
+    val batch2 = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val signPlan = Dedup.halfBandsOf(Dedup.signedDocs(batch2))
+      .queryExecution.optimizedPlan.toString
+    assert("simhash32".r.findAllIn(signPlan).size == 1,
+      s"batch signing should contain exactly one simhash pass:\n$signPlan")
+
+    // the PAIR job, exactly as merge builds it (new bands read back from
+    // the generation dir, old bands from persisted generations): no
+    // simhash anywhere, no documents scan anywhere — the old corpus
+    // enters only as parquet band scans
+    val newDir = graft.util.TmpDirs.scratch("graft_d12_t3_bands_").toString
+    Dedup.halfBandsOf(Dedup.signedDocs(batch2)).write.mode("overwrite").parquet(newDir)
+    val newBands = spark.read.parquet(newDir)
+    val fullIndex = spark.read.parquet(s"$state/v0/bands", newDir)
+    val pairs = IncrementalDedup.batchPairs(
+      newBands.select(col("doc_id"), col("sigint")).distinct(), fullIndex, 3)
+    // executedPlan: FileScan nodes render their Location, so the scan
+    // SOURCES (band dirs vs document text) are visible
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("simhash32"),
+      s"pair job re-signs documents:\n$plan")
+    assert(!plan.contains("documents"),
+      s"pair job re-reads document text:\n$plan")
+    assert(plan.contains("bands"),
+      s"pair job does not read the persisted band index:\n$plan")
+  }
+
+  test("empty prior state: first merge is the initial build; no-dup batch is fine") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t4_").toString
+    assert(IncrementalDedup.latestVersion(spark, state).isEmpty)
+    assert(IncrementalDedup.stateLabels(spark, state).count() == 0)
+    // a batch with no near-dup pairs at all still commits a generation
+    IncrementalDedup.merge(spark, state, docs.where(col("doc_id") === 0))
+    assert(IncrementalDedup.latestVersion(spark, state).contains(0))
+  }
+}
