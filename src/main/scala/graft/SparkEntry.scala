@@ -187,6 +187,10 @@ object SparkEntry {
     "t12_bpe_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeVocabTokens(s, d)),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
+    // Streaming incremental dedup: each micro-batch foreachBatch-merged
+    // into persistent d12 state; drained result == d7's batch recompute.
+    "q54_stream_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runIncrementalDedupAvailableNow(s, d)),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -253,6 +257,8 @@ object SparkEntry {
       ("d10_clusters_persisted" -> m("d7_dup_clusters")) +
       // split-ingest-then-merge == full recompute on the union
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
+      // stream-vs-batch parity: micro-batch-merged state == one-shot d7
+      ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +
