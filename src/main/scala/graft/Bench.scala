@@ -81,6 +81,28 @@ object Bench {
     }
   }
 
+  /** Natural-order sort key: digit runs compare numerically ("d7" before
+    * "d10"), letters case-sensitively — so numeric query suffixes order
+    * the way humans (and the memo-attribution pass order) expect.
+    */
+  def naturalKey(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      var j = i
+      if (s.charAt(i).isDigit) {
+        while (j < s.length && s.charAt(j).isDigit) j += 1
+        // zero-pad digit runs to fixed width so "7" < "10" as strings
+        out.append("0" * (12 - (j - i))).append(s.substring(i, j))
+      } else {
+        while (j < s.length && !s.charAt(j).isDigit) j += 1
+        out.append(s.substring(i, j))
+      }
+      i = j
+    }
+    out.toString
+  }
+
   def sec2(v: Double): String = {
     val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     if (s.isEmpty || s == "-") s + "0" else s
@@ -151,10 +173,17 @@ object Bench {
     warm(graft.sources.Tables.events(spark, sfDir).count())
 
     var errors = Map.empty[String, String]
-    // Name-sorted: Map iteration order is hash-arbitrary, which would move
-    // queries relative to residual warm-up between rounds and make
-    // per-query timings incomparable across BENCH_r{N} files.
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // NATURAL-sorted (digit runs compare numerically): Map iteration order
+    // is hash-arbitrary, which would move queries relative to residual
+    // warm-up between rounds and make per-query timings incomparable
+    // across BENCH_r{N} files. Natural rather than lexicographic order so
+    // d7 runs BEFORE d10 within a pass — d7 is where the dedup family's
+    // label memo fills (the cost attribution the round-7 verdict asked
+    // for), and d10's stable state means its min measures the pure
+    // reload. Plain sort would run d10 first, and in pass 1 its state
+    // BUILD fills the memo — d7's min would then be the pass-1 memoized
+    // read and the SimHash+CC cost would escape the min column entirely.
+    val named = SparkEntry.queries.toSeq.sortBy(kv => naturalKey(kv._1))
     val samples = mutable.LinkedHashMap(named.map { case (n, _) =>
       n -> mutable.ArrayBuffer.empty[Double] }: _*)
     for (_ <- 1 to passes; (name, fn) <- named) {

@@ -129,6 +129,19 @@ object OohPipeline {
   def run(spark: SparkSession, path: String): DataFrame =
     report(occupations(read(spark, path)))
 
-  /** Default fixture path (FIXTURES.md §A) for harness entry points. */
-  val fixturePath = "/root/repo/src/test/resources/ooh/xml-compilation.xml"
+  /** Default fixture (FIXTURES.md §A) for harness entry points — an
+    * ENGINE-SHIPPED classpath resource (`src/main/resources/ooh`),
+    * extracted once per JVM to a self-cleaning scratch file so the file
+    * source can read it on any checkout/deployment (a hardcoded build-tree
+    * path broke everywhere but the original workspace — the same
+    * portability fix as the PPM fixtures).
+    */
+  lazy val fixturePath: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_ooh_fixture_")
+    val name = "xml-compilation.xml"
+    val in = getClass.getResourceAsStream(s"/ooh/$name")
+    require(in != null, s"classpath resource /ooh/$name missing from the graft jar")
+    try java.nio.file.Files.copy(in, dir.resolve(name)) finally in.close()
+    dir.resolve(name).toString
+  }
 }

@@ -57,6 +57,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!full.contains("(omitted)"))
   }
 
+  test("natural pass order: d7 (label memo fill) runs before d10 (state reload)") {
+    val names = Seq("d10_clusters_persisted", "d7_dup_clusters", "d8_keeper_quality",
+      "d12_incremental_dedup", "d1_exact_dedup")
+    val ordered = names.sortBy(Bench.naturalKey)
+    assert(ordered == Seq("d1_exact_dedup", "d7_dup_clusters", "d8_keeper_quality",
+      "d10_clusters_persisted", "d12_incremental_dedup"))
+    // the attribution invariant itself: d7 strictly precedes d10 so the
+    // SimHash+CC memo fill is timed in d7's sample on EVERY pass
+    assert(Bench.naturalKey("d7_dup_clusters") < Bench.naturalKey("d10_clusters_persisted"))
+  }
+
   test("median: odd, even, empty") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
