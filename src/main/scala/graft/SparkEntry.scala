@@ -680,18 +680,19 @@ object SparkEntry {
         |ORDER BY src, dst""".stripMargin,
 
     // Exact-substring dedup: the oracle runs the IDENTICAL relational
-    // algorithm — positional anchor windows, df cap, anchor equi-join,
-    // islands-and-gaps per alignment diagonal — constants interpolated
-    // from graft.ops.Dedup (one definition, both engines).
+    // algorithm — positional anchor windows, occurrence cap, anchor
+    // equi-join, islands-and-gaps per alignment diagonal — constants
+    // interpolated from graft.ops.Dedup (one definition, both engines).
     "d13_exact_substring" -> {
       val k = graft.ops.Dedup.anchorTokens
       s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
         |anch AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${k - 1}], ' ') AS anchor
         |         FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
         |               FROM toks WHERE len(t) >= $k)),
-        |dfq AS (SELECT anchor FROM anch GROUP BY anchor
-        |        HAVING count(DISTINCT doc_id) <= ${graft.ops.Dedup.anchorMaxDf}),
-        |idx AS (SELECT a.doc_id, a.pos, a.anchor FROM anch a JOIN dfq USING (anchor)),
+        |idx AS (SELECT doc_id, pos, anchor FROM (
+        |          SELECT doc_id, pos, anchor,
+        |            count(*) OVER (PARTITION BY anchor) AS aocc FROM anch)
+        |        WHERE aocc <= ${graft.ops.Dedup.anchorMaxOcc}),
         |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS i, b.pos AS j
         |      FROM idx a JOIN idx b ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
         |r AS (SELECT d1, d2, j - i AS diag, i,

@@ -343,10 +343,17 @@ object Dedup {
 
   /** d13 anchor geometry: anchors are `anchorTokens`-token windows at
     * EVERY position (positional, duplicates preserved — unlike the
-    * distinct shingle set d2 uses), df-capped like the shingle index.
+    * distinct shingle set d2 uses), capped at `anchorMaxOcc` total
+    * occurrences corpus-wide. An OCCURRENCE cap (not d2's distinct-doc
+    * df cap) because the join fan-out of an anchor is O(occurrences²) —
+    * positions multiply within a doc too — and because it computes as
+    * one window over the anchor exchange instead of a second aggregation
+    * branch (which would defeat ReuseExchange: the agg consumer prunes
+    * `pos`, the join consumers keep it, and differently-pruned subtrees
+    * never match).
     */
   val anchorTokens = 4
-  val anchorMaxDf = 100
+  val anchorMaxOcc = 100
   val minSpanTokens = 12
 
   /** d13: EXACT-substring dedup — the third dedup modality next to
@@ -360,10 +367,11 @@ object Dedup {
     * Construction (suffix-array-free, fully relational — both engines run
     * the identical algorithm):
     *   1. anchor index: every `anchorTokens`-token window (position kept);
-    *   2. df cap: anchors in more than `anchorMaxDf` docs are dropped —
-    *      the O(df²) fan-out guard, same dial as [[maxShingleDf]] (a span
-    *      ALL of whose anchors are corpus-hot is boilerplate the cap
-    *      intentionally ignores; the oracle applies the same cap);
+    *   2. occurrence cap: anchors with more than `anchorMaxOcc` total
+    *      occurrences are dropped — the O(occ²) fan-out guard, same dial
+    *      as [[maxShingleDf]] (a span ALL of whose anchors are
+    *      corpus-hot is boilerplate the cap intentionally ignores; the
+    *      oracle applies the same cap);
     *   3. candidates: equi-join on anchor text, d1 < d2 — pairs only
     *      through the index, never all-pairs;
     *   4. exact verification: a run of m CONSECUTIVE matching anchors on
@@ -382,20 +390,34 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
       .where(size(col("t")) >= anchorTokens)
-    // positional anchor index; explicit hash-partition on anchor is the
-    // materialization barrier the df-cap aggregation and the self-join
-    // both reuse (ReuseExchange — the d2 pattern)
+    // positional anchor index behind ONE hash exchange on anchor. The
+    // explicit isNotNull filters at source are deliberate: the self-join
+    // below pushes isnotnull(anchor)/isnotnull(doc_id) into both
+    // branches, and ReuseExchange matches only byte-identical subtrees —
+    // stating the predicates once here keeps both branches equal to the
+    // written tree (the round-7 ReuseExchange gotcha).
     val anch = toks
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, size(t) - $anchorTokens), " +
           s"i -> array_join(slice(t, i + 1, $anchorTokens), ' '))")))
       .toDF("doc_id", "pos", "anchor")
+      .where(col("anchor").isNotNull && col("doc_id").isNotNull)
       .repartition(col("anchor"))
-    val dfc = anch.groupBy(col("anchor"))
-      .agg(countDistinct(col("doc_id")).as("adf"))
-      .where(col("adf") <= anchorMaxDf)
-    val idx = anch.join(dfc.select("anchor"), "anchor")
-    val cand = idx.as("a")
+    // occurrence cap as a window over the SAME exchange (no second
+    // aggregation branch, so the scan+tokenize+explode runs once and the
+    // self-join reuses the exchange); the window's required distribution
+    // is exactly the repartition — no extra shuffle
+    val idx = anch
+      .withColumn("aocc", count(lit(1)).over(Window.partitionBy(col("anchor"))))
+      .where(col("aocc") <= anchorMaxOcc)
+      .drop("aocc")
+    // `merge` hint: at test scale AQE would broadcast one side — and a
+    // broadcast side is its own stage that RECOMPUTES the whole explode
+    // pipeline instead of reusing the shuffle. As a sort-merge self-join
+    // both branches read the one exchange (ReuseExchange, pinned in
+    // ExactSubstringSpec), which is also the only plan that exists at
+    // 100 TB where the index side never fits a broadcast.
+    val cand = idx.as("a").hint("merge")
       .join(idx.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),

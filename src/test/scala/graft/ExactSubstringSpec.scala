@@ -61,4 +61,13 @@ class ExactSubstringSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"d13 plan contains a nested-loop join:\n$plan")
   }
+
+  test("the tokenize+explode pipeline runs ONCE: self-join reuses the anchor exchange") {
+    val df = Dedup.exactSubstringPairs(spark, sf0001)
+    df.collect() // AQE reuses stages at runtime — inspect the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    val fin = plan.linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert("documents.parquet".r.findAllIn(fin).size == 1,
+      s"d13 final plan scans the corpus more than once:\n$fin")
+  }
 }
