@@ -68,21 +68,27 @@ object IncrementalDedup {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest complete state generation under `stateDir` (a generation is
-    * complete when its labels table committed — bands are written first,
-    * so labels' _SUCCESS implies both).
+  /** All COMPLETE state generations under `stateDir`, ascending (a
+    * generation is complete when its labels table committed — bands are
+    * written first, so labels' _SUCCESS implies both). Not necessarily
+    * contiguous: [[compact]] folds old generations into one and deletes
+    * them.
     */
-  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] = {
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
     val f = fs(spark, stateDir)
     val root = new Path(stateDir)
-    if (!f.exists(root)) None
+    if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
       .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
-      .sorted.lastOption
+      .sorted
   }
+
+  /** Latest complete state generation under `stateDir`. */
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    completeVersions(spark, stateDir).lastOption
 
   private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
@@ -127,10 +133,12 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
 
-    // 2. the full exact-half index = every generation's bands (old ones
-    // read from persisted parquet — old TEXT is never re-read, old docs
-    // never re-signed)
-    val allBandPaths = (0 until next).map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
+    // 2. the full exact-half index = every COMPLETE generation's bands
+    // plus the new batch (old ones read from persisted parquet — old TEXT
+    // is never re-read, old docs never re-signed). Complete generations
+    // are listed, not assumed contiguous: compaction leaves gaps.
+    val allBandPaths = completeVersions(spark, stateDir)
+      .map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
     val fullIndex = spark.read.parquet(allBandPaths: _*)
 
     // 3. new-new + new-old pairs, then seeded CC: previous labeling as
@@ -152,6 +160,27 @@ object IncrementalDedup {
     // were written first, so a crash between the two writes leaves an
     // incomplete generation the next merge simply overwrites)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
+
+  /** LSM maintenance: fold every complete generation's bands into ONE new
+    * generation (labels carried forward unchanged) and delete the old
+    * dirs — read amplification returns to 1 after a run of daily ingests.
+    * Crash-safe in the same way merge is: the new generation's labels
+    * commit LAST, so a crash mid-compact leaves the old generations
+    * intact and the half-written one ignored (and overwritten by the
+    * next attempt). Returns the new generation number.
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalDedup.compact: no state at $stateDir")
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    spark.read.parquet(labelsPath(stateDir, versions.last))
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    val f = fs(spark, stateDir)
+    versions.foreach(v => f.delete(new Path(s"$stateDir/v$v"), true))
     next
   }
 

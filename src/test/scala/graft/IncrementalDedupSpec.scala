@@ -72,6 +72,24 @@ class IncrementalDedupSpec extends SparkSpec {
       s"pair job does not read the persisted band index:\n$plan")
   }
 
+  test("compaction folds generations, preserves the labeling, and merges keep working") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t5_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+    val before = clustersSorted(IncrementalDedup.clusters(spark, state))
+    val v = IncrementalDedup.compact(spark, state)
+    assert(IncrementalDedup.completeVersions(spark, state) == Seq(v),
+      "compaction must leave exactly one generation")
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == before,
+      "compaction changed the labeling")
+    // a further ingest on the compacted (non-contiguous) state still
+    // reaches full-recompute parity
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 2))
+    val inc = clustersSorted(IncrementalDedup.clusters(spark, state))
+    val full = clustersSorted(Dedup.dupClusters(spark, sf0001))
+    assert(inc == full)
+  }
+
   test("empty prior state: first merge is the initial build; no-dup batch is fine") {
     val state = graft.util.TmpDirs.scratch("graft_d12_t4_").toString
     assert(IncrementalDedup.latestVersion(spark, state).isEmpty)
