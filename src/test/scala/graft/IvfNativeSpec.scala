@@ -45,6 +45,13 @@ class IvfNativeSpec extends SparkSpec {
       s"generated code grew with cell count: k=16 → $g16 chars, k=64 → $g64 chars")
   }
 
+  test("native assignment composes with Lloyd's-trained centroids (s5 parity)") {
+    val cents = Similarity.trainIvfCentroids(spark, sf0001)
+    val lit = Similarity.annIvfTrained(spark, sf0001).collect().toSeq
+    val nat = Similarity.ivfTopKNative(spark, sf0001, cents, 10, 3).collect().toSeq
+    assert(nat == lit)
+  }
+
   test("wide surface (64 cells) returns ranked top-k for every query") {
     val rows = Similarity.annIvfWide(spark, sf0001).collect()
     assert(rows.nonEmpty)
