@@ -30,6 +30,16 @@ object SparkEntry {
     d10StateDirs.computeIfAbsent((s, d), _ =>
       graft.util.TmpDirs.scratch("graft_d10_state_").toString)
 
+  /** Stable s7 model dir per (session, input) — first invocation trains
+    * and writes, later ones exercise the advertised reload path.
+    */
+  private val s7ModelDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  private def s7ModelDir(s: SparkSession, d: String): String =
+    s7ModelDirs.computeIfAbsent((s, d), _ =>
+      graft.util.TmpDirs.scratch("graft_s7_model_").toString)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q2_selective_filter" -> Relational.q2SelectiveFilter _,
@@ -88,6 +98,11 @@ object SparkEntry {
     // IVF with the NATIVE ivf_probe assignment expression at 64 cells —
     // past the literal-centroid codegen ceiling (s6; plan is O(1) in k).
     "s6_ann_ivf_wide" -> ((s: SparkSession, d: String) => Similarity.annIvfWide(s, d)),
+    // Persisted trained centroids (model registry): train+write once per
+    // (session, input), reload as a parquet scan after — must equal
+    // training fresh exactly (s5's oracle; composes s5 x s6).
+    "s7_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPersisted(s, d, s7ModelDir(s, d))),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
@@ -152,6 +167,10 @@ object SparkEntry {
     }),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
+    // End-to-end curation verdict: benchmark/quality/duplicate/
+    // contaminated/keep per document — t10+d7+c3 composed, all gates in
+    // exact integer arithmetic.
+    "c7_curation" -> ((s: SparkSession, d: String) => Corpus.curate(s, d)),
     // Exact-substring dedup: anchor-index candidates + diagonal-run exact
     // span verification (the third dedup modality: verbatim spans).
     "d13_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstringPairs(s, d)),
@@ -259,6 +278,9 @@ object SparkEntry {
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
+      // persisted model reload == training fresh (bit-exact parquet
+      // round-trip of the centroid doubles)
+      ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +
@@ -713,6 +735,50 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 5
         |ORDER BY lang, source, size_bucket""".stripMargin,
+
+    // End-to-end curation: the d7 component walk + t10 quality stats +
+    // c3 contamination screen, composed under the same rule precedence
+    // the Spark surface applies; every threshold is an exact integer
+    // cross-multiplication interpolated from graft.ops.Corpus.
+    "c7_curation" -> {
+      import graft.ops.Corpus._
+      s"""WITH RECURSIVE $simhashHamCte,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |dups AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        |q AS (SELECT d.doc_id, d.source,
+        |        len(t.t) AS ntok, greatest(len(t.t) - 2, 0) AS ntri,
+        |        len(list_distinct([array_to_string(t.t[i:i+2], ' ') for i in range(1, len(t.t)-1)])) AS ndis,
+        |        length(d.text) AS nchar,
+        |        length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')) AS nsym,
+        |        coalesce(CAST(list_sum([len(x) for x in t.t]) AS BIGINT), 0) AS totlen
+        |      FROM documents d JOIN toks t USING (doc_id)),
+        |sh2 AS (SELECT td.doc_id, d2.source,
+        |          unnest(list_distinct([array_to_string(td.t[i:i+2], ' ') for i in range(1, len(td.t)-1)])) AS shingle
+        |        FROM toks td JOIN documents d2 USING (doc_id)),
+        |bench AS (SELECT DISTINCT shingle FROM sh2 WHERE source = '$benchmarkSource'),
+        |own AS (SELECT doc_id, count(*) AS n_own FROM sh2 WHERE source <> '$benchmarkSource' GROUP BY 1),
+        |shared AS (SELECT s.doc_id, count(*) AS n_shared
+        |           FROM sh2 s JOIN bench USING (shingle) WHERE s.source <> '$benchmarkSource' GROUP BY 1),
+        |cont AS (SELECT doc_id, n_shared, n_own FROM own JOIN shared USING (doc_id))
+        |SELECT q.doc_id,
+        |  CASE WHEN q.source = '$benchmarkSource' THEN 'benchmark'
+        |       WHEN q.ntok < $curationMinTokens
+        |            OR q.totlen < $curationMwlMin * q.ntok
+        |            OR q.totlen > $curationMwlMax * q.ntok
+        |            OR $curationSymbolPct * q.nsym > q.nchar
+        |            OR 10 * (q.ntri - q.ndis) > $curationTriPct10 * q.ntri THEN 'quality'
+        |       WHEN q.doc_id IN (SELECT doc_id FROM dups) THEN 'duplicate'
+        |       WHEN $curationContHalf * cont.n_shared >= cont.n_own THEN 'contaminated'
+        |       ELSE 'keep' END AS verdict
+        |FROM q LEFT JOIN cont USING (doc_id)
+        |ORDER BY q.doc_id""".stripMargin
+    },
 
     "d4_simhash_sig" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

@@ -237,4 +237,69 @@ object Corpus {
       .select(col("lang"), col("n_exact"), round(est, 3).as("kmv_estimate"))
       .orderBy(col("lang"))
   }
+
+  /** c7 curation thresholds — every gate compares EXACT integers (cross-
+    * multiplied ratios), so the keep/drop verdict can never flip on a
+    * float rounding difference between engines. One definition, both
+    * engines (interpolated into the oracle).
+    */
+  val curationMinTokens = 20
+  val curationMwlMin = 3      // mean word length lower bound (totlen >= 3·ntok)
+  val curationMwlMax = 10     // mean word length upper bound (totlen <= 10·ntok)
+  val curationSymbolPct = 10  // symbol ratio ≤ 1/10 (10·nsym <= nchar)
+  val curationTriPct10 = 3    // dup-trigram fraction ≤ 3/10 (10·dup <= 3·ntri)
+  val curationContHalf = 2    // contaminated when 2·n_shared >= n_own
+
+  /** c7: the END-TO-END curation verdict — the query a real training-data
+    * pipeline runs last, composing the engine's own building blocks into
+    * one per-document keep/drop decision with a reason:
+    *
+    *   1. `benchmark`    — the held-out eval slice itself never trains;
+    *   2. `quality`      — Gopher-style gates (t10's statistics) as exact
+    *      integer threshold comparisons;
+    *   3. `duplicate`    — SimHash cluster non-keepers (d7's labeling —
+    *      read from the session label memo, never recomputed);
+    *   4. `contaminated` — c3's shared-shingle screen at ratio ≥ 1/2;
+    *   5. `keep`         — everything else. First matching rule wins.
+    *
+    * Scale shape: the quality gates are a pure projection; the duplicate
+    * and contamination sides arrive as SLIM (doc_id)-keyed tables (the
+    * label table and the screened-doc table are both vanishing fractions
+    * of the corpus), joined on doc_id — the corpus text itself is read
+    * once and never shuffles.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val ntok = size(t).cast("long")
+    val ntri = greatest(size(t) - 2, lit(0)).cast("long")
+    val ndis = size(shingles(col("text"))).cast("long")
+    val nchar = length(col("text")).cast("long")
+    val nsym = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))).cast("long")
+    val totlen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("long")
+    val stats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ntok.as("ntok"), ntri.as("ntri"),
+        ndis.as("ndis"), nchar.as("nchar"), nsym.as("nsym"), totlen.as("totlen"))
+    val dups = Dedup.dupClusters(spark, dir)
+      .where(col("is_keeper") === 0)
+      .select(col("doc_id"), lit(1).as("is_dup"))
+    val cont = contamination(spark, dir)
+      .select(col("doc_id"), col("n_shared"), col("n_own"))
+    val qualityFail = col("ntok") < curationMinTokens ||
+      col("totlen") < lit(curationMwlMin) * col("ntok") ||
+      col("totlen") > lit(curationMwlMax) * col("ntok") ||
+      lit(curationSymbolPct) * col("nsym") > col("nchar") ||
+      lit(10) * (col("ntri") - col("ndis")) > lit(curationTriPct10) * col("ntri")
+    stats
+      .join(dups, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("source") === benchmarkSource, "benchmark")
+          .when(qualityFail, "quality")
+          .when(col("is_dup") === 1, "duplicate")
+          .when(lit(curationContHalf) * col("n_shared") >= col("n_own"), "contaminated")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
 }

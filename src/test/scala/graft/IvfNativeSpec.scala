@@ -52,6 +52,16 @@ class IvfNativeSpec extends SparkSpec {
     assert(nat == lit)
   }
 
+  test("persisted model (s7): parquet round-trip is bit-exact and reload skips training") {
+    val modelDir = graft.util.TmpDirs.scratch("graft_s7_spec_").toString
+    val trained = Similarity.trainIvfCentroids(spark, sf0001)
+    val first = Similarity.persistedIvfCentroids(spark, sf0001, modelDir)
+    val reload = Similarity.persistedIvfCentroids(spark, sf0001, modelDir)
+    def flat(cs: Seq[Similarity.Centroid]) = cs.map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+    assert(flat(first) == flat(trained), "persisted model differs from fresh training")
+    assert(flat(reload) == flat(trained), "reloaded model differs from fresh training")
+  }
+
   test("wide surface (64 cells) returns ranked top-k for every query") {
     val rows = Similarity.annIvfWide(spark, sf0001).collect()
     assert(rows.nonEmpty)
