@@ -187,17 +187,19 @@ object Bench {
     val samples = mutable.LinkedHashMap(named.map { case (n, _) =>
       n -> mutable.ArrayBuffer.empty[Double] }: _*)
     for (_ <- 1 to passes; (name, fn) <- named) {
-      // per-pass memo reset: d7/d8 share a session-scoped cluster-label
-      // cache (dedup-state reuse); within a pass that reuse is the real
-      // pipeline behavior being measured, but letting it persist ACROSS
-      // passes would time later passes against pre-built state. The
-      // bucketed-table memo resets on the same schedule so q52's min
-      // includes the write it claims to measure. Cost ATTRIBUTION within
-      // a pass: d10's parquet STATE survives the reset by design (its
-      // name claims reload-from-state, and pass 1 built it), so from pass
-      // 2 on d10 is a pure columnar reload and the label memo is filled
-      // by d7 — the dedup family's fixed SimHash+CC cost lands on
-      // d7_dup_clusters in the per-query MIN column, not on d10.
+      // per-pass memo reset: the dedup family shares a session-scoped
+      // cluster-label cache (dedup-state reuse); within a pass that reuse
+      // is the real pipeline behavior being measured, but letting it
+      // persist ACROSS passes would time later passes against pre-built
+      // state. The bucketed-table memo resets on the same schedule so
+      // q52's min includes the write it claims to measure. Cost
+      // ATTRIBUTION within a pass: the fixed SimHash+CC label job is paid
+      // exactly once per pass by the FIRST label consumer in natural pass
+      // order (currently c7_curation; d7 would be next), so it always
+      // lands in that one query's MIN and can never escape the headline.
+      // d10's parquet STATE deliberately survives the reset (its name
+      // claims reload-from-state; pass 1 built it), so d10's min is the
+      // pure columnar reload.
       if (name == named.head._1) {
         graft.ops.Dedup.clearCaches()
         graft.engine.Bucketing.clearCaches()
