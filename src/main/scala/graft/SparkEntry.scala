@@ -88,6 +88,16 @@ object SparkEntry {
     // Connected components over the embedding near-dup graph — the
     // semantic-space twin of d7's lexical clusters.
     "d11_embedding_clusters" -> ((s: SparkSession, d: String) => Similarity.embeddingDupClusters(s, d)),
+    // Incremental EMBEDDING dedup: the d12 generational-state merge in
+    // semantic space — 80/20 split-ingest must equal d11's one-shot
+    // recompute (shared oracle).
+    "d14_embedding_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d14_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) === 0))
+      graft.ops.IncrementalEmbedding.clusters(s, state)
+    }),
     "t6_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     "w1_rolling_fingerprint" -> ((s: SparkSession, d: String) =>
       graft.sources.Tables.documents(s, d)
@@ -281,6 +291,8 @@ object SparkEntry {
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
+      // embedding split-ingest-then-merge == d11's full recompute
+      ("d14_embedding_incremental" -> m("d11_embedding_clusters")) +
       // sink round-trip and the foreachBatch drain must both reproduce
       // the batch daily aggregation exactly
       ("q39_sink_roundtrip" -> m("q14_events_daily")) +

@@ -90,6 +90,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("embedding twin (d14): split-ingest equals d11's full recompute, any split") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val full = graft.ops.Similarity.embeddingDupClusters(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    for (mod <- Seq(2, 3)) {
+      val state = graft.util.TmpDirs.scratch(s"graft_d14_t_${mod}_").toString
+      (0 until mod).foreach { r =>
+        graft.ops.IncrementalEmbedding.merge(spark, state,
+          vecs.where(pmod(col("vec_id"), lit(mod)) === r))
+      }
+      val inc = graft.ops.IncrementalEmbedding.clusters(spark, state)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(inc == full, s"$mod-way split-ingest diverged from the one-shot clustering")
+    }
+  }
+
   test("empty prior state: first merge is the initial build; no-dup batch is fine") {
     val state = graft.util.TmpDirs.scratch("graft_d12_t4_").toString
     assert(IncrementalDedup.latestVersion(spark, state).isEmpty)
