@@ -149,11 +149,19 @@ object ConnectedComponents {
       // pointer jump: label(n) := min(label(n), label(label(n))). Every
       // label value is a node id of the same component, so the (tiny)
       // label-table self-join is total; `least` is monotone insurance.
-      labels = ckpt(prop.as("x")
+      // Deliberately NOT checkpointed: both of its inputs are the
+      // just-checkpointed `prop`, so its lineage is one join deep — a
+      // durable write here would double the loop's checkpoint I/O (the
+      // dominant per-round fixed cost on near-dup-sized graphs) to save
+      // at most three one-stage recomputes of a small self-join (the
+      // convergence aggregate plus the two references in the next
+      // round's neighbor-min). Fault tolerance is unchanged: recovery
+      // replays from the last `prop` files either way.
+      labels = prop.as("x")
         .join(prop.select(col("node").as("jn"), col("label").as("jl")).as("y"),
           col("x.label") === col("jn"), "left")
         .select(col("x.node").as("node"),
-          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label")))
+          least(col("x.label"), coalesce(col("jl"), col("x.label"))).as("label"))
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
