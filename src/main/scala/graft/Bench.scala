@@ -92,8 +92,15 @@ object Bench {
       var j = i
       if (s.charAt(i).isDigit) {
         while (j < s.length && s.charAt(j).isDigit) j += 1
-        // zero-pad digit runs to fixed width so "7" < "10" as strings
-        out.append("0" * (12 - (j - i))).append(s.substring(i, j))
+        // digit runs compare as (length, value): a fixed-width length
+        // prefix then the zero-stripped digits — numeric order for ANY
+        // run length (the previous fixed-width pad silently degraded to
+        // lexicographic past 12 digits: "0" * negative is empty)
+        val run = s.substring(i, j).dropWhile(_ == '0') match {
+          case "" => "0"
+          case r => r
+        }
+        out.append(f"${run.length}%04d").append(run)
       } else {
         while (j < s.length && !s.charAt(j).isDigit) j += 1
         out.append(s.substring(i, j))

@@ -122,9 +122,16 @@ object BpeStats {
   val memoCap = 100000
 
   private def encodeWord(w: String, t: BpeTable): (Long, Long) = {
+    // split by CODEPOINT, not UTF-16 unit: a supplementary-plane character
+    // is ONE initial symbol (one unknown token), matching the oracle's
+    // per-character indexing — charAt would split it into two surrogates
     val syms = new java.util.ArrayList[String](w.length)
     var i = 0
-    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      syms.add(w.substring(i, i + n))
+      i += n
+    }
     var go = true
     while (go && syms.size > 1) {
       var bestRank = Int.MaxValue

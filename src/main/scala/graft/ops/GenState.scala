@@ -1,0 +1,131 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared mechanics of the GENERATIONAL dedup-state dirs
+  * ([[IncrementalDedup]] d12, [[IncrementalEmbedding]] d14,
+  * [[IncrementalMinHash]] d15): version listing, the compaction manifest,
+  * and merge-parameter pinning. All three operators persist state as
+  * `stateDir/vN/{<index>,labels}` where `labels/_SUCCESS` is the commit
+  * marker — this object is the single source of truth for what counts as
+  * a live generation.
+  *
+  * Two failure modes this closes (both found by audit, neither by a test
+  * that existed before):
+  *
+  *   - **Crash between a compaction's commit and its source deletion**
+  *     left BOTH the compacted generation and its sources complete, so
+  *     every later merge unioned duplicated index rows — correct answers
+  *     (verification dedups), but index size and probe cost silently
+  *     doubled, inverting compaction's whole point. Now a compacted
+  *     generation records its folded sources in a `_COMPACTED` manifest
+  *     written BEFORE its labels commit; [[completeVersions]] excludes
+  *     manifest-listed versions, so recovery is idempotent and the
+  *     leftovers are swept by the next compact.
+  *
+  *   - **Merges with drifting parameters** (threshold / maxHamming /
+  *     signature width) into one state dir silently mixed verification
+  *     regimes, producing a clustering that matches NO one-shot
+  *     recompute. Now the first merge persists its parameters in
+  *     `_CONFIG` and every later merge must present the identical map.
+  */
+object GenState {
+
+  def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generations whose labels committed, folded-or-not, ascending. */
+  private def rawComplete(f: FileSystem, stateDir: String): Seq[Int] = {
+    val root = new Path(stateDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+      .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
+      .sorted
+  }
+
+  /** LIVE complete generations: committed, minus any version a complete
+    * generation's `_COMPACTED` manifest records as folded. Not necessarily
+    * contiguous (compaction leaves gaps).
+    */
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
+    val f = fs(spark, stateDir)
+    val complete = rawComplete(f, stateDir)
+    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
+    complete.filterNot(folded)
+  }
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    completeVersions(spark, stateDir).lastOption
+
+  /** Folded-but-not-deleted generations — the crash-window leftovers a
+    * compact sweeps in addition to its own sources.
+    */
+  def foldedLeftovers(spark: SparkSession, stateDir: String): Seq[Int] = {
+    val f = fs(spark, stateDir)
+    val complete = rawComplete(f, stateDir)
+    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
+    complete.filter(folded)
+  }
+
+  private def manifestPath(stateDir: String, v: Int) =
+    new Path(s"$stateDir/v$v/_COMPACTED")
+
+  def readManifest(f: FileSystem, stateDir: String, v: Int): Seq[Int] = {
+    val p = manifestPath(stateDir, v)
+    if (!f.exists(p)) Seq.empty
+    else readUtf8(f, p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+  }
+
+  /** Record in generation `next` the source versions it folds. MUST be
+    * called before `next`'s labels commit: a complete compacted generation
+    * then always carries its manifest, whatever the crash point.
+    */
+  def writeCompactManifest(spark: SparkSession, stateDir: String, next: Int,
+      folded: Seq[Int]): Unit =
+    writeUtf8(fs(spark, stateDir), manifestPath(stateDir, next),
+      folded.mkString("\n"))
+
+  def deleteVersions(spark: SparkSession, stateDir: String, vs: Seq[Int]): Unit = {
+    val f = fs(spark, stateDir)
+    vs.foreach(v => f.delete(new Path(s"$stateDir/v$v"), true))
+  }
+
+  /** Pin the merge parameters: persisted to `_CONFIG` on first use,
+    * require()d identical on every later merge into the same state dir.
+    */
+  def checkConfig(spark: SparkSession, stateDir: String,
+      params: Map[String, String]): Unit = {
+    val f = fs(spark, stateDir)
+    val p = new Path(s"$stateDir/_CONFIG")
+    val want = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
+    if (f.exists(p)) {
+      val have = readUtf8(f, p).trim
+      require(have == want,
+        s"dedup state at $stateDir was built with {${have.replace('\n', ' ')}}; " +
+          s"refusing a merge with {${want.replace('\n', ' ')}} — mixed parameters " +
+          "would produce a clustering matching no one-shot recompute")
+    } else writeUtf8(f, p, want)
+  }
+
+  private def readUtf8(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(buf)
+      new String(buf, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeUtf8(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,26 +64,14 @@ object IncrementalDedup {
       .dropDuplicates("d1", "d2")
   }
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** All COMPLETE state generations under `stateDir`, ascending (a
-    * generation is complete when its labels table committed — bands are
-    * written first, so labels' _SUCCESS implies both). Not necessarily
-    * contiguous: [[compact]] folds old generations into one and deletes
-    * them.
+  /** All LIVE state generations under `stateDir`, ascending (a generation
+    * is complete when its labels table committed — bands are written
+    * first, so labels' _SUCCESS implies both; versions folded by a
+    * committed [[compact]] are excluded via its `_COMPACTED` manifest).
+    * Not necessarily contiguous: compaction leaves gaps.
     */
-  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
-    val f = fs(spark, stateDir)
-    val root = new Path(stateDir)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
-      .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
-      .sorted
-  }
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir)
 
   /** Latest complete state generation under `stateDir`. */
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
@@ -123,6 +110,9 @@ object IncrementalDedup {
       maxHamming: Int = 3): Int = {
     require(maxHamming <= 3,
       "IncrementalDedup.merge: half-band probing guarantees recall only for hamming <= 3")
+    // pin the verification regime: every merge into one state dir must use
+    // the same radius, or the clustering matches no one-shot recompute
+    GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
 
@@ -163,24 +153,29 @@ object IncrementalDedup {
     next
   }
 
-  /** LSM maintenance: fold every complete generation's bands into ONE new
+  /** LSM maintenance: fold every live generation's bands into ONE new
     * generation (labels carried forward unchanged) and delete the old
     * dirs — read amplification returns to 1 after a run of daily ingests.
-    * Crash-safe in the same way merge is: the new generation's labels
-    * commit LAST, so a crash mid-compact leaves the old generations
-    * intact and the half-written one ignored (and overwritten by the
-    * next attempt). Returns the new generation number.
+    * Crash-safe at EVERY point: the new generation's labels commit LAST,
+    * so a crash before that leaves the old generations intact and the
+    * half-written one ignored; and the folded source list is recorded in
+    * the new generation's `_COMPACTED` manifest BEFORE the commit, so a
+    * crash in the commit-to-delete window (both compacted and sources
+    * complete on disk) cannot double the index — [[completeVersions]]
+    * excludes manifest-listed sources, and the next compact sweeps the
+    * leftover dirs. Returns the new generation number.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalDedup.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
     spark.read.parquet(labelsPath(stateDir, versions.last))
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
-    val f = fs(spark, stateDir)
-    versions.foreach(v => f.delete(new Path(s"$stateDir/v$v"), true))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
   }
 

@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,23 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalEmbedding {
 
-  private def fs(spark: SparkSession, dir: String) =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
-    val f = fs(spark, stateDir)
-    val root = new Path(stateDir)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
-      .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
-      .sorted
-  }
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir)
 
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
-    completeVersions(spark, stateDir).lastOption
+    GenState.latestVersion(spark, stateDir)
 
   private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
@@ -57,6 +44,8 @@ object IncrementalEmbedding {
     */
   def merge(spark: SparkSession, stateDir: String, newVecs: DataFrame,
       threshold: Double = 0.4): Int = {
+    // pin the verification regime across ingests (see GenState.checkConfig)
+    GenState.checkConfig(spark, stateDir, Map("threshold" -> threshold.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
 

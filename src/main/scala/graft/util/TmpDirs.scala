@@ -47,8 +47,18 @@ object TmpDirs {
     org.apache.spark.SparkContext, String]
 
   def sessionCheckpointDir(spark: org.apache.spark.sql.SparkSession): String =
-    ckptDirs.computeIfAbsent(spark.sparkContext, _ =>
-      sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", scratch("graft_ckpt_").toString))
+    ckptDirs.computeIfAbsent(spark.sparkContext, resolveCheckpointDir)
+
+  /** Resolution order: the explicit override env var; else a checkpoint
+    * dir the HOST app already set — durable() refuses to redirect
+    * context-global state, so minting a fresh scratch path here would
+    * make every durable-CC query throw in any application that called
+    * `sc.setCheckpointDir` itself; else a fresh self-cleaning scratch dir.
+    */
+  private[graft] def resolveCheckpointDir(sc: org.apache.spark.SparkContext): String =
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .orElse(sc.getCheckpointDir)
+      .getOrElse(scratch("graft_ckpt_").toString)
 
   private def deleteRecursively(p: Path): Unit =
     try {

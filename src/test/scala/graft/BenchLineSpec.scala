@@ -68,6 +68,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.naturalKey("d7_dup_clusters") < Bench.naturalKey("d10_clusters_persisted"))
   }
 
+  test("naturalKey: digit runs longer than the old pad width still order numerically") {
+    // 13+ digit runs degraded to lexicographic under the fixed-width pad
+    // ("0" * negative is empty): 1000000000000 (13 digits) sorted before
+    // 999999999999 (12 nines) would be wrong — (length, value) encoding
+    assert(Bench.naturalKey("q999999999999") < Bench.naturalKey("q1000000000000"))
+    assert(Bench.naturalKey("q7") < Bench.naturalKey("q1000000000000"))
+    // leading zeros compare by value ("q007" == "q7" as keys; sort is stable)
+    assert(Bench.naturalKey("q007") == Bench.naturalKey("q7"))
+  }
+
   test("median: odd, even, empty") {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)

@@ -30,6 +30,15 @@ class BpeStatsSpec extends SparkSpec {
     assert(stats("é") == ((1L, 1L, -1L)))
   }
 
+  test("supplementary-plane characters are ONE symbol (codepoint split, not UTF-16)") {
+    // U+1F642 is one codepoint = two UTF-16 units; it must encode as one
+    // unknown token (id −1), matching the oracle's per-character indexing —
+    // a charAt split would yield two surrogate symbols (2 tokens, sum −2)
+    assert(stats("🙂") == ((1L, 1L, -1L)))
+    // mixed word: emoji + base char; the base char still gets its id
+    assert(stats("🙂x") == ((1L, 2L, -1L + ('x'.toInt - 33))))
+  }
+
   test("later merges consume earlier outputs (ation chain)") {
     // "ation": [a,t,i,o,n] → (a,t)@7 → [at,i,o,n] → (i,o)? not a merge;
     // (o,n)@4 → [at,i,on] → (i,on)@26 → [at,ion] → (at,ion)@27 → [ation]

@@ -47,6 +47,25 @@ class DurableCheckpointSpec extends SparkSpec {
       s"label table plan still contains the signature job:\n$plan")
   }
 
+  test("a host-app-set checkpoint dir is ADOPTED, not fought over") {
+    val sc = spark.sparkContext
+    // remember the session's own root so the shared context is restored
+    val saved = graft.util.TmpDirs.sessionCheckpointDir(spark)
+    val hostDir = graft.util.TmpDirs.scratch("graft_hostckpt_").toString
+    sc.setCheckpointDir(hostDir)
+    try {
+      val resolved = graft.util.TmpDirs.resolveCheckpointDir(sc)
+      // adopted the host's dir (its UUID subdir), no fresh scratch minted
+      assert(resolved == sc.getCheckpointDir.get,
+        s"resolveCheckpointDir minted $resolved instead of adopting the host dir")
+      assert(resolved.contains(new File(hostDir).getName),
+        s"$resolved is not under the host-set $hostDir")
+      // and durable() accepts it — the embedding-application failure mode
+      // was an IllegalStateException right here
+      graft.ops.ConnectedComponents.durable(spark, resolved)
+    } finally sc.setCheckpointDir(saved)
+  }
+
   test("embedding clusters (d11) ride the same durable checkpoint path") {
     val before = spark.sparkContext.getCheckpointDir
     graft.ops.Similarity.embeddingDupClusters(spark, sf0001).count()

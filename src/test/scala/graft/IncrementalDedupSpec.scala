@@ -90,6 +90,61 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("crash between compact's commit and its deletes: manifest keeps recovery idempotent") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t6_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+    val before = clustersSorted(IncrementalDedup.clusters(spark, state))
+
+    // replay compact's exact write sequence but CRASH before the deletes:
+    // fold v0+v1 into v2, manifest, commit labels — leave v0/v1 on disk
+    spark.read.parquet(s"$state/v0/bands", s"$state/v1/bands")
+      .write.mode("overwrite").parquet(s"$state/v2/bands")
+    graft.ops.GenState.writeCompactManifest(spark, state, 2, Seq(0, 1))
+    spark.read.parquet(s"$state/v1/labels")
+      .write.mode("overwrite").parquet(s"$state/v2/labels")
+
+    // the folded sources are complete on disk but NOT live: no duplicated
+    // band rows ever enter a union (read amplification stays 1)
+    assert(IncrementalDedup.completeVersions(spark, state) == Seq(2),
+      "manifest-folded generations leaked back into the live set")
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == before)
+
+    // further ingest works and stays exact…
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 2))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) ==
+      clustersSorted(Dedup.dupClusters(spark, sf0001)))
+
+    // …and the next compact sweeps the crash leftovers off disk
+    val v = IncrementalDedup.compact(spark, state)
+    assert(IncrementalDedup.completeVersions(spark, state) == Seq(v))
+    val f = graft.ops.GenState.fs(spark, state)
+    for (old <- Seq(0, 1, 2, 3)) {
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$old")),
+        s"compact left the folded v$old on disk")
+    }
+  }
+
+  test("merge parameters are pinned per state dir (mixed regimes refused)") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_t7_").toString
+    IncrementalDedup.merge(spark, state, docs.where(col("doc_id") < 10), maxHamming = 3)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.merge(spark, state,
+        docs.where(col("doc_id") >= 10 && col("doc_id") < 20), maxHamming = 2)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+
+    val estate = graft.util.TmpDirs.scratch("graft_d14_t7_").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    graft.ops.IncrementalEmbedding.merge(spark, estate,
+      vecs.where(col("vec_id") < 10), threshold = 0.4)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalEmbedding.merge(spark, estate,
+        vecs.where(col("vec_id") >= 10 && col("vec_id") < 20), threshold = 0.5)
+    }
+    assert(e2.getMessage.contains("threshold"))
+  }
+
   test("embedding twin (d14): split-ingest equals d11's full recompute, any split") {
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
     val full = graft.ops.Similarity.embeddingDupClusters(spark, sf0001)
