@@ -98,6 +98,10 @@ object SparkEntry {
       graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) === 0))
       graft.ops.IncrementalEmbedding.clusters(s, state)
     }),
+    // Multi-band SRP near-dup pairs: 4 × 8-plane bands of ONE 32-plane
+    // signature, OR-construction candidates, occupancy-capped, exact
+    // cosine verify — the recall-preserving wide-signature geometry.
+    "d16_srp_banded" -> ((s: SparkSession, d: String) => Similarity.srpBandedPairs(s, d)),
     "t6_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTop(s, d)),
     "w1_rolling_fingerprint" -> ((s: SparkSession, d: String) =>
       graft.sources.Tables.documents(s, d)
@@ -908,31 +912,38 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
+    // the occupancy cap mirrors Similarity.maxBucketOccupancy: buckets
+    // holding more vectors are dropped from candidate generation
     "d6_embedding_neardup" ->
-      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
         |bk AS (SELECT vec_id, e, nrm,
         |  array_to_string([CASE WHEN list_sum([
         |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
         |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, 8)], '') AS bucket
         |  FROM n),
+        |occ AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= ${graft.ops.Similarity.maxBucketOccupancy}),
+        |bko AS (SELECT bk.* FROM bk JOIN occ USING (bucket)),
         |p2 AS (SELECT a.vec_id AS v1, b2.vec_id AS v2,
         |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
-        |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |       FROM bko a JOIN bko b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT v1, v2, cosine FROM p2 WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin,
 
-    // d6's pair CTE + d7's recursive component walk, in embedding space.
+    // d6's pair CTE (occupancy cap included) + d7's recursive component
+    // walk, in embedding space.
     "d11_embedding_clusters" ->
-      """WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      s"""WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
         |bk AS (SELECT vec_id, e, nrm,
         |  array_to_string([CASE WHEN list_sum([
         |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
         |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, 8)], '') AS bucket
         |  FROM n),
+        |occ AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= ${graft.ops.Similarity.maxBucketOccupancy}),
+        |bko AS (SELECT bk.* FROM bk JOIN occ USING (bucket)),
         |p2 AS (SELECT a.vec_id AS v1, b2.vec_id AS v2,
         |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
-        |       FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+        |       FROM bko a JOIN bko b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
         |pairs AS (SELECT v1, v2 FROM p2 WHERE cosine >= 0.4),
         |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
         |walk(node, lab) AS (
@@ -945,6 +956,28 @@ object SparkEntry {
         |  CAST(CASE WHEN c.vec_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
         |FROM comp c JOIN sz s USING (cluster_id)
         |ORDER BY c.vec_id""".stripMargin,
+
+    // 32-plane signature sliced into 4 band keys; candidates when ANY band
+    // matches (OR-construction), per-band occupancy cap, exact verify.
+    "d16_srp_banded" ->
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |sg AS (SELECT vec_id,
+        |  array_to_string([CASE WHEN list_sum([
+        |      (((strpos('0123456789abcdef', md5('h' || CAST(p AS VARCHAR) || ':' || CAST(j-1 AS VARCHAR))[1]) - 1) % 2) * 2 - 1) * e[j]
+        |    for j in range(1, len(e)+1)]) > 0 THEN '1' ELSE '0' END for p in range(0, ${graft.ops.Similarity.srpBands * graft.ops.Similarity.srpBandWidth})], '') AS sig
+        |  FROM n),
+        |bands AS (SELECT vec_id,
+        |    CAST(b AS VARCHAR) || ':' || substr(sig, CAST(b * ${graft.ops.Similarity.srpBandWidth} + 1 AS INT), ${graft.ops.Similarity.srpBandWidth}) AS bkey
+        |  FROM sg, range(0, ${graft.ops.Similarity.srpBands}) t(b)),
+        |occ AS (SELECT bkey FROM bands GROUP BY bkey HAVING count(*) <= ${graft.ops.Similarity.maxBucketOccupancy}),
+        |bo AS (SELECT bands.* FROM bands JOIN occ USING (bkey)),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+        |         FROM bo a JOIN bo b2 ON a.bkey = b2.bkey AND a.vec_id < b2.vec_id),
+        |p AS (SELECT v1, v2,
+        |        round(list_sum([x.e[i] * y.e[i] for i in range(1, len(x.e)+1)]) / (x.nrm * y.nrm), 6) AS cosine
+        |      FROM cand JOIN n x ON cand.v1 = x.vec_id JOIN n y ON cand.v2 = y.vec_id)
+        |SELECT v1, v2, cosine FROM p WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin,
 
     "t6_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),

@@ -87,7 +87,15 @@ object TextSketches {
         (cs: Seq[Expression]) => ArrayDot(cs.head, cs(1))),
       (FunctionIdentifier("srp_bucket"),
         new ExpressionInfo(classOf[SrpBucket].getName, "srp_bucket"),
-        (cs: Seq[Expression]) => SrpBucket(cs.head)),
+        (cs: Seq[Expression]) => {
+          val n = if (cs.size < 2) SrpBucket.numPlanes
+          else {
+            if (!cs(1).foldable) throw new IllegalArgumentException(
+              "srp_bucket: the plane count must be a constant")
+            cs(1).eval().asInstanceOf[Number].intValue()
+          }
+          SrpBucket(cs.head, n)
+        }),
       (FunctionIdentifier("int8_quantize"),
         new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
         (cs: Seq[Expression]) => Int8Quantize(cs.head)),
@@ -333,15 +341,27 @@ object ArrayDot {
   }
 }
 
-/** `srp_bucket(embedding)` — 8-bit sign-random-projection bucket: bit p is
-  * the sign of the dot product with hyperplane p, whose components are ±1
-  * from md5 hex parity (`md5("h<p>:<j>")` first nibble odd → +1). The
-  * hyperplanes are deterministic CONSTANTS — precomputed here once, not
-  * recomputed per row as the HOF formulation did (512 md5 calls per row).
+/** `srp_bucket(embedding[, numPlanes])` — sign-random-projection bucket:
+  * bit p is the sign of the dot product with hyperplane p, whose
+  * components are ±1 from md5 hex parity (`md5("h<p>:<j>")` first nibble
+  * odd → +1). The hyperplanes are deterministic CONSTANTS — precomputed
+  * here once, not recomputed per row as the HOF formulation did (512 md5
+  * calls per row).
+  *
+  * `numPlanes` (default 8, max [[SrpBucket.maxPlanes]]) is the
+  * precision/recall dial: plane p is independent of the count, so a
+  * narrower bucket is a PREFIX of a wider one — `srp_bucket(e, 32)`
+  * computed once can be sliced into 8-bit bands for an OR-construction
+  * (see `Similarity.srpBandedPairs`), and `srp_bucket(e)` equals its
+  * first 8 characters.
   */
-case class SrpBucket(child: Expression) extends UnaryExpression {
+case class SrpBucket(child: Expression, numPlanes: Int = SrpBucket.numPlanes)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if numPlanes < 1 || numPlanes > SrpBucket.maxPlanes =>
+      TypeCheckResult.TypeCheckFailure(
+        s"srp_bucket supports 1..${SrpBucket.maxPlanes} planes, got $numPlanes")
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -355,13 +375,13 @@ case class SrpBucket(child: Expression) extends UnaryExpression {
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    SrpBucket.compute(input.asInstanceOf[ArrayData], isFloat)
+    SrpBucket.compute(input.asInstanceOf[ArrayData], isFloat, numPlanes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |org.apache.spark.unsafe.types.UTF8String ${ev.value}_r =
-         |  graft.exprs.SrpBucket.compute($c, $isFloat);
+         |  graft.exprs.SrpBucket.compute($c, $isFloat, $numPlanes);
          |if (${ev.value}_r == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -375,15 +395,22 @@ case class SrpBucket(child: Expression) extends UnaryExpression {
 }
 
 object SrpBucket {
+  /** Default plane count — kept at 8 for oracle parity with the original
+    * surface; wider corpora dial this up (or band a wide bucket, see the
+    * class doc).
+    */
   val numPlanes = 8
+  val maxPlanes = 32
   private val maxDim = 1024
 
   /** planes(p)(j) = +1 when the first hex digit of md5("h<p>:<j>") is odd,
-    * else −1 — byte-identical to the Column/SQL derivation, computed once.
+    * else −1 — byte-identical to the Column/SQL derivation, computed once
+    * for all [[maxPlanes]] (plane p does not depend on the requested
+    * count, so every width shares this one table).
     */
   lazy val planes: Array[Array[Double]] = {
     val d = MessageDigest.getInstance("MD5")
-    Array.tabulate(numPlanes) { p =>
+    Array.tabulate(maxPlanes) { p =>
       Array.tabulate(maxDim) { j =>
         d.reset()
         val h = d.digest(s"h$p:$j".getBytes("UTF-8"))
@@ -393,15 +420,15 @@ object SrpBucket {
     }
   }
 
-  def compute(e: ArrayData, isFloat: Boolean): UTF8String = {
+  def compute(e: ArrayData, isFloat: Boolean, nPlanes: Int): UTF8String = {
     val n = e.numElements()
     if (n > maxDim) {
       throw new IllegalArgumentException(
         s"srp_bucket supports up to $maxDim dims, got $n")
     }
-    val out = new Array[Char](numPlanes)
+    val out = new Array[Char](nPlanes)
     var p = 0
-    while (p < numPlanes) {
+    while (p < nPlanes) {
       val plane = planes(p)
       var acc = 0.0
       var j = 0

@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * Result: hash-identical to d11's one-shot recompute on the union, for
   * ANY batch split (shared oracle).
   *
-  * Scale: per-ingest write volume is O(|batch|) vectors; old vectors are
-  * re-read ONLY as index rows for the candidate join (unavoidable — the
-  * verifier needs the vector payloads of matched candidates; the join
-  * itself is bucket-partitioned so only same-bucket rows meet).
+  * Scale: per-ingest write volume is O(|batch|) vectors. The candidate
+  * join is SLIM — the generation parquet is column-pruned to
+  * (vec_id, bucket), hot buckets are dropped by the occupancy cap
+  * ([[Similarity.maxBucketOccupancy]]), and the embedding payloads are
+  * joined back by vec_id only for surviving candidate pairs — so no
+  * exchange ever carries a vector once per candidate pair, and worst-case
+  * candidate fan-out is O(buckets · cap²), corpus-independent.
   */
 object IncrementalEmbedding {
 
@@ -39,13 +42,45 @@ object IncrementalEmbedding {
   private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
 
+  /** Slim candidate phase of one merge: (d1, d2) pairs from exact bucket
+    * equality of the NEW batch against the full index, hot buckets dropped
+    * by occupancy measured over the UNION. Carries only (vec_id, bucket) —
+    * the parquet scans are column-pruned to two slim columns (ReadSchema
+    * shows no `e`), and no exchange in this subtree moves an embedding
+    * (IncrementalDedupSpec plan-asserts it). Lazy — [[merge]] executes it.
+    */
+  private[graft] def candidatePairs(slimNew: DataFrame, slimAll: DataFrame,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cold = slimAll.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= cap).select(col("bucket"))
+    slimNew.join(broadcast(cold), "bucket").as("a")
+      .join(slimAll.join(broadcast(cold), "bucket").as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+      .dropDuplicates("d1", "d2")
+  }
+
   /** Ingest `newVecs` (a (vec_id, embedding) projection with vec_ids
     * disjoint from prior ingests); returns the new generation number.
+    *
+    * The occupancy cap ([[Similarity.maxBucketOccupancy]], pinned in
+    * `_CONFIG`) is evaluated over the UNION at each merge. While no
+    * bucket ever crosses it, incremental = one-shot exactly (the d11
+    * parity contract). If a bucket crosses the cap mid-history, pairs
+    * found while it was cold stay merged — the incremental clustering is
+    * then a SUPERSET of the one-shot's in that bucket, never wrong
+    * (every pair was exact-cosine-verified when admitted); the cap's job
+    * is bounding candidate fan-out, and recall in a capped bucket is
+    * forfeited by design in both computations.
     */
   def merge(spark: SparkSession, stateDir: String, newVecs: DataFrame,
-      threshold: Double = 0.4): Int = {
+      threshold: Double = 0.4,
+      cap: Int = Similarity.maxBucketOccupancy): Int = {
     // pin the verification regime across ingests (see GenState.checkConfig)
-    GenState.checkConfig(spark, stateDir, Map("threshold" -> threshold.toString))
+    GenState.checkConfig(spark, stateDir,
+      Map("threshold" -> threshold.toString, "cap" -> cap.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
 
@@ -56,25 +91,30 @@ object IncrementalEmbedding {
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
       .withColumn("bucket", call_function("srp_bucket", col("e")))
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
-    val newIdx = spark.read.parquet(vecsPath(stateDir, next))
 
-    // 2. candidates: new side vs the UNION of all generations' index rows
-    // on exact bucket equality; verification mirrors d6 exactly (rounded
-    // cosine against the threshold)
+    // 2. SLIM candidates: new side vs the UNION of all generations on
+    // exact bucket equality — both scans pruned to (vec_id, bucket), no
+    // vector payload in the candidate join
     val allPaths = completeVersions(spark, stateDir)
       .map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
-    val fullIdx = spark.read.parquet(allPaths: _*)
-    val cos = call_function("array_dot", col("a.e"), col("b.e")) /
-      (col("a.nrm") * col("b.nrm"))
-    val pairs = newIdx.as("a")
-      .join(fullIdx.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
-        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"),
-        round(cos, 6).as("cosine"))
-      .where(col("cosine") >= threshold)
+    val slimNew = spark.read.parquet(vecsPath(stateDir, next))
+      .select(col("vec_id"), col("bucket"))
+    val slimAll = spark.read.parquet(allPaths: _*)
+      .select(col("vec_id"), col("bucket"))
+    val cand = candidatePairs(slimNew, slimAll, cap)
+
+    // 3. verify: payloads joined back BY KEY from the same generation
+    // files (pruned to vec_id/e/nrm — one vector per corpus row crosses
+    // the wire, not one per candidate); cosine mirrors d6 exactly
+    val pay = spark.read.parquet(allPaths: _*)
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val p1 = pay.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
+    val p2 = pay.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
+    val cos = call_function("array_dot", col("e1"), col("e2")) /
+      (col("n1") * col("n2"))
+    val pairs = cand.join(p1, "d1").join(p2, "d2")
+      .where(round(cos, 6) >= threshold)
       .select(col("d1"), col("d2"))
-      .dropDuplicates("d1", "d2")
 
     // 3. seeded CC: previous labeling as pre-contracted star edges
     val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))

@@ -100,23 +100,106 @@ object Similarity {
   def lshBucket(e: Column): Column =
     call_function("srp_bucket", e)
 
-  /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
-    * equality (same deterministic hyperplanes as [[annLsh]]), verified by
-    * exact cosine >= threshold. The near-dup analog of MinHash-LSH for the
-    * embedding space: one shuffle on bucket, candidate count bounded by
-    * bucket geometry, never all-pairs.
+  /** Per-bucket occupancy cap for SRP candidate generation (d6/d11/d14/
+    * d16) — the embedding-space twin of [[Dedup.maxShingleDf]]: a bucket
+    * holding more than this many vectors is dropped from candidate
+    * generation entirely, so one degenerate hot bucket (the all-zeros
+    * region, a mode-collapsed encoder) cannot make the pair join
+    * quadratic — worst-case candidate output is O(buckets · cap²),
+    * corpus-independent. The oracle applies the identical cap. Recall in a
+    * capped bucket is forfeited BY DESIGN (precision is untouched — every
+    * emitted pair is still exact-cosine-verified); near-dups concentrate
+    * in ordinary buckets, and a bucket past the cap is evidence the
+    * geometry (plane count) is too coarse for the corpus — the fix at
+    * scale is more planes or banding ([[srpBandedPairs]]), not unbounded
+    * fan-out.
     */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val v = withNorm(Tables.embeddings(spark, dir))
-      .withColumn("bucket", lshBucket(col("e")))
-      .repartition(col("vec_id"))
-    val b = v.select(col("vec_id").as("v2"), col("e").as("ne"),
-      col("nrm").as("nn"), col("bucket").as("nb"))
-    val cos = dot(col("e"), col("ne")) / (col("nrm") * col("nn"))
-    v.join(b, col("bucket") === col("nb") && col("vec_id") < col("v2"))
-      .select(col("vec_id").as("v1"), col("v2"), round(cos, 6).as("cosine"))
+  val maxBucketOccupancy = 100
+
+  /** Slim candidate phase shared by d6/d11: (v1, v2) pairs from exact
+    * bucket equality, hot buckets dropped. The self-join carries ONLY
+    * (vec_id, bucket) — the embedding payload never enters a candidate
+    * shuffle (SCALE.md's slim-candidate rule; at 100 TB the old
+    * vector-carrying join duplicated every embedding once per candidate
+    * pair in shuffle writes). One exchange on bucket feeds the occupancy
+    * aggregation and both self-join sides (ReuseExchange); the cap table
+    * is ≤ 2^numPlanes rows, broadcast.
+    */
+  private[graft] def cappedCandidatePairs(spark: SparkSession, dir: String,
+      cap: Int = maxBucketOccupancy): DataFrame = {
+    val slim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+      .repartition(col("bucket"))
+    val cold = slim.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= cap).select(col("bucket"))
+    val c = slim.join(broadcast(cold), "bucket")
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+  }
+
+  /** Exact-cosine verification of slim (v1, v2) candidate pairs: the
+    * embedding payloads are joined back BY KEY — two 1:1 equi-joins on
+    * vec_id, each carrying one vector per corpus row, not one per
+    * candidate pair. Shared by d6, d16 and (shape-wise) d14.
+    */
+  private[graft] def verifyPairs(spark: SparkSession, dir: String,
+      pairs: DataFrame, threshold: Double): DataFrame = {
+    val pay = withNorm(Tables.embeddings(spark, dir))
+    val p1 = pay.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
+    val p2 = pay.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
+    val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
+    pairs.join(p1, "v1").join(p2, "v2")
+      .select(col("v1"), col("v2"), round(cos, 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from LSH bucket
+    * equality (same deterministic hyperplanes as [[annLsh]]), hot buckets
+    * capped ([[maxBucketOccupancy]]), verified by exact cosine >=
+    * threshold. The near-dup analog of MinHash-LSH for the embedding
+    * space: one slim shuffle on bucket, candidate count bounded by
+    * bucket geometry AND the occupancy cap, never all-pairs.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    verifyPairs(spark, dir, cappedCandidatePairs(spark, dir), threshold)
+
+  /** Band count × width for the multi-band SRP OR-construction (d16). */
+  val srpBands = 4
+  val srpBandWidth = 8
+
+  /** d16: multi-band SRP near-dup pairs — the RECALL-preserving way to use
+    * a wider signature. One 32-plane signature per vector (one codegen
+    * pass; plane p is width-independent, so band 0 is exactly the d6
+    * bucket), sliced into 4 × 8-bit band keys: vectors are candidates when
+    * ANY band matches (OR-construction, the d3 MinHash-LSH geometry in
+    * sign space). Versus one 8-bit bucket: the bucket DOMAIN per band is
+    * the same 256 values, but 4 independent chances at collision push
+    * near-dup recall toward 1 while the occupancy cap still bounds every
+    * band's fan-out; versus one 32-bit bucket: ~4 B distinct keys would
+    * shatter genuine near-dups apart (0.63^32 ≈ 4e-7 collision at
+    * cosine 0.4). Key space = bands × 2^width, so join parallelism scales
+    * with the banding, not a fixed 256.
+    */
+  def srpBandedPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val nP = srpBands * srpBandWidth
+    val bandKeys = (0 until srpBands).map { b =>
+      concat(lit(s"$b:"), substring(col("sig"), b * srpBandWidth + 1, srpBandWidth))
+    }
+    val slim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        call_function("srp_bucket", col("embedding"), lit(nP)).as("sig"))
+      .select(col("vec_id"), explode(array(bandKeys: _*)).as("bkey"))
+      .repartition(col("bkey"))
+    val cold = slim.groupBy(col("bkey")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= maxBucketOccupancy).select(col("bkey"))
+    val c = slim.join(broadcast(cold), "bkey")
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .dropDuplicates("v1", "v2")
+    verifyPairs(spark, dir, pairs, threshold)
   }
 
   /** Duplicate clusters in EMBEDDING space (d11): connected components

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+import graft.ops.Similarity
+
+/** Scale-safe embedding candidate geometry (the round-8 weak family):
+  *
+  *   1. hot buckets are CAPPED — a degenerate bucket (mode-collapsed
+  *      encoder region) past [[Similarity.maxBucketOccupancy]] generates
+  *      zero candidate pairs instead of O(occ²);
+  *   2. the candidate join is SLIM — no exchange below the pair phase
+  *      carries an embedding column (vectors are joined back by vec_id
+  *      only for surviving pairs);
+  *   3. the SRP plane count is a dial — `srp_bucket(e, n)` widths are
+  *      prefix-consistent, so banding one wide signature is sound, and
+  *      the banded OR-construction (d16) is a recall superset of the
+  *      single-bucket pairs (d6).
+  */
+class EmbeddingGeometrySpec extends SparkSpec {
+
+  /** Every Exchange (shuffle or broadcast) in the executed plan, including
+    * inside AQE's wrapped subtrees.
+    */
+  private def exchanges(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // AQE hides finalized exchanges inside leaf query stages
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case e: Exchange => Seq(e)
+      case r: ReusedExchangeExec => Seq(r)
+      case _ => Nil
+    }) ++ kids.flatMap(exchanges)
+  }
+
+  test("planted hot bucket: candidate pairs are capped, not quadratic") {
+    import spark.implicits._
+    // 150 copies of one direction (one hot bucket, occupancy > cap) plus
+    // two genuine near-dup pairs in distinct buckets
+    val hot = (0 until 150).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val cold = Seq(
+      (1000L, Array(-1.0f, 5.0f, -2.0f, 0.5f)), (1001L, Array(-1.0f, 5.1f, -2.0f, 0.5f)),
+      (2000L, Array(4.0f, -3.0f, 1.0f, -6.0f)), (2001L, Array(4.1f, -3.0f, 1.0f, -6.0f)))
+    val dirless = (hot ++ cold).toDF("vec_id", "embedding")
+    dirless.createOrReplaceTempView("geom_embeddings")
+
+    // same construction as cappedCandidatePairs, against the temp view
+    val slim = spark.table("geom_embeddings")
+      .select(col("vec_id"), call_function("srp_bucket", col("embedding")).as("bucket"))
+      .repartition(col("bucket"))
+    val coldB = slim.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= Similarity.maxBucketOccupancy).select(col("bucket"))
+    val c = slim.join(broadcast(coldB), "bucket")
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the hot bucket's 150·149/2 = 11175 pairs are GONE; the cold pairs
+    // survive (cap bounds cost without touching ordinary buckets)
+    assert(!got.exists(_._1 < 150), s"hot-bucket pairs leaked: ${got.take(5)}")
+    assert(got.contains((1000L, 1001L)) && got.contains((2000L, 2001L)),
+      s"cold-bucket near-dup candidates lost: $got")
+    assert(got.size <= 4, s"unexpected candidate blow-up: ${got.size} pairs")
+  }
+
+  private def assertSlimExchanges(df: DataFrame, what: String): Unit = {
+    df.collect() // force AQE to finalize the real plan
+    val exs = exchanges(df.queryExecution.executedPlan)
+    assert(exs.nonEmpty, s"$what: expected at least one exchange")
+    for (e <- exs; a <- e.output) {
+      assert(!a.dataType.isInstanceOf[ArrayType],
+        s"$what: exchange carries array column '${a.name}' — candidate " +
+          s"phase must be slim:\n${e.treeString}")
+    }
+  }
+
+  test("d6 candidate phase: no exchange carries an embedding column") {
+    assertSlimExchanges(Similarity.cappedCandidatePairs(spark, sf0001),
+      "d6 cappedCandidatePairs")
+  }
+
+  test("d14 candidate phase: generation scans pruned to (vec_id, bucket); slim exchanges") {
+    val state = graft.util.TmpDirs.scratch("graft_geom_d14_").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 0))
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 1))
+
+    // the candidate frame exactly as merge builds it over the committed
+    // generations
+    val paths = graft.ops.IncrementalEmbedding.completeVersions(spark, state)
+      .map(v => s"$state/v$v/vecs")
+    val slimNew = spark.read.parquet(paths.last).select(col("vec_id"), col("bucket"))
+    val slimAll = spark.read.parquet(paths: _*).select(col("vec_id"), col("bucket"))
+    val cand = graft.ops.IncrementalEmbedding.candidatePairs(slimNew, slimAll,
+      Similarity.maxBucketOccupancy)
+    assertSlimExchanges(cand, "d14 candidatePairs")
+
+    // column pruning reached the parquet scan: ReadSchema has no `e`
+    val scans = cand.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(scans).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("e:array")),
+      s"generation scan reads the vector payload in the candidate phase:\n$readSchemas")
+  }
+
+  test("srp_bucket widths are prefix-consistent; banded pairs (d16) ⊇ bucket pairs (d6)") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val bad = e.select(
+        call_function("srp_bucket", col("embedding")).as("b8"),
+        call_function("srp_bucket", col("embedding"), lit(32)).as("b32"))
+      .where(substring(col("b32"), 1, 8) =!= col("b8")).count()
+    assert(bad == 0, "8-plane bucket is not a prefix of the 32-plane signature")
+
+    val d6 = Similarity.embeddingNearDupPairs(spark, sf0001)
+      .select("v1", "v2").collect().map(_.toSeq).toSet
+    val d16 = Similarity.srpBandedPairs(spark, sf0001)
+      .select("v1", "v2").collect().map(_.toSeq).toSet
+    assert(d6.subsetOf(d16),
+      s"band 0 equals the d6 bucket, so d16 must be a superset; missing: ${d6 -- d16}")
+  }
+}
