@@ -218,6 +218,12 @@ object SparkEntry {
     // Real vocab-based BPE: greedy ranked merges + token ids, the DuckDB
     // oracle replays the merge loop with a recursive CTE.
     "t12_bpe_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeVocabTokens(s, d)),
+    // BPE merge TRAINING: learn the ranked merge table from the corpus
+    // (greedy argmax rounds over the word-frequency vocab); the oracle
+    // unrolls the same fixed round count.
+    "t13_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrainTable(s, d)),
+    // t12's counting on the LEARNED table — train + tokenize end to end.
+    "t14_bpe_learned_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeLearnedTokens(s, d)),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     // Streaming incremental dedup: each micro-batch foreachBatch-merged
@@ -329,6 +335,104 @@ object SparkEntry {
       |ham AS (SELECT d1, d2,
       |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 33)]) AS INT) AS hamming
       |        FROM cand)""".stripMargin
+
+  /** Unrolled BPE TRAINING replay (t13/t14): exactly
+    * [[graft.ops.TextAnalysis.trainBpeMerges]]'s semantics — the
+    * word-frequency vocab, then `bpeTrainRounds` rounds of
+    * (adjacent-pair count weighted by word freq → argmax with the
+    * count-desc/pair-asc tie-break → apply the winning merge). The s5
+    * Lloyd's precedent: a FIXED round count so the replay is a finite
+    * unroll, no golden values anywhere.
+    *
+    * Applying one merge is NON-recursive on purpose: a word's symbol
+    * state is a delimited string (single space at the ends, double space
+    * between symbols — a symbol can never contain a space, the words were
+    * split on it), and the leftmost-to-fixpoint merge loop over ONE pair
+    * equals one left-to-right non-overlapping `replace` — the pattern
+    * `' a  b '` keeps one boundary space on each side so adjacent
+    * occurrences still match, and a merge's output can never recreate its
+    * own pair (`ab = a` or `ab = b` is impossible by length). Applying
+    * merges IN RANK ORDER equals the trainer's greedy lowest-rank
+    * re-encode because a learned pair's symbols are always outputs of
+    * strictly earlier merges. Every CTE is MATERIALIZED: the first draft
+    * used a per-round recursive re-encode walk, and DuckDB re-evaluated
+    * the nested CTE chain per reference — exponential in rounds (87 s at
+    * sf0.001); this form is one cheap scan per round.
+    */
+  private def bpeTrainCtes: String = {
+    val lst = "string_split(trim(s, ' '), '  ')"
+    val pairs = s"[l[i] || ' ' || l[i+1] for i in range(1, len(l))]"
+    val rounds = (0 until graft.ops.TextAnalysis.bpeTrainRounds).map { r =>
+      // coalesce to an unmatchable chr(1) pattern if the corpus ran out of
+      // pairs before round r (the Scala trainer just stops learning)
+      val pat = s"coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r), chr(1))"
+      val rep = s"coalesce((SELECT ' ' || replace(pair, ' ', '') || ' ' FROM m$r), chr(1))"
+      s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+         |    SELECT f, unnest($pairs) AS pair
+         |    FROM (SELECT f, $lst AS l FROM s$r))
+         |  GROUP BY pair),
+         |m$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |s${r + 1} AS MATERIALIZED (SELECT w, f, replace(s, $pat, $rep) AS s FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""dw AS MATERIALIZED (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+       |v0 AS MATERIALIZED (SELECT w, count(*) AS f FROM dw GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, f,
+       |    ' ' || array_to_string([w[i] for i in range(1, length(w)+1)], '  ') || ' ' AS s
+       |  FROM v0),
+       |$rounds""".stripMargin
+  }
+
+  /** Checked-in-table BPE encode replay shared by t12 and c4: CTEs `dw`
+    * (the exploded word stream carrying `keyCols`), the distinct vocab,
+    * the greedy lowest-rank/leftmost merge walk to fixpoint (rank/id CASE
+    * tables interpolated from the SAME [[graft.exprs.BpeStats.merges]]
+    * constant the native expression parses), and `wid` — per-word
+    * (ntok, idsum); ids are base-alphabet (ascii−baseLo) for single chars,
+    * baseSize+rank for merge outputs, unknown −1. Callers join `dw` (with
+    * multiplicity) back to `wid`.
+    */
+  private def bpeWidCtes(keyCols: String): String = {
+    import graft.exprs.BpeStats
+    val sentinel = 999999
+    val rankCase = (i: String) =>
+      s"CASE syms[$i] || ' ' || syms[$i+1] " +
+        BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
+          s"WHEN '$a $b' THEN $r" }.mkString(" ") + s" ELSE $sentinel END"
+    val mergedIdCase = "CASE sym " +
+      BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
+        s"WHEN '$a$b' THEN ${BpeStats.baseSize + r}" }.mkString(" ") + " ELSE -1 END"
+    s"""dw AS (
+      |  SELECT $keyCols, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |wrd AS (SELECT DISTINCT w FROM dw),
+      |s0 AS (SELECT w, [w[i] for i in range(1, length(w)+1)] AS syms FROM wrd),
+      |steps(w, syms) AS (
+      |  SELECT w, syms FROM s0
+      |  UNION ALL
+      |  SELECT w,
+      |    syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
+      |  FROM (SELECT w, syms, coalesce(list_min(rks), $sentinel) AS mr,
+      |          list_position(rks, list_min(rks)) AS p
+      |        FROM (SELECT w, syms,
+      |                [${rankCase("i")} for i in range(1, len(syms))] AS rks
+      |              FROM steps))
+      |  WHERE mr < $sentinel),
+      |fin AS (
+      |  SELECT w, syms
+      |  FROM (SELECT w, syms,
+      |          coalesce(list_min([${rankCase("i")} for i in range(1, len(syms))]),
+      |                   $sentinel) AS mr
+      |        FROM steps)
+      |  WHERE mr >= $sentinel),
+      |wid AS (
+      |  SELECT w, count(*) AS ntok, sum(
+      |    CASE WHEN length(sym) = 1
+      |         THEN CASE WHEN ascii(sym) BETWEEN ${BpeStats.baseLo} AND ${BpeStats.baseHi}
+      |                   THEN ascii(sym) - ${BpeStats.baseLo} ELSE -1 END
+      |         ELSE $mergedIdCase END) AS idsum
+      |  FROM (SELECT w, unnest(syms) AS sym FROM fin)
+      |  GROUP BY w)""".stripMargin
+  }
 
   /** First-k-centroid IVF oracle, parameterized by cell count (s3/s6). */
   private def ivfFirstKOracle(cells: Int): String =
@@ -1354,47 +1458,45 @@ object SparkEntry {
     // A word's final row is the one where no pair is mergeable
     // (sentinel rank); ids are base-alphabet (ascii−33) for single chars
     // and baseSize+rank for merge outputs, unknown −1.
-    "t12_bpe_tokens" -> {
+    "t12_bpe_tokens" ->
+      s"""WITH RECURSIVE ${bpeWidCtes("lang")}
+        |SELECT lang, count(*) AS n_words,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(idsum) AS BIGINT) AS sum_token_id
+        |FROM dw JOIN wid USING (w)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // BPE training replayed round by round (fixed unroll — see
+    // bpeTrainCtes); the learned table itself is the result.
+    "t13_bpe_train" -> {
+      val R = graft.ops.TextAnalysis.bpeTrainRounds
+      val union = (0 until R).map(r =>
+        s"SELECT $r AS rank, pair, n AS freq FROM m$r").mkString(" UNION ALL ")
+      s"""WITH
+        |${bpeTrainCtes}
+        |SELECT rank, pair, freq FROM ($union) ORDER BY rank""".stripMargin
+    },
+
+    // Train, then tokenize with what was learned: final encoded vocab
+    // state s{R} + last-wins merge-output ids, aggregated per language
+    // (t12's output shape).
+    "t14_bpe_learned_tokens" -> {
       import graft.exprs.BpeStats
-      val sentinel = 999999
-      val rankCase = (i: String) =>
-        s"CASE syms[$i] || ' ' || syms[$i+1] " +
-          BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
-            s"WHEN '$a $b' THEN $r" }.mkString(" ") + s" ELSE $sentinel END"
-      val mergedIdCase = "CASE sym " +
-        BpeStats.merges.zipWithIndex.map { case ((a, b), r) =>
-          s"WHEN '$a$b' THEN ${BpeStats.baseSize + r}" }.mkString(" ") + " ELSE -1 END"
-      s"""WITH RECURSIVE dw AS (
-        |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |  FROM documents),
-        |wrd AS (SELECT DISTINCT w FROM dw),
-        |s0 AS (SELECT w, [w[i] for i in range(1, length(w)+1)] AS syms FROM wrd),
-        |steps(w, syms) AS (
-        |  SELECT w, syms FROM s0
-        |  UNION ALL
-        |  SELECT w,
-        |    syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:]
-        |  FROM (SELECT w, syms, coalesce(list_min(rks), $sentinel) AS mr,
-        |          list_position(rks, list_min(rks)) AS p
-        |        FROM (SELECT w, syms,
-        |                [${rankCase("i")} for i in range(1, len(syms))] AS rks
-        |              FROM steps))
-        |  WHERE mr < $sentinel),
-        |fin AS (
-        |  SELECT w, syms
-        |  FROM (SELECT w, syms,
-        |          coalesce(list_min([${rankCase("i")} for i in range(1, len(syms))]),
-        |                   $sentinel) AS mr
-        |        FROM steps)
-        |  WHERE mr >= $sentinel),
-        |wid AS (
-        |  SELECT w, count(*) AS ntok, sum(
-        |    CASE WHEN length(sym) = 1
+      val R = graft.ops.TextAnalysis.bpeTrainRounds
+      val mg = (0 until R).map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
+      s"""WITH
+        |${bpeTrainCtes},
+        |mg AS ($mg),
+        |ids AS (SELECT replace(pair, ' ', '') AS osym, ${BpeStats.baseSize} + max(r) AS id
+        |        FROM mg GROUP BY 1),
+        |fs AS (SELECT w, unnest(string_split(trim(s, ' '), '  ')) AS sym FROM s$R),
+        |wid AS (SELECT fs.w, count(*) AS ntok,
+        |    sum(CASE WHEN length(sym) = 1
         |         THEN CASE WHEN ascii(sym) BETWEEN ${BpeStats.baseLo} AND ${BpeStats.baseHi}
-        |                   THEN ascii(sym) - ${BpeStats.baseLo} ELSE -1 END
-        |         ELSE $mergedIdCase END) AS idsum
-        |  FROM (SELECT w, unnest(syms) AS sym FROM fin)
-        |  GROUP BY w)
+        |              THEN ascii(sym) - ${BpeStats.baseLo} ELSE -1 END
+        |         ELSE coalesce(i.id, -1) END) AS idsum
+        |  FROM fs LEFT JOIN ids i ON fs.sym = i.osym
+        |  GROUP BY fs.w)
         |SELECT lang, count(*) AS n_words,
         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |  CAST(sum(idsum) AS BIGINT) AS sum_token_id
@@ -1508,10 +1610,17 @@ object SparkEntry {
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     // Sequence packing: pack id = floor(per-language token prefix-sum /
-    // capacity); capacity interpolated from Corpus.packTokens.
+    // capacity); capacity interpolated from Corpus.packTokens. Token
+    // counts are the REAL BPE counts — the same t12 merge-walk replay
+    // (bpeWidCtes), summed per document; a doc whose every word drops
+    // would still pack with ntok 0 (LEFT JOIN + coalesce).
     "c4_pack" ->
-      s"""WITH t AS (SELECT lang, doc_id,
-        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok FROM documents),
+      s"""WITH RECURSIVE ${bpeWidCtes("lang, doc_id")},
+        |dt AS (SELECT lang, doc_id, CAST(sum(ntok) AS BIGINT) AS ntok
+        |       FROM dw JOIN wid USING (w) GROUP BY lang, doc_id),
+        |t AS (SELECT d.lang, d.doc_id, coalesce(dt.ntok, 0) AS ntok
+        |      FROM documents d LEFT JOIN dt
+        |        ON d.lang = dt.lang AND d.doc_id = dt.doc_id),
         |c AS (SELECT lang, doc_id, ntok,
         |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)

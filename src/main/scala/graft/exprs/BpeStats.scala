@@ -57,6 +57,40 @@ case class BpeStats(child: Expression, spec: String) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `bpe_pairs(word, merge_spec)` — the pair-count primitive of BPE
+  * TRAINING (t13): encode ONE word with the ranked merge table (the same
+  * greedy lowest-rank loop as `bpe_stats`), then return its adjacent
+  * symbol pairs as `"a b"` strings, with multiplicity and in order. The
+  * trainer explodes this over the word-frequency vocabulary, weights by
+  * frequency, and takes the argmax — one groupBy per training round.
+  * Input is a single whitespace-free word (the vocab is built with
+  * `ws_tokens`), not a document.
+  */
+case class BpePairs(child: Expression, spec: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_pairs requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pairs"
+
+  @transient private lazy val table: BpeTable = BpeStats.parse(spec)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeStats.pairsOf(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("bpeTable", table, "graft.exprs.BpeTable")
+      s"${ev.value} = graft.exprs.BpeStats.pairsOf($c.toString(), $ref);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
+    copy(child = newChild)
+}
+
 /** Parsed merge table + word-encoding memo (top-level class so the codegen
   * reference-object type name is plain Java).
   */
@@ -107,7 +141,8 @@ object BpeStats {
   def parse(spec: String): BpeTable = {
     val ranks = new java.util.HashMap[String, Integer]
     val ids = new java.util.HashMap[String, java.lang.Long]
-    spec.split(";").zipWithIndex.foreach { case (s, i) =>
+    // empty spec = no merges yet (training round 0 counts raw char pairs)
+    spec.split(";").filter(_.nonEmpty).zipWithIndex.foreach { case (s, i) =>
       val p = s.split(" ", 2)
       ranks.put(s"${p(0)} ${p(1)}", i)
       ids.put(p(0) + p(1), (baseSize + i).toLong)
@@ -121,7 +156,10 @@ object BpeStats {
     */
   val memoCap = 100000
 
-  private def encodeWord(w: String, t: BpeTable): (Long, Long) = {
+  /** The word's final symbol sequence under the merge loop — shared by
+    * token counting (t12) and pair counting for training (t13).
+    */
+  private def encodeSymbols(w: String, t: BpeTable): java.util.ArrayList[String] = {
     // split by CODEPOINT, not UTF-16 unit: a supplementary-plane character
     // is ONE initial symbol (one unknown token), matching the oracle's
     // per-character indexing — charAt would split it into two surrogates
@@ -148,6 +186,11 @@ object BpeStats {
         syms.remove(bestPos + 1)
       }
     }
+    syms
+  }
+
+  private def encodeWord(w: String, t: BpeTable): (Long, Long) = {
+    val syms = encodeSymbols(w, t)
     var n = 0L
     var sum = 0L
     var j = 0
@@ -157,6 +200,20 @@ object BpeStats {
       j += 1
     }
     (n, sum)
+  }
+
+  /** Adjacent symbol pairs (as "a b", with multiplicity) of ONE word after
+    * encoding with `t` — the [[BpePairs]] kernel.
+    */
+  def pairsOf(word: String, t: BpeTable): ArrayData = {
+    val syms = encodeSymbols(word, t)
+    val out = new Array[Any](math.max(0, syms.size - 1))
+    var j = 0
+    while (j < syms.size - 1) {
+      out(j) = UTF8String.fromString(s"${syms.get(j)} ${syms.get(j + 1)}")
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   def compute(text: String, t: BpeTable): ArrayData = {
@@ -188,5 +245,17 @@ object BpeStats {
         if (cs.length != 2 || !cs(1).foldable) throw new IllegalArgumentException(
           "bpe_stats expects (text, constant merge spec)")
         BpeStats(cs.head, cs(1).eval().asInstanceOf[UTF8String].toString)
+      })
+
+  val pairsRegistration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("bpe_pairs"),
+      new ExpressionInfo(classOf[BpePairs].getName, "bpe_pairs"),
+      (cs: Seq[Expression]) => {
+        if (cs.length != 2 || !cs(1).foldable) throw new IllegalArgumentException(
+          "bpe_pairs expects (word, constant merge spec)")
+        BpePairs(cs.head, cs(1).eval() match {
+          case null => ""
+          case s => s.asInstanceOf[UTF8String].toString
+        })
       })
 }

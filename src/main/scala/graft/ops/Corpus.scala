@@ -179,8 +179,10 @@ object Corpus {
     * goes to the pack its cumulative token count STARTS in
     * (`floor(prefix_sum / capacity)`), so packs are contiguous runs of the
     * per-language doc_id order and every pack except a stream's last holds
-    * ≥ capacity tokens once its straddling doc arrives. Output is the pack
-    * manifest: doc count, token count, and the doc_id span per pack.
+    * ≥ capacity tokens once its straddling doc arrives. A doc longer than
+    * the capacity advances the cursor several pack widths (still ONE pack
+    * for that doc), so pack ids may skip. Output is the pack manifest:
+    * doc count, token count, and the doc_id span per pack.
     *
     * Scale design: prefix sums need a total order, which is inherently
     * sequential — so the order is scoped PER LANGUAGE (the window
@@ -188,13 +190,19 @@ object Corpus {
     * 100 TB corpus would scope it per (shard, language) with the same
     * expression. One shuffle on lang for the window, one partial-agg
     * shuffle for the manifest; nothing else moves.
+    *
+    * Token counts are REAL BPE counts (`bpe_stats`'s merge loop over the
+    * checked-in t12 table, one compiled pass) — pack capacity in model
+    * tokens, not the whitespace proxy a trainer never sees.
     */
   def pack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
-      .select(col("lang"), col("doc_id"), size(tokens(col("text"))).as("ntok"))
+      .select(col("lang"), col("doc_id"),
+        element_at(call_function("bpe_stats", col("text"),
+          lit(graft.exprs.BpeStats.spec)), 2).as("ntok"))
       .withColumn("cum", sum(col("ntok")).over(w))
       .withColumn("pack_id",
         floor((col("cum") - col("ntok")) / lit(packTokens.toDouble)).cast("bigint"))

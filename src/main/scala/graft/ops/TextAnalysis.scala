@@ -282,6 +282,84 @@ object TextAnalysis {
         sum(element_at(col("b"), 3)).as("sum_token_id"))
       .orderBy(col("lang"))
 
+  /** Fixed training-round count for [[trainBpeMerges]] — a constant so the
+    * DuckDB oracle unrolls exactly this many argmax+re-encode rounds (the
+    * s5 Lloyd's-iterations precedent).
+    */
+  val bpeTrainRounds = 6
+
+  /** t13: LEARN the ranked BPE merge table from the corpus — the step t12
+    * (which applies a checked-in table) was missing; without it the
+    * tokenizer cannot adapt to a new corpus. Classic greedy BPE training,
+    * Spark-shaped:
+    *
+    *   1. one corpus pass reduces to the word-frequency VOCABULARY
+    *      (`ws_tokens` explode + groupBy word) — after this, training cost
+    *      scales with |vocab| (Zipf: ≪ corpus), the shape every real BPE
+    *      trainer (Sennrich's subword-nmt, fastBPE) uses;
+    *   2. per round: encode every vocab word with the merges learned so
+    *      far and emit its adjacent symbol pairs (ONE compiled `bpe_pairs`
+    *      pass — the t12 merge-loop machinery), weight by word frequency,
+    *      groupBy pair, and take the argmax. The winning pair is model
+    *      metadata (a 1-row collect, the s5 centroid precedent);
+    *      tie-break: highest count, then lexicographically smallest pair —
+    *      deterministic on both engines.
+    *
+    * Re-encoding from scratch each round (rather than patching the prior
+    * encoding) is sound because a trained table always ranks a merge
+    * after the merges that build its components, making the greedy
+    * lowest-rank loop equal to in-order application; it keeps every round
+    * a pure function of (vocab, merges) — no mutable corpus state.
+    *
+    * Scale: one corpus shuffle (vocab build, memoized behind a lazy
+    * localCheckpoint), then `rounds` vocab-sized aggregations each ending
+    * in a 1-row collect. At 100 TB the vocab is maybe 10⁷ rows — each
+    * round is a small map+shuffle job, and the corpus is never re-read.
+    */
+  def trainBpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = bpeTrainRounds): Seq[(Int, String, Long)] = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(call_function("ws_tokens", col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+    var learned = List.empty[(Int, String, Long)]
+    for (r <- 0 until rounds) {
+      val spec = learned.reverse.map(_._2).mkString(";")
+      val top = vocab
+        .select(col("freq"),
+          explode(call_function("bpe_pairs", col("word"), lit(spec))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) learned ::= ((r, top(0).getString(0), top(0).getLong(1)))
+    }
+    learned.reverse
+  }
+
+  /** The learned merge table as a query result: (rank, pair, freq). */
+  def bpeTrainTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainBpeMerges(spark, dir).toDF("rank", "pair", "freq").orderBy(col("rank"))
+  }
+
+  /** t14: t12's token counting run on the LEARNED table — the full loop
+    * closed: train on the corpus, then tokenize the corpus with what was
+    * learned. Same output shape as [[bpeVocabTokens]]; the oracle replays
+    * training AND encoding, so a single divergent merge anywhere flips
+    * every count downstream.
+    */
+  def bpeLearnedTokens(spark: SparkSession, dir: String): DataFrame = {
+    val spec = trainBpeMerges(spark, dir).map(_._2).mkString(";")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        call_function("bpe_stats", col("text"), lit(spec)).as("b"))
+      .groupBy(col("lang"))
+      .agg(sum(element_at(col("b"), 1)).as("n_words"),
+        sum(element_at(col("b"), 2)).as("n_tokens"),
+        sum(element_at(col("b"), 3)).as("sum_token_id"))
+      .orderBy(col("lang"))
+  }
+
   /** Golden corpus for [[redactPii]] — the synthetic `documents` table
     * contains no PII-shaped strings, so the redaction op is exercised over
     * an inline corpus (one definition: these rows are interpolated into

@@ -69,6 +69,13 @@ class BpeStatsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
     val rows = packed.collect()
     assert(rows.nonEmpty)
+    // and Corpus.pack IS this construction now — its manifest matches the
+    // hand-built BPE packer exactly (both directions)
+    val real = graft.ops.Corpus.pack(spark, sf0001)
+      .select(col("lang"), col("pack_id"), col("n_docs"), col("n_tokens"))
+    val hand = packed.select(col("lang"), col("pack_id").cast("bigint").as("pack_id"),
+      col("n_docs"), col("n_tokens"))
+    assert(real.exceptAll(hand).count() == 0 && hand.exceptAll(real).count() == 0)
     // every pack except possibly the last per language is filled past the
     // capacity boundary logic: n_tokens of a non-final pack ≥ capacity − max doc
     assert(rows.forall(_.getAs[Long]("n_tokens") > 0))
@@ -79,5 +86,42 @@ class BpeStatsSpec extends SparkSpec {
           size(graft.ops.Text.tokens(col("text"))).cast("long").as("ws")), "doc_id")
       .where(col("ntok") <= col("ws")).count()
     assert(cmp == 0, "BPE token counts should exceed whitespace counts on this corpus")
+  }
+
+  test("t13 trainer: learned table is well-formed and composable") {
+    val learned = graft.ops.TextAnalysis.trainBpeMerges(spark, sf0001)
+    assert(learned.map(_._1) == (0 until graft.ops.TextAnalysis.bpeTrainRounds))
+    // greedy argmax: each round's winning count never exceeds the prior
+    // round's (merging can only remove occurrences of other pairs, and a
+    // bigger-count pair would have won earlier)
+    assert(learned.map(_._3).sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+    // trained-table invariant (what makes in-order application == greedy
+    // lowest-rank encode): each pair's symbols are single codepoints or
+    // outputs of STRICTLY earlier merges
+    learned.zipWithIndex.foreach { case ((_, pair, _), r) =>
+      val earlier = learned.take(r).map { case (_, p, _) => p.split(" ", 2).mkString }.toSet
+      pair.split(" ", 2).foreach { sym =>
+        assert(sym.codePointCount(0, sym.length) == 1 || earlier.contains(sym),
+          s"pair '$pair' at rank $r uses symbol '$sym' not built by an earlier merge")
+      }
+    }
+  }
+
+  test("t14: learned-table tokenization conserves words and tightens counts") {
+    val t12 = graft.ops.TextAnalysis.bpeVocabTokens(spark, sf0001)
+      .select(col("lang"), col("n_words"), col("n_tokens")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val t14 = graft.ops.TextAnalysis.bpeLearnedTokens(spark, sf0001)
+      .select(col("lang"), col("n_words"), col("n_tokens")).collect()
+    assert(t14.nonEmpty)
+    t14.foreach { r =>
+      val (w12, _) = t12(r.getString(0))
+      // same ws-word stream under either merge table
+      assert(r.getLong(1) == w12)
+      // any merge table only ever SHRINKS the per-word symbol count below
+      // the codepoint count; with ≥1 applied merge, strictly fewer tokens
+      // than codepoints and never fewer than words
+      assert(r.getLong(2) >= r.getLong(1))
+    }
   }
 }

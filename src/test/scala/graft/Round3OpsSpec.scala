@@ -13,14 +13,26 @@ class Round3OpsSpec extends SparkSpec {
 
   test("pack: per-language packs are contiguous, conserve tokens, and span disjoint doc ranges") {
     val packs = Corpus.pack(spark, sf0001).cache()
-    // pack ids per lang are 0..max with no gaps
-    val gaps = packs.groupBy("lang")
-      .agg(min("pack_id").as("lo"), max("pack_id").as("hi"), count(lit(1)).as("n"))
-      .where(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
-    assert(gaps.count() == 0)
-    // token conservation: manifest total == corpus total
+    // pack ids start at 0 per lang and each pack's id is exactly
+    // floor(its start offset / capacity) — ids may SKIP when one doc is
+    // longer than the capacity (a BPE-counted doc can span several pack
+    // widths; it still lands in exactly one pack), so "no gaps" is not
+    // the invariant, offset alignment is
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("pack_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val misaligned = packs
+      .withColumn("cumP", sum(col("n_tokens")).over(wc))
+      .where(col("pack_id") =!= floor((col("cumP") - col("n_tokens")) /
+        Corpus.packTokens.toDouble).cast("bigint"))
+    assert(misaligned.count() == 0)
+    assert(packs.groupBy("lang").agg(min("pack_id").as("lo"))
+      .where(col("lo") =!= 0).count() == 0)
+    // token conservation: manifest total == corpus total (REAL BPE counts,
+    // the same bpe_stats the packer itself runs)
     val total = graft.sources.Tables.documents(spark, sf0001)
-      .select(size(filter(split(col("text"), " "), t => t =!= "")).as("n"))
+      .select(element_at(call_function("bpe_stats", col("text"),
+        lit(graft.exprs.BpeStats.spec)), 2).as("n"))
       .agg(sum("n")).head().getLong(0)
     assert(packs.agg(sum("n_tokens")).head().getLong(0) == total)
     // doc ranges per lang are disjoint and increasing with pack_id
