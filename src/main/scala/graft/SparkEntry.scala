@@ -179,6 +179,16 @@ object SparkEntry {
       graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
       graft.ops.IncrementalDedup.clusters(s, state)
     }),
+    // Incremental MinHash-LSH dedup state (the Jaccard modality's d12):
+    // split-ingest into a fresh generational state dir, clusters compared
+    // against reachability over the one-shot d3 pair graph.
+    "d15_minhash_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d15_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalMinHash.clusters(s, state)
+    }),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
     // End-to-end curation verdict: benchmark/quality/duplicate/
@@ -380,6 +390,41 @@ object SparkEntry {
        |    ' ' || array_to_string([w[i] for i in range(1, length(w)+1)], '  ') || ' ' AS s
        |  FROM v0),
        |$rounds""".stripMargin
+  }
+
+  /** The exact rounded Jaccard of two shingle-set columns sh1/sh2 —
+    * shared by the d3 verifier and d15's pair CTE.
+    */
+  private val minhashJacSql =
+    "round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / " +
+      "(len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6)"
+
+  /** MinHash-LSH candidate replay shared by d3 and d15: trigram shingle
+    * sets, the 12 universal-hash minhashes generated from the SAME
+    * constants the Spark operator uses (graft.ops.Dedup.minhashA/B — one
+    * definition, two engines), 4×3 banding, and the band-equality
+    * candidate join; ends at CTE `cand` (d1, d2, sh1, sh2).
+    */
+  private def minhashCandCte: String = {
+    val p = graft.ops.Dedup.minhashP
+    val sigEntries = (0 until graft.ops.Dedup.numHashes).map { i =>
+      val a = graft.ops.Dedup.minhashA(i); val b = graft.ops.Dedup.minhashB(i)
+      s"list_sort([($a * hh + $b) % $p for hh in hs])[1]"
+    }.mkString(",\n        |           ")
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh FROM toks),
+      |shn AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+      |hb AS (SELECT doc_id, sh,
+      |         [CAST(list_sum([(strpos('0123456789abcdef', md5(s)[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % $p for s in sh] AS hs
+      |       FROM shn),
+      |mh AS (SELECT doc_id, sh,
+      |         [$sigEntries] AS sig
+      |       FROM hb),
+      |bands AS (SELECT doc_id, sh, b,
+      |            CAST(sig[3*b+1] AS VARCHAR) || ':' || CAST(sig[3*b+2] AS VARCHAR) || ':' || CAST(sig[3*b+3] AS VARCHAR) AS bh
+      |          FROM mh, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** Checked-in-table BPE encode replay shared by t12 and c4: CTEs `dw`
@@ -771,36 +816,30 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
 
-    "d3_minhash_lsh" -> ({
-      // The 12 universal-hash minhashes are generated from the SAME
-      // constants the Spark operator uses (graft.ops.Dedup.minhashA/B) —
-      // one definition, two engines.
-      val p = graft.ops.Dedup.minhashP
-      val sigEntries = (0 until graft.ops.Dedup.numHashes).map { i =>
-        val a = graft.ops.Dedup.minhashA(i); val b = graft.ops.Dedup.minhashB(i)
-        s"list_sort([($a * hh + $b) % $p for hh in hs])[1]"
-      }.mkString(",\n        |           ")
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |shl AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS sh FROM toks),
-        |shn AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
-        |hb AS (SELECT doc_id, sh,
-        |         [CAST(list_sum([(strpos('0123456789abcdef', md5(s)[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % $p for s in sh] AS hs
-        |       FROM shn),
-        |mh AS (SELECT doc_id, sh,
-        |         [$sigEntries] AS sig
-        |       FROM hb),
-        |bands AS (SELECT doc_id, sh, b,
-        |            CAST(sig[3*b+1] AS VARCHAR) || ':' || CAST(sig[3*b+2] AS VARCHAR) || ':' || CAST(sig[3*b+3] AS VARCHAR) AS bh
-        |          FROM mh, (SELECT unnest(range(0, 4)) AS b)),""".stripMargin
-    } +
-      """
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
-        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        |  round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) AS jaccard
+    "d3_minhash_lsh" ->
+      s"""WITH $minhashCandCte
+        |SELECT d1, d2, $minhashJacSql AS jaccard
         |FROM cand
-        |WHERE round(CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))), 6) >= 0.8
-        |ORDER BY d1, d2""".stripMargin),
+        |WHERE $minhashJacSql >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    // Incremental MinHash state: after any split-ingest sequence the pair
+    // graph equals one-shot d3's, so the clustering is reachability over
+    // it — the d7-style recursive walk on the d3 candidate CTE.
+    "d15_minhash_incremental" ->
+      s"""WITH RECURSIVE $minhashCandCte,
+        |pairs AS (SELECT d1, d2 FROM cand WHERE $minhashJacSql >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM comp c JOIN sz s USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     // Directional containment over the SAME df-capped inverted index as
     // d2; each unordered pair emits both directions, denominator = the

@@ -153,10 +153,29 @@ object Dedup {
     * single expression, referenced once.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    minhashSigsOf(Tables.documents(spark, dir))
+
+  /** Signature job on an arbitrary (doc_id, text, …) frame — shared with
+    * the incremental state merge (d15), which signs only its new batch.
+    */
+  private[graft] def minhashSigsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
       .withColumn("sig", call_function("minhash_sig", col("sh")))
+
+  /** The slim LSH band rows (doc_id, band, bh) of a signature frame — the
+    * ONE banding definition both the one-shot join (d3) and the persisted
+    * incremental band index (d15) use.
+    */
+  private[graft] def bandRowsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
 
   /** LSH near-dup: band the signatures, equi-join on (band, band hash),
     * then verify candidates with exact Jaccard >= threshold.
@@ -172,13 +191,7 @@ object Dedup {
     // Candidates travel SLIM: only (doc_id, band, band-hash) shuffles
     // through the equi-join and the pair dedup; the heavyweight shingle
     // sets are joined back afterwards, once per SURVIVING pair.
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
-        struct(b.as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh")))).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    val bands = bandRowsOf(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
