@@ -76,6 +76,10 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d)),
     "d4_simhash_sig" -> Dedup.simhashSignatures _,
     "d5_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // 64-bit SimHash twin (the scale dial): 4 exact 16-bit blocks, no
+    // probe fan-out; stricter hamming<=3 predicate at 2^32 lower
+    // collision rate.
+    "d16_simhash64_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs64(s, d)),
     "d7_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> Similarity.annLsh _,
@@ -950,6 +954,26 @@ object SparkEntry {
 
     "d5_simhash_pairs" ->
       s"""WITH $simhashHamCte
+        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    // 64-bit SimHash replay: same per-bit vote from the md5 hex nibbles,
+    // 64 bits wide; candidates from the 4 exact 16-char blocks (the
+    // pigeonhole geometry the Spark job joins on), hamming char-wise.
+    "d16_simhash64_pairs" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
+        |bits AS (SELECT doc_id,
+        |  array_to_string([CASE WHEN list_sum([
+        |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
+        |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 64)], '') AS simhash
+        |  FROM hs),
+        |bands AS (SELECT doc_id, simhash, b, simhash[b*16+1 : b*16+16] AS bv
+        |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT d1, d2,
+        |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 65)]) AS INT) AS hamming
+        |        FROM cand)
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
 
     // Connected components over the d5 pair graph: DuckDB walks

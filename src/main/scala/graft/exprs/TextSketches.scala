@@ -50,6 +50,20 @@ object TextSketches {
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
 
+  /** First 64 md5 bits, big-endian — the [[SimHash64]] bit source. */
+  def md5Head64(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (h(i) & 0xffL)
+      i += 1
+    }
+    v
+  }
+
   /** Whitespace tokens of `Text.tokens` semantics: split on single spaces,
     * empties dropped, duplicates preserved.
     */
@@ -82,6 +96,9 @@ object TextSketches {
       (FunctionIdentifier("simhash32"),
         new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
         (cs: Seq[Expression]) => SimHash32(cs.head)),
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (cs: Seq[Expression]) => SimHash64(cs.head)),
       (FunctionIdentifier("array_dot"),
         new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
         (cs: Seq[Expression]) => ArrayDot(cs.head, cs(1))),
@@ -275,6 +292,60 @@ object SimHash32 {
       b += 1
     }
     UTF8String.fromString(new String(out))
+  }
+}
+
+/** `simhash64(text)` — 64-bit SimHash over whitespace tokens, packed as a
+  * LONG (bit b of the [[SimHash32]]-style bitstring is long bit 63−b):
+  * the scale dial the 32-bit signature's fixed 2×16-bit probe domain
+  * caps out of. Same vote rule per bit, twice the bits — collision-driven
+  * false candidates drop by 2³² while the 4×16-bit exact-block candidate
+  * join ([[graft.ops.Dedup.simhashPairs64]]) keeps full recall at
+  * Hamming ≤ 3 by pigeonhole.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.SimHash64.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(s: String): Long = {
+    val toks = TextSketches.tokenize(s)
+    val ones = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextSketches.md5Head64(toks(i).getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        ones(b) += ((h >>> (63 - b)) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    val n = toks.length
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (ones(b) * 2 > n) out |= 1L << (63 - b)
+      b += 1
+    }
+    out
   }
 }
 
