@@ -95,7 +95,7 @@ object EventsStream {
   private[streaming] val inheritedConfs = Seq(
     "spark.sql.streaming.stateStore.providerClass")
 
-  private[streaming] def streamSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
     inheritedConfs.foreach(k =>

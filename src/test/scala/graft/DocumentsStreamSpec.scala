@@ -1,13 +1,22 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
 import graft.ops.{Dedup, IncrementalDedup}
-import graft.streaming.DocumentsStream
+import graft.streaming.{DocumentsStream, EventsStream}
 
 /** q54: the foreachBatch-driven incremental dedup must actually run
   * MULTIPLE micro-batch merges against one state dir and still land on
-  * d7's one-shot labeling.
+  * d7's one-shot labeling — including across a mid-stream crash and a
+  * checkpoint resume, in both halves of the at-least-once window (crash
+  * before the merge, and crash after the merge but before the stream
+  * commit, which re-delivers an already-merged batch).
   */
 class DocumentsStreamSpec extends SparkSpec {
+
+  private def fullD7 = Dedup.dupClusters(spark, sf0001)
+    .collect().map(_.toSeq).sortBy(_.toString).toSeq
 
   test("streamed micro-batch merges accumulate generations and match batch d7") {
     val state = graft.util.TmpDirs.scratch("graft_q54_spec_state_").toString
@@ -17,8 +26,77 @@ class DocumentsStreamSpec extends SparkSpec {
     // one generation per staged file — the stream really merged per batch
     assert(IncrementalDedup.latestVersion(spark, state)
       .contains(DocumentsStream.defaultStreamFiles - 1))
-    val full = Dedup.dupClusters(spark, sf0001)
-      .collect().map(_.toSeq).sortBy(_.toString).toSeq
-    assert(out == full)
+    assert(out == fullD7)
+  }
+
+  /** One AvailableNow pass over `src` with a STABLE checkpoint, merging
+    * each micro-batch into `state`; `boomAt` crashes batch `id` —
+    * `afterMerge=false` models a crash before any work landed,
+    * `afterMerge=true` the crash after the generation committed but
+    * before the stream checkpointed the batch (the re-delivery window).
+    */
+  private def runPass(src: String, ckpt: String, state: String,
+      boomAt: Option[Long], afterMerge: Boolean = false): Unit = {
+    val ss = EventsStream.streamSession(spark)
+    val schema = ss.read.parquet(src).schema
+    val q = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (boomAt.contains(id) && !afterMerge) sys.error(s"boom before merge $id")
+        IncrementalDedup.merge(batch.sparkSession, state, batch)
+        if (boomAt.contains(id) && afterMerge) sys.error(s"boom after merge $id")
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      assert(boomAt.isDefined, s"unexpected stream failure: $e") }
+  }
+
+  test("crash BEFORE batch 2's merge, resume from checkpoint: parity with one-shot d7") {
+    val src = graft.util.TmpDirs.scratch("graft_q54_crash_src_").toString
+    val ckpt = graft.util.TmpDirs.scratch("graft_q54_crash_ckpt_").toString
+    val state = graft.util.TmpDirs.scratch("graft_q54_crash_state_").toString
+    graft.sources.Tables.documents(spark, sf0001)
+      .repartition(4).write.mode("overwrite").parquet(src)
+
+    runPass(src, ckpt, state, boomAt = Some(2L))
+    // batches 0 and 1 committed their generations; nothing else
+    assert(IncrementalDedup.latestVersion(spark, state).contains(1))
+
+    runPass(src, ckpt, state, boomAt = None)
+    // the checkpoint resumed at batch 2 — exactly 4 generations total
+    assert(IncrementalDedup.latestVersion(spark, state).contains(3))
+    assert(IncrementalDedup.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == fullD7)
+  }
+
+  test("crash AFTER batch 2's merge (re-delivery window): duplicate re-merge stays exact") {
+    val src = graft.util.TmpDirs.scratch("graft_q54_redel_src_").toString
+    val ckpt = graft.util.TmpDirs.scratch("graft_q54_redel_ckpt_").toString
+    val state = graft.util.TmpDirs.scratch("graft_q54_redel_state_").toString
+    graft.sources.Tables.documents(spark, sf0001)
+      .repartition(4).write.mode("overwrite").parquet(src)
+
+    runPass(src, ckpt, state, boomAt = Some(2L), afterMerge = true)
+    // batch 2's generation COMMITTED even though the stream didn't
+    assert(IncrementalDedup.latestVersion(spark, state).contains(2))
+
+    runPass(src, ckpt, state, boomAt = None)
+    // batch 2 re-delivered and re-merged as a 5th generation: band rows
+    // duplicate until compact, but the labeling must be unchanged-exact
+    assert(IncrementalDedup.latestVersion(spark, state).contains(4))
+    assert(IncrementalDedup.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == fullD7)
+    // and compact() sweeps the bloat back to one generation, same labels
+    IncrementalDedup.compact(spark, state)
+    assert(IncrementalDedup.completeVersions(spark, state).size == 1)
+    assert(IncrementalDedup.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == fullD7)
   }
 }
