@@ -79,7 +79,7 @@ object SparkEntry {
     // 64-bit SimHash twin (the scale dial): 4 exact 16-bit blocks, no
     // probe fan-out; stricter hamming<=3 predicate at 2^32 lower
     // collision rate.
-    "d16_simhash64_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs64(s, d)),
+    "d17_simhash64_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs64(s, d)),
     "d7_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> Similarity.annLsh _,
@@ -244,6 +244,10 @@ object SparkEntry {
     // into persistent d12 state; drained result == d7's batch recompute.
     "q54_stream_incremental_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runIncrementalDedupAvailableNow(s, d)),
+    // The MinHash modality under the same streaming chassis: micro-batch
+    // d15 merges; drained result == CC over the one-shot d3 pair graph.
+    "q55_stream_minhash_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runMinHashDedupAvailableNow(s, d)),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -312,6 +316,8 @@ object SparkEntry {
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
+      // same parity for the MinHash modality: == CC over the d3 graph
+      ("q55_stream_minhash_dedup" -> m("d15_minhash_incremental")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
@@ -959,7 +965,7 @@ object SparkEntry {
     // 64-bit SimHash replay: same per-bit vote from the md5 hex nibbles,
     // 64 bits wide; candidates from the 4 exact 16-char blocks (the
     // pigeonhole geometry the Spark job joins on), hamming char-wise.
-    "d16_simhash64_pairs" ->
+    "d17_simhash64_pairs" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
         |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
         |bits AS (SELECT doc_id,

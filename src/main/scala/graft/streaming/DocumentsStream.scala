@@ -31,13 +31,15 @@ object DocumentsStream {
 
   val defaultStreamFiles = 4
 
-  def runIncrementalDedupAvailableNow(spark: SparkSession, dir: String,
-      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+  /** Stage the corpus as `files` parquet files and drain one AvailableNow
+    * file stream over them (one file per micro-batch), handing each batch
+    * to `mergeBatch` — the shared chassis of the per-modality streaming
+    * dedup runners below.
+    */
+  private def drainMerges(spark: SparkSession, dir: String, files: Int,
+      tag: String)(mergeBatch: DataFrame => Unit): Unit = {
     val ss = EventsStream.streamSession(spark)
-    val src = TmpDirs.scratch("graft_q54_src_").toString
-    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q54_state_").toString)
-    // stage the corpus as `files` parquet files — the file-stream source
-    // with maxFilesPerTrigger=1 then delivers `files` micro-batches
+    val src = TmpDirs.scratch(s"graft_${tag}_src_").toString
     Tables.documents(ss, dir).repartition(files).write.mode("overwrite").parquet(src)
     val schema = ss.read.parquet(src).schema
     val q = ss.readStream
@@ -46,13 +48,32 @@ object DocumentsStream {
       .parquet(src)
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", TmpDirs.scratch("graft_q54_stream_ckpt_").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        IncrementalDedup.merge(batch.sparkSession, state, batch)
-        ()
-      }
+      .option("checkpointLocation", TmpDirs.scratch(s"graft_${tag}_stream_ckpt_").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch); () }
       .start()
     q.awaitTermination()
+  }
+
+  def runIncrementalDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q54_state_").toString)
+    drainMerges(spark, dir, files, "q54")(b =>
+      IncrementalDedup.merge(b.sparkSession, state, b))
     IncrementalDedup.clusters(spark, state)
+  }
+
+  /** q55: the q54 pattern over the MINHASH modality — every micro-batch
+    * foreachBatch-merged into one [[graft.ops.IncrementalMinHash]] state
+    * dir; the drained clustering equals CC over the one-shot d3 pair
+    * graph (d15's oracle), for any micro-batch split. Same scale shape as
+    * q54: zero stream-store state, all durable state in the generation
+    * dir, per-batch cost = one d15 merge.
+    */
+  def runMinHashDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q55_state_").toString)
+    drainMerges(spark, dir, files, "q55")(b =>
+      graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b))
+    graft.ops.IncrementalMinHash.clusters(spark, state)
   }
 }

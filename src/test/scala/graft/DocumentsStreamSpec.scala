@@ -29,6 +29,28 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == fullD7)
   }
 
+  test("q55: streamed MinHash merges accumulate generations and match the one-shot d3 clustering") {
+    val state = graft.util.TmpDirs.scratch("graft_q55_spec_state_").toString
+    val out = DocumentsStream.runMinHashDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalMinHash.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    // one-shot twin: CC over d3's verified pairs (IncrementalMinHashSpec
+    // derivation, reproduced over the full corpus)
+    val pairs = Dedup.minhashLshPairs(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("d1"),
+        org.apache.spark.sql.functions.col("d2"))
+    val ckpt = graft.ops.ConnectedComponents.durable(spark,
+      graft.util.TmpDirs.sessionCheckpointDir(spark))
+    val labels = graft.ops.ConnectedComponents.labelPropagation(pairs, 50, ckpt)
+      .map(_._1)
+      .getOrElse(graft.ops.ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+    val full = Dedup.clustersOf(labels)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full)
+  }
+
   /** One AvailableNow pass over `src` with a STABLE checkpoint, merging
     * each micro-batch into `state`; `boomAt` crashes batch `id` —
     * `afterMerge=false` models a crash before any work landed,

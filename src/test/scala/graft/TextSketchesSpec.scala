@@ -213,7 +213,7 @@ class TextSketchesSpec extends SparkSpec {
       .select(call_function("simhash64", col("s"))).head().getLong(0) == 0L)
   }
 
-  test("d16: 4-block index fans out exactly 4 rows per doc — no probe-variant explosion") {
+  test("d17: 4-block index fans out exactly 4 rows per doc — no probe-variant explosion") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val n = docs.count()
     val sigs = docs.select(col("doc_id"),
