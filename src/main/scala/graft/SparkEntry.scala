@@ -239,6 +239,9 @@ object SparkEntry {
     // t12's counting on the LEARNED table — train + tokenize end to end.
     "t14_bpe_learned_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeLearnedTokens(s, d)),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
+    // Token-level repetition signals (top-bigram mass, longest token run,
+    // type/token collapse) — the Gopher repetition family t10 lacks.
+    "t15_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetitionProfile(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     // Streaming incremental dedup: each micro-batch foreachBatch-merged
     // into persistent d12 state; drained result == d7's batch recompute.
@@ -1652,6 +1655,32 @@ object SparkEntry {
         |  round(CASE WHEN ntok > 0 THEN CAST(totlen AS DOUBLE) / ntok ELSE 0.0 END, 6) AS mean_word_len,
         |  round(CASE WHEN nchar > 0 THEN CAST(nsym AS DOUBLE) / nchar ELSE 0.0 END, 6) AS symbol_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Repetition profile: bigram mode by multiplicity, longest same-token
+    // run via the islands trick (i − rank within (doc, token) groups), and
+    // the type/token complement — all integer ratios divided once.
+    "t15_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS ntok, len(list_distinct(t)) AS ndis FROM toks),
+        |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |       FROM base WHERE ntok >= 2),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        |top AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY doc_id),
+        |tk AS (SELECT doc_id, u.tok AS tok, u.i AS i
+        |       FROM (SELECT doc_id,
+        |               unnest([{'tok': t[i], 'i': i} for i in range(1, len(t)+1)]) AS u
+        |             FROM base)),
+        |isl AS (SELECT doc_id, tok,
+        |          i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+        |        FROM tk),
+        |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, tok, grp),
+        |mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  round(CASE WHEN b.ntok >= 2 THEN CAST(coalesce(t2.topc, 0) AS DOUBLE) / (b.ntok - 1) ELSE 0.0 END, 6) AS top_bigram_frac,
+        |  CAST(coalesce(m.max_run, 0) AS INT) AS max_token_run,
+        |  round(CASE WHEN b.ntok > 0 THEN CAST(b.ntok - b.ndis AS DOUBLE) / b.ntok ELSE 0.0 END, 6) AS dup_token_frac
+        |FROM base b LEFT JOIN top t2 USING (doc_id) LEFT JOIN mr m ON b.doc_id = m.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Unigram surprisal: per-token -ln(p) floored at 1e6 scale, summed
     // exactly (the t1 order-insensitivity rule).

@@ -233,6 +233,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t15: repetition profile — the Gopher-style repetition signals t10's
+    * ratio trio does not cover, shaped for a corpus whose repetition
+    * lives at the TOKEN level (this table has no line structure):
+    *
+    *   - `top_bigram_frac`: occurrences of the most frequent word bigram
+    *     / total bigrams (Rae et al.'s "top n-gram fraction" at n=2) —
+    *     boilerplate and template spam concentrate mass in one bigram;
+    *   - `max_token_run`: the longest same-token run ("batch batch
+    *     batch" → 3) — degenerate generation/OCR stutter;
+    *   - `dup_token_frac`: 1 − type/token ratio, the coarse vocabulary-
+    *     collapse signal.
+    *
+    * Scale shape: the run is a single codegen `aggregate` fold over the
+    * token array — per-row expression work, NO shuffle; the bigram mode
+    * needs multiplicity so it explodes to the classic inverted-index
+    * shape (partial-agg'd groupBy, two slim shuffles keyed by (doc,
+    * bigram) then doc); all ratios divide exact integers once.
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    // longest run: fold (prev, run, best) left to right in one expression
+    def maxRunOf(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val run0 = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+      aggregate(arr, run0, (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }, _.getField("best"))
+    }
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("ntok"),
+        size(array_distinct(col("t"))).as("ndis"),
+        maxRunOf(col("t")).as("max_token_run"))
+      .repartition(col("doc_id")) // one tokenize pass feeds both consumers
+    val bigrams = base
+      .where(col("ntok") >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), col("ntok") - 2),
+        i => concat_ws(" ", element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topc"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(when(col("ntok") >= 2,
+            coalesce(col("topc"), lit(0L)).cast("double") / (col("ntok") - 1))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
+        col("max_token_run"),
+        round(when(col("ntok") > 0,
+            (col("ntok") - col("ndis")).cast("double") / col("ntok"))
+          .otherwise(lit(0.0)), 6).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** GPT-2-style pretokenizer regex, simplified to the RE2-safe subset
     * (no lookahead) so the oracle runs it verbatim: contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs. Shared

@@ -54,6 +54,35 @@ class Round3OpsSpec extends SparkSpec {
     packs.unpersist()
   }
 
+  test("t15 repetitionProfile == plain-Scala recomputation over sf0.001") {
+    val got = graft.ops.TextAnalysis.repetitionProfile(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getInt(2), r.getDouble(3)))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && got.size == docs.length)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      val topBg = if (t.length >= 2)
+        t.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size).max
+      else 0
+      val maxRun = if (t.isEmpty) 0
+        else t.foldLeft(("", 0, 0)) { case ((prev, run, best), x) =>
+          val r = if (x == prev) run + 1 else 1
+          (x, r, math.max(best, r))
+        }._3
+      val dupFrac = if (t.isEmpty) 0.0
+        else (t.length - t.distinct.length).toDouble / t.length
+      val want = (rnd(if (t.length >= 2) topBg.toDouble / (t.length - 1) else 0.0),
+        maxRun, rnd(dupFrac))
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+    }
+    // the corpus actually exercises the signals (runs > 1 exist)
+    assert(got.values.exists(_._2 > 1), "no token runs in corpus — signal untested")
+  }
+
   test("redactPii: golden rows — counts on original text, placeholders in output") {
     val out = TextAnalysis.redactPii(spark, sf0001)
       .collect().map(r => r.getLong(0) ->
