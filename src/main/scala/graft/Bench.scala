@@ -210,6 +210,7 @@ object Bench {
       if (name == named.head._1) {
         graft.ops.Dedup.clearCaches()
         graft.engine.Bucketing.clearCaches()
+        graft.ops.TextAnalysis.clearCaches()
       }
       // a query that already failed is not retried on later passes: a
       // deterministic failure (the common case) would otherwise cost

@@ -370,8 +370,27 @@ object TextAnalysis {
     * in a 1-row collect. At 100 TB the vocab is maybe 10⁷ rows — each
     * round is a small map+shuffle job, and the corpus is never re-read.
     */
+  /** One training run per (session, corpus, budget) — the learned table
+    * is a model artifact a pipeline trains ONCE and feeds to every
+    * consumer (here t13's table dump and t14's tokenization; without the
+    * memo t14 re-runs the whole training loop). Same convention as
+    * [[Dedup.clusterLabels]]'s label memo: the bench clears it between
+    * passes so per-pass timings stay honest, and the fill lands on the
+    * first consumer in pass order.
+    */
+  private val trainCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Int, String, Long)]]
+
+  /** Drop the per-session training memo (bench calls between passes). */
+  def clearCaches(): Unit = trainCache.clear()
+
   def trainBpeMerges(spark: SparkSession, dir: String,
-      rounds: Int = bpeTrainRounds): Seq[(Int, String, Long)] = {
+      rounds: Int = bpeTrainRounds): Seq[(Int, String, Long)] =
+    trainCache.computeIfAbsent((spark, dir, rounds),
+      _ => trainBpeMergesUncached(spark, dir, rounds))
+
+  private def trainBpeMergesUncached(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, Long)] = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(call_function("ws_tokens", col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
