@@ -251,6 +251,9 @@ object SparkEntry {
     // d15 merges; drained result == CC over the one-shot d3 pair graph.
     "q55_stream_minhash_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runMinHashDedupAvailableNow(s, d)),
+    // The embedding modality: micro-batch d14 merges; == one-shot d11.
+    "q56_stream_embedding_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runEmbeddingDedupAvailableNow(s, d)),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -321,6 +324,8 @@ object SparkEntry {
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph
       ("q55_stream_minhash_dedup" -> m("d15_minhash_incremental")) +
+      // and the embedding modality: == d11's one-shot clustering
+      ("q56_stream_embedding_dedup" -> m("d11_embedding_clusters")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +

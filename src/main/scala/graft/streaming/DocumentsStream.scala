@@ -37,10 +37,11 @@ object DocumentsStream {
     * dedup runners below.
     */
   private def drainMerges(spark: SparkSession, dir: String, files: Int,
-      tag: String)(mergeBatch: DataFrame => Unit): Unit = {
+      tag: String, table: (SparkSession, String) => DataFrame = Tables.documents)
+      (mergeBatch: DataFrame => Unit): Unit = {
     val ss = EventsStream.streamSession(spark)
     val src = TmpDirs.scratch(s"graft_${tag}_src_").toString
-    Tables.documents(ss, dir).repartition(files).write.mode("overwrite").parquet(src)
+    table(ss, dir).repartition(files).write.mode("overwrite").parquet(src)
     val schema = ss.read.parquet(src).schema
     val q = ss.readStream
       .schema(schema)
@@ -75,5 +76,20 @@ object DocumentsStream {
     drainMerges(spark, dir, files, "q55")(b =>
       graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b))
     graft.ops.IncrementalMinHash.clusters(spark, state)
+  }
+
+  /** q56: the EMBEDDING modality under the same chassis — micro-batches
+    * of the embeddings table foreachBatch-merged into one
+    * [[graft.ops.IncrementalEmbedding]] state dir; drained clustering ==
+    * d11's one-shot recompute. Completes the streaming row of the
+    * (SimHash q54 / MinHash q55 / embedding q56) × (batch d12/d15/d14)
+    * dedup-state matrix.
+    */
+  def runEmbeddingDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q56_state_").toString)
+    drainMerges(spark, dir, files, "q56", Tables.embeddings)(b =>
+      graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b))
+    graft.ops.IncrementalEmbedding.clusters(spark, state)
   }
 }

@@ -51,6 +51,18 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("q56: streamed embedding merges match d11's one-shot clustering") {
+    val state = graft.util.TmpDirs.scratch("graft_q56_spec_state_").toString
+    val out = DocumentsStream.runEmbeddingDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalEmbedding.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    val full = graft.ops.Similarity.embeddingDupClusters(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full)
+  }
+
   /** One AvailableNow pass over `src` with a STABLE checkpoint, merging
     * each micro-batch into `state`; `boomAt` crashes batch `id` —
     * `afterMerge=false` models a crash before any work landed,
