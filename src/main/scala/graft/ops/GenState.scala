@@ -97,6 +97,22 @@ object GenState {
     vs.foreach(v => f.delete(new Path(s"$stateDir/v$v"), true))
   }
 
+  /** Size-tiered maintenance POLICY shared by the three incremental
+    * operators: fold when the live-generation count exceeds `maxLive`.
+    * Read amplification of a merge is O(live generations) — every probe
+    * unions that many parquet dirs — so a daily-ingest deployment that
+    * never compacts degrades linearly with history; bounding the count
+    * bounds both probe cost and the file-listing overhead. Returns the
+    * new generation when a compaction ran. The threshold trades write
+    * amplification (each compact rewrites the whole index) against read
+    * amplification, exactly the LSM knob.
+    */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int)
+      (compactFn: => Int): Option[Int] = {
+    require(maxLive >= 1, s"maybeCompact: maxLive must be >= 1, got $maxLive")
+    if (completeVersions(spark, stateDir).size > maxLive) Some(compactFn) else None
+  }
+
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,
     * require()d identical on every later merge into the same state dir.
     */

@@ -179,6 +179,12 @@ object IncrementalDedup {
     next
   }
 
+  /** [[GenState.maybeCompact]] policy over [[compact]]: fold when live
+    * generations exceed `maxLive` (probe read amplification is O(live)).
+    */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
+
   /** The d7-shaped cluster table from the current state. */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
     Dedup.clustersOf(stateLabels(spark, stateDir))

@@ -133,6 +133,30 @@ object IncrementalEmbedding {
     next
   }
 
+  /** LSM maintenance ([[IncrementalDedup.compact]]'s shape): fold every
+    * live generation's vecs into one new generation, labels carried
+    * forward, `_COMPACTED` manifest before the commit, then delete the
+    * sources plus crash-window leftovers. Floats/doubles round-trip
+    * parquet losslessly, so folded vectors verify bit-identically.
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalEmbedding.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    spark.read.parquet(labelsPath(stateDir, versions.last))
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
+
   /** The d11-shaped cluster table from the current state. */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
     latestVersion(spark, stateDir) match {

@@ -147,6 +147,10 @@ object IncrementalMinHash {
     next
   }
 
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
+
   /** The d7-shaped cluster table from the current state. */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
     latestVersion(spark, stateDir) match {

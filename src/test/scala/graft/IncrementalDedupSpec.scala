@@ -161,6 +161,46 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding twin (d14): compact folds vecs, preserves labels, later merges stay exact") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val state = graft.util.TmpDirs.scratch("graft_d14_cpt_").toString
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(3)) === 0))
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(3)) === 1))
+    val before = graft.ops.IncrementalEmbedding.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val v = graft.ops.IncrementalEmbedding.compact(spark, state)
+    assert(graft.ops.IncrementalEmbedding.completeVersions(spark, state) == Seq(v))
+    assert(graft.ops.IncrementalEmbedding.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == before)
+    // folded float vectors verify bit-identically: post-compact ingest
+    // still equals the one-shot recompute
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(3)) === 2))
+    val full = graft.ops.Similarity.embeddingDupClusters(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalEmbedding.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == full)
+  }
+
+  test("maybeCompact policy: triggers only past maxLive, result unchanged") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_policy_").toString
+    (0 until 3).foreach(r => IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === r)))
+    val before = clustersSorted(IncrementalDedup.clusters(spark, state))
+    // 3 live generations: maxLive=4 is under threshold — no fold
+    assert(IncrementalDedup.maybeCompact(spark, state, maxLive = 4).isEmpty)
+    assert(IncrementalDedup.completeVersions(spark, state).size == 3)
+    // maxLive=2 exceeded — folds to one generation, labeling unchanged
+    val v = IncrementalDedup.maybeCompact(spark, state, maxLive = 2)
+    assert(v.nonEmpty)
+    assert(IncrementalDedup.completeVersions(spark, state) == Seq(v.get))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == before)
+    // and is now idempotent at that threshold
+    assert(IncrementalDedup.maybeCompact(spark, state, maxLive = 2).isEmpty)
+  }
+
   test("empty prior state: first merge is the initial build; no-dup batch is fine") {
     val state = graft.util.TmpDirs.scratch("graft_d12_t4_").toString
     assert(IncrementalDedup.latestVersion(spark, state).isEmpty)
