@@ -183,6 +183,15 @@ object SparkEntry {
       graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
       graft.ops.IncrementalDedup.clusters(s, state)
     }),
+    // Incremental EXACT dedup: write-only generational partial aggregates
+    // (associative min/sum), split-ingest == d1's one-shot aggregate.
+    "d18_exact_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d18_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalExact.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalExact.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalExact.dedup(s, state)
+    }),
     // Incremental MinHash-LSH dedup state (the Jaccard modality's d12):
     // split-ingest into a fresh generational state dir, clusters compared
     // against reachability over the one-shot d3 pair graph.
@@ -320,6 +329,8 @@ object SparkEntry {
       ("d10_clusters_persisted" -> m("d7_dup_clusters")) +
       // split-ingest-then-merge == full recompute on the union
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
+      // write-only partial-agg ingest == d1's one-shot exact aggregate
+      ("d18_exact_incremental" -> m("d1_exact_dedup")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph

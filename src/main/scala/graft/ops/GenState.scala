@@ -37,8 +37,9 @@ object GenState {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Generations whose labels committed, folded-or-not, ascending. */
-  private def rawComplete(f: FileSystem, stateDir: String): Seq[Int] = {
+  /** Generations whose commit table committed, folded-or-not, ascending. */
+  private def rawComplete(f: FileSystem, stateDir: String,
+      commitTable: String): Seq[Int] = {
     val root = new Path(stateDir)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq
@@ -46,7 +47,7 @@ object GenState {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.length > 1 &&
         n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
-      .filter(v => f.exists(new Path(s"$stateDir/v$v/labels/_SUCCESS")))
+      .filter(v => f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
       .sorted
   }
 
@@ -54,22 +55,25 @@ object GenState {
     * generation's `_COMPACTED` manifest records as folded. Not necessarily
     * contiguous (compaction leaves gaps).
     */
-  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] = {
+  def completeVersions(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Seq[Int] = {
     val f = fs(spark, stateDir)
-    val complete = rawComplete(f, stateDir)
+    val complete = rawComplete(f, stateDir, commitTable)
     val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
     complete.filterNot(folded)
   }
 
-  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
-    completeVersions(spark, stateDir).lastOption
+  def latestVersion(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Option[Int] =
+    completeVersions(spark, stateDir, commitTable).lastOption
 
   /** Folded-but-not-deleted generations — the crash-window leftovers a
     * compact sweeps in addition to its own sources.
     */
-  def foldedLeftovers(spark: SparkSession, stateDir: String): Seq[Int] = {
+  def foldedLeftovers(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Seq[Int] = {
     val f = fs(spark, stateDir)
-    val complete = rawComplete(f, stateDir)
+    val complete = rawComplete(f, stateDir, commitTable)
     val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
     complete.filter(folded)
   }
@@ -107,10 +111,11 @@ object GenState {
     * amplification (each compact rewrites the whole index) against read
     * amplification, exactly the LSM knob.
     */
-  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int)
-      (compactFn: => Int): Option[Int] = {
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int,
+      commitTable: String = "labels")(compactFn: => Int): Option[Int] = {
     require(maxLive >= 1, s"maybeCompact: maxLive must be >= 1, got $maxLive")
-    if (completeVersions(spark, stateDir).size > maxLive) Some(compactFn) else None
+    if (completeVersions(spark, stateDir, commitTable).size > maxLive) Some(compactFn)
+    else None
   }
 
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IncrementalExact}
+
+/** d18: the write-only incremental twin of d1's exact-dedup aggregate —
+  * split-ingest must be hash-identical to the one-shot for any split, a
+  * merge must never read prior state, and compaction must shrink the
+  * index to one row per distinct content without changing the answer.
+  */
+class IncrementalExactSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("h", "keeper", "n_copies")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("split-ingest equals d1's one-shot aggregate, any split") {
+    val full = sorted(Dedup.exactDedup(spark, sf0001))
+    for (mod <- Seq(2, 5)) {
+      val state = graft.util.TmpDirs.scratch(s"graft_d18_t_${mod}_").toString
+      (0 until mod).foreach { r =>
+        IncrementalExact.merge(spark, state,
+          docs.where(pmod(col("doc_id"), lit(mod)) === r))
+      }
+      assert(sorted(IncrementalExact.dedup(spark, state)) == full,
+        s"$mod-way split-ingest diverged from the one-shot aggregate")
+    }
+  }
+
+  test("ingest is WRITE-ONLY: a merge plans no read of prior generations") {
+    val state = graft.util.TmpDirs.scratch("graft_d18_wo_").toString
+    IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 100))
+    // the second batch's write job, as merge builds it: only the
+    // documents scan — no parquet read of the state dir anywhere
+    val batch2 = docs.where(col("doc_id") >= 100)
+    val plan = batch2
+      .select(col("doc_id"),
+        sha2(graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(state), s"merge reads prior state:\n$plan")
+    // and the API-level merge indeed appends without touching v0's data
+    // (mtime check: v0's hashes dir is untouched by the second merge)
+    val f = graft.ops.GenState.fs(spark, state)
+    val v0 = new org.apache.hadoop.fs.Path(s"$state/v0/hashes/_SUCCESS")
+    val before = f.getFileStatus(v0).getModificationTime
+    IncrementalExact.merge(spark, state, batch2)
+    assert(f.getFileStatus(v0).getModificationTime == before)
+    assert(IncrementalExact.latestVersion(spark, state).contains(1))
+  }
+
+  test("compact re-aggregates to one row per content; answer unchanged; policy bounds live count") {
+    val state = graft.util.TmpDirs.scratch("graft_d18_cpt_").toString
+    (0 until 3).foreach(r => IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === r)))
+    val before = sorted(IncrementalExact.dedup(spark, state))
+    assert(IncrementalExact.maybeCompact(spark, state, maxLive = 4).isEmpty)
+    val v = IncrementalExact.maybeCompact(spark, state, maxLive = 2)
+    assert(v.nonEmpty)
+    assert(IncrementalExact.completeVersions(spark, state) == Seq(v.get))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == before)
+    // folded index is fully re-aggregated: exactly one row per hash
+    val idx = spark.read.parquet(s"$state/v${v.get}/hashes")
+    assert(idx.count() == idx.select("h").distinct().count())
+    // post-compact ingest still exact
+    val more = graft.sources.Tables.documents(spark, sf0001) // same corpus again
+    IncrementalExact.merge(spark, state, more)
+    val want = sorted(Dedup.exactDedup(spark, sf0001)
+      .select(col("h"), col("keeper"), (col("n_copies") * 2).as("n_copies")))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == want,
+      "doubled corpus should double every n_copies with the same keepers")
+  }
+}
