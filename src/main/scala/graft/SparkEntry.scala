@@ -183,6 +183,17 @@ object SparkEntry {
       graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
       graft.ops.IncrementalDedup.clusters(s, state)
     }),
+    // The 64-bit width dial on the incremental path: same generational
+    // merge, exact-block probes (zero fan-out), == one-shot d17 clustering.
+    "d19_simhash64_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d19_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalDedup.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(5)) =!= 0), width = 64)
+      graft.ops.IncrementalDedup.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(5)) === 0), width = 64)
+      graft.ops.IncrementalDedup.clusters(s, state)
+    }),
     // Incremental EXACT dedup: write-only generational partial aggregates
     // (associative min/sum), split-ingest == d1's one-shot aggregate.
     "d18_exact_incremental" -> ((s: SparkSession, d: String) => {
@@ -420,6 +431,26 @@ object SparkEntry {
        |  FROM v0),
        |$rounds""".stripMargin
   }
+
+  /** 64-bit SimHash candidate+hamming replay shared by d17 and d19: the
+    * per-bit md5 vote at 64 bits, 4 exact 16-char block bands, char-wise
+    * hamming; ends at CTE `ham` (d1, d2, hamming).
+    */
+  private val simhash64HamCte: String =
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+      |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
+      |bits AS (SELECT doc_id,
+      |  array_to_string([CASE WHEN list_sum([
+      |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
+      |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 64)], '') AS simhash
+      |  FROM hs),
+      |bands AS (SELECT doc_id, simhash, b, simhash[b*16+1 : b*16+16] AS bv
+      |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ham AS (SELECT d1, d2,
+      |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 65)]) AS INT) AS hamming
+      |        FROM cand)""".stripMargin
 
   /** The exact rounded Jaccard of two shingle-set columns sh1/sh2 —
     * shared by the d3 verifier and d15's pair CTE.
@@ -985,21 +1016,26 @@ object SparkEntry {
     // 64 bits wide; candidates from the 4 exact 16-char blocks (the
     // pigeonhole geometry the Spark job joins on), hamming char-wise.
     "d17_simhash64_pairs" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |hs AS (SELECT doc_id, [md5(x) for x in t] AS hs FROM toks),
-        |bits AS (SELECT doc_id,
-        |  array_to_string([CASE WHEN list_sum([
-        |      ((CAST(floor((strpos('0123456789abcdef', h[CAST(b // 4 AS INT) + 1]) - 1) / (2 ** (3 - b % 4))) AS INT) % 2) * 2 - 1)
-        |    for h in hs]) > 0 THEN '1' ELSE '0' END for b in range(0, 64)], '') AS simhash
-        |  FROM hs),
-        |bands AS (SELECT doc_id, simhash, b, simhash[b*16+1 : b*16+16] AS bv
-        |          FROM bits, (SELECT unnest(range(0, 4)) AS b)),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
-        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
-        |ham AS (SELECT d1, d2,
-        |          CAST(list_sum([CASE WHEN s1[i] <> s2[i] THEN 1 ELSE 0 END for i in range(1, 65)]) AS INT) AS hamming
-        |        FROM cand)
+      s"""WITH $simhash64HamCte
         |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin,
+
+    // The 64-bit dial applied to the INCREMENTAL path: after any split
+    // ingest the pair graph equals one-shot d17's, so the clustering is
+    // reachability over it (the d7-style walk).
+    "d19_simhash64_incremental" ->
+      s"""WITH RECURSIVE $simhash64HamCte,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+        |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM comp c JOIN sz s USING (cluster_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     // Connected components over the d5 pair graph: DuckDB walks
     // reachability with a recursive CTE (label `lab` reaches `node`), so

@@ -534,6 +534,10 @@ object Dedup {
     docs.select(col("doc_id"),
       conv(call_function("simhash32", col("text")), 2, 10).cast("long").as("sigint"))
 
+  /** The 64-bit twin of [[signedDocs]] (LONG-packed, no conv round-trip). */
+  private[graft] def signedDocs64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), call_function("simhash64", col("text")).as("sigint"))
+
   /** The 64-bit signature's block geometry: 4 exact-match blocks of 16
     * bits. Pigeonhole: Hamming ≤ 3 over 64 bits leaves ≥ 1 of the 4
     * blocks identical, so an exact-block equi-join has FULL recall with

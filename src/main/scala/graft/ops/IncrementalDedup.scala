@@ -47,8 +47,16 @@ object IncrementalDedup {
     * it; the plan spec inspects it.
     */
   private[graft] def batchPairs(newSigs: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame =
+    probePairs(Dedup.probeVariantsOf(Dedup.halfBandsOf(newSigs)), index, maxHamming)
+
+  /** The verified-pair join given an already-built probe stream: probes
+    * against the exact-half index. For the 32-bit path probes are the 17
+    * single-bit variants per half; for the 64-bit path the index rows ARE
+    * the probes (exact-block equality, zero fan-out).
+    */
+  private[graft] def probePairs(probes: DataFrame, index: DataFrame,
       maxHamming: Int): DataFrame = {
-    val probes = Dedup.probeVariantsOf(Dedup.halfBandsOf(newSigs))
     val hamming = bit_count(col("a.sigint").bitwiseXOR(col("b.sigint"))).cast("int")
     // =!= plus least/greatest (not a < b as in the one-shot job): the
     // probe side here is only the NEW batch, so both orientations of a
@@ -107,20 +115,32 @@ object IncrementalDedup {
     * CLUSTERED doc, a vanishing fraction of corpus size.
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
-      maxHamming: Int = 3): Int = {
-    require(maxHamming <= 3,
-      "IncrementalDedup.merge: half-band probing guarantees recall only for hamming <= 3")
+      maxHamming: Int = 3, width: Int = 32): Int = {
+    require(width == 32 || width == 64,
+      s"IncrementalDedup.merge: width must be 32 or 64, got $width")
+    require(if (width == 32) maxHamming <= 3 else maxHamming < Dedup.sim64Blocks,
+      "IncrementalDedup.merge: probe geometry guarantees recall only for " +
+        "hamming <= 3 (32-bit halves + 1-bit probes / 64-bit exact blocks)")
     // pin the verification regime: every merge into one state dir must use
-    // the same radius, or the clustering matches no one-shot recompute
-    GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
+    // the same radius AND signature width, or the clustering matches no
+    // one-shot recompute
+    GenState.checkConfig(spark, stateDir,
+      Map("maxHamming" -> maxHamming.toString, "width" -> width.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
 
     // 1. sign the new batch once and persist its bands — the generation's
     // own band dir is also the materialized copy the pair join reads (no
-    // recompute of the signature job across the two consumers)
-    Dedup.halfBandsOf(Dedup.signedDocs(newDocs).repartition(col("doc_id")))
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    // recompute of the signature job across the two consumers). The
+    // 64-bit dial (d17's geometry) stores exact 16-bit blocks under the
+    // same (band, half) schema — its "probes" are the index rows
+    // themselves, no flip fan-out.
+    val signed = (if (width == 32)
+        Dedup.halfBandsOf(Dedup.signedDocs(newDocs).repartition(col("doc_id")))
+      else
+        Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
+          .withColumnRenamed("block", "half"))
+    signed.write.mode("overwrite").parquet(bandsPath(stateDir, next))
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
 
     // 2. the full exact-half index = every COMPLETE generation's bands
@@ -132,9 +152,15 @@ object IncrementalDedup {
     val fullIndex = spark.read.parquet(allBandPaths: _*)
 
     // 3. new-new + new-old pairs, then seeded CC: previous labeling as
-    // star edges — old components arrive pre-contracted
-    val pairs = batchPairs(newBands.select(col("doc_id"), col("sigint")).distinct(),
-      fullIndex, maxHamming).select(col("d1"), col("d2"))
+    // star edges — old components arrive pre-contracted. 32-bit probes
+    // fan out 17 variants per half; 64-bit blocks probe as themselves.
+    val pairs = (if (width == 32)
+        batchPairs(newBands.select(col("doc_id"), col("sigint")).distinct(),
+          fullIndex, maxHamming)
+      else
+        probePairs(newBands.withColumn("variant", col("half")),
+          fullIndex, maxHamming))
+      .select(col("d1"), col("d2"))
     val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
         .where(col("node") =!= col("label"))
         .select(col("node").as("d1"), col("label").as("d2")))

@@ -245,8 +245,9 @@ object TextAnalysis {
     *   - `dup_token_frac`: 1 − type/token ratio, the coarse vocabulary-
     *     collapse signal.
     *
-    * Scale shape: the run is a single codegen `aggregate` fold over the
-    * token array — per-row expression work, NO shuffle; the bigram mode
+    * Scale shape: the run is a single `aggregate` HOF fold over the
+    * token array — per-row expression work (interpreted, like t10's
+    * totlen fold — fine because it is O(tokens) per row), NO shuffle; the bigram mode
     * needs multiplicity so it explodes to the classic inverted-index
     * shape (partial-agg'd groupBy, two slim shuffles keyed by (doc,
     * bigram) then doc); all ratios divide exact integers once.

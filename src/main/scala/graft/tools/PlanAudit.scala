@@ -6,7 +6,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = Seq("c4_pack", "t7_pii_redact", "q36_histogram", "q37_grouping_sets",
       "d8_keeper_quality", "t8_unigram_surprisal", "c5_rebalance", "q39_sink_roundtrip",
-      "q40_approx_aggs", "q42_except_all", "q43_gapfill", "q44_exists_sql")
+      "q40_approx_aggs", "q42_except_all", "q43_gapfill", "q44_exists_sql",
+      "t15_repetition", "d17_simhash64_pairs", "d16_srp_banded")
     for (n <- names) {
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val p = df.queryExecution.executedPlan.toString

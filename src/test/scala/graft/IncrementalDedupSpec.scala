@@ -125,6 +125,33 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("64-bit width dial (d19): split-ingest equals CC over the one-shot d17 graph; width pinned") {
+    // one-shot twin: CC over simhashPairs64
+    val pairs = Dedup.simhashPairs64(spark, sf0001).select(col("d1"), col("d2"))
+    val ckpt = graft.ops.ConnectedComponents.durable(spark,
+      graft.util.TmpDirs.sessionCheckpointDir(spark))
+    val labels = graft.ops.ConnectedComponents.labelPropagation(pairs, 50, ckpt)
+      .map(_._1)
+      .getOrElse(graft.ops.ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+    val full = clustersSorted(
+      Dedup.clustersOf(labels).withColumnRenamed("label", "cluster_id"))
+    assert(full.nonEmpty, "sf0.001 should contain 64-bit near-dup clusters")
+    val state = graft.util.TmpDirs.scratch("graft_d19_t_").toString
+    IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === 0), width = 64)
+    IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === 1), width = 64)
+    IncrementalDedup.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === 2), width = 64)
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == full)
+    // the signature WIDTH is part of the pinned regime: a 32-bit merge
+    // into 64-bit state must be refused
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.merge(spark, state, docs.where(col("doc_id") < 3), width = 32)
+    }
+    assert(e.getMessage.contains("width"))
+  }
+
   test("merge parameters are pinned per state dir (mixed regimes refused)") {
     val state = graft.util.TmpDirs.scratch("graft_d12_t7_").toString
     IncrementalDedup.merge(spark, state, docs.where(col("doc_id") < 10), maxHamming = 3)
