@@ -151,6 +151,9 @@ object SparkEntry {
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
     "c4_pack" -> ((s: SparkSession, d: String) => Corpus.pack(s, d)),
+    // Curriculum packing: the c4 manifest with the per-language stream
+    // ordered by quality score (desc) instead of doc_id.
+    "c8_curriculum_pack" -> ((s: SparkSession, d: String) => Corpus.curriculumPack(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
     // Deterministic hash-bucket train/val/test assignment (per-language
     // audit counts).
@@ -1777,6 +1780,35 @@ object SparkEntry {
         |SELECT lang, CAST(floor((cum - ntok) / ${Corpus.packTokens}.0) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    // Curriculum packing: c4's BPE-counted manifest with the stream
+    // ordered by t3's quality score (desc, doc_id tie-break); score
+    // expression shared verbatim with the t3 oracle.
+    "c8_curriculum_pack" ->
+      s"""WITH RECURSIVE ${bpeWidCtes("lang, doc_id")},
+        |dt AS (SELECT lang, doc_id, CAST(sum(ntok) AS BIGINT) AS ntok
+        |       FROM dw JOIN wid USING (w) GROUP BY lang, doc_id),
+        |t AS (SELECT d.lang, d.doc_id, coalesce(dt.ntok, 0) AS ntok
+        |      FROM documents d LEFT JOIN dt
+        |        ON d.lang = dt.lang AND d.doc_id = dt.doc_id),
+        |toks2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tt FROM documents),
+        |f AS (SELECT doc_id, CAST(len(tt) AS DOUBLE) AS ntokd,
+        |        CAST(len(list_distinct(tt)) AS DOUBLE) / CAST(len(tt) AS DOUBLE) AS dr,
+        |        CAST(len(list_filter(tt, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(tt) AS DOUBLE) AS sr
+        |      FROM toks2),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(0.4 AS DOUBLE) * least(ntokd / 128, CAST(1.0 AS DOUBLE))
+        |      + CAST(0.4 AS DOUBLE) * dr
+        |      + CAST(0.2 AS DOUBLE) * least(sr * 4, CAST(1.0 AS DOUBLE)), 6) AS score
+        |  FROM f),
+        |c AS (SELECT t.lang, t.doc_id, t.ntok, sc.score,
+        |    sum(t.ntok) OVER (PARTITION BY t.lang ORDER BY sc.score DESC, t.doc_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t JOIN sc USING (doc_id))
+        |SELECT lang, CAST(floor((cum - ntok) / ${Corpus.packTokens}.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  round(min(score), 6) AS min_score, round(max(score), 6) AS max_score
         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
     // PII redaction over the inline golden corpus — rows and patterns both

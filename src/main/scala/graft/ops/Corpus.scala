@@ -212,6 +212,37 @@ object Corpus {
       .orderBy(col("lang"), col("pack_id"))
   }
 
+  /** c8: CURRICULUM packing — [[pack]]'s manifest with the stream order
+    * flipped from doc_id to QUALITY (t3's score, descending, doc_id
+    * tie-break): early packs hold the best-quality documents, the shape a
+    * curriculum or quality-annealed training run consumes. Token counts
+    * stay real BPE counts; per-pack score bounds use min/max (order-
+    * insensitive — an avg of partial-agg'd doubles would flip 6-dp bits
+    * between engines). Same scale shape as c4: one window shuffle per
+    * language stream, one manifest aggregation; the score projection is
+    * expression-only.
+    */
+  def curriculumPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        element_at(call_function("bpe_stats", col("text"),
+          lit(graft.exprs.BpeStats.spec)), 2).as("ntok"))
+    val sc = TextAnalysis.scored(spark, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(sc, "doc_id")
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("ntok")) / lit(packTokens.toDouble)).cast("bigint"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
   /** KMV sketch size for [[kmvEstimate]]: relative error ≈ 1/√(k−2) ≈ 18%
     * at 32 — a 32-hash sketch per group versus shuffling every distinct
     * value. (The b1 sketch query keeps k=8 so its output stays readable.)

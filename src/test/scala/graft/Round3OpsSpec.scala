@@ -54,6 +54,27 @@ class Round3OpsSpec extends SparkSpec {
     packs.unpersist()
   }
 
+  test("c8 curriculumPack: packs descend in quality and conserve c4's token total") {
+    val packs = Corpus.curriculumPack(spark, sf0001).cache()
+    // per language, the score bands of consecutive packs never interleave:
+    // a later pack's best doc is no better than an earlier pack's worst
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("pack_id")
+    val crossed = packs
+      .withColumn("prev_min", lag(col("min_score"), 1).over(w))
+      .where(col("prev_min").isNotNull && col("max_score") > col("prev_min"))
+    assert(crossed.count() == 0)
+    // same docs, same BPE counts, different order: totals match c4 exactly
+    val c4tot = Corpus.pack(spark, sf0001)
+      .groupBy("lang").agg(sum("n_tokens").as("t4"), sum("n_docs").as("d4"))
+    val mism = packs.groupBy("lang")
+      .agg(sum("n_tokens").as("t8"), sum("n_docs").as("d8"))
+      .join(c4tot, "lang")
+      .where(col("t8") =!= col("t4") || col("d8") =!= col("d4"))
+    assert(mism.count() == 0)
+    packs.unpersist()
+  }
+
   test("t15 repetitionProfile == plain-Scala recomputation over sf0.001") {
     val got = graft.ops.TextAnalysis.repetitionProfile(spark, sf0001)
       .collect().map(r => r.getLong(0) ->
