@@ -40,6 +40,14 @@ object SparkEntry {
     s7ModelDirs.computeIfAbsent((s, d), _ =>
       graft.util.TmpDirs.scratch("graft_s7_model_").toString)
 
+  /** t16's BPE model dir, same lifecycle as [[s7ModelDirs]]. */
+  private val t16ModelDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  private def t16ModelDir(s: SparkSession, d: String): String =
+    t16ModelDirs.computeIfAbsent((s, d), _ =>
+      graft.util.TmpDirs.scratch("graft_t16_model_").toString)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q2_selective_filter" -> Relational.q2SelectiveFilter _,
@@ -261,6 +269,10 @@ object SparkEntry {
     "t13_bpe_train" -> ((s: SparkSession, d: String) => TextAnalysis.bpeTrainTable(s, d)),
     // t12's counting on the LEARNED table — train + tokenize end to end.
     "t14_bpe_learned_tokens" -> ((s: SparkSession, d: String) => TextAnalysis.bpeLearnedTokens(s, d)),
+    // Tokenizer-model registry: the learned table persisted to a parquet
+    // model dir and reloaded (never retrained) — must equal t14 exactly.
+    "t16_bpe_persisted" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpePersistedTokens(s, d, t16ModelDir(s, d))),
     "t10_gopher_rules" -> ((s: SparkSession, d: String) => TextAnalysis.gopherRules(s, d)),
     // Token-level repetition signals (top-bigram mass, longest token run,
     // type/token collapse) — the Gopher repetition family t10 lacks.
@@ -354,6 +366,9 @@ object SparkEntry {
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
+      // persisted BPE model reload == training fresh (lossless
+      // string/long round-trip)
+      ("t16_bpe_persisted" -> m("t14_bpe_learned_tokens")) +
       // embedding split-ingest-then-merge == d11's full recompute
       ("d14_embedding_incremental" -> m("d11_embedding_clusters")) +
       // sink round-trip and the foreachBatch drain must both reproduce

@@ -416,6 +416,44 @@ object TextAnalysis {
     trainBpeMerges(spark, dir).toDF("rank", "pair", "freq").orderBy(col("rank"))
   }
 
+  /** Tokenizer-model REGISTRY (the s7 pattern for the BPE table): train
+    * once, write the ranked merge table to a parquet model dir, and from
+    * then on every consumer reloads it — strings and longs round-trip
+    * parquet losslessly, so a reloaded table tokenizes bit-identically to
+    * training fresh. This is the artifact a production pipeline ships to
+    * its tokenization fleet: training sees the corpus once; tokenizers
+    * see only the (rounds)-row model.
+    */
+  def persistedBpeMerges(spark: SparkSession, dir: String, modelDir: String,
+      rounds: Int = bpeTrainRounds): Seq[(Int, String, Long)] = {
+    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      import spark.implicits._
+      trainBpeMerges(spark, dir, rounds).toDF("rank", "pair", "freq")
+        .repartition(1) // a ≤rounds-row model: one file, atomic _SUCCESS
+        .write.mode("overwrite").parquet(modelDir)
+    }
+    spark.read.parquet(modelDir).orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  /** t16: t12's counting on the PERSISTED model — reload, never retrain
+    * (the spec proves the corpus is untouched on the reload path). Same
+    * output shape and values as [[bpeLearnedTokens]].
+    */
+  def bpePersistedTokens(spark: SparkSession, dir: String, modelDir: String): DataFrame = {
+    val spec = persistedBpeMerges(spark, dir, modelDir).map(_._2).mkString(";")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        call_function("bpe_stats", col("text"), lit(spec)).as("b"))
+      .groupBy(col("lang"))
+      .agg(sum(element_at(col("b"), 1)).as("n_words"),
+        sum(element_at(col("b"), 2)).as("n_tokens"),
+        sum(element_at(col("b"), 3)).as("sum_token_id"))
+      .orderBy(col("lang"))
+  }
+
   /** t14: t12's token counting run on the LEARNED table — the full loop
     * closed: train on the corpus, then tokenize the corpus with what was
     * learned. Same output shape as [[bpeVocabTokens]]; the oracle replays

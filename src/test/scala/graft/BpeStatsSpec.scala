@@ -107,6 +107,25 @@ class BpeStatsSpec extends SparkSpec {
     }
   }
 
+  test("t16: persisted model reloads WITHOUT the corpus and tokenizes identically") {
+    val modelDir = graft.util.TmpDirs.scratch("graft_t16_spec_model_").toString
+    val m1 = graft.ops.TextAnalysis.persistedBpeMerges(spark, sf0001, modelDir)
+    assert(m1.nonEmpty)
+    // drop the training memo, then reload against a corpus path that does
+    // NOT EXIST — the reload path must never touch the corpus, so this
+    // succeeds iff no retraining happens
+    graft.ops.TextAnalysis.clearCaches()
+    val m2 = graft.ops.TextAnalysis.persistedBpeMerges(
+      spark, "/nonexistent_corpus_dir", modelDir)
+    assert(m2 == m1)
+    // and the tokenization surfaces agree end to end
+    val a = graft.ops.TextAnalysis.bpeLearnedTokens(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.ops.TextAnalysis.bpePersistedTokens(spark, sf0001, modelDir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("t14: learned-table tokenization conserves words and tightens counts") {
     val t12 = graft.ops.TextAnalysis.bpeVocabTokens(spark, sf0001)
       .select(col("lang"), col("n_words"), col("n_tokens")).collect()
