@@ -161,16 +161,29 @@ object IncrementalDedup {
         probePairs(newBands.withColumn("variant", col("half")),
           fullIndex, maxHamming))
       .select(col("d1"), col("d2"))
-    val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
-        .where(col("node") =!= col("label"))
-        .select(col("node").as("d1"), col("label").as("d2")))
-      .getOrElse(pairs.limit(0))
-    val edges = pairs.unionByName(seeds)
-    val ckpt = ConnectedComponents.durable(spark,
-      graft.util.TmpDirs.sessionCheckpointDir(spark))
-    val labels = ConnectedComponents.labelPropagation(edges, 50, ckpt)
-      .map(_._1)
-      .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
+    // EMPTY-BATCH FAST PATH: a batch with no new verified pairs cannot
+    // change the labeling (CC over the star edges alone reproduces them
+    // verbatim), so carry the previous labels forward and skip the CC
+    // loop's checkpoint rounds entirely. On a real stream, dedup-free
+    // micro-batches are the COMMON case — this turns their per-trigger
+    // cost into one slim parquet copy. limit(1) short-circuits: when
+    // pairs exist the probe stops at the first row, so the happy path
+    // pays almost nothing for the check.
+    val labels =
+      if (prev.isDefined && pairs.limit(1).count() == 0)
+        spark.read.parquet(labelsPath(stateDir, prev.get))
+      else {
+        val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
+            .where(col("node") =!= col("label"))
+            .select(col("node").as("d1"), col("label").as("d2")))
+          .getOrElse(pairs.limit(0))
+        val edges = pairs.unionByName(seeds)
+        val ckpt = ConnectedComponents.durable(spark,
+          graft.util.TmpDirs.sessionCheckpointDir(spark))
+        ConnectedComponents.labelPropagation(edges, 50, ckpt)
+          .map(_._1)
+          .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
+      }
 
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an

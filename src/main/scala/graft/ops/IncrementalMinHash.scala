@@ -108,17 +108,24 @@ object IncrementalMinHash {
       .where(round(jac, 6) >= threshold)
       .select(col("d1"), col("d2"))
 
-    // 4. seeded CC: previous labeling as pre-contracted star edges
-    val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
-        .where(col("node") =!= col("label"))
-        .select(col("node").as("d1"), col("label").as("d2")))
-      .getOrElse(pairs.limit(0))
-    val edges = pairs.unionByName(seeds)
-    val ckpt = ConnectedComponents.durable(spark,
-      graft.util.TmpDirs.sessionCheckpointDir(spark))
-    val labels = ConnectedComponents.labelPropagation(edges, 50, ckpt)
-      .map(_._1)
-      .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
+    // 4. seeded CC: previous labeling as pre-contracted star edges. A
+    // pair-free batch carries the previous labels forward verbatim and
+    // skips the CC loop (see IncrementalDedup — the common streaming case).
+    val labels =
+      if (prev.isDefined && pairs.limit(1).count() == 0)
+        spark.read.parquet(labelsPath(stateDir, prev.get))
+      else {
+        val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
+            .where(col("node") =!= col("label"))
+            .select(col("node").as("d1"), col("label").as("d2")))
+          .getOrElse(pairs.limit(0))
+        val edges = pairs.unionByName(seeds)
+        val ckpt = ConnectedComponents.durable(spark,
+          graft.util.TmpDirs.sessionCheckpointDir(spark))
+        ConnectedComponents.labelPropagation(edges, 50, ckpt)
+          .map(_._1)
+          .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
+      }
 
     // 5. commit: labels' _SUCCESS marks the generation complete
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))

@@ -228,6 +228,33 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(IncrementalDedup.maybeCompact(spark, state, maxLive = 2).isEmpty)
   }
 
+  test("pair-free batch fast path: labels carried forward verbatim, all modalities") {
+    val state = graft.util.TmpDirs.scratch("graft_d12_ff_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val before = clustersSorted(IncrementalDedup.clusters(spark, state))
+    IncrementalDedup.merge(spark, state, docs.where(lit(false)))
+    assert(IncrementalDedup.latestVersion(spark, state).contains(2))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == before)
+
+    val mstate = graft.util.TmpDirs.scratch("graft_d15_ff_").toString
+    graft.ops.IncrementalMinHash.merge(spark, mstate, docs)
+    val mbefore = graft.ops.IncrementalMinHash.clusters(spark, mstate)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    graft.ops.IncrementalMinHash.merge(spark, mstate, docs.where(lit(false)))
+    assert(graft.ops.IncrementalMinHash.clusters(spark, mstate)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == mbefore)
+
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    val estate = graft.util.TmpDirs.scratch("graft_d14_ff_").toString
+    graft.ops.IncrementalEmbedding.merge(spark, estate, vecs)
+    val ebefore = graft.ops.IncrementalEmbedding.clusters(spark, estate)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    graft.ops.IncrementalEmbedding.merge(spark, estate, vecs.where(lit(false)))
+    assert(graft.ops.IncrementalEmbedding.clusters(spark, estate)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == ebefore)
+  }
+
   test("empty prior state: first merge is the initial build; no-dup batch is fine") {
     val state = graft.util.TmpDirs.scratch("graft_d12_t4_").toString
     assert(IncrementalDedup.latestVersion(spark, state).isEmpty)
