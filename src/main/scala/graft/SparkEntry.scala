@@ -162,6 +162,18 @@ object SparkEntry {
     // Curriculum packing: the c4 manifest with the per-language stream
     // ordered by quality score (desc) instead of doc_id.
     "c8_curriculum_pack" -> ((s: SparkSession, d: String) => Corpus.curriculumPack(s, d)),
+    // Contamination registry: benchmark shingles persisted once, each
+    // ingest batch screened independently; batch union == one-shot c3.
+    "c9_contamination_registry" -> ((s: SparkSession, d: String) => {
+      val reg = graft.util.TmpDirs.scratch("graft_c9_registry_").toString
+      Corpus.buildContaminationRegistry(s, d, reg)
+      val train = graft.sources.Tables.documents(s, d)
+        .where(col("source") =!= Corpus.benchmarkSource)
+      Corpus.contaminationAgainst(s, reg, train.where(pmod(col("doc_id"), lit(5)) =!= 0))
+        .unionByName(
+          Corpus.contaminationAgainst(s, reg, train.where(pmod(col("doc_id"), lit(5)) === 0)))
+        .orderBy(col("doc_id"))
+    }),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
     // Deterministic hash-bucket train/val/test assignment (per-language
     // audit counts).
@@ -357,6 +369,8 @@ object SparkEntry {
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
       // write-only partial-agg ingest == d1's one-shot exact aggregate
       ("d18_exact_incremental" -> m("d1_exact_dedup")) +
+      // per-batch registry screening unioned == one-shot contamination
+      ("c9_contamination_registry" -> m("c3_contamination")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph

@@ -171,6 +171,49 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** c9: the CONTAMINATION REGISTRY — [[contamination]] split into its
+    * production shape: the benchmark's distinct-shingle set is a
+    * persisted artifact (built once from the test corpora, like s7's
+    * centroids or t16's merge table), and every INGEST BATCH is screened
+    * against it independently. Per-doc contamination is a pure function
+    * of (doc, registry), so batch-wise screening unioned over any split
+    * equals the one-shot [[contamination]] — c3's oracle gates it.
+    *
+    * Scale shape: the registry parquet is test-set-sized (broadcast);
+    * each batch streams through the hash probe map-side with one per-doc
+    * count aggregation — the ingest pipeline's decontamination gate runs
+    * per batch without ever re-reading the benchmark corpora.
+    */
+  def buildContaminationRegistry(spark: SparkSession, dir: String,
+      registryDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(registryDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Tables.documents(spark, dir)
+        .where(col("source") === benchmarkSource)
+        .select(explode(shingles(col("text"))).as("shingle")).distinct()
+        .write.mode("overwrite").parquet(registryDir)
+    }
+  }
+
+  /** Screen one ingest batch against a persisted registry (same output
+    * shape and values as [[contamination]] restricted to the batch).
+    */
+  def contaminationAgainst(spark: SparkSession, registryDir: String,
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchSh = spark.read.parquet(registryDir)
+    val trainSh = batch
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .repartition(col("doc_id"))
+    val own = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+    val shared = trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    own.join(shared, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_own"),
+        round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
+  }
+
   /** Pack capacity (tokens) for [[pack]]. */
   val packTokens = 256
 

@@ -137,4 +137,40 @@ class CorpusSpec extends SparkSpec {
     assert(dupSet.nonEmpty)
   }
 
+  test("c9: registry screening is batch-split-invariant and never re-reads the benchmark") {
+    import org.apache.spark.sql.functions._
+    val reg = graft.util.TmpDirs.scratch("graft_c9_spec_reg_").toString
+    Corpus.buildContaminationRegistry(spark, sf0001, reg)
+    val train = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("source") =!= Corpus.benchmarkSource)
+    // per-batch screening unioned over a 3-way split == the one-shot c3
+    val parts = (0 until 3).map(r =>
+      Corpus.contaminationAgainst(spark, reg,
+        train.where(pmod(col("doc_id"), lit(3)) === r)))
+    val got = parts.reduce(_ unionByName _)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = Corpus.contamination(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want && want.nonEmpty)
+    // the screening plan reads the registry parquet instead of the
+    // benchmark corpus: with a batch that carries no source predicate of
+    // its own, the benchmark source literal appears NOWHERE in the plan
+    // (c3's one-shot plan filters on it to build the bench side)
+    val sourceFree = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val plan = Corpus.contaminationAgainst(spark, reg, sourceFree)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(Corpus.benchmarkSource),
+      s"screening re-reads the benchmark corpus:\n$plan")
+    val oneShot = Corpus.contamination(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(oneShot.contains(Corpus.benchmarkSource),
+      "sanity: the one-shot plan does filter on the benchmark source")
+    // idempotent build: a second build call is a no-op (marker exists)
+    val f = graft.ops.GenState.fs(spark, reg)
+    val m = new org.apache.hadoop.fs.Path(reg, "_SUCCESS")
+    val before = f.getFileStatus(m).getModificationTime
+    Corpus.buildContaminationRegistry(spark, sf0001, reg)
+    assert(f.getFileStatus(m).getModificationTime == before)
+  }
 }
