@@ -301,6 +301,10 @@ object SparkEntry {
     // The embedding modality: micro-batch d14 merges; == one-shot d11.
     "q56_stream_embedding_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runEmbeddingDedupAvailableNow(s, d)),
+    // The exact modality: write-only d18 generations per micro-batch;
+    // drained re-aggregation == d1's one-shot.
+    "q57_stream_exact_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runExactDedupAvailableNow(s, d)),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -377,6 +381,8 @@ object SparkEntry {
       ("q55_stream_minhash_dedup" -> m("d15_minhash_incremental")) +
       // and the embedding modality: == d11's one-shot clustering
       ("q56_stream_embedding_dedup" -> m("d11_embedding_clusters")) +
+      // and the exact modality: == d1's one-shot aggregate
+      ("q57_stream_exact_dedup" -> m("d1_exact_dedup")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +

@@ -78,6 +78,21 @@ object DocumentsStream {
     graft.ops.IncrementalMinHash.clusters(spark, state)
   }
 
+  /** q57: the EXACT modality under the same chassis — each micro-batch
+    * appended as a write-only partial-aggregate generation
+    * ([[graft.ops.IncrementalExact]]); the drained re-aggregation equals
+    * d1's one-shot. The cheapest streaming dedup there is: per-trigger
+    * cost is one hash+partial-agg job and one slim parquet write, state
+    * reads happen only at query time.
+    */
+  def runExactDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q57_state_").toString)
+    drainMerges(spark, dir, files, "q57")(b =>
+      graft.ops.IncrementalExact.merge(b.sparkSession, state, b))
+    graft.ops.IncrementalExact.dedup(spark, state)
+  }
+
   /** q56: the EMBEDDING modality under the same chassis — micro-batches
     * of the embeddings table foreachBatch-merged into one
     * [[graft.ops.IncrementalEmbedding]] state dir; drained clustering ==

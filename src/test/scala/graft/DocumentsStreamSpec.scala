@@ -51,6 +51,18 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("q57: streamed exact-dedup generations re-aggregate to d1's one-shot") {
+    val state = graft.util.TmpDirs.scratch("graft_q57_spec_state_").toString
+    val out = DocumentsStream.runExactDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalExact.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    val full = Dedup.exactDedup(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full)
+  }
+
   test("q56: streamed embedding merges match d11's one-shot clustering") {
     val state = graft.util.TmpDirs.scratch("graft_q56_spec_state_").toString
     val out = DocumentsStream.runEmbeddingDedupAvailableNow(
