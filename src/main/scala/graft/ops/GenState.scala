@@ -118,6 +118,71 @@ object GenState {
     else None
   }
 
+  // ---- idempotent-ingest markers (at-least-once re-delivery) -------------
+  //
+  // A foreachBatch driver re-delivers a micro-batch when the merge landed
+  // but the stream checkpoint didn't (the q54 crash window). The three
+  // pair-graph modalities absorb that for free — duplicate pairs dedup
+  // away in CC — but [[IncrementalExact]]'s write-only partial aggregates
+  // would double-count a re-delivered batch. These markers make exact
+  // ingest idempotent: the caller tags each merge with the batch id, the
+  // marker commits ATOMICALLY with the generation (it is written into the
+  // vN dir before the commit table's _SUCCESS, and only counts when the
+  // generation is complete), and a merge whose key is already recorded is
+  // a no-op. Compaction carries the folded generations' markers forward,
+  // so idempotency survives maintenance.
+
+  private val ingestPrefix = "_INGEST_"
+
+  private def requireValidKey(key: String): Unit =
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"ingest batch key must be [A-Za-z0-9._-]+, got '$key'")
+
+  /** Batch keys recorded by COMPLETE generations (markers in incomplete
+    * generations are abandoned work and do not count).
+    */
+  def ingestedKeys(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Set[String] = {
+    val f = fs(spark, stateDir)
+    completeVersions(spark, stateDir, commitTable).flatMap { v =>
+      markerNames(f, stateDir, v)
+    }.toSet
+  }
+
+  private def markerNames(f: FileSystem, stateDir: String, v: Int): Seq[String] = {
+    val dir = new Path(s"$stateDir/v$v")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ingestPrefix)).map(_.drop(ingestPrefix.length))
+  }
+
+  /** Record `key` on (not-yet-complete) generation `v`; call BEFORE the
+    * commit table's write so the marker exists whenever the generation is
+    * complete. Clears stale markers first — an incomplete vN is abandoned
+    * work being redone.
+    */
+  def writeIngestMarker(spark: SparkSession, stateDir: String, v: Int,
+      key: String): Unit = {
+    requireValidKey(key)
+    val f = fs(spark, stateDir)
+    markerNames(f, stateDir, v).foreach(k =>
+      f.delete(new Path(s"$stateDir/v$v/$ingestPrefix$k"), false))
+    writeUtf8(f, new Path(s"$stateDir/v$v/$ingestPrefix$key"), "")
+  }
+
+  /** Carry the markers of `from` generations onto (not-yet-complete)
+    * generation `to` — compaction must not forget which batches were
+    * ingested. Call before `to`'s commit write.
+    */
+  def copyIngestMarkers(spark: SparkSession, stateDir: String,
+      from: Seq[Int], to: Int): Unit = {
+    val f = fs(spark, stateDir)
+    markerNames(f, stateDir, to).foreach(k =>
+      f.delete(new Path(s"$stateDir/v$to/$ingestPrefix$k"), false))
+    from.flatMap(markerNames(f, stateDir, _)).distinct.foreach(k =>
+      writeUtf8(f, new Path(s"$stateDir/v$to/$ingestPrefix$k"), ""))
+  }
+
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,
     * require()d identical on every later merge into the same state dir.
     */

@@ -87,6 +87,7 @@ object IncrementalDedup {
 
   private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
   /** Current labels (empty 2-col frame when no generation exists). */
   def stateLabels(spark: SparkSession, stateDir: String): DataFrame =
@@ -161,23 +162,25 @@ object IncrementalDedup {
         probePairs(newBands.withColumn("variant", col("half")),
           fullIndex, maxHamming))
       .select(col("d1"), col("d2"))
-    // EMPTY-BATCH FAST PATH: a batch with no new verified pairs cannot
-    // change the labeling (CC over the star edges alone reproduces them
-    // verbatim), so carry the previous labels forward and skip the CC
-    // loop's checkpoint rounds entirely. On a real stream, dedup-free
-    // micro-batches are the COMMON case — this turns their per-trigger
-    // cost into one slim parquet copy. limit(1) short-circuits: when
-    // pairs exist the probe stops at the first row, so the happy path
-    // pays almost nothing for the check.
+    // MATERIALIZE the probe+verify join ONCE — written to the generation
+    // dir (state-shaped scratch, crash-abandoned with the rest of vN).
+    // The old limit(1) emptiness probe was cheap when pairs existed, but
+    // the join then executed AGAIN from scratch inside CC — every
+    // duplicate-bearing micro-batch paid the candidate join twice. Now
+    // both the EMPTY-BATCH FAST PATH check (a pair-free batch carries the
+    // previous labels forward verbatim and skips the CC loop — the common
+    // streaming case) and CC read the slim parquet back.
+    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     val labels =
-      if (prev.isDefined && pairs.limit(1).count() == 0)
+      if (prev.isDefined && matPairs.isEmpty)
         spark.read.parquet(labelsPath(stateDir, prev.get))
       else {
         val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
             .where(col("node") =!= col("label"))
             .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(pairs.limit(0))
-        val edges = pairs.unionByName(seeds)
+          .getOrElse(matPairs.limit(0))
+        val edges = matPairs.unionByName(seeds)
         val ckpt = ConnectedComponents.durable(spark,
           graft.util.TmpDirs.sessionCheckpointDir(spark))
         ConnectedComponents.labelPropagation(edges, 50, ckpt)

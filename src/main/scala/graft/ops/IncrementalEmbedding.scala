@@ -41,6 +41,7 @@ object IncrementalEmbedding {
 
   private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
   /** Slim candidate phase of one merge: (d1, d2) pairs from exact bucket
     * equality of the NEW batch against the full index, hot buckets dropped
@@ -52,7 +53,14 @@ object IncrementalEmbedding {
   private[graft] def candidatePairs(slimNew: DataFrame, slimAll: DataFrame,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val cold = slimAll.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+    // occupancy over DISTINCT vec_ids: under at-least-once re-delivery a
+    // duplicated batch appears in two generations, and counting raw union
+    // rows would double a bucket's occupancy and could falsely trip the
+    // cap — silently dropping candidates that the one-shot keeps. The
+    // dedup is on the already-slim (vec_id, bucket) projection, so the
+    // extra exchange carries two columns.
+    val cold = slimAll.dropDuplicates("vec_id", "bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
       .where(col("occ") <= cap).select(col("bucket"))
     slimNew.join(broadcast(cold), "bucket").as("a")
       .join(slimAll.join(broadcast(cold), "bucket").as("b"),
@@ -116,18 +124,26 @@ object IncrementalEmbedding {
       .where(round(cos, 6) >= threshold)
       .select(col("d1"), col("d2"))
 
+    // MATERIALIZE the candidate+verify join ONCE — to the generation dir,
+    // where it is state-shaped scratch a crash abandons with the rest of
+    // vN. The emptiness probe and CC both read the slim parquet back, so
+    // a duplicate-bearing merge pays the join exactly once (it used to
+    // execute again from scratch inside CC after the limit(1) probe).
+    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+
     // 3. seeded CC: previous labeling as pre-contracted star edges. A
     // pair-free batch carries the previous labels forward verbatim and
     // skips the CC loop (see IncrementalDedup — the common streaming case).
     val labels =
-      if (prev.isDefined && pairs.limit(1).count() == 0)
+      if (prev.isDefined && matPairs.isEmpty)
         spark.read.parquet(labelsPath(stateDir, prev.get))
       else {
         val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
             .where(col("node") =!= col("label"))
             .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(pairs.limit(0))
-        val edges = pairs.unionByName(seeds)
+          .getOrElse(matPairs.limit(0))
+        val edges = matPairs.unionByName(seeds)
         val ckpt = ConnectedComponents.durable(spark,
           graft.util.TmpDirs.sessionCheckpointDir(spark))
         ConnectedComponents.labelPropagation(edges, 50, ckpt)

@@ -47,10 +47,30 @@ object IncrementalExact {
 
   /** Ingest `newDocs` (doc_ids disjoint from prior ingests): WRITE-ONLY —
     * hashes the batch, partial-aggregates it, appends a generation.
-    * Returns the new generation number.
+    * Returns the generation number holding the batch.
+    *
+    * `batchKey` makes the ingest IDEMPOTENT under at-least-once
+    * re-delivery (the q54/q57 foreachBatch crash window): unlike the
+    * pair-graph modalities — where a re-merged batch's duplicate pairs
+    * dedup away in CC — re-appending a partial aggregate would double
+    * `n_copies`. A keyed merge whose key a complete generation already
+    * records is a no-op; the marker commits atomically with the
+    * generation ([[GenState.writeIngestMarker]] writes it into the vN dir
+    * BEFORE `hashes/_SUCCESS`, and only complete generations count), so
+    * every crash point resolves to exactly-once ingest. The membership
+    * probe is an O(live generations) file listing — the write path stays
+    * read-free of parquet DATA; streaming callers should pass the
+    * foreachBatch batch id.
     */
-  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame): Int = {
-    val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
+  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
+      batchKey: Option[String] = None): Int = {
+    val live = latestVersion(spark, stateDir)
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.get // already ingested: re-delivery is a no-op
+    }
+    val next = live.map(_ + 1).getOrElse(0)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
     partialOf(newDocs).write.mode("overwrite").parquet(hashesPath(stateDir, next))
     next
   }
@@ -86,6 +106,9 @@ object IncrementalExact {
     // compacted generation is complete. (The single-table layout writes
     // the manifest first, then the table whose _SUCCESS commits.)
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    // markers travel with the fold: a re-delivered batch key must stay a
+    // no-op even after its generation was compacted away
+    GenState.copyIngestMarkers(spark, stateDir, versions, next)
     folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

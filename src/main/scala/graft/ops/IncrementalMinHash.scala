@@ -47,6 +47,7 @@ object IncrementalMinHash {
   private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
   private def setsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sets"
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
   /** Slim candidate pairs of one merge: the new batch's band rows against
     * the full persisted index on exact (band, bh) equality — both
@@ -108,18 +109,25 @@ object IncrementalMinHash {
       .where(round(jac, 6) >= threshold)
       .select(col("d1"), col("d2"))
 
+    // materialize the candidate+verify join ONCE to the generation dir
+    // (crash-abandoned with the rest of vN); emptiness probe and CC read
+    // the slim parquet back instead of re-executing the join (see
+    // IncrementalEmbedding — the shared merge hot-path contract).
+    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+
     // 4. seeded CC: previous labeling as pre-contracted star edges. A
     // pair-free batch carries the previous labels forward verbatim and
     // skips the CC loop (see IncrementalDedup — the common streaming case).
     val labels =
-      if (prev.isDefined && pairs.limit(1).count() == 0)
+      if (prev.isDefined && matPairs.isEmpty)
         spark.read.parquet(labelsPath(stateDir, prev.get))
       else {
         val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
             .where(col("node") =!= col("label"))
             .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(pairs.limit(0))
-        val edges = pairs.unionByName(seeds)
+          .getOrElse(matPairs.limit(0))
+        val edges = matPairs.unionByName(seeds)
         val ckpt = ConnectedComponents.durable(spark,
           graft.util.TmpDirs.sessionCheckpointDir(spark))
         ConnectedComponents.labelPropagation(edges, 50, ckpt)

@@ -38,7 +38,7 @@ object DocumentsStream {
     */
   private def drainMerges(spark: SparkSession, dir: String, files: Int,
       tag: String, table: (SparkSession, String) => DataFrame = Tables.documents)
-      (mergeBatch: DataFrame => Unit): Unit = {
+      (mergeBatch: (DataFrame, Long) => Unit): Unit = {
     val ss = EventsStream.streamSession(spark)
     val src = TmpDirs.scratch(s"graft_${tag}_src_").toString
     table(ss, dir).repartition(files).write.mode("overwrite").parquet(src)
@@ -50,7 +50,7 @@ object DocumentsStream {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", TmpDirs.scratch(s"graft_${tag}_stream_ckpt_").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) => mergeBatch(batch); () }
+      .foreachBatch { (batch: DataFrame, id: Long) => mergeBatch(batch, id); () }
       .start()
     q.awaitTermination()
   }
@@ -58,7 +58,7 @@ object DocumentsStream {
   def runIncrementalDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q54_state_").toString)
-    drainMerges(spark, dir, files, "q54")(b =>
+    drainMerges(spark, dir, files, "q54")((b, _) =>
       IncrementalDedup.merge(b.sparkSession, state, b))
     IncrementalDedup.clusters(spark, state)
   }
@@ -73,7 +73,7 @@ object DocumentsStream {
   def runMinHashDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q55_state_").toString)
-    drainMerges(spark, dir, files, "q55")(b =>
+    drainMerges(spark, dir, files, "q55")((b, _) =>
       graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b))
     graft.ops.IncrementalMinHash.clusters(spark, state)
   }
@@ -83,13 +83,17 @@ object DocumentsStream {
     * ([[graft.ops.IncrementalExact]]); the drained re-aggregation equals
     * d1's one-shot. The cheapest streaming dedup there is: per-trigger
     * cost is one hash+partial-agg job and one slim parquet write, state
-    * reads happen only at query time.
+    * reads happen only at query time. The merge is KEYED by the
+    * foreachBatch batch id, so a re-delivered micro-batch (crash after
+    * merge, before the stream checkpoint commit) is a no-op instead of a
+    * double-counted partial — the exact modality's crash-resume contract
+    * now matches the pair-graph modalities' (q54 spec's window).
     */
   def runExactDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q57_state_").toString)
-    drainMerges(spark, dir, files, "q57")(b =>
-      graft.ops.IncrementalExact.merge(b.sparkSession, state, b))
+    drainMerges(spark, dir, files, "q57")((b, id) =>
+      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(s"b$id")))
     graft.ops.IncrementalExact.dedup(spark, state)
   }
 
@@ -103,7 +107,7 @@ object DocumentsStream {
   def runEmbeddingDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q56_state_").toString)
-    drainMerges(spark, dir, files, "q56", Tables.embeddings)(b =>
+    drainMerges(spark, dir, files, "q56", Tables.embeddings)((b, _) =>
       graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b))
     graft.ops.IncrementalEmbedding.clusters(spark, state)
   }

@@ -104,6 +104,57 @@ class DocumentsStreamSpec extends SparkSpec {
       assert(boomAt.isDefined, s"unexpected stream failure: $e") }
   }
 
+  /** The q57 variant of [[runPass]]: exact-modality merges, KEYED by the
+    * foreachBatch batch id as the production runner does.
+    */
+  private def runExactPass(src: String, ckpt: String, state: String,
+      boomAt: Option[Long], afterMerge: Boolean = false): Unit = {
+    val ss = EventsStream.streamSession(spark)
+    val schema = ss.read.parquet(src).schema
+    val q = ss.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (boomAt.contains(id) && !afterMerge) sys.error(s"boom before merge $id")
+        graft.ops.IncrementalExact.merge(batch.sparkSession, state, batch,
+          Some(s"b$id"))
+        if (boomAt.contains(id) && afterMerge) sys.error(s"boom after merge $id")
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      assert(boomAt.isDefined, s"unexpected stream failure: $e") }
+  }
+
+  test("q57 re-delivery window: duplicated exact-ingest batch is a no-op, counts stay exact") {
+    val src = graft.util.TmpDirs.scratch("graft_q57_redel_src_").toString
+    val ckpt = graft.util.TmpDirs.scratch("graft_q57_redel_ckpt_").toString
+    val state = graft.util.TmpDirs.scratch("graft_q57_redel_state_").toString
+    graft.sources.Tables.documents(spark, sf0001)
+      .repartition(4).write.mode("overwrite").parquet(src)
+
+    runExactPass(src, ckpt, state, boomAt = Some(2L), afterMerge = true)
+    // batch 2's generation COMMITTED even though the stream didn't
+    assert(graft.ops.IncrementalExact.latestVersion(spark, state).contains(2))
+
+    runExactPass(src, ckpt, state, boomAt = None)
+    // batch 2 re-delivered but NOT re-appended (the keyed merge no-ops):
+    // exactly one generation per staged file, unlike q54's harmless extra
+    assert(graft.ops.IncrementalExact.completeVersions(spark, state) ==
+      Seq(0, 1, 2, 3),
+      "re-delivered exact batch appended a duplicate partial-aggregate generation")
+    val out = graft.ops.IncrementalExact.dedup(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val full = Dedup.exactDedup(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full, "q57 diverged from d1's one-shot after re-delivery")
+  }
+
   test("crash BEFORE batch 2's merge, resume from checkpoint: parity with one-shot d7") {
     val src = graft.util.TmpDirs.scratch("graft_q54_crash_src_").toString
     val ckpt = graft.util.TmpDirs.scratch("graft_q54_crash_ckpt_").toString

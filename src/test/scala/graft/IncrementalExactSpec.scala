@@ -53,6 +53,33 @@ class IncrementalExactSpec extends SparkSpec {
     assert(IncrementalExact.latestVersion(spark, state).contains(1))
   }
 
+  test("keyed merge is idempotent: a re-delivered batch is a no-op, even across compact") {
+    val state = graft.util.TmpDirs.scratch("graft_d18_idem_").toString
+    val b0 = docs.where(col("doc_id") < 100)
+    val b1 = docs.where(col("doc_id") >= 100)
+    val v0 = IncrementalExact.merge(spark, state, b0, Some("b0"))
+    val before = sorted(IncrementalExact.dedup(spark, state))
+    // the q57 crash window: generation committed, stream checkpoint
+    // didn't — the re-delivered keyed batch must not append a generation
+    assert(IncrementalExact.merge(spark, state, b0, Some("b0")) == v0)
+    assert(IncrementalExact.completeVersions(spark, state) == Seq(v0))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == before,
+      "re-delivered batch inflated the partial aggregates")
+    IncrementalExact.merge(spark, state, b1, Some("b1"))
+    val full = sorted(Dedup.exactDedup(spark, sf0001))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == full)
+    // markers travel with compaction: both keys stay no-ops afterwards
+    IncrementalExact.compact(spark, state)
+    IncrementalExact.merge(spark, state, b0, Some("b0"))
+    IncrementalExact.merge(spark, state, b1, Some("b1"))
+    assert(IncrementalExact.completeVersions(spark, state).size == 1,
+      "re-delivery after compact appended a generation")
+    assert(sorted(IncrementalExact.dedup(spark, state)) == full)
+    // an UNKEYED merge of fresh data still appends (legacy batch path)
+    IncrementalExact.merge(spark, state, b0)
+    assert(IncrementalExact.completeVersions(spark, state).size == 2)
+  }
+
   test("compact re-aggregates to one row per content; answer unchanged; policy bounds live count") {
     val state = graft.util.TmpDirs.scratch("graft_d18_cpt_").toString
     (0 until 3).foreach(r => IncrementalExact.merge(spark, state,
