@@ -309,6 +309,11 @@ object SparkEntry {
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
     "m4_ppm_decode" -> graft.ops.Multimodal.ppmDecode _,
+    // Perceptual media near-dup: decode -> 64-bit dHash -> d17 blocked
+    // Hamming candidates -> exact bit_count verify (golden-VALUES oracle
+    // derived from an independent reference dHash implementation).
+    "m5_ppm_near_dup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Multimodal.ppmNearDup(s, d)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -1730,6 +1735,18 @@ object SparkEntry {
         |  ('img2.ppm', CAST(16 AS INT), CAST(4 AS INT), CAST(64 AS BIGINT), CAST(8576 AS BIGINT), CAST(10432 AS BIGINT), CAST(11776 AS BIGINT))
         |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
         |ORDER BY name""".stripMargin,
+
+    // Perceptual near-dup: golden VALUES from the fixture generator's
+    // reference dHash (imga_recode = identical raster re-encoded, Hamming
+    // 0; imga_bright = +8 brightness with two retouched pixels, Hamming 3;
+    // imgb/imgc unrelated at Hamming 34-38 — correctly absent).
+    "m5_ppm_near_dup" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('imga.ppm', 'imga_bright.ppm', CAST(3 AS INT)),
+        |  ('imga.ppm', 'imga_recode.ppm', CAST(0 AS INT)),
+        |  ('imga_bright.ppm', 'imga_recode.ppm', CAST(3 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
 
     // Gopher rules: all ratios divide exact integers once.
     "t10_gopher_rules" ->

@@ -178,6 +178,126 @@ object Multimodal {
       .orderBy(col("name"))
   }
 
+  /** m5 fixtures: the m4 images' near-dup companions — `imga_recode.ppm`
+    * is a byte-for-byte different ENCODING of imga's raster (comment in
+    * the header ⇒ different sha256, identical pixels), `imga_bright.ppm`
+    * is imga brightness-shifted +8 with two pixels overwritten (the
+    * re-encoded + slightly-retouched copies exact hashing misses), imgb /
+    * imgc are unrelated noise rasters (dHash Hamming 34-38 from imga),
+    * and `corrupt.ppm` pins the decode-reject path. Kept apart from
+    * [[ppmFixtureDir]] — m4's golden oracle enumerates that dir.
+    */
+  private val ppmNearFixtureNames = Seq("corrupt.ppm", "imga.ppm",
+    "imga_bright.ppm", "imga_recode.ppm", "imgb.ppm", "imgc.ppm")
+
+  lazy val ppmNearFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_ppmnear_fixtures_")
+    ppmNearFixtureNames.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/ppmnear/$n")
+      require(in != null, s"classpath resource /ppmnear/$n missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(n)) finally in.close()
+    }
+    dir.toString
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded raster — the standard
+    * perceptual image signature: box-average the image onto a 9×8
+    * integer-luma grid (cell bounds by integer division, lower bound
+    * forced non-empty so any raster size — up- or down-scaling — maps
+    * deterministically), then one bit per horizontally-adjacent cell pair
+    * (`gray[x] < gray[x+1]`). All-integer arithmetic: the same raster
+    * produces the same signature on every JVM, and a uniform brightness
+    * shift flips NO bits (gradients are shift-invariant) — exactly the
+    * invariance a re-encoded/re-graded copy needs.
+    */
+  def dHash64(img: PpmImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.width; val h = img.height
+    def cell(x: Int, y: Int): Long = {
+      val x0 = x * w / gw; val x1 = math.max(x0 + 1, (x + 1) * w / gw)
+      val y0 = y * h / gh; val y1 = math.max(y0 + 1, (y + 1) * h / gh)
+      var tot = 0L; var cnt = 0L
+      var yy = y0
+      while (yy < y1) {
+        var xx = x0
+        while (xx < x1) {
+          val i = (yy * w + xx) * 3
+          tot += 299L * (img.pixels(i) & 0xff) +
+            587L * (img.pixels(i + 1) & 0xff) + 114L * (img.pixels(i + 2) & 0xff)
+          cnt += 1
+          xx += 1
+        }
+        yy += 1
+      }
+      tot / cnt
+    }
+    var sig = 0L
+    var y = 0
+    while (y < gh) {
+      val row = Array.tabulate(gw)(cell(_, y))
+      var x = 0
+      while (x < gw - 1) {
+        if (row(x) < row(x + 1)) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** Decoded (name, dHash) signatures of the m5 fixture set — corrupt
+    * payloads are dropped by the same whole-asset reject as m4.
+    */
+  private[graft] def ppmNearSigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(ppmNearFixtureDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        // per-partition codec init point, as in ppmDecode
+        files.flatMap { case (path, bytes) =>
+          decodePpm(bytes).map(img =>
+            (path.substring(path.lastIndexOf('/') + 1), dHash64(img)))
+        }
+      }
+      .toDF("name", "sig")
+  }
+
+  /** m5: PERCEPTUAL near-dup for media — the dedup matrix's media column
+    * beyond m3's exact sha256. Pipeline: decode partition-parallel (m4),
+    * reduce each raster to its 64-bit [[dHash64]], then find pairs within
+    * Hamming ≤ `maxHamming` using d17's blocked-signature geometry: the
+    * signature splits into 4 exact 16-bit blocks, and any pair within
+    * Hamming ≤ 3 shares at least one EXACT block (pigeonhole), so
+    * candidates come from an equi-join on (block_no, block_value) with
+    * ZERO probe fan-out, verified by exact `bit_count(xor)`.
+    *
+    * Scale shape: payload blobs never shuffle — they are decoded in place
+    * and only (name, sig) rows move; the candidate join carries 64-bit
+    * signatures against a 4-rows-per-image block index, the same
+    * corpus-independent candidate bound as d17; verification is one
+    * codegen'd bit_count per candidate. At 100 TB of media this is the
+    * standard re-encoded/resized-duplicate sweep: exact dedup (m3) first,
+    * then this over the survivors.
+    */
+  def ppmNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = ppmNearSigs(spark)
+    val blocks = sigs.select(col("name"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("blk"))
+      .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name1"), col("b.name").as("name2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .dropDuplicates("name1", "name2")
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("name1"), col("name2"))
+  }
+
   /** Partition-parallel feature extraction. The iterator-in/iterator-out
     * shape is the batched-UDF contract: per-partition (NOT per-record)
     * setup cost, streaming through records without materializing the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{MediaRecord, Multimodal}
+import graft.ops.{MediaRecord, Multimodal, PpmImage}
 
 /** Multimodal plumbing: typed binary Dataset, partition-parallel feature
   * extraction, frame sampling. (Cross-engine feature equality is covered
@@ -80,6 +80,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.head.isNullAt(1) && rows.head.isNullAt(4))
     val img0 = rows(1)
     assert(img0.getInt(1) == 8 && img0.getInt(2) == 6 && img0.getLong(3) == 48)
+  }
+
+  test("m5: perceptual near-dup finds the planted re-encoded and retouched copies") {
+    val pairs = Multimodal.ppmNearDup(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(pairs == Seq(
+      ("imga.ppm", "imga_bright.ppm", 3),
+      ("imga.ppm", "imga_recode.ppm", 0),
+      ("imga_bright.ppm", "imga_recode.ppm", 3)),
+      s"planted near-dups not found exactly: $pairs")
+    // corrupt.ppm decodes to nothing and is dropped whole; the 5 rasters sign
+    assert(Multimodal.ppmNearSigs(spark).count() == 5)
+  }
+
+  test("m5 vs m3: exact hashing misses the re-encoded copy, dHash pins it at Hamming 0") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    // the raster is identical but the BYTES differ (header comment), so
+    // sha256 splits them — the gap m5 exists to close
+    val hashes = spark.read.format("binaryFile").load(Multimodal.ppmNearFixtureDir)
+      .where(col("path").contains("imga"))
+      .select(sha2(col("content"), 256))
+      .collect().map(_.getString(0)).toSet
+    assert(hashes.size == 3, "all three imga encodings should hash distinctly")
+    // while the decoded rasters of imga and imga_recode dHash identically
+    val sigs = Multimodal.ppmNearSigs(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sigs("imga.ppm") == sigs("imga_recode.ppm"))
+    assert(sigs("imga.ppm") != sigs("imgb.ppm"))
+  }
+
+  test("dHash is brightness-shift invariant and raster-size tolerant") {
+    // uniform +25 shift with no clamping (all bytes < 200): zero bit flips
+    val px = Array.tabulate(16 * 12 * 3)(i => ((i * 7) % 200).toByte)
+    val img = PpmImage(16, 12, 255, px)
+    val shifted = PpmImage(16, 12, 255, px.map(b => ((b & 0xff) + 25).toByte))
+    assert(Multimodal.dHash64(img) == Multimodal.dHash64(shifted))
+    // sub-grid rasters (smaller than the 9x8 sampling grid) still sign:
+    // the non-empty-cell bound makes up-scaling deterministic
+    val tiny = PpmImage(2, 2, 255, Array.tabulate(12)(i => (i * 19).toByte))
+    assert(Multimodal.dHash64(tiny) == Multimodal.dHash64(tiny))
+    // and a wide-but-short raster (the img2 16x4 shape) signs too
+    val wide = PpmImage(16, 4, 255, Array.tabulate(16 * 4 * 3)(i => (i % 251).toByte))
+    assert(Multimodal.dHash64(wide) == Multimodal.dHash64(wide))
   }
 
   test("typed round-trip: custom MediaRecord datasets work end-to-end") {
