@@ -129,6 +129,19 @@ object SparkEntry {
     // training fresh exactly (s5's oracle; composes s5 x s6).
     "s7_ann_ivf_persisted" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPersisted(s, d, s7ModelDir(s, d))),
+    // Incremental ANN ingest: 3-way split of the corpus assigned to the
+    // FROZEN s7 model per batch (generational postings, write-only
+    // ingest); the query over the union must equal s7's one-shot exactly
+    // (cell assignment is a pure function of vector x frozen centroids).
+    "s8_ann_ivf_incremental" -> ((s: SparkSession, d: String) => {
+      val model = s7ModelDir(s, d)
+      Similarity.persistedIvfCentroids(s, d, model) // train-or-load once
+      val state = graft.util.TmpDirs.scratch("graft_s8_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      (0 until 3).foreach(r => graft.ops.IncrementalIvf.merge(s, state, model,
+        vecs.where(pmod(col("vec_id"), lit(3)) === r)))
+      graft.ops.IncrementalIvf.annTopK(s, state, model)
+    }),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
@@ -391,6 +404,8 @@ object SparkEntry {
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
+      // split-ingested postings over the frozen model == s7's one-shot
+      ("s8_ann_ivf_incremental" -> m("s5_ann_ivf_trained")) +
       // persisted BPE model reload == training fresh (lossless
       // string/long round-trip)
       ("t16_bpe_persisted" -> m("t14_bpe_learned_tokens")) +

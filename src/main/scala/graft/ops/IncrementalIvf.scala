@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** s8: INCREMENTAL ANN ingest — generational IVF postings over the s7
+  * persisted model. d14 dedups embeddings incrementally, but the ANN
+  * serving path (s3/s5/s6/s7) was one-shot: adding vectors meant
+  * re-assigning the whole corpus. This closes it with the GenState
+  * protocol: the centroid model is FROZEN (trained once, s7's registry),
+  * and each ingest assigns ONLY its batch to cells with the native
+  * `ivf_probe` expression, appending `vN/postings` = (vec_id, e, nrm,
+  * cell). Queries union the live generations and run the same
+  * probe-then-brute-force top-k as s5/s6/s7.
+  *
+  * Exactness: a vector's cell is a pure function of (vector, frozen
+  * centroids) — so the union of per-batch assignments IS the one-shot
+  * assignment table, row for row, for ANY batch split; the query path on
+  * the union is therefore bit-identical to s7 on the same corpus (shared
+  * oracle). The `_CONFIG` pin stores the model fingerprint (MD5 of the
+  * rendered centroid spec): a merge against a different model would mix
+  * assignment regimes and is refused, the d12 drifting-parameters rule.
+  *
+  * Scale shape: ingest is WRITE-ONLY like d18 — one map-side assignment
+  * pass over the batch (the centroid matrix rides inside the expression,
+  * O(1) plan size at any cell count), one parquet append; nothing reads
+  * prior state. Read amplification at query time is O(live generations),
+  * bounded the LSM way by [[compact]]. At 100 TB the corpus never
+  * shuffles: postings are written cell-tagged where they land, probes
+  * broadcast, and the top-k is one window over candidate cells.
+  */
+object IncrementalIvf {
+
+  private val commitTable = "postings"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir, commitTable)
+
+  private def postingsPath(stateDir: String, v: Int) = s"$stateDir/v$v/postings"
+
+  private def fingerprint(spec: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(spec.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Load the frozen s7 model (must exist — ingest never trains). */
+  def loadModel(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] = {
+    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"IncrementalIvf: no trained model at $modelDir — train via " +
+        "Similarity.persistedIvfCentroids first; ingest never trains")
+    spark.read.parquet(modelDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Ingest `newVecs` (a (vec_id, embedding) projection, vec_ids disjoint
+    * from prior ingests): assign the batch to the frozen model's cells and
+    * append one postings generation. Write-only — no prior-state data read.
+    */
+  def merge(spark: SparkSession, stateDir: String, modelDir: String,
+      newVecs: DataFrame): Int = {
+    val spec = graft.exprs.IvfProbe.render(loadModel(spark, modelDir))
+    GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(spec)))
+    val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
+    // same assignment as s6/s7: top-1 probe, NaN (zero-norm) → cell −1
+    val best = element_at(
+      call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
+    val cell = when(isnan(best.getField("ccos")), lit(-1L))
+      .otherwise(best.getField("cid"))
+    Similarity.withNorm(newVecs)
+      .withColumn("cell", cell)
+      .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+    next
+  }
+
+  /** The s7-shaped per-query top-k over the CURRENT postings union:
+    * queries are the corpus vectors with vec_id < nQueries (as in
+    * s3/s5/s6/s7), probed against their `ivfProbes` nearest cells.
+    */
+  def annTopK(spark: SparkSession, stateDir: String, modelDir: String,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val spec = graft.exprs.IvfProbe.render(loadModel(spark, modelDir))
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvf.annTopK: no postings at $stateDir")
+    val asg = spark.read.parquet(versions.map(postingsPath(stateDir, _)): _*)
+    val probes = asg.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(call_function("ivf_probe", col("e"), lit(spec),
+          lit(Similarity.ivfProbes))).as("pc"))
+      .select(col("qid"), col("qe"), col("qn"), col("pc.cid").as("pcell"))
+    Similarity.probeTopK(asg, probes, k)
+  }
+
+  /** Fold the live postings generations into one ([[GenState]] manifest
+    * protocol — crash-idempotent, leftovers swept). Postings rows are
+    * immutable facts, so compaction is a pure concatenation.
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvf.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    spark.read.parquet(versions.map(postingsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

@@ -32,7 +32,7 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("array_dot", a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
@@ -445,7 +445,7 @@ object Similarity {
     * never shuffled; a corpus vector is in exactly one cell, so no
     * cross-probe duplicates to dedup.
     */
-  private def probeTopK(asg: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+  private[graft] def probeTopK(asg: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
     asg.join(broadcast(probes),
