@@ -249,6 +249,17 @@ object SparkEntry {
       graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
       graft.ops.IncrementalMinHash.clusters(s, state)
     }),
+    // Incremental EXACT-SUBSTRING dedup (the last modality outside the
+    // state matrix): generational positional anchor index, merge-time
+    // cold-anchor probe + read-time final-count cap (the two EXACT halves
+    // of d13's occurrence cap), split-ingest == d13's one-shot spans.
+    "d20_substring_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d20_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalSubstring.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalSubstring.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalSubstring.spans(s, state)
+    }),
     // k-anonymity audit over quasi-identifier combinations.
     "t11_kanonymity" -> ((s: SparkSession, d: String) => TextAnalysis.kAnonymityAudit(s, d)),
     // End-to-end curation verdict: benchmark/quality/duplicate/
@@ -318,6 +329,10 @@ object SparkEntry {
     // drained re-aggregation == d1's one-shot.
     "q57_stream_exact_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runExactDedupAvailableNow(s, d)),
+    // The exact-substring modality: micro-batch d20 merges into one
+    // anchor-index state; drained span table == d13's one-shot.
+    "q58_stream_substring_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runSubstringDedupAvailableNow(s, d)),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -401,6 +416,11 @@ object SparkEntry {
       ("q56_stream_embedding_dedup" -> m("d11_embedding_clusters")) +
       // and the exact modality: == d1's one-shot aggregate
       ("q57_stream_exact_dedup" -> m("d1_exact_dedup")) +
+      // anchor-index split-ingest == d13's one-shot span table (the cap
+      // split into merge-time and read-time halves is exact)
+      ("d20_substring_incremental" -> m("d13_exact_substring")) +
+      // and its streaming drain: == the same one-shot spans
+      ("q58_stream_substring_dedup" -> m("d13_exact_substring")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** d20: incremental EXACT-SUBSTRING dedup — the last dedup modality
+  * outside the generational state matrix (d12 SimHash / d14 embedding /
+  * d15 MinHash / d18 exact). State per generation (the d15 two-index
+  * skeleton):
+  *
+  *   - `vN/anchors`: batch N's positional anchor index (doc_id, pos,
+  *     anchor) — the same `anchorTokens`-token windows d13 builds
+  *     ([[Dedup.exactSubstringPairs]]), persisted so old TEXT is never
+  *     re-tokenized;
+  *   - `vN/hits`: the NEW-involving candidate hits of the merge —
+  *     (d1, d2, i, j, anchor) position pairs from probing batch N's
+  *     anchors against the persisted union; its `_SUCCESS` commits the
+  *     generation.
+  *
+  * Every pair's complete hit set is captured at exactly one merge — the
+  * merge of its newer member (probing the new side against the union
+  * including the new generation yields every new-new and new-old hit,
+  * both orientations normalized) — so the UNION of hit generations is
+  * exactly d13's candidate table, and replaying d13's diagonal
+  * islands-and-gaps over it at read time reproduces the one-shot spans
+  * hash-identically for ANY batch split.
+  *
+  * The occurrence cap (d13's O(occ²) fan-out guard) splits into two
+  * EXACT halves on the fact that corpus-wide occurrence only grows:
+  *
+  *   - at MERGE, anchors whose union-so-far occurrence already exceeds
+  *     the cap are dropped from both probe sides — their final count can
+  *     only be higher, so the one-shot drops them too, and the per-merge
+  *     join fan-out stays ≤ cap² per anchor, corpus-independent;
+  *   - at READ, stored hits are filtered by the FINAL union occurrence —
+  *     removing hits through anchors that crossed the cap after their
+  *     merge. Net: hits survive iff their anchor's final occurrence is ≤
+  *     cap, precisely d13's rule (no d14-style superset caveat).
+  *
+  * Occurrence counts and the read path dedup on (doc_id, pos) / (d1, d2,
+  * i, j) first, so an at-least-once re-delivered batch (q58's crash
+  * window) changes nothing: duplicate anchors don't inflate counts past
+  * the cap and duplicate hits collapse before the run windows.
+  *
+  * Scale shape: a merge tokenizes only its batch, aggregates one pruned
+  * anchor column over the union (the read-amortized probe cost d15 also
+  * pays), and joins bounded-fan-out candidates; the read unions slim hit
+  * generations and pays d13's post-join window stages but never its
+  * corpus-wide anchor self-join. [[compact]] folds both tables the LSM
+  * way.
+  */
+object IncrementalSubstring {
+
+  private val commitTable = "hits"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir, commitTable)
+
+  private def anchorsPath(stateDir: String, v: Int) = s"$stateDir/v$v/anchors"
+  private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
+
+  /** Batch-local positional anchor index — d13's construction verbatim. */
+  private def anchorsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
+      .where(size(col("t")) >= Dedup.anchorTokens)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(t) - ${Dedup.anchorTokens}), " +
+          s"i -> array_join(slice(t, i + 1, ${Dedup.anchorTokens}), ' '))")))
+      .toDF("doc_id", "pos", "anchor")
+      .where(col("anchor").isNotNull && col("doc_id").isNotNull)
+
+  /** Per-anchor occurrence over `anch`, re-delivery-safe: one occurrence
+    * is one distinct (doc_id, pos), never one stored row.
+    */
+  private def occOf(anch: DataFrame): DataFrame =
+    anch.dropDuplicates("doc_id", "pos")
+      .groupBy(col("anchor")).agg(count(lit(1)).as("aocc"))
+
+  /** The NEW-involving candidate hits of one merge: the batch's anchors
+    * vs the full persisted union, both restricted to anchors still cold
+    * on the union-so-far (the SAFE half of the cap — an anchor already
+    * past the cap can only end hotter, so the one-shot drops it too, and
+    * excluding it now is exact while bounding the probe fan-out to
+    * ≤ cap² per anchor). Both orientations of a new-old pair admitted,
+    * then normalized so (i, j) follow (d1, d2) = (smaller, larger) doc —
+    * exactly d13's candidate orientation; new-new hits arrive twice and
+    * dedup away. Lazy — [[merge]] executes it; the plan spec inspects
+    * that old documents enter only as persisted anchor parquet.
+    */
+  private[graft] def candidateHits(newAnch: DataFrame, allAnch: DataFrame): DataFrame = {
+    val coldNow = occOf(allAnch)
+      .where(col("aocc") <= Dedup.anchorMaxOcc).select(col("anchor"))
+    newAnch.join(coldNow, "anchor").as("n")
+      .join(allAnch.join(coldNow, "anchor").as("o"),
+        col("n.anchor") === col("o.anchor") && col("n.doc_id") =!= col("o.doc_id"))
+      .select(
+        least(col("n.doc_id"), col("o.doc_id")).as("d1"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("d2"),
+        when(col("n.doc_id") < col("o.doc_id"), col("n.pos"))
+          .otherwise(col("o.pos")).as("i"),
+        when(col("n.doc_id") < col("o.doc_id"), col("o.pos"))
+          .otherwise(col("n.pos")).as("j"),
+        col("n.anchor").as("anchor"))
+      .dropDuplicates("d1", "d2", "i", "j")
+  }
+
+  /** Ingest `newDocs` (a (doc_id, text, …) projection, doc_ids disjoint
+    * from prior ingests): anchor the batch, probe it against the
+    * persisted union, append one generation. Returns its number.
+    */
+  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame): Int = {
+    GenState.checkConfig(spark, stateDir, Map(
+      "anchorTokens" -> Dedup.anchorTokens.toString,
+      "anchorMaxOcc" -> Dedup.anchorMaxOcc.toString))
+    val live = completeVersions(spark, stateDir)
+    val next = live.lastOption.map(_ + 1).getOrElse(0)
+
+    // anchor the batch once; the generation dir is the materialized copy
+    // both probe sides read (anchors land before hits — a crash leaves an
+    // uncommitted generation the next merge overwrites)
+    anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+
+    val allPaths = live.map(anchorsPath(stateDir, _)) :+ anchorsPath(stateDir, next)
+    candidateHits(
+      spark.read.parquet(anchorsPath(stateDir, next)),
+      spark.read.parquet(allPaths: _*))
+      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    next
+  }
+
+  /** The d13-shaped span table from the current state: union the hit
+    * generations, apply the FINAL-count half of the cap, replay d13's
+    * diagonal islands-and-gaps, per-pair max.
+    */
+  def spans(spark: SparkSession, stateDir: String,
+      minSpan: Int = Dedup.minSpanTokens): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalSubstring.spans: no state at $stateDir")
+    val allAnch = spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
+    val hot = occOf(allAnch)
+      .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
+    val hits = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
+      .join(hot, Seq("anchor"), "left_anti")
+      .dropDuplicates("d1", "d2", "i", "j")
+    val wd = Window.partitionBy(col("d1"), col("d2"), col("j") - col("i"))
+      .orderBy(col("i"))
+    hits
+      .withColumn("grp", col("i") - row_number().over(wd))
+      .groupBy(col("d1"), col("d2"), (col("j") - col("i")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("run")) + lit(Dedup.anchorTokens - 1)).as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** LSM maintenance: fold both tables of every live generation into one
+    * (`_COMPACTED` manifest before the commit, crash-idempotent), delete
+    * sources plus leftovers. Anchors and hits are immutable facts — the
+    * fold is pure concatenation.
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalSubstring.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

@@ -63,6 +63,18 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("q58: streamed substring merges accumulate anchor generations and match d13's spans") {
+    val state = graft.util.TmpDirs.scratch("graft_q58_spec_state_").toString
+    val out = DocumentsStream.runSubstringDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalSubstring.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    val full = Dedup.exactSubstringPairs(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full)
+  }
+
   test("q56: streamed embedding merges match d11's one-shot clustering") {
     val state = graft.util.TmpDirs.scratch("graft_q56_spec_state_").toString
     val out = DocumentsStream.runEmbeddingDedupAvailableNow(

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IncrementalSubstring}
+
+/** d20: the exact-substring modality's incremental state merge must be
+  * hash-identical to d13's one-shot span table on the union, for any batch
+  * split — including across the occurrence cap, whose two halves
+  * (merge-time cold-anchor probe, read-time final-count filter) must
+  * compose to EXACTLY d13's corpus-wide cap rule — and must touch old
+  * documents only through the persisted positional anchor generations.
+  */
+class IncrementalSubstringSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  private def spansSorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("d1", "d2", "span_len").collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  private def oneShot(dir: String) = spansSorted(Dedup.exactSubstringPairs(spark, dir))
+
+  /** Write a documents table with the given (doc_id, text) rows to a
+    * scratch sf dir (the ExactSubstringSpec fixture shape).
+    */
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    val dir = graft.util.TmpDirs.scratch("graft_d20_spec_").toString
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "web", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("split-ingest == one-shot d13 spans on sf0.001, any split") {
+    val full = oneShot(sf0001)
+    assert(full.nonEmpty, "sf0.001 should contain shared-span pairs")
+    for (mod <- Seq(2, 3)) {
+      val state = graft.util.TmpDirs.scratch(s"graft_d20_t_${mod}_").toString
+      (0 until mod).foreach { r =>
+        IncrementalSubstring.merge(spark, state,
+          docs.where(pmod(col("doc_id"), lit(mod)) === r))
+      }
+      assert(IncrementalSubstring.latestVersion(spark, state).contains(mod - 1))
+      assert(spansSorted(IncrementalSubstring.spans(spark, state)) == full,
+        s"$mod-way split-ingest diverged from the one-shot span table")
+    }
+  }
+
+  test("cap crossing between ingests: read-time filter lands exactly on d13's rule") {
+    // span S: shared by docs 0/1 in batch 1 (a genuine pair), then pushed
+    // past anchorMaxOcc by batch 2's 101 planted copies — the one-shot
+    // drops EVERY pair through S's anchors, so the incremental read must
+    // retro-drop the (0, 1) hit its first merge stored. Span T is the
+    // cold control: one member per batch, found at batch 2's merge.
+    val s14 = (1 to 14).map(i => s"s$i").mkString(" ")
+    val t14 = (1 to 14).map(i => s"t$i").mkString(" ")
+    val batch1 = Seq(
+      0L -> s"a0 b0 $s14 c0 d0",
+      1L -> s"x1 y1 z1 $s14 w1",
+      2L -> s"p2 q2 $t14 u2 v2")
+    val batch2 = (10L to 110L).map(i => i -> s"f$i $s14 g$i") :+
+      (200L -> s"k2 l2 $t14 m2")
+    val dir = corpus(batch1 ++ batch2)
+    val full = oneShot(dir)
+    assert(full == Seq(Seq(2L, 200L, 14L)),
+      s"one-shot fixture expectation drifted: $full")
+
+    val state = graft.util.TmpDirs.scratch("graft_d20_cap_").toString
+    val all = graft.sources.Tables.documents(spark, dir)
+    IncrementalSubstring.merge(spark, state, all.where(col("doc_id") < 10))
+    // before the cap crossing, the (0, 1) hit is live
+    assert(spansSorted(IncrementalSubstring.spans(spark, state))
+      == Seq(Seq(0L, 1L, 14L)))
+    IncrementalSubstring.merge(spark, state, all.where(col("doc_id") >= 10))
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == full,
+      "spans after the cap crossing diverged from the one-shot rule")
+  }
+
+  test("re-delivered batch is a no-op: duplicate anchors don't inflate the cap, hits dedup") {
+    val state = graft.util.TmpDirs.scratch("graft_d20_redel_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    IncrementalSubstring.merge(spark, state, b1)
+    IncrementalSubstring.merge(spark, state, b2)
+    val before = spansSorted(IncrementalSubstring.spans(spark, state))
+    IncrementalSubstring.merge(spark, state, b2) // the q58 crash window
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == before,
+      "re-delivered batch changed the span table")
+    assert(before == oneShot(sf0001))
+  }
+
+  test("compaction folds anchors AND hits; post-compact merges stay exact") {
+    val state = graft.util.TmpDirs.scratch("graft_d20_cpt_").toString
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+    val before = spansSorted(IncrementalSubstring.spans(spark, state))
+    val v = IncrementalSubstring.compact(spark, state)
+    assert(IncrementalSubstring.completeVersions(spark, state) == Seq(v))
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == before)
+    val f = graft.ops.GenState.fs(spark, state)
+    for (sub <- Seq("anchors", "hits")) {
+      assert(f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/$sub/_SUCCESS")),
+        s"compacted generation is missing $sub")
+    }
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 2))
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == oneShot(sf0001))
+  }
+
+  test("merge probes old docs ONLY via the persisted anchor index") {
+    val state = graft.util.TmpDirs.scratch("graft_d20_plan_").toString
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+    // batch 2's probe, exactly as merge builds it: new anchors (written to
+    // a scratch generation) against the persisted v0 union — no document
+    // re-read, no re-tokenization; only slim anchor parquet scans
+    val batch2 = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+    val scratch2 = graft.util.TmpDirs.scratch("graft_d20_plan_b2_").toString
+    IncrementalSubstring.merge(spark, scratch2, batch2)
+    val newAnch = spark.read.parquet(s"$scratch2/v0/anchors")
+    val cand = IncrementalSubstring.candidateHits(newAnch,
+      spark.read.parquet(s"$state/v0/anchors", s"$scratch2/v0/anchors"))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(!plan.contains("ws_tokens"), s"probe re-tokenizes documents:\n$plan")
+    assert(!plan.contains("documents"), s"probe re-reads document text:\n$plan")
+    assert(plan.contains("anchors"), s"probe skips the persisted anchor index:\n$plan")
+  }
+}
