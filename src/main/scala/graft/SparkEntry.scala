@@ -187,6 +187,21 @@ object SparkEntry {
           Corpus.contaminationAgainst(s, reg, train.where(pmod(col("doc_id"), lit(5)) === 0)))
         .orderBy(col("doc_id"))
     }),
+    // c10: the APPENDABLE registry — benchmark suites land as generational
+    // shingle-set appends (set union is associative, so append-then-screen
+    // == rebuild-then-screen exactly); batches screened against the union.
+    "c10_registry_append" -> ((s: SparkSession, d: String) => {
+      val reg = graft.util.TmpDirs.scratch("graft_c10_registry_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      val bench = docs.where(col("source") === Corpus.benchmarkSource)
+      Corpus.appendContaminationRegistry(s, reg, bench.where(pmod(col("doc_id"), lit(2)) === 0))
+      Corpus.appendContaminationRegistry(s, reg, bench.where(pmod(col("doc_id"), lit(2)) === 1))
+      val train = docs.where(col("source") =!= Corpus.benchmarkSource)
+      Corpus.contaminationAgainstRegistry(s, reg, train.where(pmod(col("doc_id"), lit(5)) =!= 0))
+        .unionByName(
+          Corpus.contaminationAgainstRegistry(s, reg, train.where(pmod(col("doc_id"), lit(5)) === 0)))
+        .orderBy(col("doc_id"))
+    }),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
     // Deterministic hash-bucket train/val/test assignment (per-language
     // audit counts).
@@ -408,6 +423,8 @@ object SparkEntry {
       ("d18_exact_incremental" -> m("d1_exact_dedup")) +
       // per-batch registry screening unioned == one-shot contamination
       ("c9_contamination_registry" -> m("c3_contamination")) +
+      // suite-split generational appends screened == one-shot contamination
+      ("c10_registry_append" -> m("c3_contamination")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph

@@ -214,6 +214,81 @@ object Corpus {
         round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
   }
 
+  /** c10: the APPENDABLE contamination registry — c9's artifact under the
+    * GenState protocol, because benchmark suites arrive continuously in
+    * practice (a new eval set must start screening ingest batches the day
+    * it lands, without rebuilding the registry from every suite so far).
+    * Each [[appendContaminationRegistry]] call writes one generation
+    * `vN/shingles` holding the NEW suite's distinct 3-shingles; screening
+    * reads the distinct union of live generations. A registry is a set
+    * and set-union is associative, so append-then-screen equals
+    * rebuild-then-screen EXACTLY for any suite split (c3's oracle gates
+    * the composition); [[compactRegistry]] folds generations the LSM way
+    * (crash-idempotent via the `_COMPACTED` manifest).
+    *
+    * Scale shape: an append reads only the new suite (test-set-sized);
+    * the union the screen broadcasts stays test-set-sized regardless of
+    * suite count; per-generation file-listing overhead is bounded by
+    * [[GenState.maybeCompact]].
+    */
+  private val registryTable = "shingles"
+
+  private def registryPath(registryDir: String, v: Int) =
+    s"$registryDir/v$v/$registryTable"
+
+  def appendContaminationRegistry(spark: SparkSession, registryDir: String,
+      suiteDocs: DataFrame): Int = {
+    val next = GenState.latestVersion(spark, registryDir, registryTable)
+      .map(_ + 1).getOrElse(0)
+    suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct()
+      .write.mode("overwrite").parquet(registryPath(registryDir, next))
+    next
+  }
+
+  /** The registry's current distinct-shingle set (union of live
+    * generations — suites overlap, so the union re-distincts).
+    */
+  def registryShingles(spark: SparkSession, registryDir: String): DataFrame = {
+    val live = GenState.completeVersions(spark, registryDir, registryTable)
+    require(live.nonEmpty, s"registryShingles: no registry at $registryDir")
+    spark.read.parquet(live.map(registryPath(registryDir, _)): _*).distinct()
+  }
+
+  /** Screen one ingest batch against the generational registry — same
+    * output shape and values as [[contaminationAgainst]] over a one-shot
+    * registry holding the same suites.
+    */
+  def contaminationAgainstRegistry(spark: SparkSession, registryDir: String,
+      batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchSh = registryShingles(spark, registryDir)
+    val trainSh = batch
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .repartition(col("doc_id"))
+    val own = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+    val shared = trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    own.join(shared, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_own"),
+        round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
+  }
+
+  /** Fold every live registry generation into one ([[GenState]]'s
+    * compaction protocol); the folded set is the same distinct union the
+    * screen reads, so screening is invariant across compactions.
+    */
+  def compactRegistry(spark: SparkSession, registryDir: String): Int = {
+    val versions = GenState.completeVersions(spark, registryDir, registryTable)
+    require(versions.nonEmpty, s"compactRegistry: no registry at $registryDir")
+    val leftovers = GenState.foldedLeftovers(spark, registryDir, registryTable)
+    val next = versions.last + 1
+    GenState.writeCompactManifest(spark, registryDir, next, versions)
+    spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
+      .write.mode("overwrite").parquet(registryPath(registryDir, next))
+    GenState.deleteVersions(spark, registryDir, versions ++ leftovers)
+    next
+  }
+
   /** Pack capacity (tokens) for [[pack]]. */
   val packTokens = 256
 

@@ -173,4 +173,40 @@ class CorpusSpec extends SparkSpec {
     Corpus.buildContaminationRegistry(spark, sf0001, reg)
     assert(f.getFileStatus(m).getModificationTime == before)
   }
+
+  test("c10: append-then-screen == rebuild-then-screen, any suite split; compaction invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val bench = docs.where(col("source") === Corpus.benchmarkSource)
+    val train = docs.where(col("source") =!= Corpus.benchmarkSource)
+    val want = Corpus.contamination(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(want.nonEmpty)
+    for (mod <- Seq(2, 3)) {
+      val reg = graft.util.TmpDirs.scratch(s"graft_c10_spec_${mod}_").toString
+      (0 until mod).foreach { r =>
+        Corpus.appendContaminationRegistry(spark, reg,
+          bench.where(pmod(col("doc_id"), lit(mod)) === r))
+      }
+      val got = Corpus.contaminationAgainstRegistry(spark, reg, train)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == want, s"$mod-suite append diverged from the one-shot registry")
+    }
+    // overlapping suites (the same benchmark appended twice) change
+    // nothing: the registry is a set
+    val reg = graft.util.TmpDirs.scratch("graft_c10_spec_dup_").toString
+    Corpus.appendContaminationRegistry(spark, reg, bench)
+    Corpus.appendContaminationRegistry(spark, reg, bench)
+    assert(Corpus.contaminationAgainstRegistry(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
+    // compaction folds to ONE generation and screening is unchanged
+    val v = Corpus.compactRegistry(spark, reg)
+    assert(graft.ops.GenState.completeVersions(spark, reg, "shingles") == Seq(v))
+    assert(Corpus.contaminationAgainstRegistry(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
+    // a later suite appends on top of the compacted generation
+    Corpus.appendContaminationRegistry(spark, reg, bench.limit(1))
+    assert(Corpus.contaminationAgainstRegistry(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
+  }
 }
