@@ -328,6 +328,11 @@ object SparkEntry {
     // Token-level repetition signals (top-bigram mass, longest token run,
     // type/token collapse) — the Gopher repetition family t10 lacks.
     "t15_repetition" -> ((s: SparkSession, d: String) => TextAnalysis.repetitionProfile(s, d)),
+    // LEARNED quality classifier: provenance-labeled Naive Bayes over
+    // integer-decile shape features, trained and scored in one pass —
+    // all-integer arithmetic (decimal(38,0) cross-multiplied posteriors),
+    // so the oracle replays training to bit-identical predictions.
+    "t17_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     // Streaming incremental dedup: each micro-batch foreachBatch-merged
     // into persistent d12 state; drained result == d7's batch recompute.
@@ -1814,6 +1819,45 @@ object SparkEntry {
         |  round(CASE WHEN ntok > 0 THEN CAST(totlen AS DOUBLE) / ntok ELSE 0.0 END, 6) AS mean_word_len,
         |  round(CASE WHEN nchar > 0 THEN CAST(nsym AS DOUBLE) / nchar ELSE 0.0 END, 6) AS symbol_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Learned quality classifier: the oracle REPLAYS the Naive Bayes
+    // training — same integer-decile features, same class/bin counts,
+    // same Laplace cross-multiplication (HUGEINT here, decimal(38,0) in
+    // Spark; both exact at ~10^25) — and must land on identical preds.
+    "t17_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, source, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |raw AS (SELECT doc_id, source, len(t) AS ntok, greatest(len(t) - 2, 0) AS ntri,
+        |    len(list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS ndis3,
+        |    length(text) AS nchar,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS nsym,
+        |    CAST(list_sum([len(x) for x in t]) AS BIGINT) AS totlen,
+        |    len(list_distinct(t)) AS ndtok
+        |  FROM toks),
+        |feats AS (SELECT doc_id,
+        |    least(9, (ntri - ndis3) * 10 // greatest(ntri, 1)) AS f_dup,
+        |    least(9, totlen // greatest(CAST(ntok AS BIGINT), 1)) AS f_wlen,
+        |    least(9, nsym * 10 // greatest(nchar, 1)) AS f_sym,
+        |    least(9, (ntok - ndtok) * 10 // greatest(ntok, 1)) AS f_ttr,
+        |    CASE WHEN source IN (${graft.ops.TextAnalysis.qualitySources.map(s => s"'$s'").mkString(", ")}) THEN 1 ELSE 0 END AS label
+        |  FROM raw),
+        |cls AS (SELECT sum(label) AS n1, count(*) - sum(label) AS n0 FROM feats),
+        |cd AS (SELECT f_dup AS v, sum(label) AS c1, count(*) - sum(label) AS c0 FROM feats GROUP BY 1),
+        |cw AS (SELECT f_wlen AS v, sum(label) AS c1, count(*) - sum(label) AS c0 FROM feats GROUP BY 1),
+        |cy AS (SELECT f_sym AS v, sum(label) AS c1, count(*) - sum(label) AS c0 FROM feats GROUP BY 1),
+        |ct AS (SELECT f_ttr AS v, sum(label) AS c1, count(*) - sum(label) AS c0 FROM feats GROUP BY 1)
+        |SELECT f.doc_id, CAST(f.f_dup AS BIGINT) AS f_dup, CAST(f.f_wlen AS BIGINT) AS f_wlen,
+        |  CAST(f.f_sym AS BIGINT) AS f_sym, CAST(f.f_ttr AS BIGINT) AS f_ttr,
+        |  CAST(f.label AS BIGINT) AS label,
+        |  CAST(CASE WHEN CAST(n1 AS HUGEINT) * (cd.c1 + 1) * (cw.c1 + 1) * (cy.c1 + 1) * (ct.c1 + 1)
+        |         * (n0 + 10) * (n0 + 10) * (n0 + 10) * (n0 + 10)
+        |       > CAST(n0 AS HUGEINT) * (cd.c0 + 1) * (cw.c0 + 1) * (cy.c0 + 1) * (ct.c0 + 1)
+        |         * (n1 + 10) * (n1 + 10) * (n1 + 10) * (n1 + 10)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM feats f
+        |JOIN cd ON f.f_dup = cd.v JOIN cw ON f.f_wlen = cw.v
+        |JOIN cy ON f.f_sym = cy.v JOIN ct ON f.f_ttr = ct.v
+        |CROSS JOIN cls
+        |ORDER BY f.doc_id""".stripMargin,
 
     // Repetition profile: bigram mode by multiplicity, longest same-token
     // run via the islands trick (i − rank within (doc, token) groups), and

@@ -556,4 +556,82 @@ object TextAnalysis {
           .as("bottomk"),
         md5(normalized(col("text")).cast("binary")).as("content_md5"))
       .orderBy(col("doc_id"))
+
+  /** The "curated" provenance slice [[qualityClassifier]] learns to
+    * recognize (the CCNet/LLaMA recipe: label by source, not by hand).
+    */
+  val qualitySources: Seq[String] = (0 to 4).map(i => s"src$i")
+
+  /** t17: LEARNED quality classifier — t3's score is a fixed lexicon
+    * heuristic; this TRAINS a model instead, the way production pipelines
+    * bootstrap quality filters (CCNet, LLaMA): label every document by
+    * PROVENANCE (curated sources = positive), featurize with the t10
+    * shape signals, fit Naive Bayes, and score the corpus with the
+    * learned posteriors.
+    *
+    * Determinism is the whole design: features are INTEGER deciles
+    * (integer `div`, never float floor), class/feature-bin counts are
+    * exact integers, Laplace smoothing is `(c + 1) / (n_class + 10)`
+    * with the fixed bin space 10, and the posterior comparison
+    * cross-multiplies to clear every denominator:
+    *
+    *   n1 · Π_f (c1_f + 1) · (n0 + 10)⁴  vs  n0 · Π_f (c0_f + 1) · (n1 + 10)⁴
+    *
+    * evaluated in decimal(38,0) (≤ ~10²⁵, exact; the oracle uses
+    * HUGEINT) — the s5 integer-exact-training precedent, so the DuckDB
+    * oracle REPLAYS the training and lands on bit-identical predictions.
+    * Ties predict 0.
+    *
+    * Scale shape: one compiled featurize pass over the corpus, four
+    * 10-row feature-count aggregates plus one 1-row class count (all
+    * broadcast back), zero corpus shuffles before the final ORDER BY —
+    * training IS one partial-agg pass, scoring is map-side. 100 TB of
+    * text trains and scores in two scans (this implementation folds them
+    * into one via the broadcast joins).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val t = tokens(col("text"))
+    val ntok = size(t)
+    val ntri = greatest(ntok - 2, lit(0))
+    val ndis3 = size(shingles(col("text")))
+    val nchar = length(col("text"))
+    val nsym = nchar - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
+    val totlen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+    val ndtok = size(array_distinct(t))
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ntok.as("ntok"), ntri.as("ntri"),
+        ndis3.as("ndis3"), nchar.as("nchar"), nsym.as("nsym"),
+        totlen.as("totlen"), ndtok.as("ndtok"))
+      .select(col("doc_id"),
+        expr("least(9, (ntri - ndis3) * 10 div greatest(ntri, 1))").cast("long").as("f_dup"),
+        expr("least(9, totlen div greatest(ntok, 1))").cast("long").as("f_wlen"),
+        expr("least(9, nsym * 10 div greatest(nchar, 1))").cast("long").as("f_sym"),
+        expr("least(9, (ntok - ndtok) * 10 div greatest(ntok, 1))").cast("long").as("f_ttr"),
+        col("source").isin(qualitySources: _*).cast("long").as("label"))
+      // six consumers (class count, four bin counts, the scoring join)
+      // read this slim table; persist so the featurize pass runs once
+      .persist()
+    val cls = feats.agg(sum(col("label")).as("n1"),
+      (count(lit(1)) - sum(col("label"))).as("n0"))
+    def counts(f: String) = feats.groupBy(col(f).as("v"))
+      .agg(sum(col("label")).as(s"c1_$f"),
+        (count(lit(1)) - sum(col("label"))).as(s"c0_$f"))
+    val d38 = "decimal(38,0)"
+    def side(n: org.apache.spark.sql.Column, cs: Seq[org.apache.spark.sql.Column],
+        other: org.apache.spark.sql.Column) =
+      cs.foldLeft(n.cast(d38))((acc, c) => acc * (c + lit(1)).cast(d38)) *
+        (other + lit(10)).cast(d38) * (other + lit(10)).cast(d38) *
+        (other + lit(10)).cast(d38) * (other + lit(10)).cast(d38)
+    val fNames = Seq("f_dup", "f_wlen", "f_sym", "f_ttr")
+    val scored = fNames.foldLeft(feats)((df, f) =>
+      df.join(broadcast(counts(f)), df(f) === col("v")).drop("v"))
+      .crossJoin(broadcast(cls))
+    scored.select(col("doc_id"), col("f_dup"), col("f_wlen"), col("f_sym"),
+        col("f_ttr"), col("label"),
+        when(side(col("n1"), fNames.map(f => col(s"c1_$f")), col("n0")) >
+            side(col("n0"), fNames.map(f => col(s"c0_$f")), col("n1")),
+          lit(1L)).otherwise(lit(0L)).as("pred"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -316,4 +316,33 @@ class Round3OpsSpec extends SparkSpec {
     // "error" events exist but carry no weight row — the join must drop them
     assert(streamed.where(col("event_type") === "error").count() == 0)
   }
+
+  test("t17: Naive Bayes learns a perfectly separable planted corpus") {
+    import spark.implicits._
+    // curated sources write clean prose; the rest write symbol soup — the
+    // f_sym decile separates the classes perfectly, so the trained
+    // classifier must recover the provenance label for every doc
+    val clean = "plain simple words flow along the page with quiet easy grace"
+    val noisy = "@#$% ^&*! ~~%% @@!! ##$$ %%^^ &&** !!@@ $$## **&&"
+    val rows = (0 until 10).map(i => (i.toLong, s"$clean v$i", "en", "src1", 60)) ++
+      (10 until 20).map(i => (i.toLong, s"$noisy x$i", "en", "src9", 50))
+    val dir = graft.util.TmpDirs.scratch("graft_t17_spec_").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextAnalysis.qualityClassifier(spark, dir)
+      .select("doc_id", "label", "pred").collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r.getLong(2) == r.getLong(1)),
+      s"classifier failed to separate the planted classes: ${out.mkString(", ")}")
+
+    // and on the real corpus: total partition, binary outputs, and the
+    // provenance label matches the source slice exactly
+    val real = graft.ops.TextAnalysis.qualityClassifier(spark, sf0001)
+    val n = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(real.count() == n)
+    assert(real.where(!col("pred").isin(0L, 1L) || !col("label").isin(0L, 1L)).count() == 0)
+    val wantPos = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("source").isin(graft.ops.TextAnalysis.qualitySources: _*)).count()
+    assert(real.where(col("label") === 1L).count() == wantPos)
+  }
 }
