@@ -353,6 +353,13 @@ object SparkEntry {
     // anchor-index state; drained span table == d13's one-shot.
     "q58_stream_substring_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runSubstringDedupAvailableNow(s, d)),
+    // Streaming ANN ingest: micro-batch s8 merges against the frozen s7
+    // model; drained top-k == s7's one-shot (assignment is per-vector).
+    "q59_stream_ann_ingest" -> ((s: SparkSession, d: String) => {
+      val model = s7ModelDir(s, d)
+      Similarity.persistedIvfCentroids(s, d, model)
+      graft.streaming.DocumentsStream.runAnnIngestAvailableNow(s, d, model)
+    }),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
     // reduced to exact integer stats (golden-VALUES oracle).
@@ -448,6 +455,8 @@ object SparkEntry {
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +
       // split-ingested postings over the frozen model == s7's one-shot
       ("s8_ann_ivf_incremental" -> m("s5_ann_ivf_trained")) +
+      // and the streaming drain of the same ingest: == s7's one-shot
+      ("q59_stream_ann_ingest" -> m("s5_ann_ivf_trained")) +
       // persisted BPE model reload == training fresh (lossless
       // string/long round-trip)
       ("t16_bpe_persisted" -> m("t14_bpe_learned_tokens")) +

@@ -113,6 +113,24 @@ object DocumentsStream {
     graft.ops.IncrementalSubstring.spans(spark, state)
   }
 
+  /** q59: streaming ANN INGEST — the s8 write-only IVF merge driven by
+    * the same chassis over the embeddings table: each micro-batch is
+    * assigned to the FROZEN s7 model's cells map-side and appended as a
+    * postings generation; the drained top-k equals s7's one-shot
+    * (assignment is a pure per-vector function of the frozen model, so
+    * the postings union is split-invariant). The production serving
+    * shape: vectors become searchable one micro-batch after arrival with
+    * zero index rebuild and zero stream-store state.
+    */
+  def runAnnIngestAvailableNow(spark: SparkSession, dir: String,
+      modelDir: String, stateDir: Option[String] = None,
+      files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q59_state_").toString)
+    drainMerges(spark, dir, files, "q59", Tables.embeddings)((b, _) =>
+      graft.ops.IncrementalIvf.merge(b.sparkSession, state, modelDir, b))
+    graft.ops.IncrementalIvf.annTopK(spark, state, modelDir)
+  }
+
   /** q56: the EMBEDDING modality under the same chassis — micro-batches
     * of the embeddings table foreachBatch-merged into one
     * [[graft.ops.IncrementalEmbedding]] state dir; drained clustering ==

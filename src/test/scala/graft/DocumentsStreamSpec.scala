@@ -75,6 +75,20 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("q59: streamed ANN ingest over the frozen model matches s7's one-shot top-k") {
+    val model = graft.util.TmpDirs.scratch("graft_q59_spec_model_").toString
+    graft.ops.Similarity.persistedIvfCentroids(spark, sf0001, model)
+    val state = graft.util.TmpDirs.scratch("graft_q59_spec_state_").toString
+    val out = DocumentsStream.runAnnIngestAvailableNow(
+      spark, sf0001, model, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalIvf.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    val full = graft.ops.Similarity.annIvfPersisted(spark, sf0001, model)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == full)
+  }
+
   test("q56: streamed embedding merges match d11's one-shot clustering") {
     val state = graft.util.TmpDirs.scratch("graft_q56_spec_state_").toString
     val out = DocumentsStream.runEmbeddingDedupAvailableNow(
