@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, to_json}
+import org.apache.spark.sql.functions.{col, lit, pmod, substring_index, to_json}
 
 import graft.operators._
 import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
@@ -369,6 +369,21 @@ object SparkEntry {
     // derived from an independent reference dHash implementation).
     "m5_ppm_near_dup" -> ((s: SparkSession, d: String) =>
       graft.ops.Multimodal.ppmNearDup(s, d)),
+    // The media column of the incremental dedup matrix: assets decoded +
+    // dHashed once at their own ingest, generational signature state,
+    // split-ingest == m5's one-shot pair table (shared golden oracle).
+    "d21_media_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d21_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Multimodal.ppmNearFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media.where(col("name") < "imga_r"))
+      graft.ops.IncrementalMedia.merge(s, state, media.where(col("name") >= "imga_r"))
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
+    // And its streaming drain: micro-batch d21 merges == the same oracle.
+    "q60_stream_media_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runMediaDedupAvailableNow(s, d)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -457,6 +472,10 @@ object SparkEntry {
       ("s8_ann_ivf_incremental" -> m("s5_ann_ivf_trained")) +
       // and the streaming drain of the same ingest: == s7's one-shot
       ("q59_stream_ann_ingest" -> m("s5_ann_ivf_trained")) +
+      // media split-ingest == m5's one-shot pair table (golden oracle)
+      ("d21_media_incremental" -> m("m5_ppm_near_dup")) +
+      // and its streaming drain: == the same golden pairs
+      ("q60_stream_media_dedup" -> m("m5_ppm_near_dup")) +
       // persisted BPE model reload == training fresh (lossless
       // string/long round-trip)
       ("t16_bpe_persisted" -> m("t14_bpe_learned_tokens")) +

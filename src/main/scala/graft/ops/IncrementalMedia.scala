@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d21: incremental PERCEPTUAL media dedup — the media column of the
+  * dedup state matrix. m5 finds re-encoded/retouched copies one-shot;
+  * this ingests media batches into persisted generational state so a
+  * 100 TB asset store never re-decodes old media. State per generation
+  * (the d20 two-table skeleton, commit on `pairs`):
+  *
+  *   - `vN/sigs`: batch N's (name, sig) — each asset decoded and reduced
+  *     to its 64-bit [[Multimodal.dHash64]] exactly once, at its own
+  *     ingest; payload blobs never enter the state;
+  *   - `vN/pairs`: the NEW-involving verified near-dup pairs of the
+  *     merge — batch N's signature blocks probed against the persisted
+  *     union with d17's 4×16-bit exact-block pigeonhole (total recall
+  *     for Hamming ≤ 3, zero probe fan-out), verified by exact
+  *     `bit_count(xor)` AT MERGE TIME (Hamming is a pure function of two
+  *     frozen signatures, so no read-time re-verification or retro
+  *     filter is ever needed — simpler than d20's cap split).
+  *
+  * Every pair's newer member captures it (probing new against the union
+  * including itself yields every new-new and new-old pair, orientations
+  * normalized), so the union of pair generations equals m5's one-shot
+  * pair table for ANY batch split — the shared golden oracle gates it.
+  * Re-delivery safe: duplicated signatures produce duplicate pairs that
+  * [[pairs]] dedups on (name1, name2).
+  *
+  * Scale shape: per-ingest cost is one decode+hash pass over the batch
+  * (blobs stay where they land; only 16-byte (name, sig) rows move) plus
+  * an equi-join against a 4-rows-per-asset block index; read
+  * amplification is O(live generations), folded by [[compact]].
+  */
+object IncrementalMedia {
+
+  private val commitTable = "pairs"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir, commitTable)
+
+  private def sigsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sigs"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+
+  /** The 4×16-bit exact-block index of a signature table (d17 geometry). */
+  private def blocksOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("name"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("blk"))
+      .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+
+  /** The new-involving verified pairs of one merge: the batch's blocks
+    * against the full persisted union, both orientations admitted then
+    * normalized to name1 < name2; new-new pairs arrive twice and dedup
+    * away. Lazy — [[merge]] executes it.
+    */
+  private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame,
+      maxHamming: Int): DataFrame =
+    blocksOf(newSigs).as("a")
+      .join(blocksOf(allSigs).as("b"),
+        col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+          col("a.name") =!= col("b.name"))
+      .select(
+        least(col("a.name"), col("b.name")).as("name1"),
+        greatest(col("a.name"), col("b.name")).as("name2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("name1", "name2")
+
+  /** Ingest one media batch — a (name, content) DataFrame of raw asset
+    * bytes, names disjoint from prior ingests: decode + dHash the batch
+    * once, probe the persisted signature union, append one generation.
+    * Undecodable assets are dropped whole (the m4 reject rule).
+    */
+  def merge(spark: SparkSession, stateDir: String, newMedia: DataFrame,
+      maxHamming: Int = 3): Int = {
+    import spark.implicits._
+    GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
+    val live = completeVersions(spark, stateDir)
+    val next = live.lastOption.map(_ + 1).getOrElse(0)
+
+    // decode exactly once, at ingest; the generation dir is the
+    // materialized copy every later probe reads (merge hot-path contract)
+    newMedia.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        Multimodal.decodePpm(bytes).map(img => (name, Multimodal.dHash64(img)))
+      })
+      .toDF("name", "sig")
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+
+    val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    candidatePairs(
+      spark.read.parquet(sigsPath(stateDir, next)),
+      spark.read.parquet(allPaths: _*), maxHamming)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    next
+  }
+
+  /** The m5-shaped pair table over the current state: union the pair
+    * generations (re-delivered or doubly-found pairs dedup here).
+    */
+  def pairs(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
+    spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+      .dropDuplicates("name1", "name2")
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  /** Fold both tables of every live generation into one (GenState
+    * manifest protocol, crash-idempotent; rows are immutable facts).
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalMedia.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+      .dropDuplicates("name")
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+      .dropDuplicates("name1", "name2")
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

@@ -113,6 +113,26 @@ object DocumentsStream {
     graft.ops.IncrementalSubstring.spans(spark, state)
   }
 
+  /** q60: streaming MEDIA near-dup — the d21 merge under the chassis:
+    * each micro-batch of raw asset bytes is decoded + dHashed once,
+    * probed against the persisted signature union, and appended as a
+    * generation; the drained pair table equals m5's one-shot (the shared
+    * golden oracle). Completes the media column of the streaming dedup
+    * matrix. Asset blobs ride only from the staged source into the
+    * decode — signatures are all that persists.
+    */
+  def runMediaDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q60_state_").toString)
+    val media = (s: SparkSession, _: String) =>
+      s.read.format("binaryFile").load(graft.ops.Multimodal.ppmNearFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    drainMerges(spark, dir, files, "q60", media)((b, _) =>
+      graft.ops.IncrementalMedia.merge(b.sparkSession, state, b))
+    graft.ops.IncrementalMedia.pairs(spark, state)
+  }
+
   /** q59: streaming ANN INGEST — the s8 write-only IVF merge driven by
     * the same chassis over the embeddings table: each micro-batch is
     * assigned to the FROZEN s7 model's cells map-side and appended as a

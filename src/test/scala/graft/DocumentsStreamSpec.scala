@@ -75,6 +75,20 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == full)
   }
 
+  test("q60: streamed media merges accumulate signature generations and match m5's pairs") {
+    val state = graft.util.TmpDirs.scratch("graft_q60_spec_state_").toString
+    val out = DocumentsStream.runMediaDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // 6 fixture assets stage into up to `defaultStreamFiles` parquet files
+    // (empty round-robin partitions write none) — require MULTIPLE
+    // micro-batch merges, not an exact count
+    assert(graft.ops.IncrementalMedia.latestVersion(spark, state).exists(_ >= 1))
+    val want = graft.ops.Multimodal.ppmNearDup(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == want)
+  }
+
   test("q59: streamed ANN ingest over the frozen model matches s7's one-shot top-k") {
     val model = graft.util.TmpDirs.scratch("graft_q59_spec_model_").toString
     graft.ops.Similarity.persistedIvfCentroids(spark, sf0001, model)

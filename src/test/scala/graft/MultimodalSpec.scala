@@ -94,6 +94,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ppmNearSigs(spark).count() == 5)
   }
 
+  test("d21: media split-ingest == m5's one-shot pairs; re-delivery and compaction invariant") {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val media = spark.read.format("binaryFile").load(Multimodal.ppmNearFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    def got(state: String) = graft.ops.IncrementalMedia.pairs(spark, state)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    val want = Multimodal.ppmNearDup(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(want.nonEmpty)
+    // split chosen so a planted pair crosses the batch boundary (imga and
+    // imga_bright ingest before imga_recode arrives)
+    val b1 = media.where(col("name") < "imga_r")
+    val b2 = media.where(col("name") >= "imga_r")
+    val state = graft.util.TmpDirs.scratch("graft_d21_spec_").toString
+    graft.ops.IncrementalMedia.merge(spark, state, b1)
+    graft.ops.IncrementalMedia.merge(spark, state, b2)
+    assert(got(state) == want, "split-ingest diverged from the one-shot m5 pairs")
+    // re-delivered batch: duplicate sigs and pairs collapse at read
+    graft.ops.IncrementalMedia.merge(spark, state, b2)
+    assert(got(state) == want, "re-delivered media batch changed the pair table")
+    // compaction folds to one generation and changes nothing; a further
+    // merge against compacted state stays exact (empty batch commits too)
+    val v = graft.ops.IncrementalMedia.compact(spark, state)
+    assert(graft.ops.IncrementalMedia.completeVersions(spark, state) == Seq(v))
+    assert(got(state) == want)
+    // decode happens at ingest only: sigs state never stores payloads
+    val sigCols = spark.read.parquet(s"$state/v$v/sigs").columns.toSeq
+    assert(sigCols == Seq("name", "sig"), s"sigs generation carries extra columns: $sigCols")
+  }
+
   test("m5 vs m3: exact hashing misses the re-encoded copy, dHash pins it at Hamming 0") {
     import org.apache.spark.sql.functions.{col, sha2}
     // the raster is identical but the BYTES differ (header comment), so
