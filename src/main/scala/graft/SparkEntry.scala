@@ -142,6 +142,22 @@ object SparkEntry {
         vecs.where(pmod(col("vec_id"), lit(3)) === r)))
       graft.ops.IncrementalIvf.annTopK(s, state, model)
     }),
+    // s9: tombstone deletes over the s8 state — the right-to-be-forgotten
+    // path: ingest everything, tombstone vec_id % 7 == 3, query the
+    // shadowed union; equals the s5 search restricted to survivors (the
+    // model froze before the deletes, so training replays the FULL
+    // corpus). compact() applies tombstones physically.
+    "s9_ann_delete" -> ((s: SparkSession, d: String) => {
+      val model = s7ModelDir(s, d)
+      Similarity.persistedIvfCentroids(s, d, model)
+      val state = graft.util.TmpDirs.scratch("graft_s9_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      (0 until 3).foreach(r => graft.ops.IncrementalIvf.merge(s, state, model,
+        vecs.where(pmod(col("vec_id"), lit(3)) === r)))
+      graft.ops.IncrementalIvf.delete(s, state,
+        vecs.where(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      graft.ops.IncrementalIvf.annTopK(s, state, model)
+    }),
     "q28_stream_hourly" -> graft.streaming.EventsStream.runHourlyAppendAvailableNow _,
     "q29_salted_join" -> graft.operators.SaltedJoin.lineitemOrdersSalted _,
     "q30_stream_dedup" -> graft.streaming.EventsStream.runDedupAvailableNow _,
@@ -688,6 +704,57 @@ object SparkEntry {
       |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
       |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
       |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** The s5 training-replay oracle, parameterized for the delete family:
+    * first-k init, ivfLloydIters unrolled CTE rounds of (assign by
+    * cosine, ties → smaller cid) then (component mean via exact
+    * scaled-integer sums, empty/degenerate cell keeps its previous
+    * centroid), then the s3 probe/top-k shape over the trained cells.
+    * `searchPred` restricts which vectors may be QUERIES, `candPred`
+    * which may be CANDIDATES (`x.`-qualified) — both empty for s5/s7/s8;
+    * s9 excludes its tombstoned ids from both (the model itself always
+    * trains on the FULL corpus: it froze before the deletes). Every
+    * constant interpolated from graft.ops.Similarity; every float fold
+    * is double, ascending index.
+    */
+  private def ivfTrainedOracle(searchPred: String = "", candPred: String = ""): String = {
+    val iters = graft.ops.Similarity.ivfLloydIters
+    val iterCtes = (0 until iters).map { i =>
+      s"""a$i AS (SELECT n.vec_id, n.e, c.cid,
+        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+        |       FROM n, c$i c WHERE n.nrm > 0),
+        |r$i AS (SELECT vec_id, e, cid,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM a$i),
+        |g$i AS (SELECT cid, j, sum(CAST(floor(x * 1000000) AS BIGINT)) AS s, count(*) AS cnt
+        |       FROM (SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS j FROM r$i WHERE rc = 1)
+        |       GROUP BY cid, j),
+        |m$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (cnt * 1000000.0) ORDER BY j) AS ce FROM g$i GROUP BY cid),
+        |k$i AS (SELECT p.cid,
+        |         CASE WHEN m.ce IS NOT NULL AND list_sum([x * x for x in m.ce]) > 0
+        |              THEN m.ce ELSE p.ce END AS ce
+        |       FROM c$i p LEFT JOIN m$i m USING (cid)),
+        |c${i + 1} AS (SELECT cid, ce, sqrt(list_sum([x * x for x in ce])) AS cn FROM k$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+      |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
+      |$iterCtes,
+      |aa AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
+      |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+      |       FROM n, c$iters c),
+      |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM aa),
+      |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
+      |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
+      |           FROM rkd WHERE vec_id < 10$searchPred AND rc <= ${graft.ops.Similarity.ivfProbes}),
+      |cand AS (SELECT p.qid, x.vec_id, x.cell,
+      |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
+      |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid$candPred),
+      |r AS (SELECT qid, vec_id, cell, cosine,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
+      |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
+      |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1362,44 +1429,14 @@ object SparkEntry {
     // cell keeps its previous centroid) — then the s3 probe/top-k shape
     // over the trained cells. Every constant interpolated from
     // graft.ops.Similarity; every float fold is double, ascending index.
-    "s5_ann_ivf_trained" -> {
-      val iters = graft.ops.Similarity.ivfLloydIters
-      val iterCtes = (0 until iters).map { i =>
-        s"""a$i AS (SELECT n.vec_id, n.e, c.cid,
-          |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
-          |       FROM n, c$i c WHERE n.nrm > 0),
-          |r$i AS (SELECT vec_id, e, cid,
-          |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM a$i),
-          |g$i AS (SELECT cid, j, sum(CAST(floor(x * 1000000) AS BIGINT)) AS s, count(*) AS cnt
-          |       FROM (SELECT cid, unnest(e) AS x, generate_subscripts(e, 1) AS j FROM r$i WHERE rc = 1)
-          |       GROUP BY cid, j),
-          |m$i AS (SELECT cid, list(CAST(s AS DOUBLE) / (cnt * 1000000.0) ORDER BY j) AS ce FROM g$i GROUP BY cid),
-          |k$i AS (SELECT p.cid,
-          |         CASE WHEN m.ce IS NOT NULL AND list_sum([x * x for x in m.ce]) > 0
-          |              THEN m.ce ELSE p.ce END AS ce
-          |       FROM c$i p LEFT JOIN m$i m USING (cid)),
-          |c${i + 1} AS (SELECT cid, ce, sqrt(list_sum([x * x for x in ce])) AS cn FROM k$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
-        |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
-        |$iterCtes,
-        |aa AS (SELECT n.vec_id, n.e, n.nrm, c.cid,
-        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
-        |       FROM n, c$iters c),
-        |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM aa),
-        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
-        |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
-        |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
-        |cand AS (SELECT p.qid, x.vec_id, x.cell,
-        |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
-        |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
-        |r AS (SELECT qid, vec_id, cell, cosine,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand)
-        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(cosine, 6) AS cosine
-        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-    },
+    "s5_ann_ivf_trained" -> ivfTrainedOracle(),
+
+    // s9: the SAME trained model and probe shape, with the tombstoned
+    // vec_ids excluded from BOTH probe sides (queries and candidates) —
+    // the model is frozen before deletes, so training still replays over
+    // the full corpus; only the search corpus shrinks.
+    "s9_ann_delete" -> ivfTrainedOracle(searchPred = " AND (vec_id % 7) <> 3",
+      candPred = " AND (x.vec_id % 7) <> 3"),
 
     // Append-mode watermarked windows: only windows closed by the FINAL
     // watermark (max event time truncated to Spark's millisecond watermark

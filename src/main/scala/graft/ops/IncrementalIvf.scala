@@ -43,6 +43,7 @@ object IncrementalIvf {
     GenState.latestVersion(spark, stateDir, commitTable)
 
   private def postingsPath(stateDir: String, v: Int) = s"$stateDir/v$v/postings"
+  private def deletesPath(stateDir: String, v: Int) = s"$stateDir/v$v/deletes"
 
   private def fingerprint(spec: String): String =
     MessageDigest.getInstance("MD5")
@@ -81,16 +82,62 @@ object IncrementalIvf {
     next
   }
 
-  /** The s7-shaped per-query top-k over the CURRENT postings union:
+  /** s9: TOMBSTONE a set of vectors — the right-to-be-forgotten path.
+    * Writes one generation holding `vN/deletes` (the distinct vec_ids)
+    * plus an EMPTY postings table (the commit marker — the generation
+    * protocol stays single-tabled). Classic LSM shadowing semantics: a
+    * tombstone deletes a vec_id from generations OLDER than itself only,
+    * so a later re-ingest of the same id is live again — and [[compact]]
+    * applies all tombstones physically (the purge: deleted rows leave
+    * disk) and drops them. Requires an existing state (deleting from
+    * nothing is a protocol error, not a no-op).
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalIvf.delete: no state at $stateDir")
+    val next = live.last + 1
+    ids.select(col("vec_id")).dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(deletesPath(stateDir, next))
+    spark.read.parquet(postingsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+    next
+  }
+
+  /** The postings union with tombstone shadowing applied: a row of
+    * generation g is live unless some delete generation d > g tombstones
+    * its vec_id. One slim anti-join; generation tags never leave here.
+    */
+  def livePostings(spark: SparkSession, stateDir: String): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvf.livePostings: no postings at $stateDir")
+    val posts = versions.map(v =>
+      spark.read.parquet(postingsPath(stateDir, v)).withColumn("gen", lit(v)))
+      .reduce(_ unionByName _)
+    val f = GenState.fs(spark, stateDir)
+    val delVs = versions.filter(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"${deletesPath(stateDir, v)}/_SUCCESS")))
+    if (delVs.isEmpty) posts.drop("gen")
+    else {
+      val dels = delVs.map(v =>
+        spark.read.parquet(deletesPath(stateDir, v))
+          .select(col("vec_id").as("del_id"), lit(v).as("dgen")))
+        .reduce(_ unionByName _)
+      posts.join(dels,
+          posts("vec_id") === dels("del_id") && dels("dgen") > posts("gen"),
+          "left_anti")
+        .drop("gen")
+    }
+  }
+
+  /** The s7-shaped per-query top-k over the CURRENT live postings:
     * queries are the corpus vectors with vec_id < nQueries (as in
     * s3/s5/s6/s7), probed against their `ivfProbes` nearest cells.
+    * Tombstoned vectors are neither queries nor candidates.
     */
   def annTopK(spark: SparkSession, stateDir: String, modelDir: String,
       nQueries: Int = 10, k: Int = 3): DataFrame = {
     val spec = graft.exprs.IvfProbe.render(loadModel(spark, modelDir))
-    val versions = completeVersions(spark, stateDir)
-    require(versions.nonEmpty, s"IncrementalIvf.annTopK: no postings at $stateDir")
-    val asg = spark.read.parquet(versions.map(postingsPath(stateDir, _)): _*)
+    val asg = livePostings(spark, stateDir)
     val probes = asg.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(call_function("ivf_probe", col("e"), lit(spec),
@@ -99,9 +146,12 @@ object IncrementalIvf {
     Similarity.probeTopK(asg, probes, k)
   }
 
-  /** Fold the live postings generations into one ([[GenState]] manifest
-    * protocol — crash-idempotent, leftovers swept). Postings rows are
-    * immutable facts, so compaction is a pure concatenation.
+  /** Fold the live generations into one ([[GenState]] manifest protocol —
+    * crash-idempotent, leftovers swept), applying every tombstone
+    * PHYSICALLY: the folded generation holds only shadow-surviving rows
+    * and carries no deletes table (all tombstones are fully applied by
+    * the fold, and deleting the source generations removes the
+    * tombstoned bytes from disk — the GDPR purge point).
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -109,7 +159,7 @@ object IncrementalIvf {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     GenState.writeCompactManifest(spark, stateDir, next, versions)
-    spark.read.parquet(versions.map(postingsPath(stateDir, _)): _*)
+    livePostings(spark, stateDir)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -80,4 +80,44 @@ class IvfIncrementalSpec extends SparkSpec {
     assert(IncrementalIvf.merge(spark, state, modelDir,
       vecs.limit(0)) == v.get + 1)
   }
+
+  test("s9: tombstone-after-ingest equals never-ingested (same frozen model)") {
+    val del = pmod(col("vec_id"), lit(7)) === 3
+    // reference: the survivors ingested alone
+    val ref = graft.util.TmpDirs.scratch("graft_s9_ref_").toString
+    IncrementalIvf.merge(spark, ref, modelDir, vecs.where(!del))
+    val want = IncrementalIvf.annTopK(spark, ref, modelDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // full ingest then tombstone
+    val state = graft.util.TmpDirs.scratch("graft_s9_del_").toString
+    (0 until 3).foreach(r => IncrementalIvf.merge(spark, state, modelDir,
+      vecs.where(pmod(col("vec_id"), lit(3)) === r)))
+    IncrementalIvf.delete(spark, state, vecs.where(del).select(col("vec_id")))
+    val got = IncrementalIvf.annTopK(spark, state, modelDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want && want != oneShot,
+      "tombstoned search diverged from the never-ingested reference")
+
+    // LSM shadowing: a tombstone deletes OLDER generations only — a
+    // later re-ingest of a deleted id is live again
+    val back = vecs.where(col("vec_id") === 3)
+    IncrementalIvf.merge(spark, state, modelDir, back)
+    assert(IncrementalIvf.livePostings(spark, state)
+      .where(col("vec_id") === 3).count() == 1)
+
+    // compact: tombstones applied PHYSICALLY (purge) and dropped; the
+    // answer is unchanged and the folded parquet holds no deleted ids
+    IncrementalIvf.delete(spark, state, back.select(col("vec_id"))) // re-delete 3
+    val answer = IncrementalIvf.annTopK(spark, state, modelDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val cv = IncrementalIvf.compact(spark, state)
+    assert(IncrementalIvf.completeVersions(spark, state) == Seq(cv))
+    assert(IncrementalIvf.annTopK(spark, state, modelDir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == answer)
+    val folded = spark.read.parquet(s"$state/v$cv/postings")
+    assert(folded.where(del).count() == 0, "purged generation still holds tombstoned rows")
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$cv/deletes")),
+      "compacted generation carries tombstones forward")
+  }
 }
