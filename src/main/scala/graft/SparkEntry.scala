@@ -349,6 +349,20 @@ object SparkEntry {
     // all-integer arithmetic (decimal(38,0) cross-multiplied posteriors),
     // so the oracle replays training to bit-identical predictions.
     "t17_quality_classifier" -> ((s: SparkSession, d: String) => TextAnalysis.qualityClassifier(s, d)),
+    // t18: d18's write-only pattern applied to MODEL state — NB count
+    // partials per batch, model = one re-aggregation; split-training ==
+    // t17's one-shot training exactly (counts are associative).
+    "t18_classifier_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_t18_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalClassifier.merge(s, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      graft.ops.IncrementalClassifier.merge(s, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      graft.ops.IncrementalClassifier.classify(s, state, docs)
+    }),
+    // q61: the same training driven by the streaming chassis (batch-keyed
+    // exactly-once ingest); drained model scores == t17.
+    "q61_stream_classifier_train" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runClassifierTrainAvailableNow(s, d)),
     "q47_stream_funnel_outer" -> graft.streaming.EventsStream.runFunnelLeftOuterAvailableNow _,
     // Streaming incremental dedup: each micro-batch foreachBatch-merged
     // into persistent d12 state; drained result == d7's batch recompute.
@@ -488,6 +502,10 @@ object SparkEntry {
       ("s8_ann_ivf_incremental" -> m("s5_ann_ivf_trained")) +
       // and the streaming drain of the same ingest: == s7's one-shot
       ("q59_stream_ann_ingest" -> m("s5_ann_ivf_trained")) +
+      // split-trained NB counts re-aggregated == t17's one-shot training
+      ("t18_classifier_incremental" -> m("t17_quality_classifier")) +
+      // and the streaming drain of the same training: == t17
+      ("q61_stream_classifier_train" -> m("t17_quality_classifier")) +
       // media split-ingest == m5's one-shot pair table (golden oracle)
       ("d21_media_incremental" -> m("m5_ppm_near_dup")) +
       // and its streaming drain: == the same golden pairs

@@ -589,8 +589,12 @@ object TextAnalysis {
     * text trains and scores in two scans (this implementation folds them
     * into one via the broadcast joins).
     */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+  private[graft] val nbFeatureNames = Seq("f_dup", "f_wlen", "f_sym", "f_ttr")
+
+  /** The t17 feature/label projection over a raw (doc_id, text, source)
+    * batch — integer deciles only (integer `div`, never float floors).
+    */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val ntok = size(t)
     val ntri = greatest(ntok - 2, lit(0))
@@ -599,7 +603,7 @@ object TextAnalysis {
     val nsym = nchar - length(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))
     val totlen = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
     val ndtok = size(array_distinct(t))
-    val feats = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), ntok.as("ntok"), ntri.as("ntri"),
         ndis3.as("ndis3"), nchar.as("nchar"), nsym.as("nsym"),
         totlen.as("totlen"), ndtok.as("ndtok"))
@@ -609,29 +613,55 @@ object TextAnalysis {
         expr("least(9, nsym * 10 div greatest(nchar, 1))").cast("long").as("f_sym"),
         expr("least(9, (ntok - ndtok) * 10 div greatest(ntok, 1))").cast("long").as("f_ttr"),
         col("source").isin(qualitySources: _*).cast("long").as("label"))
-      // six consumers (class count, four bin counts, the scoring join)
-      // read this slim table; persist so the featurize pass runs once
-      .persist()
-    val cls = feats.agg(sum(col("label")).as("n1"),
-      (count(lit(1)) - sum(col("label"))).as("n0"))
-    def counts(f: String) = feats.groupBy(col(f).as("v"))
-      .agg(sum(col("label")).as(s"c1_$f"),
-        (count(lit(1)) - sum(col("label"))).as(s"c0_$f"))
+  }
+
+  /** The Naive Bayes sufficient statistics of one feature batch in LONG
+    * form: (feature, v, c1, c0) per (feature, bin) plus a `_class` row
+    * holding the class totals. Pure associative counts — summable across
+    * batches, which is what makes training state write-only (t18).
+    */
+  private[graft] def nbCounts(feats: DataFrame): DataFrame = {
+    val perFeature = nbFeatureNames.map { f =>
+      feats.groupBy(lit(f).as("feature"), col(f).as("v"))
+        .agg(sum(col("label")).as("c1"),
+          (count(lit(1)) - sum(col("label"))).as("c0"))
+    }
+    val cls = feats.agg(sum(col("label")).as("c1"),
+        (count(lit(1)) - sum(col("label"))).as("c0"))
+      .select(lit("_class").as("feature"), lit(0L).as("v"), col("c1"), col("c0"))
+    perFeature.reduce(_ unionByName _).unionByName(cls)
+  }
+
+  /** Score a feature table against a (possibly re-aggregated) long-form
+    * count table: Laplace `(c + 1) / (n_class + 10)` posteriors compared
+    * by decimal(38,0) cross-multiplication (exact at ~10²⁵; ties → 0).
+    */
+  private[graft] def nbClassify(feats: DataFrame, countsLong: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val d38 = "decimal(38,0)"
     def side(n: org.apache.spark.sql.Column, cs: Seq[org.apache.spark.sql.Column],
         other: org.apache.spark.sql.Column) =
       cs.foldLeft(n.cast(d38))((acc, c) => acc * (c + lit(1)).cast(d38)) *
         (other + lit(10)).cast(d38) * (other + lit(10)).cast(d38) *
         (other + lit(10)).cast(d38) * (other + lit(10)).cast(d38)
-    val fNames = Seq("f_dup", "f_wlen", "f_sym", "f_ttr")
-    val scored = fNames.foldLeft(feats)((df, f) =>
-      df.join(broadcast(counts(f)), df(f) === col("v")).drop("v"))
-      .crossJoin(broadcast(cls))
+    val scored = nbFeatureNames.foldLeft(feats) { (df, f) =>
+      val cf = countsLong.where(col("feature") === f)
+        .select(col("v"), col("c1").as(s"c1_$f"), col("c0").as(s"c0_$f"))
+      df.join(broadcast(cf), df(f) === col("v")).drop("v")
+    }.crossJoin(broadcast(countsLong.where(col("feature") === "_class")
+      .select(col("c1").as("n1"), col("c0").as("n0"))))
     scored.select(col("doc_id"), col("f_dup"), col("f_wlen"), col("f_sym"),
         col("f_ttr"), col("label"),
-        when(side(col("n1"), fNames.map(f => col(s"c1_$f")), col("n0")) >
-            side(col("n0"), fNames.map(f => col(s"c0_$f")), col("n1")),
+        when(side(col("n1"), nbFeatureNames.map(f => col(s"c1_$f")), col("n0")) >
+            side(col("n0"), nbFeatureNames.map(f => col(s"c0_$f")), col("n1")),
           lit(1L)).otherwise(lit(0L)).as("pred"))
       .orderBy(col("doc_id"))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // six consumers (class count, four bin counts, the scoring join)
+    // read this slim table; persist so the featurize pass runs once
+    val feats = qualityFeatures(Tables.documents(spark, dir)).persist()
+    nbClassify(feats, nbCounts(feats))
   }
 }

@@ -133,6 +133,23 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  /** q61: streaming CLASSIFIER TRAINING — online learning as
+    * aggregation: each document micro-batch is featurized and its Naive
+    * Bayes count partials appended write-only
+    * ([[graft.ops.IncrementalClassifier]], batch-keyed so re-delivery is
+    * exactly-once); the drained model is one re-aggregation and scoring
+    * the corpus equals t17's one-shot training bit for bit. Zero stream
+    * state, zero read amplification per trigger — the model "updates"
+    * are kilobyte parquet appends.
+    */
+  def runClassifierTrainAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q61_state_").toString)
+    drainMerges(spark, dir, files, "q61")((b, id) =>
+      graft.ops.IncrementalClassifier.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalClassifier.classify(spark, state, Tables.documents(spark, dir))
+  }
+
   /** q59: streaming ANN INGEST — the s8 write-only IVF merge driven by
     * the same chassis over the embeddings table: each micro-batch is
     * assigned to the FROZEN s7 model's cells map-side and appended as a

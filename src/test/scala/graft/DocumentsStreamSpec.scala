@@ -89,6 +89,18 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(out == want)
   }
 
+  test("q61: streamed count-partial training scores identically to one-shot t17") {
+    val state = graft.util.TmpDirs.scratch("graft_q61_spec_state_").toString
+    val out = DocumentsStream.runClassifierTrainAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(graft.ops.IncrementalClassifier.latestVersion(spark, state)
+      .contains(DocumentsStream.defaultStreamFiles - 1))
+    val want = graft.ops.TextAnalysis.qualityClassifier(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == want)
+  }
+
   test("q59: streamed ANN ingest over the frozen model matches s7's one-shot top-k") {
     val model = graft.util.TmpDirs.scratch("graft_q59_spec_model_").toString
     graft.ops.Similarity.persistedIvfCentroids(spark, sf0001, model)

@@ -317,6 +317,41 @@ class Round3OpsSpec extends SparkSpec {
     assert(streamed.where(col("event_type") === "error").count() == 0)
   }
 
+  test("t18: split-trained count partials == t17's one-shot; keyed re-delivery is a no-op") {
+    import graft.ops.IncrementalClassifier
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val want = graft.ops.TextAnalysis.qualityClassifier(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    for (mod <- Seq(2, 3)) {
+      val state = graft.util.TmpDirs.scratch(s"graft_t18_${mod}_").toString
+      (0 until mod).foreach(r => IncrementalClassifier.merge(spark, state,
+        docs.where(pmod(col("doc_id"), lit(mod)) === r), Some(s"b$r")))
+      val got = IncrementalClassifier.classify(spark, state, docs)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == want, s"$mod-way split-training diverged from one-shot t17")
+    }
+    // re-delivered batch key: no new generation, counts unchanged
+    val state = graft.util.TmpDirs.scratch("graft_t18_redel_").toString
+    IncrementalClassifier.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("b0"))
+    IncrementalClassifier.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1"))
+    assert(IncrementalClassifier.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1")) == 1)
+    assert(IncrementalClassifier.completeVersions(spark, state) == Seq(0, 1))
+    assert(IncrementalClassifier.classify(spark, state, docs)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
+    // compaction: model folds to one tiny generation, scores unchanged,
+    // markers survive (a re-delivered key is STILL a no-op after folding)
+    val v = IncrementalClassifier.compact(spark, state)
+    assert(IncrementalClassifier.completeVersions(spark, state) == Seq(v))
+    assert(spark.read.parquet(s"$state/v$v/counts").count() <= 41)
+    assert(IncrementalClassifier.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1")) == v)
+    assert(IncrementalClassifier.classify(spark, state, docs)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
+  }
+
   test("t17: Naive Bayes learns a perfectly separable planted corpus") {
     import spark.implicits._
     // curated sources write clean prose; the rest write symbol soup — the
