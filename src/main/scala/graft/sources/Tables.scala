@@ -25,16 +25,38 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; with `spark.sql.legacy.parquet.nanosAsLong` (pinned at session
-    * creation by [[graft.GraftSession]]) it reads as a long (nanos since
-    * epoch), converted here to a microsecond timestamp with integer division
-    * — lossless for this data (the generator emits microsecond-resolution
-    * values; DuckDB performs the same nanos→micros truncation).
+  /** Normalize the events `ts` column to `TimestampType`, whatever the
+    * physical parquet encoding was. The harness has shipped `ts` as both
+    * parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong` (pinned at session
+    * creation by [[graft.GraftSession]]) maps it to a long of nanos since
+    * epoch — and as plain TIMESTAMP_MICROS, which Spark reads natively as
+    * `TimestampType`. Branching on the *read* schema makes the loader
+    * robust to either encoding: a long gets the nanos→micros truncation
+    * (lossless here — the generator emits microsecond-resolution values,
+    * and DuckDB truncates identically), a timestamp passes through, and a
+    * TIMESTAMP_NTZ casts to timestamp — an identity reinterpretation under
+    * the session timezone [[graft.GraftSession]] pins to UTC.
+    *
+    * This is the single definition site for the normalization; the batch
+    * loader ([[events]]) and the streaming loader
+    * ([[graft.streaming.EventsStream.readEventsStream]]) both route
+    * through it so an encoding drift is a one-site fix.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; expected TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-long")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(table(spark, dir, "events"))
 
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

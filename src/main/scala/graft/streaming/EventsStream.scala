@@ -43,19 +43,21 @@ object EventsStream {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  /** The raw events parquet as a stream (nanos ts normalized exactly like
-    * the batch loader in [[Tables.events]]).
+  /** The raw events parquet as a stream, `ts` normalized by the same
+    * shared [[Tables.normalizeEventsTs]] the batch loader uses — stream
+    * and batch see identical schemas by construction, whatever physical
+    * encoding the table carries.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = schemaCache.computeIfAbsent(dir,
       d => spark.read.parquet(s"$d/events.parquet").schema)
     // The file stream source wants a directory: stream the sf dir with a
     // glob restricted to the events table.
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private val runId = new AtomicInteger(0)
