@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *      recall proof is direction-free: a probe of either endpoint hits
   *      the other's exact half), and by construction NEVER regenerates an
   *      old-old pair;
-  *   3. seeded connected components: edges = the new verified pairs ∪ the
-  *      previous labeling read back as star edges (node → label). Old
-  *      components enter as already-contracted stars, so CC work scales
-  *      with the new edge set, not corpus history;
+  *   3. seeded connected components over the AFFECTED subgraph: edges =
+  *      the new verified pairs ∪ the star edges (node → label) of only
+  *      those previously-clustered components a new pair touches
+  *      ([[LabelState.deltaLabels]]). Untouched components are not even
+  *      read into CC, so CC work scales with the new edge set;
   *   4. writing the next state GENERATION — `v<N+1>/{bands,labels}` —
   *      never overwriting `v<N>` in place (readers of the current
   *      generation are unaffected; promote-by-version is the
@@ -89,17 +90,11 @@ object IncrementalDedup {
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
   private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
-  /** Current labels (empty 2-col frame when no generation exists). */
+  /** Current labels — the latest-wins fold over the live label DELTAS
+    * (empty 2-col frame when no generation exists). See [[LabelState]].
+    */
   def stateLabels(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(spark, stateDir) match {
-      case Some(v) => spark.read.parquet(labelsPath(stateDir, v))
-      case None => emptyLabels(spark)
-    }
-
-  private def emptyLabels(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Long)].toDF("node", "label")
-  }
+    LabelState.folded(spark, stateDir, completeVersions(spark, stateDir))
 
   /** Ingest `newDocs` (a (doc_id, text, …) projection whose doc_ids are
     * disjoint from prior ingests) into the state at `stateDir`; returns
@@ -111,9 +106,11 @@ object IncrementalDedup {
     * write volume is O(|new batch|) — consolidating the whole index per
     * batch would rewrite the corpus-sized band table daily, which is
     * exactly the cost this operator exists to avoid. (A real deployment
-    * compacts generations occasionally, like any LSM.) Labels ARE
-    * rewritten whole per generation — the label table is one slim row per
-    * CLUSTERED doc, a vanishing fraction of corpus size.
+    * compacts generations occasionally, like any LSM.) Labels are
+    * append-style too: `vN/labels` holds only the DELTA of batch N (the
+    * members of components a new pair touched), the current labeling is
+    * the latest-wins fold, and [[compact]] folds the deltas back to one
+    * snapshot — see [[LabelState]].
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       maxHamming: Int = 3, width: Int = 32): Int = {
@@ -172,21 +169,11 @@ object IncrementalDedup {
     // streaming case) and CC read the slim parquet back.
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
-    val labels =
-      if (prev.isDefined && matPairs.isEmpty)
-        spark.read.parquet(labelsPath(stateDir, prev.get))
-      else {
-        val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
-            .where(col("node") =!= col("label"))
-            .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(matPairs.limit(0))
-        val edges = matPairs.unionByName(seeds)
-        val ckpt = ConnectedComponents.durable(spark,
-          graft.util.TmpDirs.sessionCheckpointDir(spark))
-        ConnectedComponents.labelPropagation(edges, 50, ckpt)
-          .map(_._1)
-          .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
-      }
+    // affected-component-scoped seeded CC → the label DELTA of this batch
+    // (a pair-free batch writes an empty delta and changes nothing; an
+    // untouched old component stays in its older generation verbatim)
+    val labels = LabelState.deltaLabels(spark, stateDir,
+      completeVersions(spark, stateDir), matPairs, next)
 
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an
@@ -215,7 +202,7 @@ object IncrementalDedup {
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
-    spark.read.parquet(labelsPath(stateDir, versions.last))
+    LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *     embedding, its norm, the deterministic SRP sign bucket). Floats
   *     and doubles round-trip parquet losslessly, so verification
   *     arithmetic on reloaded vectors is bit-identical to fresh ones.
-  *   - `vN/labels`: the full labeling (slim), whose `_SUCCESS` commits
-  *     the generation.
+  *   - `vN/labels`: batch N's label DELTA ([[LabelState]] — the current
+  *     labeling is the latest-wins fold), whose `_SUCCESS` commits the
+  *     generation.
   *
   * A merge buckets ONLY the new batch, finds candidate pairs by exact
   * bucket equality against the union of persisted vec generations
@@ -132,24 +133,11 @@ object IncrementalEmbedding {
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
-    // 3. seeded CC: previous labeling as pre-contracted star edges. A
-    // pair-free batch carries the previous labels forward verbatim and
-    // skips the CC loop (see IncrementalDedup — the common streaming case).
-    val labels =
-      if (prev.isDefined && matPairs.isEmpty)
-        spark.read.parquet(labelsPath(stateDir, prev.get))
-      else {
-        val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
-            .where(col("node") =!= col("label"))
-            .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(matPairs.limit(0))
-        val edges = matPairs.unionByName(seeds)
-        val ckpt = ConnectedComponents.durable(spark,
-          graft.util.TmpDirs.sessionCheckpointDir(spark))
-        ConnectedComponents.labelPropagation(edges, 50, ckpt)
-          .map(_._1)
-          .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
-      }
+    // 3. affected-component-scoped seeded CC → this batch's label DELTA
+    // (empty for a pair-free batch — the common streaming case; see
+    // [[LabelState]] for the fold/delta contract all three modalities share)
+    val labels = LabelState.deltaLabels(spark, stateDir,
+      completeVersions(spark, stateDir), matPairs, next)
 
     // 4. commit (labels' _SUCCESS marks the generation complete)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
@@ -170,7 +158,7 @@ object IncrementalEmbedding {
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
-    spark.read.parquet(labelsPath(stateDir, versions.last))
+    LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
@@ -180,15 +168,11 @@ object IncrementalEmbedding {
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
     GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
 
-  /** The d11-shaped cluster table from the current state. */
+  /** The d11-shaped cluster table from the current state (latest-wins
+    * fold over the live label deltas — see [[LabelState]]).
+    */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(spark, stateDir) match {
-      case Some(v) =>
-        Dedup.clustersOf(spark.read.parquet(labelsPath(stateDir, v)))
-          .withColumnRenamed("doc_id", "vec_id")
-      case None =>
-        import spark.implicits._
-        Seq.empty[(Long, Long, Long, Int)]
-          .toDF("vec_id", "cluster_id", "cluster_size", "is_keeper")
-    }
+    Dedup.clustersOf(
+        LabelState.folded(spark, stateDir, completeVersions(spark, stateDir)))
+      .withColumnRenamed("doc_id", "vec_id")
 }

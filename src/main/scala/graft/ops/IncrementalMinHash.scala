@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *   - `vN/sets`: batch N's distinct-shingle sets (doc_id, sh) — the
   *     verification payload, persisted so old TEXT is never re-read and
   *     old docs never re-shingled.
-  *   - `vN/labels`: the full labeling (slim); its `_SUCCESS` commits the
+  *   - `vN/labels`: batch N's label DELTA ([[LabelState]] — the current
+  *     labeling is the latest-wins fold); its `_SUCCESS` commits the
   *     generation.
   *
   * A merge shingles and signs ONLY the new batch, finds candidates by
@@ -116,24 +117,10 @@ object IncrementalMinHash {
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
-    // 4. seeded CC: previous labeling as pre-contracted star edges. A
-    // pair-free batch carries the previous labels forward verbatim and
-    // skips the CC loop (see IncrementalDedup — the common streaming case).
-    val labels =
-      if (prev.isDefined && matPairs.isEmpty)
-        spark.read.parquet(labelsPath(stateDir, prev.get))
-      else {
-        val seeds = prev.map(v => spark.read.parquet(labelsPath(stateDir, v))
-            .where(col("node") =!= col("label"))
-            .select(col("node").as("d1"), col("label").as("d2")))
-          .getOrElse(matPairs.limit(0))
-        val edges = matPairs.unionByName(seeds)
-        val ckpt = ConnectedComponents.durable(spark,
-          graft.util.TmpDirs.sessionCheckpointDir(spark))
-        ConnectedComponents.labelPropagation(edges, 50, ckpt)
-          .map(_._1)
-          .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
-      }
+    // 4. affected-component-scoped seeded CC → this batch's label DELTA
+    // (empty for a pair-free batch — the common streaming case; see
+    // [[LabelState]] for the fold/delta contract all three modalities share)
+    val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
     // 5. commit: labels' _SUCCESS marks the generation complete
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
@@ -156,7 +143,7 @@ object IncrementalMinHash {
     spark.read.parquet(versions.map(setsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
-    spark.read.parquet(labelsPath(stateDir, versions.last))
+    LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
@@ -166,15 +153,10 @@ object IncrementalMinHash {
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
     GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
 
-  /** The d7-shaped cluster table from the current state. */
+  /** The d7-shaped cluster table from the current state (latest-wins fold
+    * over the live label deltas — see [[LabelState]]).
+    */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
-    latestVersion(spark, stateDir) match {
-      case Some(v) => Dedup.clustersOf(spark.read.parquet(labelsPath(stateDir, v)))
-      case None => Dedup.clustersOf(merge0Labels(spark))
-    }
-
-  private def merge0Labels(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Long)].toDF("node", "label")
-  }
+    Dedup.clustersOf(
+      LabelState.folded(spark, stateDir, completeVersions(spark, stateDir)))
 }

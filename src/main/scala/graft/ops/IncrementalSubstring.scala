@@ -38,17 +38,21 @@ import org.apache.spark.sql.functions._
   *     merge. Net: hits survive iff their anchor's final occurrence is ≤
   *     cap, precisely d13's rule (no d14-style superset caveat).
   *
-  * Occurrence counts and the read path dedup on (doc_id, pos) / (d1, d2,
-  * i, j) first, so an at-least-once re-delivered batch (q58's crash
-  * window) changes nothing: duplicate anchors don't inflate counts past
-  * the cap and duplicate hits collapse before the run windows.
+  * At-least-once re-delivery (q58's crash window) is closed by batch-key
+  * ingest markers ([[GenState]], the [[IncrementalExact]] pattern): a
+  * keyed re-merge is a no-op. The read path additionally dedups hits on
+  * (d1, d2, i, j) and counts occurrences per distinct (doc_id, pos), so
+  * the FINAL cap filter is duplicate-proof regardless; the merge-side
+  * cold filter is the only consumer that relies on the markers (see
+  * [[mergeOccOf]]).
   *
   * Scale shape: a merge tokenizes only its batch, aggregates one pruned
-  * anchor column over the union (the read-amortized probe cost d15 also
-  * pays), and joins bounded-fan-out candidates; the read unions slim hit
-  * generations and pays d13's post-join window stages but never its
-  * corpus-wide anchor self-join. [[compact]] folds both tables the LSM
-  * way.
+  * anchor column over the union with a map-side partial aggregate (the
+  * read-amortized probe cost d15 also pays — O(distinct anchors) slim
+  * shuffle rows, never a corpus-wide positional-row shuffle), and joins
+  * bounded-fan-out candidates; the read unions slim hit generations and
+  * pays d13's post-join window stages but never its corpus-wide anchor
+  * self-join. [[compact]] folds both tables the LSM way.
   */
 object IncrementalSubstring {
 
@@ -74,12 +78,30 @@ object IncrementalSubstring {
       .toDF("doc_id", "pos", "anchor")
       .where(col("anchor").isNotNull && col("doc_id").isNotNull)
 
-  /** Per-anchor occurrence over `anch`, re-delivery-safe: one occurrence
-    * is one distinct (doc_id, pos), never one stored row.
+  /** Per-anchor occurrence over `anch`, duplicate-proof: one occurrence
+    * is one distinct (doc_id, pos), never one stored row. The wide
+    * pre-aggregation dedup shuffle makes this the READ-side counter —
+    * exact whatever reached the state dir.
     */
   private def occOf(anch: DataFrame): DataFrame =
     anch.dropDuplicates("doc_id", "pos")
       .groupBy(col("anchor")).agg(count(lit(1)).as("aocc"))
+
+  /** The MERGE-side counter: a direct per-anchor count with NO
+    * (doc_id, pos) dedup. Anchors are distinct per (doc_id, pos) within
+    * a generation BY CONSTRUCTION (`anchorsOf` posexplodes each position
+    * once), and generations hold disjoint doc_ids under the ingest
+    * contract — so this equals [[occOf]] exactly, while the plan is a
+    * column-pruned scan of the single `anchor` column with a map-side
+    * partial aggregate: O(distinct anchors) slim shuffle rows instead of
+    * two corpus-wide shuffles of full positional rows per micro-batch.
+    * The one case where the two counters could diverge — the same batch
+    * merged twice — is closed by the `batchKey` ingest markers
+    * ([[merge]]), which make a re-delivered merge a no-op before any
+    * counting happens.
+    */
+  private def mergeOccOf(anch: DataFrame): DataFrame =
+    anch.groupBy(col("anchor")).agg(count(lit(1)).as("aocc"))
 
   /** The NEW-involving candidate hits of one merge: the batch's anchors
     * vs the full persisted union, both restricted to anchors still cold
@@ -93,7 +115,7 @@ object IncrementalSubstring {
     * that old documents enter only as persisted anchor parquet.
     */
   private[graft] def candidateHits(newAnch: DataFrame, allAnch: DataFrame): DataFrame = {
-    val coldNow = occOf(allAnch)
+    val coldNow = mergeOccOf(allAnch)
       .where(col("aocc") <= Dedup.anchorMaxOcc).select(col("anchor"))
     newAnch.join(coldNow, "anchor").as("n")
       .join(allAnch.join(coldNow, "anchor").as("o"),
@@ -112,18 +134,36 @@ object IncrementalSubstring {
   /** Ingest `newDocs` (a (doc_id, text, …) projection, doc_ids disjoint
     * from prior ingests): anchor the batch, probe it against the
     * persisted union, append one generation. Returns its number.
+    *
+    * `batchKey` makes the ingest IDEMPOTENT under at-least-once
+    * re-delivery (the q58 crash window), mirroring [[IncrementalExact]]:
+    * a keyed merge whose key a complete generation already recorded is a
+    * no-op; the marker commits atomically with the generation. Streaming
+    * drivers SHOULD pass the micro-batch id — the merge-side cold filter
+    * counts stored anchor rows ([[mergeOccOf]]), so an UNKEYED duplicate
+    * ingest could overcount an anchor past the cap and drop its hits
+    * early (the read-side [[occOf]] stays duplicate-proof either way).
     */
-  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame): Int = {
+  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
+      batchKey: Option[String] = None): Int = {
     GenState.checkConfig(spark, stateDir, Map(
       "anchorTokens" -> Dedup.anchorTokens.toString,
       "anchorMaxOcc" -> Dedup.anchorMaxOcc.toString))
     val live = completeVersions(spark, stateDir)
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.last // already ingested: re-delivery is a no-op
+    }
     val next = live.lastOption.map(_ + 1).getOrElse(0)
 
     // anchor the batch once; the generation dir is the materialized copy
     // both probe sides read (anchors land before hits — a crash leaves an
     // uncommitted generation the next merge overwrites)
     anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+
+    // marker BEFORE the commit table: whenever the generation is
+    // complete, its key is on disk (every crash point → exactly-once)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
 
     val allPaths = live.map(anchorsPath(stateDir, _)) :+ anchorsPath(stateDir, next)
     candidateHits(
@@ -172,6 +212,9 @@ object IncrementalSubstring {
     spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    // markers travel with the fold: a re-delivered batch key must stay a
+    // no-op after maintenance
+    GenState.copyIngestMarkers(spark, stateDir, versions, next)
     spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(hitsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

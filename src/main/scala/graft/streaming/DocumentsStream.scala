@@ -100,16 +100,16 @@ object DocumentsStream {
   /** q58: the EXACT-SUBSTRING modality under the same chassis — each
     * micro-batch anchored and probed against the persisted positional
     * anchor index ([[graft.ops.IncrementalSubstring]]); the drained span
-    * table equals d13's one-shot. Re-delivery-safe without batch keys:
-    * occurrence counts dedup on (doc_id, pos) and the read path dedups
-    * hits, so a re-merged batch changes nothing (q58's crash window).
+    * table equals d13's one-shot. Merges are KEYED by the foreachBatch
+    * batch id (the q57 pattern), so a re-delivered micro-batch (crash
+    * after merge, before the stream checkpoint commit) is a no-op.
     * Completes the streaming column for all five dedup modalities.
     */
   def runSubstringDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q58_state_").toString)
-    drainMerges(spark, dir, files, "q58")((b, _) =>
-      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b))
+    drainMerges(spark, dir, files, "q58")((b, id) =>
+      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(s"b$id")))
     graft.ops.IncrementalSubstring.spans(spark, state)
   }
 

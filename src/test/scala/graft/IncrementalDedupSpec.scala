@@ -101,7 +101,7 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.read.parquet(s"$state/v0/bands", s"$state/v1/bands")
       .write.mode("overwrite").parquet(s"$state/v2/bands")
     graft.ops.GenState.writeCompactManifest(spark, state, 2, Seq(0, 1))
-    spark.read.parquet(s"$state/v1/labels")
+    graft.ops.LabelState.foldedSnapshot(spark, state, Seq(0, 1), 2)
       .write.mode("overwrite").parquet(s"$state/v2/labels")
 
     // the folded sources are complete on disk but NOT live: no duplicated

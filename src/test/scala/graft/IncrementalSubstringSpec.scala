@@ -77,17 +77,27 @@ class IncrementalSubstringSpec extends SparkSpec {
       "spans after the cap crossing diverged from the one-shot rule")
   }
 
-  test("re-delivered batch is a no-op: duplicate anchors don't inflate the cap, hits dedup") {
+  test("keyed re-delivered batch is a NO-OP: no new generation, spans unchanged") {
     val state = graft.util.TmpDirs.scratch("graft_d20_redel_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
-    IncrementalSubstring.merge(spark, state, b1)
-    IncrementalSubstring.merge(spark, state, b2)
+    IncrementalSubstring.merge(spark, state, b1, Some("b0"))
+    IncrementalSubstring.merge(spark, state, b2, Some("b1"))
     val before = spansSorted(IncrementalSubstring.spans(spark, state))
-    IncrementalSubstring.merge(spark, state, b2) // the q58 crash window
+    // the q58 crash window: merge landed, stream checkpoint didn't —
+    // the re-delivered keyed merge must not even create a generation
+    // (the merge-side cold counter counts stored rows, so a duplicated
+    // batch would inflate anchor occurrence; the marker prevents it)
+    assert(IncrementalSubstring.merge(spark, state, b2, Some("b1")) == 1)
+    assert(IncrementalSubstring.completeVersions(spark, state) == Seq(0, 1),
+      "re-delivered keyed batch created a generation")
     assert(spansSorted(IncrementalSubstring.spans(spark, state)) == before,
       "re-delivered batch changed the span table")
     assert(before == oneShot(sf0001))
+    // and the no-op survives compaction (markers travel with the fold)
+    val v = IncrementalSubstring.compact(spark, state)
+    assert(IncrementalSubstring.merge(spark, state, b2, Some("b1")) == v)
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == before)
   }
 
   test("compaction folds anchors AND hits; post-compact merges stay exact") {
