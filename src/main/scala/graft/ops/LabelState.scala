@@ -121,7 +121,7 @@ object LabelState {
     * minimum id — the same labeling contract as
     * [[ConnectedComponents.labelPropagation]].
     */
-  private[ops] def unionFindMinLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private[graft] def unionFindMinLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
