@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared LABEL-DELTA chassis of the generational dedup states
@@ -88,11 +89,18 @@ object LabelState {
     val prevLabels = folded(spark, stateDir, prevVersions)
     val touched = matPairs
       .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
-    // components with a new incident pair — the only ones that can change
-    val affected = prevLabels.join(touched, Seq("node"), "left_semi")
-      .select(col("label")).distinct()
-    val seeds = prevLabels.join(affected, Seq("label"), "left_semi")
-      .where(col("node") =!= col("label"))
+    // Star edges of the components with a new incident pair — the only
+    // ones that can change. Computed in ONE pass over the fold output
+    // (plan-audited: the obvious two-step — semi-join the fold for
+    // affected labels, semi-join the fold again for their members —
+    // executes the fold shuffle twice, AQE does not unify the stages):
+    // mark touched nodes via a broadcast-sized join, then lift the mark
+    // to the whole component with a max window over `label`.
+    val seeds = prevLabels
+      .join(touched.withColumn("touched", lit(1)), Seq("node"), "left")
+      .withColumn("hit",
+        max(col("touched")).over(Window.partitionBy(col("label"))))
+      .where(col("hit") === 1 && col("node") =!= col("label"))
       .select(col("node").as("d1"), col("label").as("d2"))
     val edges = matPairs
       .select(col("d1").cast("long"), col("d2").cast("long"))

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{IncrementalDedup, LabelState}
+
+/** Ad-hoc plan probe for the LabelState delta chassis (not part of the
+  * engine surface): builds a 2-generation d12 state, then prints the
+  * physical plan of the edge-collect job a third merge would run — the
+  * thing to check is whether the label FOLD subtree (referenced by both
+  * the affected-component filter and the seed build) shows up as a
+  * ReusedExchange/reused aggregate or executes twice.
+  */
+object DeltaPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create("delta-plan-probe", 16)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val state = graft.util.TmpDirs.scratch("graft_deltaplan_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
+
+    val live = IncrementalDedup.completeVersions(spark, state)
+    val prevLabels = LabelState.folded(spark, state, live)
+    val matPairs = spark.read.parquet(s"$state/v1/pairs")
+    val touched = matPairs
+      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
+    // deltaLabels' seed construction, replicated for plan inspection
+    val seeds = prevLabels
+      .join(touched.withColumn("touched", lit(1)), Seq("node"), "left")
+      .withColumn("hit", max(col("touched")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+      .where(col("hit") === 1 && col("node") =!= col("label"))
+      .select(col("node").as("d1"), col("label").as("d2"))
+    val edges = matPairs.select(col("d1"), col("d2")).unionByName(seeds)
+    edges.collect()
+    println("=== edges plan (AQE final) ===")
+    println(edges.queryExecution.executedPlan.toString)
+    val finalSection = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val folds = "partial_max_by".r.findAllIn(finalSection).size
+    println(s"PROBE fold executions in final plan: $folds (want 1)")
+  }
+}
