@@ -49,12 +49,22 @@ object LabelState {
   /** The current (node, label) table: latest-generation row wins per node
     * over the live label deltas. One slim shuffle on `node`; the `gen`
     * column rides in the data, so the fold is a single multi-path scan.
+    *
+    * A LONE live generation is always a complete snapshot — the initial
+    * build's delta covers everything (delta over nothing), and the only
+    * other way to end up with one live generation is compact, which
+    * writes [[foldedSnapshot]] — so that case reads straight through with
+    * no shuffle (the common shape for serving reads after maintenance).
     */
   def folded(spark: SparkSession, stateDir: String, versions: Seq[Int]): DataFrame =
-    if (versions.isEmpty) emptyDelta(spark).select(col("node"), col("label"))
-    else spark.read.parquet(versions.map(labelsPath(stateDir, _)): _*)
-      .groupBy(col("node"))
-      .agg(max_by(col("label"), col("gen")).as("label"))
+    versions match {
+      case Seq() => emptyDelta(spark).select(col("node"), col("label"))
+      case Seq(v) => spark.read.parquet(labelsPath(stateDir, v))
+        .select(col("node"), col("label"))
+      case vs => spark.read.parquet(vs.map(labelsPath(stateDir, _)): _*)
+        .groupBy(col("node"))
+        .agg(max_by(col("label"), col("gen")).as("label"))
+    }
 
   /** Edge-count bound for the driver union-find fast path of
     * [[deltaLabels]]: 2 longs × 200k edges ≈ 3 MB on the driver — the
@@ -86,26 +96,7 @@ object LabelState {
     */
   def deltaLabels(spark: SparkSession, stateDir: String, prevVersions: Seq[Int],
       matPairs: DataFrame, next: Int): DataFrame = {
-    val prevLabels = folded(spark, stateDir, prevVersions)
-    val touched = matPairs
-      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
-    // Star edges of the components with a new incident pair — the only
-    // ones that can change. Computed in ONE pass over the fold output
-    // (plan-audited: the obvious two-step — semi-join the fold for
-    // affected labels, semi-join the fold again for their members —
-    // executes the fold shuffle twice, AQE does not unify the stages):
-    // mark touched nodes via a broadcast-sized join, then lift the mark
-    // to the whole component with a max window over `label`.
-    val seeds = prevLabels
-      .join(touched.withColumn("touched", lit(1)), Seq("node"), "left")
-      .withColumn("hit",
-        max(col("touched")).over(Window.partitionBy(col("label"))))
-      .where(col("hit") === 1 && col("node") =!= col("label"))
-      .select(col("node").as("d1"), col("label").as("d2"))
-    val edges = matPairs
-      .select(col("d1").cast("long"), col("d2").cast("long"))
-      .toDF("d1", "d2")
-      .unionByName(seeds)
+    val edges = seedEdges(spark, stateDir, prevVersions, matPairs)
     // one bounded action decides the path AND carries the common case's
     // data (an empty batch lands here too: empty sample → empty delta)
     val sample = edges.limit(smallEdgeLimit + 1).collect()
@@ -122,6 +113,32 @@ object LabelState {
         .getOrElse(ConnectedComponents.starContraction(edges, ckpt = ckpt)._1)
       labels.withColumn("gen", lit(next))
     }
+  }
+
+  /** The CC edge set of one merge: the batch's verified pairs plus the
+    * star edges of the components they touch. Seeds are computed in ONE
+    * pass over the fold output (plan-audited, and pinned by
+    * LabelDeltaSpec: the obvious two-step — semi-join the fold for
+    * affected labels, semi-join the fold again for their members —
+    * executes the fold shuffle twice; AQE does not unify the stages):
+    * mark touched nodes via a broadcast-sized join, then lift the mark to
+    * the whole component with a max window over `label`.
+    */
+  private[graft] def seedEdges(spark: SparkSession, stateDir: String,
+      prevVersions: Seq[Int], matPairs: DataFrame): DataFrame = {
+    val prevLabels = folded(spark, stateDir, prevVersions)
+    val touched = matPairs
+      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
+    val seeds = prevLabels
+      .join(touched.withColumn("touched", lit(1)), Seq("node"), "left")
+      .withColumn("hit",
+        max(col("touched")).over(Window.partitionBy(col("label"))))
+      .where(col("hit") === 1 && col("node") =!= col("label"))
+      .select(col("node").as("d1"), col("label").as("d2"))
+    matPairs
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+      .toDF("d1", "d2")
+      .unionByName(seeds)
   }
 
   /** Exact min-label connected components over an in-memory edge list:

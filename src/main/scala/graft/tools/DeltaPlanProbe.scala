@@ -22,18 +22,8 @@ object DeltaPlanProbe {
     IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1))
 
     val live = IncrementalDedup.completeVersions(spark, state)
-    val prevLabels = LabelState.folded(spark, state, live)
-    val matPairs = spark.read.parquet(s"$state/v1/pairs")
-    val touched = matPairs
-      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
-    // deltaLabels' seed construction, replicated for plan inspection
-    val seeds = prevLabels
-      .join(touched.withColumn("touched", lit(1)), Seq("node"), "left")
-      .withColumn("hit", max(col("touched")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
-      .where(col("hit") === 1 && col("node") =!= col("label"))
-      .select(col("node").as("d1"), col("label").as("d2"))
-    val edges = matPairs.select(col("d1"), col("d2")).unionByName(seeds)
+    val edges = LabelState.seedEdges(spark, state, live,
+      spark.read.parquet(s"$state/v1/pairs"))
     edges.collect()
     println("=== edges plan (AQE final) ===")
     println(edges.queryExecution.executedPlan.toString)

@@ -48,6 +48,37 @@ class LabelDeltaSpec extends SparkSpec {
     assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("seed construction executes the label fold ONCE (plan pin)") {
+    val state = graft.util.TmpDirs.scratch("graft_delta_t4_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val edges = LabelState.seedEdges(spark, state, Seq(0, 1),
+      spark.read.parquet(s"$state/v1/pairs"))
+    // the fold (scan label deltas + max_by) must appear exactly once in
+    // the physical plan — the two-semi-join formulation ran it twice and
+    // neither ReuseExchange nor AQE unified the stages
+    val plan = edges.queryExecution.executedPlan.toString
+    val folds = "partial_max_by".r.findAllIn(plan).size
+    assert(folds == 1, s"label fold appears $folds times in the seed plan:\n$plan")
+  }
+
+  test("single live generation: the fold is a plain scan, no shuffle") {
+    val state = graft.util.TmpDirs.scratch("graft_delta_t5_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val before = IncrementalDedup.stateLabels(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    IncrementalDedup.compact(spark, state)
+    val after = IncrementalDedup.stateLabels(spark, state)
+    assert(after.collect().map(_.toSeq).sortBy(_.toString).toSeq == before,
+      "compaction changed the folded labeling")
+    // a lone generation is a snapshot by construction (initial build or
+    // compact output) — reading it must not pay the fold aggregation
+    val plan = after.queryExecution.executedPlan.toString
+    assert(!plan.contains("max_by") && !plan.contains("Exchange"),
+      s"single-generation fold should be a plain scan:\n$plan")
+  }
+
   test("folded(): the latest generation wins per node") {
     import spark.implicits._
     val state = graft.util.TmpDirs.scratch("graft_delta_t3_").toString
