@@ -110,6 +110,10 @@ object SparkEntry {
       graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) === 0))
       graft.ops.IncrementalEmbedding.clusters(s, state)
     }),
+    // SemDeDup-style semantic dedup: k-means cells (s5's trained
+    // centroids), within-cell exact-cosine pairs, CC, keeper = member
+    // FARTHEST from its centroid (the paper's least-prototypical rule).
+    "d22_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semDedupClusters(s, d)),
     // Multi-band SRP near-dup pairs: 4 × 8-plane bands of ONE 32-plane
     // signature, OR-construction candidates, occupancy-capped, exact
     // cosine verify — the recall-preserving wide-signature geometry.
@@ -735,7 +739,14 @@ object SparkEntry {
     * constant interpolated from graft.ops.Similarity; every float fold
     * is double, ascending index.
     */
-  private def ivfTrainedOracle(searchPred: String = "", candPred: String = ""): String = {
+  /** The shared training-replay CTE prefix: first-k init, ivfLloydIters
+    * unrolled Lloyd's rounds, final assignment ranked per vector in `rkd`
+    * (vec_id, e, nrm, cid, ccos, rc). Consumers append their own CTEs —
+    * the s5 family builds probe/top-k over it; d22 builds within-cell
+    * pair pruning. Emitted with WITH RECURSIVE so a consumer may append a
+    * recursive CTE (harmless for the ones that don't).
+    */
+  private def ivfTrainedRkdPrefix: String = {
     val iters = graft.ops.Similarity.ivfLloydIters
     val iterCtes = (0 until iters).map { i =>
       s"""a$i AS (SELECT n.vec_id, n.e, c.cid,
@@ -753,7 +764,7 @@ object SparkEntry {
         |       FROM c$i p LEFT JOIN m$i m USING (cid)),
         |c${i + 1} AS (SELECT cid, ce, sqrt(list_sum([x * x for x in ce])) AS cn FROM k$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+    s"""WITH RECURSIVE v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
       |c0 AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
       |$iterCtes,
@@ -761,7 +772,11 @@ object SparkEntry {
       |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
       |       FROM n, c$iters c),
       |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
-      |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM aa),
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc FROM aa)""".stripMargin
+  }
+
+  private def ivfTrainedOracle(searchPred: String = "", candPred: String = ""): String = {
+    s"""$ivfTrainedRkdPrefix,
       |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
       |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
       |           FROM rkd WHERE vec_id < 10$searchPred AND rc <= ${graft.ops.Similarity.ivfProbes}),
@@ -1397,6 +1412,30 @@ object SparkEntry {
         |  CAST(CASE WHEN c.vec_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
         |FROM comp c JOIN sz s USING (cluster_id)
         |ORDER BY c.vec_id""".stripMargin,
+
+    // SemDeDup replay: trained cells from the shared Lloyd's prefix,
+    // within-cell pairs at the tighter semantic threshold, recursive-CTE
+    // CC, keeper = min rounded centroid-cosine (ties → min vec_id).
+    "d22_semantic_dedup" ->
+      s"""$ivfTrainedRkdPrefix,
+        |cells AS (SELECT vec_id, e, nrm, cid AS cell, round(ccos, 6) AS ccos
+        |          FROM rkd WHERE rc = 1 AND nrm > 0),
+        |p2 AS (SELECT a.vec_id AS v1, b2.vec_id AS v2,
+        |         round(list_sum([a.e[i] * b2.e[i] for i in range(1, len(a.e)+1)]) / (a.nrm * b2.nrm), 6) AS cosine
+        |       FROM cells a JOIN cells b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id),
+        |pairs AS (SELECT v1, v2 FROM p2 WHERE cosine >= ${graft.ops.Similarity.semDedupThreshold}),
+        |edges AS (SELECT v1 AS src, v2 AS dst FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |lab2 AS (SELECT c.vec_id, x.cell, c.cluster_id,
+        |          row_number() OVER (PARTITION BY c.cluster_id ORDER BY x.ccos, c.vec_id) AS rk
+        |        FROM comp c JOIN cells x USING (vec_id))
+        |SELECT vec_id, cell, cluster_id,
+        |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_keeper
+        |FROM lab2 ORDER BY vec_id""".stripMargin,
 
     // 32-plane signature sliced into 4 band keys; candidates when ANY band
     // matches (OR-construction), per-band occupancy cap, exact verify.

@@ -462,6 +462,83 @@ object Similarity {
     * One shuffle (bucket equi-join); vectors alone in their bucket emit no
     * row — the recall/cost dial is `numPlanes`.
     */
+  /** Cosine threshold for d22 semantic dedup — the SAME 0.4 relation the
+    * d6/d11 LSH path verifies, on purpose: with the threshold held fixed,
+    * any membership difference between d11's clusters and d22's is
+    * attributable purely to candidate GEOMETRY (SRP buckets vs k-means
+    * cells). A production deployment calibrates this per-corpus (the
+    * SemDeDup paper tunes it to the target dedup fraction).
+    */
+  val semDedupThreshold = 0.4
+
+  /** d22: SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication") — the cluster-then-prune alternative to the d6/d11
+    * LSH-bucket geometry:
+    *
+    *   1. k-means the embedding space (the s5 deterministic Lloyd's
+    *      training, reused verbatim — same centroids, same oracle replay);
+    *   2. candidate pairs ONLY within a cluster cell (the paper's core
+    *      trick: k scales with the corpus so cells stay O(cap), making
+    *      pairwise work O(n·cap), never O(n²) — here k = [[ivfCells]] at
+    *      test scale, a deployment sets k ∝ n);
+    *   3. exact-cosine verify at [[semDedupThreshold]], connected
+    *      components over surviving pairs;
+    *   4. keeper = the member with the LOWEST cosine to its cell centroid
+    *      (ties → smaller vec_id): the paper keeps the example FARTHEST
+    *      from the centroid — the least prototypical member carries the
+    *      most marginal information for training.
+    *
+    * Scale shape: assignment is one map-side compiled argmax vs broadcast
+    * centroids (no join); the within-cell self-join carries only
+    * (vec_id, cell) — slim-candidate rule — with payloads joined back by
+    * key in [[verifyPairs]]; CC runs over verified pairs only. Contrast
+    * with d11: LSH buckets approximate the similarity relation (recall
+    * loss at bucket boundaries), k-means cells partition the space by
+    * actual geometry, so recall within a cell is exact — the trade is a
+    * training pass for the model.
+    *
+    * Keeper comparisons use the 6-dp ROUNDED centroid cosine, so the
+    * argmin is decided on values both engines agree on bit-for-bit.
+    */
+  def semDedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = semDedupThreshold): DataFrame = {
+    val cents = trainIvfCentroids(spark, dir)
+    val v = withNorm(Tables.embeddings(spark, dir))
+    val bestS = array_max(array(cents.map { c =>
+      struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
+    }: _*))
+    // zero-norm vectors assign to no cell (NaN cosines) and never pair
+    val asg = v.select(col("vec_id"),
+        when(isnan(bestS.getField("c")), lit(-1L))
+          .otherwise(-bestS.getField("negcid")).as("cell"),
+        round(bestS.getField("c"), 6).as("ccos"))
+      .where(col("cell") >= 0)
+      // one materialization of the 16-dot argmax projection feeds the
+      // self-join's both sides AND the keeper join below
+      .repartition(col("cell"))
+    val slim = asg.select(col("vec_id"), col("cell"))
+    val pairs = slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+    val verified = verifyPairs(spark, dir, pairs, threshold)
+      .select(col("v1"), col("v2"))
+    val ckpt = ConnectedComponents.durable(spark,
+      graft.util.TmpDirs.sessionCheckpointDir(spark))
+    val labels = ConnectedComponents.labelPropagation(verified, 50, ckpt)
+      .map(_._1)
+      .getOrElse(ConnectedComponents.starContraction(verified, ckpt = ckpt)._1)
+    val labeled = labels
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .join(asg, "vec_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("ccos"), col("vec_id"))
+    labeled
+      .withColumn("is_keeper", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("is_keeper"))
+      .orderBy(col("vec_id"))
+  }
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     // repartition = materialization barrier: the 8-plane bucket aggregation
     // is computed once and reused by both self-join branches.
