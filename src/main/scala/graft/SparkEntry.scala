@@ -222,6 +222,10 @@ object SparkEntry {
           Corpus.contaminationAgainstRegistry(s, reg, train.where(pmod(col("doc_id"), lit(5)) === 0)))
         .orderBy(col("doc_id"))
     }),
+    // DSIR-style importance selection: hashed n-gram bag models for the
+    // benchmark target vs the raw corpus, integer micro-nat weights,
+    // deterministic top-N most-target-like raw docs.
+    "c11_importance_select" -> ((s: SparkSession, d: String) => Corpus.importanceSelect(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
     // Deterministic hash-bucket train/val/test assignment (per-language
     // audit counts).
@@ -1664,6 +1668,39 @@ object SparkEntry {
         |SELECT o.doc_id, n_shared, n_own, round(CAST(n_shared AS DOUBLE) / n_own, 6) AS ratio
         |FROM own o JOIN shared s2 ON o.doc_id = s2.doc_id
         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    // DSIR replay: hashed unigram+bigram bags (2 md5 hex digits → 256
+    // buckets), Laplace-smoothed log-ratio weights frozen to integer
+    // micro-nats, per-doc INTEGER dot-product score, top-N. The scaled
+    // integers make the sum aggregation-order-exact in both engines.
+    "c11_importance_select" -> {
+      val b = Corpus.benchmarkSource
+      val nb = Corpus.dsirBuckets
+      val n = Corpus.dsirSelectN
+      s"""WITH toks AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |fstr AS (SELECT doc_id, source, unnest(t) AS f FROM toks
+        |         UNION ALL
+        |         SELECT doc_id, source, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS f FROM toks),
+        |feats AS (SELECT doc_id, source,
+        |            (strpos('0123456789abcdef', md5(f)[1]) - 1) * 16 + (strpos('0123456789abcdef', md5(f)[2]) - 1) AS b
+        |          FROM fstr),
+        |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM feats WHERE source = '$b' GROUP BY b),
+        |rb AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM feats WHERE source <> '$b' GROUP BY b),
+        |sp AS (SELECT unnest(range(0, $nb)) AS b),
+        |w AS (SELECT sp.b, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+        |      FROM sp LEFT JOIN tb ON sp.b = tb.b LEFT JOIN rb ON sp.b = rb.b),
+        |wt AS (SELECT b,
+        |         CAST(round((ln(tc + 1) - ln(rc + 1)) * 1000000) AS BIGINT) AS lw,
+        |         CAST(round((ln((SELECT CAST(sum(rc) AS BIGINT) FROM w) + $nb)
+        |                   - ln((SELECT CAST(sum(tc) AS BIGINT) FROM w) + $nb)) * 1000000) AS BIGINT) AS c
+        |       FROM w),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM feats WHERE source <> '$b' GROUP BY doc_id, b),
+        |sc AS (SELECT doc_id, CAST(sum(cnt * lw) + sum(cnt) * max(c) AS BIGINT) AS ss
+        |       FROM db JOIN wt USING (b) GROUP BY doc_id),
+        |r AS (SELECT doc_id, ss, row_number() OVER (ORDER BY ss DESC, doc_id) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, round(CAST(ss AS DOUBLE) / 1000000, 6) AS score
+        |FROM r WHERE rnk <= $n ORDER BY rnk""".stripMargin
     },
 
     // Train/val/test split: c2's md5 bucket cut at interpolated

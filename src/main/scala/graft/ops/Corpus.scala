@@ -395,6 +395,83 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** c11 DSIR geometry: hashed-feature bucket count and selection size. */
+  val dsirBuckets = 256
+  val dsirSelectN = 100
+
+  /** c11: DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — pick the
+    * raw-corpus documents most distributionally similar to a small target
+    * slice (here the benchmark source, standing in for the curated
+    * high-quality target):
+    *
+    *   1. features = hashed unigrams + bigrams WITH multiplicity, md5 →
+    *      [[dsirBuckets]] buckets (the paper's hashed n-gram generative
+    *      model);
+    *   2. two bag-of-buckets models: target (benchmark slice) and raw
+    *      (everything else), Laplace +1 smoothing;
+    *   3. per-doc importance weight = Σ_f log p_target(f) − log p_raw(f);
+    *   4. deterministic top-[[dsirSelectN]] by weight (the
+    *      zero-temperature limit of the paper's Gumbel-top-k resampling —
+    *      a deployment adds per-doc Gumbel noise to the same score; the
+    *      engine keeps the argmax deterministic so the gate can replay it).
+    *
+    * Exactness across engines: per-bucket log-ratios are computed ONCE on
+    * the 256-row weight table and frozen to integer micro-nats
+    * (round(1e6·x) as BIGINT); each doc's score is then a pure INTEGER
+    * dot product cnt·lw — aggregation-order-insensitive, so Spark's
+    * partial aggregates and DuckDB's single-threaded fold agree
+    * bit-for-bit, unlike a double sum (same scaled-integer trick as the
+    * Lloyd's trainer).
+    *
+    * Scale shape: one corpus pass explodes features map-side into a
+    * (bucket)-keyed count — 256 partial-agg rows per task, a vanishing
+    * shuffle; the weight table is broadcast back for the per-doc score
+    * (map-side join + one (doc_id)-keyed aggregation); top-N is
+    * TakeOrderedAndProject (per-partition heads, no global sort). The
+    * corpus text never shuffles.
+    */
+  def importanceSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(col("text"))
+    val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val bucket = conv(substring(md5(col("f")), 1, 2), 16, 10).cast("int")
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(concat(t, bigrams)).as("f"))
+      .select(col("doc_id"), col("source"), bucket.as("b"))
+    val tb = feats.where(col("source") === benchmarkSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rb = feats.where(col("source") =!= benchmarkSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val spine = spark.range(dsirBuckets).select(col("id").cast("int").as("b"))
+    val wAll = Window.partitionBy()
+    val weights = spine
+      .join(tb, Seq("b"), "left").join(rb, Seq("b"), "left")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+      .withColumn("lw",
+        round((log(col("tc") + 1) - log(col("rc") + 1)) * 1e6).cast("long"))
+      .withColumn("c",
+        round((log(sum(col("rc")).over(wAll) + dsirBuckets)
+          - log(sum(col("tc")).over(wAll) + dsirBuckets)) * 1e6).cast("long"))
+      .select(col("b"), col("lw"), col("c"))
+    val db = feats.where(col("source") =!= benchmarkSource)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val scored = db.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cnt") * col("lw")) + sum(col("cnt")) * max(col("c")))
+        .as("ss"))
+    val wRank = Window.orderBy(col("ss").desc, col("doc_id"))
+    scored.orderBy(col("ss").desc, col("doc_id")).limit(dsirSelectN)
+      .withColumn("rnk", row_number().over(wRank).cast("int"))
+      .select(col("doc_id"), col("rnk"),
+        round(col("ss").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("rnk"))
+  }
+
   /** c7 curation thresholds — every gate compares EXACT integers (cross-
     * multiplied ratios), so the keep/drop verdict can never flip on a
     * float rounding difference between engines. One definition, both
