@@ -30,21 +30,14 @@ object OohExtractors {
     *   - void elements (`<br>`, `<hr>`, `<img …>`) self-closed;
     * then wrap in a synthetic root so multi-element fragments parse.
     */
-  /** Named-entity table: each entity maps to ITS OWN codepoint (jsdom
-    * decodes them individually — collapsing the dash/quote family to one
-    * char would corrupt extracted text).
-    */
-  private val namedEntities: Seq[(String, Int)] = Seq(
-    "nbsp" -> 160, "mdash" -> 8212, "ndash" -> 8211,
-    "rsquo" -> 8217, "lsquo" -> 8216, "rdquo" -> 8221, "ldquo" -> 8220)
-
   /** Block tags whose start (or a container's close) implicitly ends an
     * open `<p>` in the HTML5 tree builder — the subset occurring in OOH
-    * CDATA. `li` open/close also ends an open `p` (the p lives inside the
-    * li, which is about to end).
+    * CDATA plus the table-row/cell tags (an open `<p>` inside a cell ends
+    * with the cell). `li` open/close also ends an open `p` (the p lives
+    * inside the li, which is about to end).
     */
   private val pBoundary =
-    "</?(?:h[1-6]|ul|ol|div|table|section)[\\s>]|<p[\\s>]|</?li[\\s>]"
+    "</?(?:h[1-6]|ul|ol|div|table|section|tr|td|th)[\\s>]|<p[\\s>]|</?li[\\s>]"
 
   /** HTML5-style auto-close for the two unclosed tags real OOH exports
     * contain (jsdom parses these fine; Spark's strict `xpath` does not):
@@ -66,27 +59,58 @@ object OohExtractors {
     * reparents those), and an UNclosed `<li>` whose body starts a nested
     * list.
     */
+  /** Stop/accept token sets for the table-cell and table-row auto-close
+    * rules (same tempered-dot mechanics as `<p>`/`<li>`): a cell ends at
+    * the next cell/row/section boundary or the table's close; a row at
+    * the next row/section boundary or the table's close. The stop sets
+    * also halt on an OPENING `<table>` that the lookaheads do not accept:
+    * an unclosed cell directly containing a nested table is left
+    * byte-identical (the nested-list non-goal, table edition).
+    */
+  private val cellStop =
+    "</td>|</th>|<td[\\s>]|<th[\\s>]|</?tr[\\s>]|</?table[\\s>]|</?(?:thead|tbody|tfoot)[\\s>]"
+  private val cellEnd =
+    "<td[\\s>]|<th[\\s>]|</?tr[\\s>]|</table[\\s>]|</?(?:thead|tbody|tfoot)[\\s>]"
+  private val trStop =
+    "</tr>|<tr[\\s>]|</?table[\\s>]|</?(?:thead|tbody|tfoot)[\\s>]"
+  private val trEnd =
+    "<tr[\\s>]|</table[\\s>]|</?(?:thead|tbody|tfoot)[\\s>]"
+
   private def autoClose(c: Column): Column = {
     val p = regexp_replace(
       c,
       s"(?s)<p(\\s[^>]*)?>((?:(?!</p>|$pBoundary).)*)(?=$pBoundary|$$)",
       "<p$1>$2</p>")
-    regexp_replace(
+    val li = regexp_replace(
       p,
       "(?s)<li(\\s[^>]*)?>((?:(?!</li>|<li[\\s>]|</?(?:ul|ol)[\\s>]).)*)(?=<li[\\s>]|</(?:ul|ol)>|$)",
       "<li$1>$2</li>")
+    // cells before rows: the injected `</td>` is in place before the
+    // `<tr>` rule scans, so a mis-nested `<tr><td>a<tr>` heals outside-in
+    val cells = regexp_replace(
+      li,
+      s"(?s)<(td|th)(\\s[^>]*)?>((?:(?!$cellStop).)*)(?=$cellEnd|$$)",
+      "<$1$2>$3</$1>")
+    regexp_replace(
+      cells,
+      s"(?s)<tr(\\s[^>]*)?>((?:(?!$trStop).)*)(?=$trEnd|$$)",
+      "<tr$1>$2</tr>")
   }
 
+  /** The HTML5 void-element set: start tags that never take content and
+    * need self-closing for XML.
+    */
+  private val voidTags =
+    "br|hr|wbr|img|input|col|embed|source|track|area|base|link|meta|param"
+
   def htmlAsXml(c: Column): Column = {
-    val named = namedEntities.foldLeft(c) { case (acc, (name, cp)) =>
-      regexp_replace(acc, s"&$name;", s"&#$cp;")
-    }
-    val entities = regexp_replace(
-      named,
-      "&(?!(amp|lt|gt|quot|apos|#\\d+|#x[0-9a-fA-F]+);)", "&amp;")
+    // one compiled pass decodes ALL HTML4 named entities to numeric form
+    // and escapes every other ampersand — see graft.exprs.HtmlEntities
+    // (replaces the former per-entity regexp_replace chain)
+    val entities = call_function("html_entities", c)
     val voids = regexp_replace(
-      regexp_replace(entities, "<(br|hr)\\s*>", "<$1/>"),
-      "<img\\s+([^>/]*)>", "<img $1/>")
+      regexp_replace(entities, s"<($voidTags)\\s*>", "<$1/>"),
+      s"<($voidTags)\\s+([^>/]*)>", "<$1 $2/>")
     concat(lit("<root>"), autoClose(voids), lit("</root>"))
   }
 

@@ -88,6 +88,54 @@ class OohExtractorsSpec extends SparkSpec {
       == "a—b–c’d‘e”f“g h")
   }
 
+  test("full HTML4 entity table decodes; unknown/unterminated escape to literal text") {
+    // accented letters, symbols, currency, Greek — beyond the old curated set
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>caf&eacute; &copy; &hellip; &euro;5 &alpha;&Omega; &frac12;</p>")
+      == "café © … €5 αΩ ½")
+    // numeric and hex references pass through to xpath untouched
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>&#233;&#x2014;</p>") == "é—")
+    // unknown entity and unterminated reference become literal text (the
+    // jsdom stray-& recovery), not a parse failure
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>&notanentity; x &mdash y</p>") == "&notanentity; x &mdash y")
+  }
+
+  test("unclosed <td>/<th>/<tr> auto-close (jsdom parity: real-world table HTML)") {
+    // unclosed cells close at the next cell or the row's end
+    assert(one(cdataConcat(col("s"), "//td/text()"),
+      "<table><tr><td>a<td>b</tr></table>") == "ab")
+    // unclosed header cells and data cells mix
+    assert(one(cdataConcat(col("s"), "//tr//text()"),
+      "<table><tr><th>h1<th>h2</tr><tr><td>a<td>b</tr></table>") == "h1h2ab")
+    // unclosed rows close at the next row or the table's end
+    assert(one(cdataConcat(col("s"), "//tr/td/text()"),
+      "<table><tr><td>a</td><tr><td>b</td></table>") == "ab")
+    // everything unclosed at once — the reference's similar-occupations
+    // shape with sloppy markup
+    assert(one(cdataConcat(col("s"), "//td/h4/text()"),
+      "<table><tr><td><h4>Admins</h4><tr><td><h4>Analysts</h4></table>")
+      == "AdminsAnalysts")
+    // an open <p> inside a cell ends with the cell
+    assert(one(cdataConcat(col("s"), "//td/p/text()"),
+      "<table><tr><td><p>x</td><td><p>y</td></tr></table>") == "xy")
+    // well-formed tables — including a NESTED table in a closed cell —
+    // stay byte-identical
+    assert(one(cdataConcat(col("s"), "//td//text()"),
+      "<table><tr><td>a<table><tr><td>b</td></tr></table></td></tr></table>")
+      == "ab")
+  }
+
+  test("extended void elements self-close (input/meta/wbr et al)") {
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<p>a<wbr>b</p>") == "ab")
+    assert(one(cdataConcat(col("s"), "//form/p/text()"),
+      "<form><input type=\"text\"><p>q</p></form>") == "q")
+    assert(one(cdataConcat(col("s"), "//p/text()"),
+      "<meta charset=\"utf-8\"><p>body</p>") == "body")
+  }
+
   test("cardinalityWarning fires only when match count != 1 (index.js:33-35)") {
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p><p>b</p>") == "w")
     assert(one(cardinalityWarning(col("s"), "//p/text()", "w"), "<p>a</p>") == null)
