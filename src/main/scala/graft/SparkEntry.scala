@@ -226,6 +226,20 @@ object SparkEntry {
     // benchmark target vs the raw corpus, integer micro-nat weights,
     // deterministic top-N most-target-like raw docs.
     "c11_importance_select" -> ((s: SparkSession, d: String) => Corpus.importanceSelect(s, d)),
+    // Incremental DSIR: write-only per-batch count generations (feature
+    // extraction once per doc), selection re-fit over the folded slim
+    // state; 80/20 split-ingest == c11's one-shot (shared oracle).
+    "c12_importance_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_c12_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalDsir.select(s, state)
+    }),
+    // Streaming DSIR: the q54 chassis over c12 state — continuous
+    // selection-model maintenance; drained selection == one-shot c11.
+    "q62_stream_importance" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runDsirSelectAvailableNow(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
     // Deterministic hash-bucket train/val/test assignment (per-language
     // audit counts).
@@ -514,6 +528,10 @@ object SparkEntry {
       ("t18_classifier_incremental" -> m("t17_quality_classifier")) +
       // and the streaming drain of the same training: == t17
       ("q61_stream_classifier_train" -> m("t17_quality_classifier")) +
+      // count-generation split-ingest == c11's one-shot selection
+      ("c12_importance_incremental" -> m("c11_importance_select")) +
+      // and the streaming drain of the same ingest: == c11
+      ("q62_stream_importance" -> m("c11_importance_select")) +
       // media split-ingest == m5's one-shot pair table (golden oracle)
       ("d21_media_incremental" -> m("m5_ppm_near_dup")) +
       // and its streaming drain: == the same golden pairs

@@ -431,21 +431,43 @@ object Corpus {
     * TakeOrderedAndProject (per-partition heads, no global sort). The
     * corpus text never shuffles.
     */
-  def importanceSelect(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def importanceSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectFromCounts(spark, dsirCounts(Tables.documents(spark, dir)))
+
+  /** The EXPENSIVE half of c11 — one text pass to the slim per-doc bucket
+    * count table `(doc_id, source, b, cnt)`: tokenize, form bigrams, hash
+    * to [[dsirBuckets]], count with multiplicity. Everything downstream
+    * (both models AND the per-doc scores) derives from this table, which
+    * is what the incremental path ([[IncrementalDsir]]) persists per
+    * generation: feature extraction runs once per document ever.
+    */
+  private[graft] def dsirCounts(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     val bucket = conv(substring(md5(col("f")), 1, 2), 16, 10).cast("int")
-    val feats = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         explode(concat(t, bigrams)).as("f"))
       .select(col("doc_id"), col("source"), bucket.as("b"))
-    val tb = feats.where(col("source") === benchmarkSource)
-      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val rb = feats.where(col("source") =!= benchmarkSource)
-      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The CHEAP half of c11 — model fit + scoring + top-N over a per-doc
+    * bucket count table (fresh from [[dsirCounts]] or folded from
+    * generational state): both bag models are (b)-keyed sums of the slim
+    * counts, weights freeze to integer micro-nats on the 256-row table,
+    * scores are integer dot products, top-N is TakeOrderedAndProject.
+    */
+  private[graft] def dsirSelectFromCounts(spark: SparkSession,
+      counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tb = counts.where(col("source") === benchmarkSource)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("tc"))
+    val rb = counts.where(col("source") =!= benchmarkSource)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("rc"))
     val spine = spark.range(dsirBuckets).select(col("id").cast("int").as("b"))
     val wAll = Window.partitionBy()
     val weights = spine
@@ -458,8 +480,8 @@ object Corpus {
         round((log(sum(col("rc")).over(wAll) + dsirBuckets)
           - log(sum(col("tc")).over(wAll) + dsirBuckets)) * 1e6).cast("long"))
       .select(col("b"), col("lw"), col("c"))
-    val db = feats.where(col("source") =!= benchmarkSource)
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    val db = counts.where(col("source") =!= benchmarkSource)
+      .select(col("doc_id"), col("b"), col("cnt"))
     val scored = db.join(broadcast(weights), "b")
       .groupBy(col("doc_id"))
       .agg((sum(col("cnt") * col("lw")) + sum(col("cnt")) * max(col("c")))

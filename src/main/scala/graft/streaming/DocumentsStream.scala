@@ -168,6 +168,24 @@ object DocumentsStream {
     graft.ops.IncrementalIvf.annTopK(spark, state, modelDir)
   }
 
+  /** q62: streaming DSIR — continuous data selection under the same
+    * chassis: each document micro-batch pays its text pass once
+    * (foreachBatch → [[graft.ops.IncrementalDsir.merge]], write-only slim
+    * count generations, batch-key exactly-once), and the drained
+    * selection re-fits the 256-row weight model over the folded counts —
+    * equal to c11's one-shot selection bit for bit. The production shape
+    * for a target-distribution-matching ingest pipeline: score models
+    * stay current with every arriving batch at O(batch) cost, and a
+    * re-selection never re-reads document text.
+    */
+  def runDsirSelectAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q62_state_").toString)
+    drainMerges(spark, dir, files, "q62")((b, id) =>
+      graft.ops.IncrementalDsir.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalDsir.select(spark, state)
+  }
+
   /** q56: the EMBEDDING modality under the same chassis — micro-batches
     * of the embeddings table foreachBatch-merged into one
     * [[graft.ops.IncrementalEmbedding]] state dir; drained clustering ==
