@@ -113,7 +113,26 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: k-means cells (s5's trained
     // centroids), within-cell exact-cosine pairs, CC, keeper = member
     // FARTHEST from its centroid (the paper's least-prototypical rule).
-    "d22_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semDedupClusters(s, d)),
+    "d22_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      Similarity.semDedupClusters(s, d, centroids =
+        Some(Similarity.persistedIvfCentroids(s, d, s7ModelDir(s, d))))),
+    // Incremental semantic dedup: d22 under generational state against
+    // the FROZEN s7 model (assignments persisted with the vectors);
+    // 80/20 split-ingest == d22's one-shot (shared oracle).
+    "d23_semantic_incremental" -> ((s: SparkSession, d: String) => {
+      val cents = Similarity.persistedIvfCentroids(s, d, s7ModelDir(s, d))
+      val state = graft.util.TmpDirs.scratch("graft_d23_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      graft.ops.IncrementalSemantic.merge(s, state, cents,
+        vecs.where(pmod(col("vec_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalSemantic.merge(s, state, cents,
+        vecs.where(pmod(col("vec_id"), lit(5)) === 0))
+      graft.ops.IncrementalSemantic.clusters(s, state)
+    }),
+    // Streaming semantic dedup: the q54 chassis over d23 state with the
+    // frozen model; drained clustering == one-shot d22.
+    "q63_stream_semantic_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runSemanticDedupAvailableNow(s, d, s7ModelDir(s, d))),
     // Multi-band SRP near-dup pairs: 4 × 8-plane bands of ONE 32-plane
     // signature, OR-construction candidates, occupancy-capped, exact
     // cosine verify — the recall-preserving wide-signature geometry.
@@ -528,6 +547,10 @@ object SparkEntry {
       ("t18_classifier_incremental" -> m("t17_quality_classifier")) +
       // and the streaming drain of the same training: == t17
       ("q61_stream_classifier_train" -> m("t17_quality_classifier")) +
+      // frozen-model cell split-ingest == d22's one-shot clustering
+      ("d23_semantic_incremental" -> m("d22_semantic_dedup")) +
+      // and the streaming drain of the same merge: == d22
+      ("q63_stream_semantic_dedup" -> m("d22_semantic_dedup")) +
       // count-generation split-ingest == c11's one-shot selection
       ("c12_importance_incremental" -> m("c11_importance_select")) +
       // and the streaming drain of the same ingest: == c11

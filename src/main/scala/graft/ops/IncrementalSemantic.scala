@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d23: incremental SEMANTIC dedup — d22's cluster-then-prune geometry
+  * under the generational state machinery, completing the batch /
+  * incremental / streaming matrix for the semantic modality. The
+  * difference from [[IncrementalEmbedding]] (d14) is the same as
+  * d22-vs-d11: candidates come from FROZEN-model k-means cell equality
+  * (exact within-cell recall) rather than SRP sign buckets, and the
+  * keeper is the least-prototypical member (min rounded centroid cosine)
+  * rather than the min vec_id.
+  *
+  * The model must be FROZEN before ingest begins (the s8 contract for
+  * postings: cell assignment is a pure function of vector × frozen
+  * centroids, which is what makes split-ingest == one-shot — a model
+  * retrained mid-history would reassign old vectors and invalidate
+  * persisted cells). A deployment retrains periodically and REBUILDS the
+  * state from the corpus under the new model — a compaction-sized job,
+  * not an ingest-path one.
+  *
+  * Persisted per generation: `vN/vecs` = (vec_id, e, nrm, cell, ccos) —
+  * the assignment is computed ONCE per vector at ingest (the native
+  * `ivf_probe` reference-object expression, O(1) codegen in k) and both
+  * the cell and its 6-dp-rounded centroid cosine ride in state, so reads
+  * never touch the model again; `vN/labels` = the [[LabelState]] delta.
+  * No occupancy cap: the fan-out dial for this geometry is k itself
+  * (SCALE.md round 11), pinned in `_CONFIG` so an ingest under a
+  * different model fails loudly.
+  */
+object IncrementalSemantic {
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir)
+
+  private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
+  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+
+  /** Ingest `newVecs` ((vec_id, embedding), vec_ids disjoint from prior
+    * ingests) against the frozen centroid model; returns the generation.
+    */
+  def merge(spark: SparkSession, stateDir: String, cents: Seq[Similarity.Centroid],
+      newVecs: DataFrame,
+      threshold: Double = Similarity.semDedupThreshold): Int = {
+    GenState.checkConfig(spark, stateDir,
+      Map("threshold" -> threshold.toString, "cells" -> cents.size.toString))
+    val prev = latestVersion(spark, stateDir)
+    val next = prev.map(_ + 1).getOrElse(0)
+
+    // 1. assign the new batch ONCE: frozen-model top-1 cell + rounded
+    // centroid cosine persisted with the vector (zero-norm vectors have
+    // NaN cosines → no cell; they can never pair, drop at ingest)
+    val spec = graft.exprs.IvfProbe.render(cents)
+    val best = element_at(
+      call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
+    newVecs
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
+      .withColumn("cell",
+        when(isnan(best.getField("ccos")), lit(-1L)).otherwise(best.getField("cid")))
+      .withColumn("ccos", round(best.getField("ccos"), 6))
+      .where(col("cell") >= 0)
+      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+
+    // 2. SLIM candidates: new side vs the union on exact CELL equality —
+    // scans pruned to (vec_id, cell), no payload in the candidate join
+    val allPaths = completeVersions(spark, stateDir)
+      .map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
+    val slimNew = spark.read.parquet(vecsPath(stateDir, next))
+      .select(col("vec_id"), col("cell"))
+    val slimAll = spark.read.parquet(allPaths: _*)
+      .select(col("vec_id"), col("cell"))
+    val cand = slimNew.as("a")
+      .join(slimAll.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+      .dropDuplicates("d1", "d2")
+
+    // 3. verify by key-joined payloads (d14's shape, d22's threshold)
+    val pay = spark.read.parquet(allPaths: _*)
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val p1 = pay.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
+    val p2 = pay.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
+    val cos = call_function("array_dot", col("e1"), col("e2")) /
+      (col("n1") * col("n2"))
+    val pairs = cand.join(p1, "d1").join(p2, "d2")
+      .where(round(cos, 6) >= threshold)
+      .select(col("d1"), col("d2"))
+
+    // materialize once (merge hot-path contract), then delta-CC
+    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+    val labels = LabelState.deltaLabels(spark, stateDir,
+      completeVersions(spark, stateDir), matPairs, next)
+    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
+
+  /** LSM maintenance: fold vecs, snapshot labels, manifest-then-commit. */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalSemantic.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    LabelState.foldedSnapshot(spark, stateDir, versions, next)
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
+
+  /** The d22-shaped cluster table from the current state: labels from the
+    * latest-wins fold, cell/ccos from the persisted assignments (the
+    * model is never consulted at read time), keeper = min (rounded ccos,
+    * vec_id) per cluster.
+    */
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val versions = completeVersions(spark, stateDir)
+    val labels = LabelState.folded(spark, stateDir, versions)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+    val asg = spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      .select(col("vec_id"), col("cell"), col("ccos"))
+      // at-least-once re-delivery can duplicate a vector across
+      // generations; assignment is a pure function of the frozen model,
+      // so duplicates are identical rows
+      .dropDuplicates("vec_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("ccos"), col("vec_id"))
+    labels.join(asg, "vec_id")
+      .withColumn("is_keeper", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("is_keeper"))
+      .orderBy(col("vec_id"))
+  }
+}

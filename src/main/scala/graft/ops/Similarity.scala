@@ -502,8 +502,11 @@ object Similarity {
     * argmin is decided on values both engines agree on bit-for-bit.
     */
   def semDedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = semDedupThreshold): DataFrame = {
-    val cents = trainIvfCentroids(spark, dir)
+      threshold: Double = semDedupThreshold,
+      centroids: Option[Seq[Centroid]] = None): DataFrame = {
+    // callers holding the persisted s7 model pass it in (bit-identical
+    // to training fresh — the registry contract); default trains
+    val cents = centroids.getOrElse(trainIvfCentroids(spark, dir))
     val v = withNorm(Tables.embeddings(spark, dir))
     val bestS = array_max(array(cents.map { c =>
       struct(centCos(c).as("c"), lit(-c._1).as("negcid"))

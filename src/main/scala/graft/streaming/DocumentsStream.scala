@@ -186,6 +186,26 @@ object DocumentsStream {
     graft.ops.IncrementalDsir.select(spark, state)
   }
 
+  /** q63: streaming SEMANTIC dedup — d23's frozen-model merge under the
+    * chassis: embeddings arrive in micro-batches, each is assigned to the
+    * frozen centroid model's cells map-side and merged into one
+    * generational semantic-dedup state; the drained clustering equals
+    * d22's one-shot (assignment is a pure function of vector × frozen
+    * model, so the within-cell pair set is split-invariant). The model is
+    * trained/loaded ONCE before the stream starts — the s8 freeze
+    * contract, which is exactly how a production semantic-dedup ingest
+    * runs (periodic retrain = state rebuild, not an ingest-path event).
+    */
+  def runSemanticDedupAvailableNow(spark: SparkSession, dir: String,
+      modelDir: String, stateDir: Option[String] = None,
+      files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q63_state_").toString)
+    val cents = graft.ops.Similarity.persistedIvfCentroids(spark, dir, modelDir)
+    drainMerges(spark, dir, files, "q63", Tables.embeddings)((b, _) =>
+      graft.ops.IncrementalSemantic.merge(b.sparkSession, state, cents, b))
+    graft.ops.IncrementalSemantic.clusters(spark, state)
+  }
+
   /** q56: the EMBEDDING modality under the same chassis — micro-batches
     * of the embeddings table foreachBatch-merged into one
     * [[graft.ops.IncrementalEmbedding]] state dir; drained clustering ==
