@@ -207,6 +207,9 @@ object SparkEntry {
           col("n_distinct"))
         .orderBy(col("lang"))),
     "b2_kmv_estimate" -> ((s: SparkSession, d: String) => Corpus.kmvEstimate(s, d)),
+    // KMV sketch set ops: per-source-pair union/intersection estimates
+    // from merged bottom-k sketches — no corpus-level text join.
+    "b3_kmv_setops" -> ((s: SparkSession, d: String) => Corpus.kmvSetOps(s, d)),
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
@@ -1664,6 +1667,35 @@ object SparkEntry {
         |    ELSE $num / list_sum([(strpos('0123456789abcdef', sk[$k][i]) - 1) * (16.0 ** (13 - i)) for i in range(1, 14)])
         |  END, 3) AS kmv_estimate
         |FROM sk ORDER BY lang""".stripMargin
+    },
+
+    // KMV set-op replay: per-source sketches, pairwise bottom-k merges,
+    // theta-style intersection share; same 52-bit hex arithmetic as b2.
+    "b3_kmv_setops" -> {
+      val k = Corpus.kmvK
+      val num = (k - 1).toDouble * math.pow(2, 52)
+      s"""WITH sk AS (SELECT source, list_sort(list_distinct(list(md5(text))))[1:$k] AS sk
+        |            FROM documents GROUP BY source),
+        |p AS (SELECT a.source AS src1, b.source AS src2, a.sk AS ska, b.sk AS skb
+        |      FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT src1, src2, ska, skb, list_sort(list_distinct(ska || skb))[1:$k] AS us FROM p),
+        |m AS (SELECT src1, src2, us,
+        |        len(list_filter(us, x -> list_contains(ska, x) AND list_contains(skb, x))) AS n_common
+        |      FROM u),
+        |e AS (SELECT src1, src2, n_common, us,
+        |        CASE WHEN len(us) < $k THEN CAST(len(us) AS DOUBLE)
+        |          ELSE $num / list_sum([(strpos('0123456789abcdef', us[$k][i]) - 1) * (16.0 ** (13 - i)) for i in range(1, 14)])
+        |        END AS eu
+        |      FROM m),
+        |dx AS (SELECT DISTINCT source, text FROM documents),
+        |ex AS (SELECT x.source AS src1, y.source AS src2, count(DISTINCT x.text) AS n_exact_common
+        |       FROM dx x JOIN dx y ON x.text = y.text AND x.source < y.source GROUP BY 1, 2)
+        |SELECT e.src1, e.src2, CAST(n_common AS BIGINT) AS n_common,
+        |  round(eu, 3) AS est_union,
+        |  round((CAST(n_common AS DOUBLE) / len(us)) * eu, 3) AS est_intersect,
+        |  COALESCE(ex.n_exact_common, 0) AS n_exact_common
+        |FROM e LEFT JOIN ex ON e.src1 = ex.src1 AND e.src2 = ex.src2
+        |ORDER BY e.src1, e.src2""".stripMargin
     },
 
     // Token-window chunking: same geometry constants as Corpus.chunk.

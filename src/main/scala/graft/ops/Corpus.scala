@@ -395,6 +395,66 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** b3: KMV sketch SET OPERATIONS — the reason mergeable sketches earn
+    * their place in a corpus pipeline: estimate the distinct-content
+    * union and overlap between every pair of sources WITHOUT a
+    * corpus-level text join. Per source pair:
+    *
+    *   - union sketch  = bottom-k of the two sketches' merge (the KMV
+    *     union rule — exact, not an approximation of the sketch);
+    *   - `est_union`   = b2's (k−1)/kth-hash estimator on it;
+    *   - `n_common`    = how many of the union sketch's k minima appear
+    *     in BOTH input sketches;
+    *   - `est_intersect` = (n_common / |union sketch|) · est_union — the
+    *     theta-sketch intersection rule (the union's minima are a
+    *     uniform sample of the union's distinct values; membership in
+    *     both sketches marks the intersection's share of that sample).
+    *
+    * `n_exact_common` (a distinct-text self-join) rides along as the
+    * verification twin, the same way b2 carries `n_exact` — at 100 TB
+    * you run ONLY the sketch side: per-source sketches are one partial
+    * aggregation (mergeable, map-side), and the pairwise table is
+    * |sources|² sketch merges of k hashes each — model-sized work
+    * replacing a corpus-sized join. Everything is md5-ranked and
+    * engine-exact; only the final divisions are doubles (b2's 52-bit
+    * hex-prefix trick), so the DuckDB replay matches bit for bit.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame =
+    kmvSetOpsOf(Tables.documents(spark, dir))
+
+  private[graft] def kmvSetOpsOf(docs: DataFrame): DataFrame = {
+    val k = kmvK
+    val sk = docs
+      .groupBy(col("source"))
+      .agg(expr(s"bottom_k_md5(text, $k)").as("sk"))
+    val a = sk.select(col("source").as("src1"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("src2"), col("sk").as("skb"))
+    val pairs = a.join(b, col("src1") < col("src2"))
+      .withColumn("us",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("n_common",
+        size(filter(col("us"), x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x))))
+    val v = conv(substring(element_at(col("us"), k), 1, 13), 16, 10).cast("double")
+    val estU = when(size(col("us")) < k, size(col("us")).cast("double"))
+      .otherwise(lit((k - 1).toDouble * math.pow(2, 52)) / v)
+    val dx = docs.select(col("source"), col("text")).distinct()
+    val ex = dx.as("x")
+      .join(dx.as("y"),
+        col("x.text") === col("y.text") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src1"), col("y.source").as("src2"))
+      .agg(countDistinct(col("x.text")).as("n_exact_common"))
+    pairs
+      .withColumn("est_union", round(estU, 3))
+      .withColumn("est_intersect",
+        round((col("n_common").cast("double") / size(col("us"))) * estU, 3))
+      .join(ex, Seq("src1", "src2"), "left")
+      .select(col("src1"), col("src2"), col("n_common").cast("long").as("n_common"),
+        col("est_union"), col("est_intersect"),
+        coalesce(col("n_exact_common"), lit(0L)).as("n_exact_common"))
+      .orderBy(col("src1"), col("src2"))
+  }
+
   /** c11 DSIR geometry: hashed-feature bucket count and selection size. */
   val dsirBuckets = 256
   val dsirSelectN = 100
