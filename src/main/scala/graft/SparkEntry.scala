@@ -478,6 +478,25 @@ object SparkEntry {
         .select(col("day"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("day"))
     }),
+    // Z-order clustered sink: events rewritten along the (user_id, day)
+    // Morton curve, read back through a 2-D box predicate — both range
+    // filters push to the scan and the interleaved layout makes every
+    // file's min/max tight on BOTH columns (ZOrderSpec proves the
+    // skipping; results are layout-independent, which is the oracle).
+    "q64_zorder_prune" -> ((s: SparkSession, d: String) => {
+      val out = graft.util.TmpDirs.scratch("graft_q64_zorder_").toString
+      import org.apache.spark.sql.functions.{count, countDistinct, datediff, round, sum, to_date}
+      val ev = graft.sources.Tables.events(s, d)
+        .withColumn("day", datediff(to_date(col("ts")), lit("2024-01-01")))
+      graft.engine.ZOrder.writeZOrdered(ev, out,
+        col("user_id"), col("day"), numFiles = 16)
+      s.read.parquet(out)
+        .where(col("user_id").between(100, 299) && col("day").between(8, 15))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -2230,6 +2249,15 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2
         |ORDER BY day""".stripMargin,
+
+    "q64_zorder_prune" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 299
+        |  AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 8 AND 15
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "w1_rolling_fingerprint" -> {
       // Same Rabin-Karp constants as graft.exprs.RollingMinHash; the
