@@ -99,6 +99,37 @@ object ConnectedComponents {
     df => df.checkpoint(true)
   }
 
+  /** Adaptive min-label CC — the execution dial [[graft.ops.LabelState]]
+    * introduced for incremental merges, shared with the one-shot cluster
+    * queries: a bounded `limit(N+1)` collect decides the path AND carries
+    * the small case's data, so a pair graph under `edgeLimit` edges
+    * (≈3 MB — model-sized) is labeled by an exact driver union-find in
+    * ONE Spark job instead of a multi-round checkpointed loop whose
+    * per-round durable checkpoint + convergence aggregate dominate small
+    * inputs. Past the bound, the distributed loop runs. Identical
+    * labeling either way (both assign every node its component's min id —
+    * the union-find/propagation parity is property-pinned in
+    * UnionFindSpec), so callers can switch freely on measured size.
+    */
+  def adaptiveMinLabels(spark: SparkSession, edges: DataFrame,
+      edgeLimit: Int = LabelState.smallEdgeLimit, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sample = edges.limit(edgeLimit + 1).collect()
+    if (sample.length <= edgeLimit) {
+      import spark.implicits._
+      LabelState.unionFindMinLabels(sample.map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq.toDF("node", "label")
+    } else {
+      val ckpt = durable(spark, checkpointDir.getOrElse(
+        graft.util.TmpDirs.sessionCheckpointDir(spark)))
+      labelPropagation(edges, maxIters, ckpt)
+        .map(_._1)
+        // fallback keeps its own cap: it bounds rounds by O(log n), not by
+        // the diameter-sensitive budget that just ran out
+        .getOrElse(starContraction(edges, ckpt = ckpt)._1)
+    }
+  }
+
   /** Min-label propagation with pointer jumping. `edges` is any (src, dst)
     * pair list (need not be symmetric or deduplicated). Returns the
     * (node, label) table and the round count, or None if the labeling did

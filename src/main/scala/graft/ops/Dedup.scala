@@ -271,14 +271,11 @@ object Dedup {
   def clusterLabels(spark: SparkSession, dir: String, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame =
     labelCache.computeIfAbsent((spark, dir, maxIters, checkpointDir), _ => {
-      val ckpt = ConnectedComponents.durable(spark,
-        checkpointDir.getOrElse(graft.util.TmpDirs.sessionCheckpointDir(spark)))
       val pairs = simhashPairs(spark, dir).select(col("d1"), col("d2"))
-      ConnectedComponents.labelPropagation(pairs, maxIters, ckpt)
-        .map(_._1)
-        // fallback keeps its own cap: it bounds rounds by O(log n), not by
-        // the diameter-sensitive budget that just ran out
-        .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+      // adaptive: a model-sized pair graph labels in one driver job, a
+      // backfill-sized one runs the checkpointed distributed loop
+      ConnectedComponents.adaptiveMinLabels(spark, pairs,
+        maxIters = maxIters, checkpointDir = checkpointDir)
     })
 
   /** Dedup-state persistence ACROSS runs: write the label table to

@@ -220,12 +220,7 @@ object Similarity {
     import graft.ops.ConnectedComponents
     val pairs = embeddingNearDupPairs(spark, dir, threshold)
       .select(col("v1"), col("v2"))
-    // durable per-round checkpoints, same rationale as Dedup.clusterLabels
-    val ckpt = ConnectedComponents.durable(spark,
-      graft.util.TmpDirs.sessionCheckpointDir(spark))
-    val labels = ConnectedComponents.labelPropagation(pairs, 50, ckpt)
-      .map(_._1)
-      .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+    val labels = ConnectedComponents.adaptiveMinLabels(spark, pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"),
@@ -526,11 +521,7 @@ object Similarity {
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
     val verified = verifyPairs(spark, dir, pairs, threshold)
       .select(col("v1"), col("v2"))
-    val ckpt = ConnectedComponents.durable(spark,
-      graft.util.TmpDirs.sessionCheckpointDir(spark))
-    val labels = ConnectedComponents.labelPropagation(verified, 50, ckpt)
-      .map(_._1)
-      .getOrElse(ConnectedComponents.starContraction(verified, ckpt = ckpt)._1)
+    val labels = ConnectedComponents.adaptiveMinLabels(spark, verified)
     val labeled = labels
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
       .join(asg, "vec_id")
