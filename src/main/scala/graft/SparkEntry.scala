@@ -345,6 +345,9 @@ object SparkEntry {
     // span verification (the third dedup modality: verbatim spans).
     "d13_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstringPairs(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
+    // Held-out bigram Stupid-Backoff surprisal: benchmark slice scored
+    // against a model fit on the rest — the backoff path actually fires.
+    "t19_bigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.bigramSurprisal(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
     // line-delimited JSON, read back under the same schema, hash-checked
@@ -2147,6 +2150,36 @@ object SparkEntry {
         |        / count(*) / 1e6, 6) AS avg_surprisal
         |FROM toks JOIN freq USING (token), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Stupid-backoff replay: same floored micro-nat arithmetic as t8,
+    // bigram/unigram/OOV cases split exactly as the engine splits them.
+    "t19_bigram_surprisal" -> {
+      val b = Corpus.benchmarkSource
+      s"""WITH trt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |             FROM documents WHERE source <> '$b'),
+        |tet AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents WHERE source = '$b'),
+        |trb AS (SELECT t[i] AS prev, t[i+1] AS w
+        |        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM trt)),
+        |c2 AS (SELECT prev, w, count(*) AS c2 FROM trb GROUP BY 1, 2),
+        |c1 AS (SELECT token, count(*) AS c1
+        |       FROM (SELECT unnest(t) AS token FROM trt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS total FROM c1),
+        |teb AS (SELECT doc_id, t[i] AS prev, t[i+1] AS w
+        |        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tet)),
+        |sc AS (SELECT doc_id, c2.c2, p.c1 AS c1p, ww.c1 AS c1w, total
+        |       FROM teb LEFT JOIN c2 USING (prev, w)
+        |       LEFT JOIN c1 p ON teb.prev = p.token
+        |       LEFT JOIN c1 ww ON teb.w = ww.token, tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  round(CAST(sum(CAST(CASE
+        |      WHEN c2 IS NOT NULL THEN floor(-ln(CAST(c2 AS DOUBLE) / CAST(c1p AS DOUBLE)) * 1e6)
+        |      WHEN c1w IS NOT NULL THEN floor(-ln(0.4 * CAST(c1w AS DOUBLE) / total) * 1e6)
+        |      ELSE floor(-ln(0.4 / total) * 1e6) END AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1e6, 6) AS avg_surprisal
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // Rebalance: exact integer comparison bucket*n_lang < 100*n_min (the
     // c2 md5 bucket), per-language audit counts.

@@ -200,6 +200,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19: bigram Stupid-Backoff surprisal (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the HELD-OUT LM scoring
+    * step t8's self-scored unigram model can't provide: the benchmark
+    * slice is scored against a bigram model fit on everything else, so
+    * unseen bigrams actually occur and the backoff path is exercised.
+    * Per test-doc position i:
+    *
+    *   - seen bigram:  S = C2(prev,w) / C1(prev)
+    *   - else seen w:  S = 0.4 · C1(w) / N     (the paper's fixed α)
+    *   - else (OOV):   S = 0.4 / N
+    *
+    * reported as the per-doc mean of −ln S plus the backed-off position
+    * count (the OOV-pressure diagnostic a data pipeline actually
+    * thresholds on).
+    *
+    * Exactness: every −ln is floored to integer micro-nats from EXACT
+    * integer counts (the t8 trick), so per-doc sums are
+    * aggregation-order-independent; the two divisions at the end happen
+    * once per doc. Scale shape: the model tables are (type)-keyed counts
+    * with map-side partial aggregation (bigram types are corpus-bounded,
+    * unigram types Heaps-bounded); scoring is hash joins of the test
+    * stream against them and N rides in-plan from the tiny post-agg
+    * table — no driver action, corpus text read once per side.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bigramSurprisalOf(
+      docs.where(col("source") =!= Corpus.benchmarkSource),
+      docs.where(col("source") === Corpus.benchmarkSource))
+  }
+
+  /** The t19 core over explicit train/test slices (each needs `doc_id`
+    * and `text`) — the spec drives the backoff branches through this with
+    * synthetic corpora (the harness corpus is duplicate-dense enough that
+    * its benchmark slice contains no unseen bigram at all).
+    */
+  private[graft] def bigramSurprisalOf(train: DataFrame, test: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val len = greatest(size(t) - 1, lit(0))
+    val bigrams = zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+      (a, b) => struct(a.as("prev"), b.as("w")))
+    def bigramRows(df: DataFrame) = df
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"), col("bg.prev"), col("bg.w"))
+    val c2 = bigramRows(train).groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum(col("c1")).cast("double").as("total"))
+    val scored = bigramRows(test)
+      .join(c2, Seq("prev", "w"), "left")
+      .join(c1.select(col("token").as("prev"), col("c1").as("c1p")), Seq("prev"), "left")
+      .join(c1.select(col("token").as("w"), col("c1").as("c1w")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+    val sb = when(col("c2").isNotNull,
+        floor(-log(col("c2").cast("double") / col("c1p").cast("double")) * lit(1e6)))
+      .when(col("c1w").isNotNull,
+        floor(-log(lit(0.4) * col("c1w").cast("double") / col("total")) * lit(1e6)))
+      .otherwise(floor(-log(lit(0.4) / col("total")) * lit(1e6)))
+      .cast("decimal(38,0)")
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2").isNull.cast("long")).as("n_backoff"),
+        round(sum(sb).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition/shape rules — the classic cheap filters from
     * the Gopher/MassiveText cleaning recipe, per document: duplicate
     * 3-gram fraction (1 − distinct/total trigrams; boilerplate and looped
