@@ -349,6 +349,7 @@ object SparkEntry {
     // against a model fit on the rest — the backoff path actually fires.
     "t19_bigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.bigramSurprisal(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
+    "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
     // line-delimited JSON, read back under the same schema, hash-checked
     // against q14's oracle.
@@ -446,6 +447,12 @@ object SparkEntry {
     // derived from an independent reference dHash implementation).
     "m5_ppm_near_dup" -> ((s: SparkSession, d: String) =>
       graft.ops.Multimodal.ppmNearDup(s, d)),
+    // Rotation/mirror-robust perceptual near-dup: dihedral-orbit dHash
+    // signatures, identity-probe vs orbit block index, min-Hamming
+    // verify (golden-VALUES oracle from the independent reference
+    // implementation in tools/gen_ppmrot_fixtures.py).
+    "m6_rot_robust_dedup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Multimodal.ppmRotNearDup(s, d)),
     // The media column of the incremental dedup matrix: assets decoded +
     // dHashed once at their own ingest, generational signature state,
     // split-ingest == m5's one-shot pair table (shared golden oracle).
@@ -2059,6 +2066,20 @@ object SparkEntry {
         |) AS t(name1, name2, hamming)
         |ORDER BY name1, name2""".stripMargin,
 
+    // Rotation-robust near-dup: golden VALUES from the reference orbit
+    // distance (imga_rot90 = pure 90° rotation, d 0; imga_flip_bright =
+    // mirrored +8 brightness with two retouched pixels, d 2; imgb_rot180
+    // pairs with imgb at 0; unrelated rasters at 22-28 — correctly
+    // absent).
+    "m6_rot_robust_dedup" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('imga.ppm', 'imga_flip_bright.ppm', CAST(2 AS INT)),
+        |  ('imga.ppm', 'imga_rot90.ppm', CAST(0 AS INT)),
+        |  ('imga_flip_bright.ppm', 'imga_rot90.ppm', CAST(2 AS INT)),
+        |  ('imgb.ppm', 'imgb_rot180.ppm', CAST(0 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
+
     // Gopher rules: all ratios divide exact integers once.
     "t10_gopher_rules" ->
       """WITH toks AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
@@ -2193,6 +2214,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bucket * n_lang < 100 * n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM b JOIN c ON b.lang = c.lang, m
         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+
+    // Temperature sampling (α = 1/2): exact integer accept test
+    // bucket²·n_lang < B²·n_min on the md5 bucket mod B=1000 — the
+    // square encodes the √-rate without any float math.
+    "c13_temperature_sample" -> {
+      val b = Corpus.temperatureBuckets
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |k AS (SELECT doc_id, lang,
+        |  CAST(list_sum([(strpos('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % $b AS bucket
+        |  FROM documents)
+        |SELECT k.lang, count(*) AS n_orig,
+        |  CAST(sum(CASE WHEN bucket * bucket * n_lang < ${b.toLong * b} * n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k JOIN c ON k.lang = c.lang, m
+        |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+    },
 
     // Sequence packing: pack id = floor(per-language token prefix-sum /
     // capacity); capacity interpolated from Corpus.packTokens. Token

@@ -133,6 +133,50 @@ object Corpus {
       .orderBy(col("lang"))
   }
 
+  /** Bucket modulus for [[temperatureSample]] — finer than the 100-bucket
+    * [[hashSample]] grid because temperature rates are irrational
+    * (√-ratios), so resolution is the only rounding in play.
+    */
+  val temperatureBuckets = 1000
+
+  /** Temperature-flattened language sampling (c13) — the multilingual
+    * mixing step published with XLM-R/mT5: instead of [[rebalance]]'s hard
+    * cap at the rarest language, resample so the kept distribution follows
+    * q_l ∝ p_l^α, boosting low-resource languages without flattening to
+    * uniform. α = 1/2 here, chosen because it makes the accept test EXACT
+    * INTEGER arithmetic: keep iff bucket/B < √(n_min/n_l), i.e.
+    * `bucket² · n_l < B² · n_min` — no pow(), no float normalization, so
+    * Spark and the DuckDB oracle agree to the bit (the same
+    * scaled-integer trick as c5/c11; see SCALE.md "Order-exact scoring
+    * sums"). The rarest language keeps everything (rate 1); a language k×
+    * bigger keeps 1/√k of itself, so kept_l ∝ n_l/√n_l = √n_l = n_l^α.
+    *
+    * Scale design: identical shape to [[rebalance]] — the per-language
+    * count is one partial-agg shuffle (a handful of rows) broadcast back,
+    * and the keep decision is a stateless map-side filter on the md5
+    * bucket; the corpus never shuffles and the same doc always samples the
+    * same way across runs and engines. Output is the per-language audit
+    * (n_orig, n_kept), the mixing report a pipeline run would log.
+    * Overflow headroom: bucket² ≤ 10⁶, so the compare stays in int64 up
+    * to ~10¹² docs per language.
+    */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_min", min(col("n_lang")).over(Window.partitionBy()))
+    val b = lit(temperatureBuckets.toLong)
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % temperatureBuckets)
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_orig"),
+        sum((col("bucket") * col("bucket") * col("n_lang") < b * b * col("n_min"))
+          .cast("long")).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark source for [[contamination]] — the held-out slice whose
     * n-grams must not leak into training data.
     */

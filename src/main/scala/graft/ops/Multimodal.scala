@@ -298,6 +298,138 @@ object Multimodal {
       .orderBy(col("name1"), col("name2"))
   }
 
+  /** Horizontal mirror of a raster (x → w-1-x). */
+  def flipH(img: PpmImage): PpmImage = {
+    val w = img.width; val h = img.height
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + (w - 1 - x)) * 3
+        val d = (y * w + x) * 3
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1); out(d + 2) = img.pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(w, h, img.maxval, out)
+  }
+
+  /** 90° clockwise rotation: output (x, y) takes source (col = y,
+    * row = h-1-x); dimensions swap.
+    */
+  def rotCW(img: PpmImage): PpmImage = {
+    val w = img.width; val h = img.height
+    val ow = h; val oh = w
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val s = ((h - 1 - x) * w + y) * 3
+        val d = (y * ow + x) * 3
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1); out(d + 2) = img.pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(ow, oh, img.maxval, out)
+  }
+
+  /** The 8-element dihedral orbit of a raster (4 rotations × optional
+    * mirror) — as a SET this is coordinate-convention-independent: any
+    * correct implementation of the group produces the same 8 rasters, so
+    * orbit-based distances agree across engines even if the transform
+    * indexing differs (the property the golden oracle leans on).
+    */
+  def dihedralOrbit(img: PpmImage): Seq[PpmImage] = {
+    val rots = Iterator.iterate(img)(rotCW).take(4).toSeq
+    rots ++ rots.map(flipH)
+  }
+
+  /** m6 fixtures: rotated/mirrored companions — the re-orientations a
+    * plain dHash sweep (m5) misses entirely (a 90° rotation scrambles
+    * horizontal gradients, Hamming ~32 on random rasters). Non-square
+    * sizes on purpose: the orbit swaps dimensions, exercising dHash's
+    * arbitrary-geometry box grid.
+    */
+  private val ppmRotFixtureNames = Seq("imga.ppm", "imga_rot90.ppm",
+    "imga_flip_bright.ppm", "imgb.ppm", "imgb_rot180.ppm", "imgc.ppm")
+
+  lazy val ppmRotFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_ppmrot_fixtures_")
+    ppmRotFixtureNames.foreach { n =>
+      val in = getClass.getResourceAsStream(s"/ppmrot/$n")
+      require(in != null, s"classpath resource /ppmrot/$n missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(n)) finally in.close()
+    }
+    dir.toString
+  }
+
+  /** Decoded dihedral-orbit signatures of the m6 fixture set: one row per
+    * (image, transform) — t = 0 is the identity — with the transform's
+    * [[dHash64]]. Blobs decode in place; only 8 longs per image move.
+    */
+  private[graft] def ppmRotSigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(ppmRotFixtureDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          decodePpm(bytes).toSeq.flatMap(img =>
+            dihedralOrbit(img).zipWithIndex.map { case (v, t) => (name, t, dHash64(v)) })
+        }
+      }
+      .toDF("name", "t", "sig")
+  }
+
+  /** m6: ROTATION/MIRROR-robust perceptual near-dup — the m5 sweep's
+    * blind spot closed. Distance between two images is the orbit distance
+    *   d(A,B) = min over the dihedral group of
+    *            min(ham(sig(A), sig(t·B)), ham(sig(B), sig(t·A)))
+    * i.e. the best dHash alignment over every re-orientation of either
+    * side. A rotated/flipped copy scores 0; a rotated AND re-graded copy
+    * scores just its retouch bits; unrelated rasters stay ~32.
+    *
+    * Plan shape: each image contributes its 8 orbit signatures to a block
+    * index (4 exact 16-bit blocks per signature — the d17/m5 pigeonhole:
+    * any pair within Hamming ≤ 3 shares an exact block), and probes with
+    * its IDENTITY signature only. Candidates come from the (block_no,
+    * block_value) equi-join — zero probe fan-out beyond the fixed 8×
+    * orbit factor, corpus-independent — then one codegen'd bit_count
+    * verifies, and a least/greatest fold symmetrizes the pair. Blobs
+    * never shuffle: orbits are decoded and hashed in place, and the join
+    * carries 64-bit signatures only. At 100 TB this runs after m3 (exact
+    * sha256) and alongside m5, adding re-oriented copies for 8× the
+    * signature rows and no new shuffle structure.
+    */
+  def ppmRotNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = ppmRotSigs(spark)
+    def blocks(df: DataFrame): DataFrame =
+      df.select(col("name"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+          .as("blk"))
+        .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+    val probe = blocks(sigs.where(col("t") === 0))
+    val index = blocks(sigs)
+    probe.as("a")
+      .join(index.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+          col("a.name") =!= col("b.name"))
+      .select(
+        least(col("a.name"), col("b.name")).as("name1"),
+        greatest(col("a.name"), col("b.name")).as("name2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("h"))
+      .groupBy(col("name1"), col("name2"))
+      .agg(min(col("h")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("name1"), col("name2"))
+  }
+
   /** Partition-parallel feature extraction. The iterator-in/iterator-out
     * shape is the batched-UDF contract: per-partition (NOT per-record)
     * setup cost, streaming through records without materializing the

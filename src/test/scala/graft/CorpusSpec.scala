@@ -209,4 +209,37 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.contaminationAgainstRegistry(spark, reg, train)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
   }
+
+  test("c13 temperature sampling: matches an independent re-derivation; rarest lang keeps all") {
+    val got = Corpus.temperatureSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // independent re-derivation: JVM MessageDigest md5 (not Spark's md5
+    // expression), BigInt exact arithmetic for the accept test
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val nLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = nLang.values.min
+    val B = Corpus.temperatureBuckets
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val want = docs.groupBy(_._2).toSeq.map { case (lang, ds) =>
+      val kept = ds.count { case (id, _) =>
+        val b = BigInt(bucket(id))
+        b * b * nLang(lang) < BigInt(B) * B * nMin
+      }
+      (lang, ds.length.toLong, kept.toLong)
+    }.sortBy(_._1)
+    assert(got == want)
+
+    // the rarest language is never downsampled (rate exactly 1), and no
+    // language keeps more than its size
+    val rarest = nLang.minBy(_._2)._1
+    assert(got.find(_._1 == rarest).exists(r => r._3 == r._2))
+    assert(got.forall(r => r._3 <= r._2))
+  }
 }

@@ -155,6 +155,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(wide) == Multimodal.dHash64(wide))
   }
 
+  test("m6: dihedral orbit is group-closed; orbit of a rotation equals the original's orbit") {
+    val px = Array.tabulate(16 * 12 * 3)(i => ((i * 31 + 5) % 256).toByte)
+    val img = PpmImage(16, 12, 255, px)
+    def key(p: PpmImage) = (p.width, p.height, p.pixels.toSeq)
+    val orb = Multimodal.dihedralOrbit(img).map(key).toSet
+    assert(orb.size == 8)
+    // closure: the orbit of any member is the same set — the property that
+    // makes the orbit distance coordinate-convention independent (the
+    // Python reference in tools/gen_ppmrot_fixtures.py may enumerate the
+    // group differently and still agree)
+    assert(Multimodal.dihedralOrbit(Multimodal.rotCW(img)).map(key).toSet == orb)
+    assert(Multimodal.dihedralOrbit(Multimodal.flipH(img)).map(key).toSet == orb)
+    // sanity on the primitives: rotCW has order 4, flipH order 2
+    val r4 = Iterator.iterate(img)(Multimodal.rotCW).drop(4).next()
+    assert(key(r4) == key(img))
+    assert(key(Multimodal.flipH(Multimodal.flipH(img))) == key(img))
+  }
+
+  test("m6: rotation-robust near-dup equals the naive all-pairs orbit distance on the fixtures") {
+    val got = Multimodal.ppmRotNearDup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // naive reference: decode every fixture locally, all-pairs min Hamming
+    // of identity-vs-orbit in both directions, threshold 3 — no block
+    // index, no Spark
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(Multimodal.ppmRotFixtureDir)
+    val imgs: Seq[(String, PpmImage)] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.toSeq.map(p =>
+        p.getFileName.toString ->
+          Multimodal.decodePpm(java.nio.file.Files.readAllBytes(p)).get)
+      finally s.close()
+    }.sortBy(_._1)
+    def orbitDist(a: PpmImage, b: PpmImage): Int = {
+      def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+      val sa = Multimodal.dHash64(a); val sb = Multimodal.dHash64(b)
+      math.min(
+        Multimodal.dihedralOrbit(b).map(t => ham(sa, Multimodal.dHash64(t))).min,
+        Multimodal.dihedralOrbit(a).map(t => ham(sb, Multimodal.dHash64(t))).min)
+    }
+    val want = for {
+      i <- imgs.indices; j <- (i + 1) until imgs.size
+      d = orbitDist(imgs(i)._2, imgs(j)._2) if d <= 3
+    } yield (imgs(i)._1, imgs(j)._1, d)
+    assert(got == want)
+    // the m5 plain-dHash sweep misses the rotated copies m6 pins at 0
+    assert(got.count(_._3 == 0) == 2)
+  }
+
   test("typed round-trip: custom MediaRecord datasets work end-to-end") {
     val ds = Seq(MediaRecord(1L, "image", Array[Byte](1, 2, 3, -1), "raw")).toDS()
     val f = Multimodal.extractFeatures(ds).head()
