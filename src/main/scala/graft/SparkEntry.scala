@@ -507,6 +507,26 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
     }),
+    // Incremental materialized-view maintenance (batch): the q14 daily
+    // rollup maintained as write-only generational partials — three
+    // disjoint ingests (event_id mod 3), a lossless compaction mid-way,
+    // and a keyed re-delivery proven a no-op, then one serve. Answer ==
+    // one-shot q14 for any split, by associativity of (count, sum).
+    "q65_incremental_view" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_q65_state_").toString
+      val ev = graft.sources.Tables.events(s, d)
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 0), Some("k0"))
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      graft.ops.IncrementalView.compact(s, state)
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 2), Some("k2"))
+      // at-least-once re-delivery of an already-ingested batch: no-op
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      graft.ops.IncrementalView.serve(s, state)
+    }),
+    // Streaming twin: the same view maintained by foreachBatch merges
+    // (write-only per trigger, exactly-once via batch-id keys).
+    "q66_stream_view_maintenance" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runViewMaintenanceAvailableNow(s, d)),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -602,7 +622,10 @@ object SparkEntry {
       // the bucketed rolling window must reproduce the single-key window
       ("q51_rolling_bucketed" -> m("q48_rolling_range")) +
       ("q50_csv_roundtrip" -> m("q14_events_daily")) +
-      ("q41_stream_foreachbatch" -> m("q14_events_daily"))
+      ("q41_stream_foreachbatch" -> m("q14_events_daily")) +
+      // incremental view maintenance serves exactly the q14 rollup
+      ("q65_incremental_view" -> m("q14_events_daily")) +
+      ("q66_stream_view_maintenance" -> m("q14_events_daily"))
   }
 
   /** Shared oracle CTE pipeline for the SimHash family (d5 pairs, d7

@@ -220,4 +220,25 @@ object DocumentsStream {
       graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b))
     graft.ops.IncrementalEmbedding.clusters(spark, state)
   }
+
+  /** q66: streaming INCREMENTAL VIEW MAINTENANCE — the q14 daily rollup
+    * maintained by [[graft.ops.IncrementalView]] under the same chassis,
+    * over the EVENTS table. Each micro-batch appends only its own partial
+    * aggregate (write-only, keyed by the foreachBatch batch id for
+    * exactly-once re-delivery); the drained serve equals batch q14 for
+    * any micro-batch split, by associativity of (count, sum).
+    *
+    * This is the production alternative to q41's complete-mode (whose
+    * per-trigger cost is O(history)) and to watermarked windows (which
+    * must bound lateness): per-trigger cost here is O(|batch|), and a
+    * late event for an arbitrarily old day is just another partial row
+    * folded at serve time.
+    */
+  def runViewMaintenanceAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q66_state_").toString)
+    drainMerges(spark, dir, files, "q66", Tables.events)((b, id) =>
+      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalView.serve(spark, state)
+  }
 }

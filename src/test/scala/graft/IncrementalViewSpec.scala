@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IncrementalView
+import graft.operators.Relational
+
+/** q65/q66: incremental materialized-view maintenance of the q14 daily
+  * rollup — split-ingest must equal the one-shot aggregate for any split,
+  * re-delivery must be a no-op, compaction must be lossless, and late
+  * data for an old day must fold in with no watermark contract.
+  */
+class IncrementalViewSpec extends SparkSpec {
+
+  private def events = graft.sources.Tables.events(spark, sf0001)
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("day", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("split-ingest serves the one-shot q14 rollup, any split") {
+    val full = sorted(Relational.q14EventsDaily(spark, sf0001))
+    for (mod <- Seq(2, 5)) {
+      val state = graft.util.TmpDirs.scratch(s"graft_q65_t_${mod}_").toString
+      (0 until mod).foreach { r =>
+        IncrementalView.merge(spark, state,
+          events.where(pmod(col("event_id"), lit(mod)) === r))
+      }
+      assert(sorted(IncrementalView.serve(spark, state)) == full,
+        s"$mod-way split-ingest diverged from the one-shot rollup")
+    }
+  }
+
+  test("keyed merge is idempotent; compaction is lossless and folds to one generation") {
+    val full = sorted(Relational.q14EventsDaily(spark, sf0001))
+    val state = graft.util.TmpDirs.scratch("graft_q65_idem_").toString
+    val b0 = events.where(col("event_id") % 2 === 0)
+    val b1 = events.where(col("event_id") % 2 === 1)
+    IncrementalView.merge(spark, state, b0, Some("b0"))
+    IncrementalView.merge(spark, state, b1, Some("b1"))
+    // re-delivery: same key, would double-count if it appended
+    IncrementalView.merge(spark, state, b1, Some("b1"))
+    assert(IncrementalView.completeVersions(spark, state) == Seq(0, 1))
+    assert(sorted(IncrementalView.serve(spark, state)) == full)
+    // compaction: one generation, same served view, markers survive
+    val v = IncrementalView.compact(spark, state)
+    assert(IncrementalView.completeVersions(spark, state) == Seq(v))
+    assert(sorted(IncrementalView.serve(spark, state)) == full)
+    IncrementalView.merge(spark, state, b0, Some("b0"))
+    assert(IncrementalView.completeVersions(spark, state) == Seq(v),
+      "re-delivered key must stay a no-op after its generation was compacted away")
+    assert(sorted(IncrementalView.serve(spark, state)) == full)
+  }
+
+  test("late data: an event for an old day folds in after compaction — no watermark bound") {
+    val state = graft.util.TmpDirs.scratch("graft_q65_late_").toString
+    val days = events.select(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(min(col("d")), max(col("d"))).head()
+    val (first, last) = (days.getDate(0), days.getDate(1))
+    // ingest everything EXCEPT the oldest day, compact, then the oldest
+    // day arrives arbitrarily late
+    val onTime = events.where(date_trunc("day", col("ts")).cast("date") > lit(first))
+    val late = events.where(date_trunc("day", col("ts")).cast("date") === lit(first))
+    assert(late.limit(1).count() == 1 && first != last)
+    IncrementalView.merge(spark, state, onTime, Some("ontime"))
+    IncrementalView.compact(spark, state)
+    val served0 = sorted(IncrementalView.serve(spark, state))
+    assert(!served0.exists(_.head == first), "old day must be absent before the late batch")
+    IncrementalView.merge(spark, state, late, Some("late"))
+    assert(sorted(IncrementalView.serve(spark, state)) ==
+      sorted(Relational.q14EventsDaily(spark, sf0001)))
+  }
+
+  test("empty state serves an empty view with the q14 schema") {
+    val state = graft.util.TmpDirs.scratch("graft_q65_empty_").toString
+    val df = IncrementalView.serve(spark, state)
+    assert(df.columns.toSeq == Seq("day", "event_type", "n", "sum_value"))
+    assert(df.count() == 0)
+  }
+
+  test("q66 streaming drain equals batch q14 (chassis: one merge per micro-batch)") {
+    val got = sorted(graft.streaming.DocumentsStream
+      .runViewMaintenanceAvailableNow(spark, sf0001))
+    assert(got == sorted(Relational.q14EventsDaily(spark, sf0001)))
+  }
+}
