@@ -147,6 +147,9 @@ object SparkEntry {
     // IVF with the NATIVE ivf_probe assignment expression at 64 cells —
     // past the literal-centroid codegen ceiling (s6; plan is O(1) in k).
     "s6_ann_ivf_wide" -> ((s: SparkSession, d: String) => Similarity.annIvfWide(s, d)),
+    // ANN quality monitoring: recall@k of the s3 IVF index against the
+    // s1 exact top-k, per sampled query.
+    "s10_ann_recall_audit" -> ((s: SparkSession, d: String) => Similarity.annRecallAudit(s, d)),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -1578,6 +1581,41 @@ object SparkEntry {
     // semantics must not.
     "s3_ann_ivf" -> ivfFirstKOracle(graft.ops.Similarity.ivfCells),
     "s6_ann_ivf_wide" -> ivfFirstKOracle(graft.ops.Similarity.ivfCellsWide),
+
+    // Recall audit: the s1 exact-top-k CTEs and the s3 IVF CTEs composed
+    // (shared v/n0 prefix; s3's `n` is literally n0), one left join on
+    // (query, neighbor), per-query hit count / recall.
+    "s10_ann_recall_audit" ->
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n0 AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |nex AS (SELECT * FROM n0 WHERE nrm > 0),
+        |ep AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |        list_sum([q.e[i] * c.e[i] for i in range(1, len(q.e)+1)]) / (q.nrm * c.nrm) AS cosine
+        |      FROM nex q, nex c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |er AS (SELECT qid, vec_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM ep),
+        |ex AS (SELECT qid, vec_id FROM er WHERE rnk <= 3),
+        |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n0 WHERE vec_id < ${graft.ops.Similarity.ivfCells}),
+        |a1 AS (SELECT n0.vec_id, n0.e, n0.nrm, c.cid,
+        |         list_sum([n0.e[i] * c.ce[i] for i in range(1, len(n0.e)+1)]) / (n0.nrm * c.cn) AS ccos
+        |       FROM n0, c),
+        |rkd AS (SELECT vec_id, e, nrm, cid, ccos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc
+        |        FROM a1),
+        |cells AS (SELECT vec_id, e, nrm, cid AS cell FROM rkd WHERE rc = 1),
+        |probes AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, cid AS pcell
+        |           FROM rkd WHERE vec_id < 10 AND rc <= ${graft.ops.Similarity.ivfProbes}),
+        |cand AS (SELECT p.qid, x.vec_id,
+        |           list_sum([p.qe[i] * x.e[i] for i in range(1, len(p.qe)+1)]) / (p.qn * x.nrm) AS cosine
+        |         FROM probes p JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
+        |ar AS (SELECT qid, vec_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM cand),
+        |ap AS (SELECT qid, vec_id FROM ar WHERE rnk <= 3)
+        |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+        |FROM ex e LEFT JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     // IVF with Lloyd's-TRAINED centroids: the oracle replays the full
     // deterministic training loop — first-k init, ivfLloydIters unrolled

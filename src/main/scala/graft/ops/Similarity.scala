@@ -415,6 +415,36 @@ object Similarity {
   def annIvfWide(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 3): DataFrame =
     ivfTopKNative(spark, dir, firstKCentroids(spark, dir, ivfCellsWide), nQueries, k)
 
+  /** s10: ANN RECALL AUDIT — recall@k of the IVF index ([[annIvf]], s3)
+    * against the exact brute-force top-k ([[cosineTopK]], s1), per query.
+    * Every production ANN deployment monitors exactly this number: the
+    * index trades recall for probe cost, and the trade must be MEASURED
+    * on real data, not assumed from the paper.
+    *
+    * Both sides are the already-oracle-verified operators, reused
+    * verbatim; the audit itself is one left join on (query, neighbor) and
+    * a per-query count — so the audit is as cheap as the queries it
+    * audits. At 100 TB the exact side is the expensive one, which is
+    * exactly how production recall audits run: brute-force a SAMPLE of
+    * queries (nQueries here), never the full workload, and track the
+    * estimate over time. Output: (qid, n_exact, n_hit, recall).
+    */
+  def annRecallAudit(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 3): DataFrame = {
+    val exact = cosineTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = annIvf(spark, dir, nQueries, k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("avid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   private[graft] def ivfTopKNative(spark: SparkSession, dir: String,
       cents: Seq[Centroid], nQueries: Int, k: Int): DataFrame = {
     val spec = graft.exprs.IvfProbe.render(cents)

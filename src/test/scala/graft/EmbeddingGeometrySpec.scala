@@ -130,4 +130,25 @@ class EmbeddingGeometrySpec extends SparkSpec {
     assert(d6.subsetOf(d16),
       s"band 0 equals the d6 bucket, so d16 must be a superset; missing: ${d6 -- d16}")
   }
+
+  test("s10 recall audit equals an independent set computation over s1/s3") {
+    val got = graft.ops.Similarity.annRecallAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // independent path: collect both verified top-k tables, compute the
+    // per-query intersection with plain Scala sets
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(graft.ops.Similarity.cosineTopK(spark, sf0001))
+    val approx = sets(graft.ops.Similarity.annIvf(spark, sf0001))
+    val want = exact.toSeq.sortBy(_._1).map { case (qid, ex) =>
+      val hit = (ex intersect approx.getOrElse(qid, Set.empty)).size.toLong
+      (qid, ex.size.toLong,  hit,
+        BigDecimal(hit.toDouble / ex.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == want)
+    // audit sanity: 10 sampled queries, recall in [0,1], k rows of exact each
+    assert(got.size == 10 && got.forall(r => r._2 == 3 && r._4 >= 0.0 && r._4 <= 1.0))
+  }
 }
