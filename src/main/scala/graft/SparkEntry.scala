@@ -530,6 +530,26 @@ object SparkEntry {
     // (write-only per trigger, exactly-once via batch-id keys).
     "q66_stream_view_maintenance" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runViewMaintenanceAvailableNow(s, d)),
+    // Time travel: the view as of the second ingest — a shorter fold over
+    // the immutable generations, no snapshot copies.
+    "q67_view_time_travel" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_q67_state_").toString
+      val ev = graft.sources.Tables.events(s, d)
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 0), Some("k0"))
+      val v1 = graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 2), Some("k2"))
+      graft.ops.IncrementalView.serveAsOf(s, state, v1)
+    }),
+    // Change feed: the additive CDC deltas between two generations —
+    // partials ARE deltas, so the feed is a fold over just the window.
+    "q68_view_change_feed" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_q68_state_").toString
+      val ev = graft.sources.Tables.events(s, d)
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 0), Some("k0"))
+      val v1 = graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      val v2 = graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 2), Some("k2"))
+      graft.ops.IncrementalView.changeFeed(s, state, v1, v2)
+    }),
   )
 
   /** The OOH wide projection over the checked-in fixture, map/array columns
@@ -628,7 +648,19 @@ object SparkEntry {
       ("q41_stream_foreachbatch" -> m("q14_events_daily")) +
       // incremental view maintenance serves exactly the q14 rollup
       ("q65_incremental_view" -> m("q14_events_daily")) +
-      ("q66_stream_view_maintenance" -> m("q14_events_daily"))
+      ("q66_stream_view_maintenance" -> m("q14_events_daily")) +
+      // time travel to the second ingest == the rollup over batches 0+1;
+      // the change feed (v1, v2] == the rollup over batch 2 alone
+      ("q67_view_time_travel" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events WHERE event_id % 3 < 2
+          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) +
+      ("q68_view_change_feed" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events WHERE event_id % 3 = 2
+          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
   }
 
   /** Shared oracle CTE pipeline for the SimHash family (d5 pairs, d7

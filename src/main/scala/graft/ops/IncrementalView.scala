@@ -79,9 +79,7 @@ object IncrementalView {
     next
   }
 
-  /** The maintained view: fold the live partials, round once, q14 shape. */
-  def serve(spark: SparkSession, stateDir: String): DataFrame = {
-    val versions = completeVersions(spark, stateDir)
+  private def fold(spark: SparkSession, stateDir: String, versions: Seq[Int]): DataFrame = {
     if (versions.isEmpty) {
       import spark.implicits._
       return Seq.empty[(java.sql.Date, String, Long, Double)]
@@ -91,6 +89,55 @@ object IncrementalView {
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
+  }
+
+  /** The maintained view: fold the live partials, round once, q14 shape. */
+  def serve(spark: SparkSession, stateDir: String): DataFrame =
+    fold(spark, stateDir, completeVersions(spark, stateDir))
+
+  /** TIME TRAVEL: the view as of generation `v` — fold the live
+    * generations with version ≤ v. Because every generation is an
+    * immutable delta, any historical version is just a shorter fold: no
+    * snapshot copies, no undo log. The horizon is bounded by compaction
+    * (the vacuum of this layout): a fold target older than the oldest
+    * live generation was physically folded away, and asking for it is an
+    * error rather than a silently-wrong answer.
+    */
+  def serveAsOf(spark: SparkSession, stateDir: String, v: Int): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.isEmpty || versions.head <= v || v < 0,
+      s"IncrementalView.serveAsOf: generation $v predates the oldest live " +
+        s"generation ${versions.head} — history before a compaction " +
+        "boundary is vacuumed")
+    fold(spark, stateDir, versions.filter(_ <= v))
+  }
+
+  /** CHANGE FEED: what the view gained BETWEEN generation `fromExclusive`
+    * and generation `toInclusive` — the CDC read surface of the
+    * maintained view. Because partials are already deltas, the feed is a
+    * fold over just the generations in the window: each output row is a
+    * (day, event_type) whose aggregate changed, with the n / sum_value
+    * DELTAS (sum of the window's partials). A downstream consumer applies
+    * it by adding — the additive-CDC contract that makes view chaining
+    * (view over view) work without replaying history.
+    */
+  def changeFeed(spark: SparkSession, stateDir: String,
+      fromExclusive: Int, toInclusive: Int): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    // validity: a live COMPACTED generation inside the window must not
+    // have folded sources from BEFORE the window start — the fold can't
+    // split, so such a feed would re-report pre-window ingests as
+    // changes. (fromExclusive < 0 is always valid: the feed is then the
+    // full view, whatever was folded.)
+    val f = GenState.fs(spark, stateDir)
+    val straddles = versions
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .exists(v => GenState.readManifest(f, stateDir, v).exists(_ <= fromExclusive))
+    require(fromExclusive < 0 || !straddles,
+      s"IncrementalView.changeFeed: a compacted generation in the window " +
+        s"($fromExclusive, $toInclusive] folds history from at or before " +
+        "the window start — that boundary is vacuumed")
+    fold(spark, stateDir, versions.filter(v => v > fromExclusive && v <= toInclusive))
   }
 
   /** Fold the live partials into ONE generation — losslessly (no

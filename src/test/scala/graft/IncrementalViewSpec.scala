@@ -71,6 +71,60 @@ class IncrementalViewSpec extends SparkSpec {
       sorted(Relational.q14EventsDaily(spark, sf0001)))
   }
 
+  test("time travel: as-of each generation equals the rollup over its prefix; vacuumed history errors") {
+    val state = graft.util.TmpDirs.scratch("graft_q67_spec_").toString
+    val slices = (0 until 3).map(r => events.where(col("event_id") % 3 === r))
+    def rollupOf(pred: org.apache.spark.sql.Column) = sorted(
+      events.where(pred)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+    val vs = slices.zipWithIndex.map { case (s, i) =>
+      IncrementalView.merge(spark, state, s, Some(s"k$i")) }
+    assert(sorted(IncrementalView.serveAsOf(spark, state, vs(0))) ==
+      rollupOf(col("event_id") % 3 === 0))
+    assert(sorted(IncrementalView.serveAsOf(spark, state, vs(1))) ==
+      rollupOf(col("event_id") % 3 < 2))
+    assert(sorted(IncrementalView.serveAsOf(spark, state, vs(2))) ==
+      sorted(Relational.q14EventsDaily(spark, sf0001)))
+    // before-everything is empty, and valid even after compaction
+    assert(IncrementalView.serveAsOf(spark, state, -1).count() == 0)
+    // compaction vacuums history: as-of an intermediate generation errors
+    val vc = IncrementalView.compact(spark, state)
+    assert(sorted(IncrementalView.serveAsOf(spark, state, vc)) ==
+      sorted(Relational.q14EventsDaily(spark, sf0001)))
+    intercept[IllegalArgumentException] {
+      IncrementalView.serveAsOf(spark, state, vs(1))
+    }
+  }
+
+  test("change feed: window folds are additive deltas; a straddling compaction is refused") {
+    val state = graft.util.TmpDirs.scratch("graft_q68_spec_").toString
+    val slices = (0 until 3).map(r => events.where(col("event_id") % 3 === r))
+    val vs = slices.zipWithIndex.map { case (s, i) =>
+      IncrementalView.merge(spark, state, s, Some(s"k$i")) }
+    def rollupOf(pred: org.apache.spark.sql.Column) = sorted(
+      events.where(pred)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+    assert(sorted(IncrementalView.changeFeed(spark, state, vs(0), vs(2))) ==
+      rollupOf(col("event_id") % 3 >= 1))
+    assert(sorted(IncrementalView.changeFeed(spark, state, vs(1), vs(2))) ==
+      rollupOf(col("event_id") % 3 === 2))
+    // feed since before everything == the full view
+    assert(sorted(IncrementalView.changeFeed(spark, state, -1, vs(2))) ==
+      sorted(IncrementalView.serve(spark, state)))
+    // a compacted generation straddling the window start is refused (it
+    // folded pre-window history the feed would re-report)...
+    val vc = IncrementalView.compact(spark, state)
+    intercept[IllegalArgumentException] {
+      IncrementalView.changeFeed(spark, state, vs(1), vc)
+    }
+    // ...but feeds aligned at-or-after the fold still work
+    val v3 = IncrementalView.merge(spark, state, slices(1), Some("k3"))
+    assert(sorted(IncrementalView.changeFeed(spark, state, vc, v3)) ==
+      rollupOf(col("event_id") % 3 === 1))
+  }
+
   test("empty state serves an empty view with the q14 schema") {
     val state = graft.util.TmpDirs.scratch("graft_q65_empty_").toString
     val df = IncrementalView.serve(spark, state)
