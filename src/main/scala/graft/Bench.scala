@@ -146,8 +146,16 @@ object Bench {
     val short = shortKeys(stats.map(_.name))
     val qs = objJson(stats.map(s => short(s.name) -> sec2(s.min)))
     val total = stats.collect { case s if s.min >= 0 => s.min }.sum
-    s"""{"metric":"total","value":${sec2(total)},"unit":"sec","stat":"min","passes":$passes,""" +
-      s""""queries":$qs,"errors":${errJson(errors, 30, maxStdoutErrors)},"sf":"${esc(sfDir)}"}"""
+    def render(snip: Int, cap: Int) =
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","stat":"min","passes":$passes,""" +
+        s""""queries":$qs,"errors":${errJson(errors, snip, cap)},"sf":"${esc(sfDir)}"}"""
+    // the driver keeps only the LAST 2000 chars of stdout: degrade the
+    // error payload (never the per-query timings) until the line fits —
+    // the full untruncated errors always land in the file line
+    Seq((30, maxStdoutErrors), (20, maxStdoutErrors), (12, 5), (8, 3))
+      .iterator.map { case (s, c) => render(s, c) }
+      .find(_.length < 1950)
+      .getOrElse(render(8, 3))
   }
 
   /** The full-precision file line: median under "queries" (so cross-round
