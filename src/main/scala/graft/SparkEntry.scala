@@ -456,6 +456,20 @@ object SparkEntry {
     // implementation in tools/gen_ppmrot_fixtures.py).
     "m6_rot_robust_dedup" -> ((s: SparkSession, d: String) =>
       graft.ops.Multimodal.ppmRotNearDup(s, d)),
+    // The orbit row of the incremental media matrix: originals ingested
+    // first, transformed copies in a second merge — every golden pair is
+    // discovered cross-batch (or new-new) at its newer member's merge.
+    "d24_rotmedia_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d24_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Multimodal.ppmRotFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalRotMedia.merge(s, state, media.where(!col("name").contains("_")))
+      graft.ops.IncrementalRotMedia.merge(s, state, media.where(col("name").contains("_")))
+      graft.ops.IncrementalRotMedia.pairs(s, state)
+    }),
+    "q69_stream_rot_media" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runRotMediaDedupAvailableNow(s, d)),
     // The media column of the incremental dedup matrix: assets decoded +
     // dHashed once at their own ingest, generational signature state,
     // split-ingest == m5's one-shot pair table (shared golden oracle).
@@ -632,6 +646,9 @@ object SparkEntry {
       ("q62_stream_importance" -> m("c11_importance_select")) +
       // media split-ingest == m5's one-shot pair table (golden oracle)
       ("d21_media_incremental" -> m("m5_ppm_near_dup")) +
+      // orbit split-ingest and its streaming drain == m6's golden pairs
+      ("d24_rotmedia_incremental" -> m("m6_rot_robust_dedup")) +
+      ("q69_stream_rot_media" -> m("m6_rot_robust_dedup")) +
       // and its streaming drain: == the same golden pairs
       ("q60_stream_media_dedup" -> m("m5_ppm_near_dup")) +
       // persisted BPE model reload == training fresh (lossless

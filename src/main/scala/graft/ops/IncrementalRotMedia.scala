@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d24: incremental ROTATION/MIRROR-robust media dedup — m6 under the
+  * generational state protocol, completing the media column of the dedup
+  * matrix (m3 exact / m5 dHash / m6 orbit, each with one-shot +
+  * incremental + streaming surfaces).
+  *
+  * State per generation (d21 skeleton, commit on `pairs`):
+  *
+  *   - `vN/sigs`: batch N's dihedral-ORBIT signatures — (name, t, sig),
+  *     8 rows per decodable asset, t = 0 the identity. Each asset is
+  *     decoded and its orbit hashed exactly once, at its own ingest;
+  *     blobs never enter the state.
+  *   - `vN/pairs`: the merge's new-involving verified pairs at the m6
+  *     orbit distance.
+  *
+  * Completeness of per-merge pair discovery: every direction-combo of the
+  * orbit distance d(A,B) involves BOTH assets' rows (one side's identity
+  * signature, the other's orbit), so all combos for a pair are computable
+  * at the NEWER member's merge — the per-pair min taken there equals the
+  * one-shot m6 min, and no pair is ever re-found at a later merge (only
+  * new-involving combos run). Hence union-of-pair-generations == m6's
+  * one-shot table for ANY batch split — the shared golden oracle.
+  *
+  * Scale shape: per-ingest cost is one decode+orbit-hash pass over the
+  * batch plus an equi-join of the batch's blocks against the persisted
+  * block index — the d21 geometry at a fixed 8× signature-row factor,
+  * still corpus-independent fan-out, still blob-free state.
+  */
+object IncrementalRotMedia {
+
+  private val commitTable = "pairs"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  private def sigsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sigs"
+  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+
+  /** The 4×16-bit exact-block index over (name, sig) rows (d17 geometry). */
+  private def blocksOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("name"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("blk"))
+      .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+
+  /** New-involving orbit-distance pairs of one merge: the batch's
+    * identity signatures probe the full orbit union, and the full
+    * union's identity signatures probe the batch's orbit — together all
+    * direction-combos involving a new asset. Per-pair min BEFORE the
+    * threshold, exactly as in [[Multimodal.ppmRotNearDup]].
+    */
+  private[graft] def mergePairs(newSigs: DataFrame, allSigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def combos(probe: DataFrame, index: DataFrame): DataFrame =
+      blocksOf(probe).as("a")
+        .join(blocksOf(index).as("b"),
+          col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+            col("a.name") =!= col("b.name"))
+        .select(
+          least(col("a.name"), col("b.name")).as("name1"),
+          greatest(col("a.name"), col("b.name")).as("name2"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("h"))
+    combos(newSigs.where(col("t") === 0), allSigs)
+      .union(combos(allSigs.where(col("t") === 0), newSigs))
+      .groupBy(col("name1"), col("name2"))
+      .agg(min(col("h")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Ingest one media batch — (name, content) raw asset bytes, names
+    * disjoint from prior ingests: decode + orbit-hash once, probe the
+    * persisted union, append one generation. Undecodable assets are
+    * dropped whole (the m4 reject rule).
+    */
+  def merge(spark: SparkSession, stateDir: String, newMedia: DataFrame,
+      maxHamming: Int = 3): Int = {
+    import spark.implicits._
+    GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
+    val live = completeVersions(spark, stateDir)
+    val next = live.lastOption.map(_ + 1).getOrElse(0)
+
+    newMedia.select(col("name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (name, bytes) =>
+        Multimodal.decodePpm(bytes).toSeq.flatMap(img =>
+          Multimodal.dihedralOrbit(img).zipWithIndex.map { case (v, t) =>
+            (name, t, Multimodal.dHash64(v)) })
+      })
+      .toDF("name", "t", "sig")
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+
+    val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    mergePairs(
+      spark.read.parquet(sigsPath(stateDir, next)),
+      spark.read.parquet(allPaths: _*), maxHamming)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    next
+  }
+
+  /** The m6-shaped pair table over the current state. A pair's full
+    * direction-combo set resolves at one merge, so the union needs only
+    * re-delivery dedup — taking the MIN across duplicates (identical
+    * values) keeps it robust either way.
+    */
+  def pairs(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalRotMedia.pairs: no state at $stateDir")
+    spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+      .groupBy(col("name1"), col("name2"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  /** Fold both tables of every live generation (GenState manifest
+    * protocol, crash-idempotent; rows are immutable facts).
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalRotMedia.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+      .dropDuplicates("name", "t")
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+      .groupBy(col("name1"), col("name2"))
+      .agg(min(col("hamming")).as("hamming"))
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  /** [[GenState.maybeCompact]] policy over [[compact]]. */
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

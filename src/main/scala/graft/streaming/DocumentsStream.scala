@@ -221,6 +221,24 @@ object DocumentsStream {
     graft.ops.IncrementalEmbedding.clusters(spark, state)
   }
 
+  /** q69: streaming ROTATION-robust media dedup — the d24 merge under
+    * the chassis: each micro-batch of raw asset bytes is decoded +
+    * orbit-hashed once and probed against the persisted orbit-signature
+    * union; the drained pair table equals m6's one-shot (the shared
+    * golden oracle). Completes the orbit row of the media dedup matrix.
+    */
+  def runRotMediaDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q69_state_").toString)
+    val media = (s: SparkSession, _: String) =>
+      s.read.format("binaryFile").load(graft.ops.Multimodal.ppmRotFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    drainMerges(spark, dir, files, "q69", media)((b, _) =>
+      graft.ops.IncrementalRotMedia.merge(b.sparkSession, state, b))
+    graft.ops.IncrementalRotMedia.pairs(spark, state)
+  }
+
   /** q66: streaming INCREMENTAL VIEW MAINTENANCE — the q14 daily rollup
     * maintained by [[graft.ops.IncrementalView]] under the same chassis,
     * over the EVENTS table. Each micro-batch appends only its own partial
