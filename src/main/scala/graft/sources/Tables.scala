@@ -58,8 +58,50 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeEventsTs(table(spark, dir, "events"))
 
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** Normalize an integer id-like column to LongType IFF the read schema
+    * drifted to a narrower integer (the events-ts lesson generalized: the
+    * harness has changed a physical parquet type under us once, so every
+    * loader branches on what it actually read). When the type already
+    * matches, the column is untouched — no cast node, so filter pushdown
+    * on the id stays intact.
+    */
+  private def widenIntegral(df: DataFrame, column: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(column).dataType match {
+      case LongType => df
+      case ByteType | ShortType | IntegerType =>
+        df.withColumn(column, col(column).cast(LongType))
+      case other => throw new IllegalStateException(
+        s"$column has unsupported physical type $other; expected an integral type")
+    }
+  }
+
+  /** documents with drift-tolerant ids/counts: doc_id and n_chars widen
+    * from any narrower integral encoding to the canonical LongType.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    widenIntegral(widenIntegral(table(spark, dir, "documents"), "doc_id"), "n_chars")
+
+  /** embeddings with a drift-tolerant vector column: the canonical
+    * encoding is array<float>; an array<double> drift (parquet writers
+    * flip this readily) narrows back so every consumer keeps seeing
+    * FloatType elements and the float→double promotion happens exactly
+    * once, inside the consumers' own dot products, as today. vec_id
+    * widens like every id.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = widenIntegral(table(spark, dir, "embeddings"), "vec_id")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported physical type $other; expected array<float|double>")
+    }
+  }
 
   private val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
     "region" -> region _, "nation" -> nation _, "customer" -> customer _,

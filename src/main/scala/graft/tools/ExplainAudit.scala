@@ -9,7 +9,8 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.create("explain", 8)
     val dir = "/root/testdata/sf0.01"
-    val targets = Seq("q1_pricing_summary", "q5_local_supplier", "s1_cosine_topk",
+    val targets = if (args.nonEmpty) args.toSeq
+    else Seq("q1_pricing_summary", "q5_local_supplier", "s1_cosine_topk",
       "d2_ngram_jaccard", "t5_token_freq", "m1_media_features",
       "d5_simhash_pairs", "s3_ann_ivf", "q29_salted_join",
       "q31_topk_per_key", "c1_chunking", "c2_hash_sample")

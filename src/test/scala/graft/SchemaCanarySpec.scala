@@ -38,6 +38,32 @@ class SchemaCanarySpec extends SparkSpec {
     assert(dt("events", "user_id") == LongType)
   }
 
+  test("drift tolerance: narrowed ids and a double vector normalize back to canon") {
+    import org.apache.spark.sql.functions.col
+    // synthetic drifted fixtures: int32 ids, array<double> embedding
+    val dir = graft.util.TmpDirs.scratch("graft_canary_drift_").toString
+    Tables.documents(spark, sf0001).limit(50)
+      .withColumn("doc_id", col("doc_id").cast(IntegerType))
+      .withColumn("n_chars", col("n_chars").cast(IntegerType))
+      .write.parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf0001).limit(50)
+      .withColumn("vec_id", col("vec_id").cast(IntegerType))
+      .withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val emb = Tables.embeddings(spark, dir)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+    // and the canonical encoding passes through with NO cast node (so id
+    // filter pushdown survives — the no-op branch must stay a no-op)
+    val plain = Tables.documents(spark, sf0001).where(col("doc_id") < 10)
+      .queryExecution.executedPlan.toString
+    assert(plain.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"doc_id pushdown lost:\n$plain")
+  }
+
   test("lineitem/orders: decimals stayed double, dates stayed timestamp_ntz") {
     assert(dt("lineitem", "l_quantity") == DoubleType)
     assert(dt("lineitem", "l_extendedprice") == DoubleType)
