@@ -351,6 +351,9 @@ object SparkEntry {
     // Held-out bigram Stupid-Backoff surprisal: benchmark slice scored
     // against a model fit on the rest — the backoff path actually fires.
     "t19_bigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.bigramSurprisal(s, d)),
+    // Tokenizer fertility audit over the learned BPE: per-language
+    // tokens/word and chars/token — the multilingual quality report.
+    "t20_bpe_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
@@ -2097,6 +2100,28 @@ object SparkEntry {
         |  CAST(sum(idsum) AS BIGINT) AS sum_token_id
         |FROM dw JOIN wid USING (w)
         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // Fertility: the t14 training+encoding replay, aggregated to the two
+    // per-language ratios; chars = non-space length (≡ word chars under
+    // the single-space tokenizer), divided once at the end.
+    "t20_bpe_fertility" -> {
+      val R = graft.ops.TextAnalysis.bpeTrainRounds
+      val mg = (0 until R).map(r => s"SELECT $r AS r, pair FROM m$r").mkString(" UNION ALL ")
+      s"""WITH
+        |${bpeTrainCtes},
+        |mg AS ($mg),
+        |fs AS (SELECT w, unnest(string_split(trim(s, ' '), '  ')) AS sym FROM s$R),
+        |wid AS (SELECT fs.w, count(*) AS ntok FROM fs GROUP BY fs.w),
+        |lt AS (SELECT lang, count(*) AS n_words, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |       FROM dw JOIN wid USING (w) GROUP BY lang),
+        |ch AS (SELECT lang, CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) AS n_chars
+        |       FROM documents GROUP BY lang)
+        |SELECT lt.lang AS lang, n_words, n_tokens, n_chars,
+        |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+        |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+        |FROM lt JOIN ch ON lt.lang = ch.lang
+        |ORDER BY lt.lang""".stripMargin
     },
 
     // Left-outer interval join replay: matched rows are the plain interval

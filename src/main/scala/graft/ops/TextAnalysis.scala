@@ -541,6 +541,35 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** t20: TOKENIZER FERTILITY AUDIT — the standard multilingual
+    * tokenizer-quality report over the learned BPE table: per language,
+    * tokens-per-word (fertility) and chars-per-token (compression). A
+    * tokenizer trained on skewed data over-fragments the low-resource
+    * languages (fertility up, chars/token down), silently inflating their
+    * training cost and shrinking their effective context window — this is
+    * the number that catches it before a training run does.
+    *
+    * All inputs are exact integer sums in ONE pass (the compiled
+    * `bpe_stats` walk plus a codegen `length(translate(...))` — non-space
+    * chars ≡ total word chars under the single-space tokenizer); the two
+    * ratios divide once at the end, so both engines agree at 6 dp.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val spec = trainBpeMerges(spark, dir).map(_._2).mkString(";")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        call_function("bpe_stats", col("text"), lit(spec)).as("b"),
+        length(translate(col("text"), " ", "")).as("nc"))
+      .groupBy(col("lang"))
+      .agg(sum(element_at(col("b"), 1)).as("n_words"),
+        sum(element_at(col("b"), 2)).as("n_tokens"),
+        sum(col("nc").cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** Golden corpus for [[redactPii]] — the synthetic `documents` table
     * contains no PII-shaped strings, so the redaction op is exercised over
     * an inline corpus (one definition: these rows are interpolated into

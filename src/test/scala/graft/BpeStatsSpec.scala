@@ -143,4 +143,21 @@ class BpeStatsSpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(1))
     }
   }
+
+  test("t20 fertility: conservation laws and agreement with t14's counts") {
+    val fert = graft.ops.TextAnalysis.bpeFertility(spark, sf0001).collect()
+    val t14 = graft.ops.TextAnalysis.bpeLearnedTokens(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (lang, nw, nt, nc) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // same walk as t14: word and token totals must agree exactly
+      assert(t14(lang) == ((nw, nt)), s"$lang diverged from t14")
+      // tokens partition words, chars partition tokens
+      assert(nt >= nw && nc >= nt)
+      // ratios are the integer sums divided once
+      assert(math.abs(r.getDouble(4) - nt.toDouble / nw) < 1e-6)
+      assert(math.abs(r.getDouble(5) - nc.toDouble / nt) < 1e-6)
+    }
+  }
 }
