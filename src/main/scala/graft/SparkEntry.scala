@@ -557,6 +557,22 @@ object SparkEntry {
       graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 2), Some("k2"))
       graft.ops.IncrementalView.serveAsOf(s, state, v1)
     }),
+    // View chaining: a weekly view maintained ONLY from the daily view's
+    // raw change feed — the rollup-pyramid pattern; never reads events.
+    "q70_view_chaining" -> ((s: SparkSession, d: String) => {
+      val daily = graft.util.TmpDirs.scratch("graft_q70_daily_").toString
+      val weekly = graft.util.TmpDirs.scratch("graft_q70_weekly_").toString
+      val ev = graft.sources.Tables.events(s, d)
+      val v0 = graft.ops.IncrementalView.merge(s, daily, ev.where(col("event_id") % 3 === 0), Some("k0"))
+      val v1 = graft.ops.IncrementalView.merge(s, daily, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      val v2 = graft.ops.IncrementalView.merge(s, daily, ev.where(col("event_id") % 3 === 2), Some("k2"))
+      graft.ops.IncrementalView.Weekly.merge(s, weekly,
+        graft.ops.IncrementalView.changeFeedRaw(s, daily, -1, v1), Some("w0"))
+      graft.ops.IncrementalView.Weekly.merge(s, weekly,
+        graft.ops.IncrementalView.changeFeedRaw(s, daily, v1, v2), Some("w1"))
+      val _ = v0
+      graft.ops.IncrementalView.Weekly.serve(s, weekly)
+    }),
     // Change feed: the additive CDC deltas between two generations —
     // partials ARE deltas, so the feed is a fold over just the window.
     "q68_view_change_feed" -> ((s: SparkSession, d: String) => {
@@ -680,7 +696,13 @@ object SparkEntry {
         """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
           |  count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events WHERE event_id % 3 = 2
-          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) +
+      // the chained weekly view == the weekly rollup straight off events
+      ("q70_view_chaining" ->
+        """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin)
   }
 
   /** Shared oracle CTE pipeline for the SimHash family (d5 pairs, d7

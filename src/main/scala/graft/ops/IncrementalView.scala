@@ -140,6 +140,83 @@ object IncrementalView {
     fold(spark, stateDir, versions.filter(v => v > fromExclusive && v <= toInclusive))
   }
 
+  /** UNROUNDED change feed — the view-chaining contract. A downstream
+    * view ingesting this feed must see the raw double partials: rounded
+    * deltas would accumulate presentation error (sum of rounded ≠ round
+    * of sum), while raw deltas keep the chained view bit-equal to
+    * computing it from scratch. Same window/vacuum checks as
+    * [[changeFeed]]; rounding stays a serve-time concern of whichever
+    * view finally presents.
+    */
+  def changeFeedRaw(spark: SparkSession, stateDir: String,
+      fromExclusive: Int, toInclusive: Int): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    val f = GenState.fs(spark, stateDir)
+    val straddles = versions
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .exists(v => GenState.readManifest(f, stateDir, v).exists(_ <= fromExclusive))
+    require(fromExclusive < 0 || !straddles,
+      s"IncrementalView.changeFeedRaw: a compacted generation in the window " +
+        s"($fromExclusive, $toInclusive] folds history from at or before " +
+        "the window start — that boundary is vacuumed")
+    val window = versions.filter(v => v > fromExclusive && v <= toInclusive)
+    if (window.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(java.sql.Date, String, Long, Double)]
+        .toDF("day", "event_type", "n", "sum_value")
+    }
+    spark.read.parquet(window.map(partialsPath(stateDir, _)): _*)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+  }
+
+  /** q70: a WEEKLY view maintained purely from the daily view's raw
+    * change feed — view-over-view chaining. The weekly partials are one
+    * further associative reduction of the feed's (day → week) rows, so
+    * the whole generational protocol (markers, folds, serve-time
+    * rounding) applies unchanged one level up, and the chained view
+    * equals computing the weekly rollup from the raw events — without
+    * ever reading them. At scale this is how rollup pyramids (minute →
+    * hour → day → week) stay O(delta) per level per ingest.
+    */
+  object Weekly {
+
+    private def path(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
+
+    def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+      GenState.completeVersions(spark, stateDir, "partials")
+
+    /** Ingest one RAW daily-feed window ([[changeFeedRaw]] output). */
+    def merge(spark: SparkSession, stateDir: String, rawFeed: DataFrame,
+        batchKey: Option[String] = None): Int = {
+      val live = GenState.latestVersion(spark, stateDir, "partials")
+      batchKey.foreach { k =>
+        if (GenState.ingestedKeys(spark, stateDir, "partials").contains(k))
+          return live.get
+      }
+      val next = live.map(_ + 1).getOrElse(0)
+      batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+      rawFeed
+        .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+        .write.mode("overwrite").parquet(path(stateDir, next))
+      next
+    }
+
+    def serve(spark: SparkSession, stateDir: String): DataFrame = {
+      val versions = completeVersions(spark, stateDir)
+      if (versions.isEmpty) {
+        import spark.implicits._
+        return Seq.empty[(java.sql.Date, String, Long, Double)]
+          .toDF("week", "event_type", "n", "sum_value")
+      }
+      spark.read.parquet(versions.map(path(stateDir, _)): _*)
+        .groupBy(col("week"), col("event_type"))
+        .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }
+  }
+
   /** Fold the live partials into ONE generation — losslessly (no
     * rounding), so the served view is unchanged; `_COMPACTED` manifest
     * before the commit, markers travel with the fold (d18 protocol).

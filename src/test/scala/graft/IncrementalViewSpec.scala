@@ -125,6 +125,34 @@ class IncrementalViewSpec extends SparkSpec {
       rollupOf(col("event_id") % 3 === 1))
   }
 
+  test("view chaining: the weekly view built only from raw daily feeds equals the direct rollup") {
+    val direct = events
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    for (mod <- Seq(2, 4)) {
+      val daily = graft.util.TmpDirs.scratch(s"graft_q70_d_${mod}_").toString
+      val weekly = graft.util.TmpDirs.scratch(s"graft_q70_w_${mod}_").toString
+      var prev = -1
+      (0 until mod).foreach { r =>
+        val v = IncrementalView.merge(spark, daily,
+          events.where(pmod(col("event_id"), lit(mod)) === r), Some(s"k$r"))
+        // chain every daily generation into the weekly view as it lands
+        IncrementalView.Weekly.merge(spark, weekly,
+          IncrementalView.changeFeedRaw(spark, daily, prev, v), Some(s"w$r"))
+        prev = v
+      }
+      val got = IncrementalView.Weekly.serve(spark, weekly)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got == direct, s"$mod-way chained weekly view diverged")
+      // re-delivered weekly batch is a no-op
+      IncrementalView.Weekly.merge(spark, weekly,
+        IncrementalView.changeFeedRaw(spark, daily, -1, prev), Some("w0"))
+      assert(IncrementalView.Weekly.serve(spark, weekly)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq == direct)
+    }
+  }
+
   test("empty state serves an empty view with the q14 schema") {
     val state = graft.util.TmpDirs.scratch("graft_q65_empty_").toString
     val df = IncrementalView.serve(spark, state)
