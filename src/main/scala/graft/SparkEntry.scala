@@ -573,6 +573,9 @@ object SparkEntry {
       val _ = v0
       graft.ops.IncrementalView.Weekly.serve(s, weekly)
     }),
+    // Streaming rollup pyramid: daily + chained weekly per trigger.
+    "q71_stream_view_chaining" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runViewChainingAvailableNow(s, d)),
     // Change feed: the additive CDC deltas between two generations —
     // partials ARE deltas, so the feed is a fold over just the window.
     "q68_view_change_feed" -> ((s: SparkSession, d: String) => {
@@ -697,7 +700,13 @@ object SparkEntry {
           |  count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events WHERE event_id % 3 = 2
           |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) +
-      // the chained weekly view == the weekly rollup straight off events
+      // the chained weekly view (batch q70 and its streaming drain q71)
+      // == the weekly rollup straight off events
+      ("q71_stream_view_chaining" ->
+        """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events
+          |GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin) +
       ("q70_view_chaining" ->
         """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
           |  count(*) AS n, round(sum(value), 2) AS sum_value

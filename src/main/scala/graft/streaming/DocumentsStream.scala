@@ -239,6 +239,30 @@ object DocumentsStream {
     graft.ops.IncrementalRotMedia.pairs(spark, state)
   }
 
+  /** q71: the STREAMING rollup pyramid — q66's daily maintenance with the
+    * weekly view chained off the daily change feed INSIDE each trigger:
+    * one merge appends the daily partial, then the weekly view ingests
+    * exactly that generation's raw feed. Per-trigger cost stays O(batch)
+    * at every level, both levels inherit exactly-once from batch-id keys,
+    * and the drained weekly serve equals the direct weekly rollup — the
+    * q70 oracle. This is how a minute→hour→day→week pyramid runs live:
+    * each level consumes the level below's feed, nobody re-reads events.
+    */
+  def runViewChainingAvailableNow(spark: SparkSession, dir: String,
+      files: Int = defaultStreamFiles): DataFrame = {
+    val daily = TmpDirs.scratch("graft_q71_daily_").toString
+    val weekly = TmpDirs.scratch("graft_q71_weekly_").toString
+    drainMerges(spark, dir, files, "q71", Tables.events) { (b, id) =>
+      val s = b.sparkSession
+      val prev = graft.ops.IncrementalView.latestVersion(s, daily).getOrElse(-1)
+      val v = graft.ops.IncrementalView.merge(s, daily, b, Some(s"b$id"))
+      if (v > prev) // re-delivered daily batch → nothing new to chain
+        graft.ops.IncrementalView.Weekly.merge(s, weekly,
+          graft.ops.IncrementalView.changeFeedRaw(s, daily, prev, v), Some(s"w$id"))
+    }
+    graft.ops.IncrementalView.Weekly.serve(spark, weekly)
+  }
+
   /** q66: streaming INCREMENTAL VIEW MAINTENANCE — the q14 daily rollup
     * maintained by [[graft.ops.IncrementalView]] under the same chassis,
     * over the EVENTS table. Each micro-batch appends only its own partial

@@ -153,6 +153,17 @@ class IncrementalViewSpec extends SparkSpec {
     }
   }
 
+  test("q71 streaming pyramid drain equals the direct weekly rollup") {
+    val got = graft.streaming.DocumentsStream
+      .runViewChainingAvailableNow(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val direct = events
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == direct)
+  }
+
   test("empty state serves an empty view with the q14 schema") {
     val state = graft.util.TmpDirs.scratch("graft_q65_empty_").toString
     val df = IncrementalView.serve(spark, state)
