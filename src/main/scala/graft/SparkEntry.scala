@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, substring_index, to_json}
 
 import graft.operators._
-import graft.ops.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Quantization, Similarity, TextAnalysis}
 import graft.pipeline.OohPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -150,6 +150,10 @@ object SparkEntry {
     // ANN quality monitoring: recall@k of the s3 IVF index against the
     // s1 exact top-k, per sampled query.
     "s10_ann_recall_audit" -> ((s: SparkSession, d: String) => Similarity.annRecallAudit(s, d)),
+    // Product quantization (IVF-PQ's compression half): 8x16-entry
+    // codebooks, 8-byte codes (32x), ADC lookup-table scoring against
+    // the full-precision query.
+    "s11_pq_topk" -> ((s: SparkSession, d: String) => Quantization.pqAdcTopK(s, d)),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -1699,6 +1703,47 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
         |FROM ex e LEFT JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // Product quantization replay: codebooks = subvectors of the first
+    // pqCodes vectors (code = rank in vec_id order), assignment argmax on
+    // 2<x,c> - |c|^2 with ties to the smaller code, ADC = per-subspace
+    // partial dots summed in ascending-subspace order, score divided by
+    // the reconstruction norm. Every float fold is double, ascending
+    // index — bit-identical to the Spark expressions.
+    "s11_pq_topk" -> {
+      val m = graft.ops.Quantization.pqSubspaces
+      val kc = graft.ops.Quantization.pqCodes
+      val nq = graft.ops.Quantization.pqQueries
+      val k = graft.ops.Quantization.pqTopK
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |sp AS (SELECT CAST(r.range AS INT) AS s FROM range(0, $m) r),
+        |sub AS (SELECT vec_id, s, e[(s*(len(e)//$m)+1):((s+1)*(len(e)//$m))] AS x FROM v, sp),
+        |cbk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id FROM v WHERE vec_id < $kc),
+        |cbs AS (SELECT cbk.code, sub.s, sub.x AS c,
+        |          list_sum([sub.x[i]*sub.x[i] for i in range(1, len(sub.x)+1)]) AS cc
+        |        FROM cbk JOIN sub ON cbk.vec_id = sub.vec_id),
+        |sco AS (SELECT t.vec_id, t.s, c2.code,
+        |          2*list_sum([t.x[i]*c2.c[i] for i in range(1, len(t.x)+1)]) - c2.cc AS score
+        |        FROM sub t JOIN cbs c2 ON t.s = c2.s),
+        |enc AS (SELECT vec_id, s, code FROM sco
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) = 1),
+        |rn AS (SELECT e2.vec_id, sqrt(list_sum(list(c2.cc ORDER BY e2.s))) AS rn
+        |       FROM enc e2 JOIN cbs c2 ON e2.s = c2.s AND e2.code = c2.code GROUP BY e2.vec_id),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_sum([e[i]*e[i] for i in range(1, len(e)+1)])) AS qn
+        |       FROM v WHERE vec_id < $nq),
+        |parts AS (SELECT q.vec_id AS qid, e3.vec_id AS vec_id, q.s,
+        |            list_sum([q.x[i]*c3.c[i] for i in range(1, len(q.x)+1)]) AS part
+        |          FROM sub q JOIN enc e3 ON q.vec_id < $nq AND e3.vec_id <> q.vec_id AND e3.s = q.s
+        |          JOIN cbs c3 ON c3.s = e3.s AND c3.code = e3.code),
+        |adc AS (SELECT qid, vec_id, list_sum(list(part ORDER BY s)) AS adc FROM parts GROUP BY qid, vec_id),
+        |sc2 AS (SELECT a.qid, a.vec_id, a.adc / (q2.qn * r2.rn) AS approx_cosine
+        |        FROM adc a JOIN qn q2 ON a.qid = q2.qid JOIN rn r2 ON a.vec_id = r2.vec_id
+        |        WHERE q2.qn > 0 AND r2.rn > 0),
+        |rk AS (SELECT qid, vec_id, approx_cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id) AS rnk FROM sc2)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(approx_cosine, 6) AS approx_cosine
+        |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+    },
 
     // IVF with Lloyd's-TRAINED centroids: the oracle replays the full
     // deterministic training loop — first-k init, ivfLloydIters unrolled

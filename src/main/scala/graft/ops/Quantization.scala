@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product quantization (PQ) — the vector-COMPRESSION scale path for ANN,
+  * complementing the cell-PARTITION path ([[Similarity.annIvf]]) and the
+  * uniform int8 path ([[Similarity.quantizedCosineTopK]]).
+  *
+  * The 64-dim float32 embedding (256 bytes) is split into
+  * [[pqSubspaces]] = 8 contiguous 8-dim subvectors; each subvector is
+  * replaced by the id of its nearest entry in a per-subspace
+  * [[pqCodes]] = 16-entry codebook. A vector becomes 8 codes of 4 bits —
+  * 8 BYTES, a 32× compression (a 100 TB embedding corpus fits the RAM of
+  * a modest cluster), and that compression is what makes billion-scale
+  * indexes (FAISS IVF-PQ) possible at all.
+  *
+  * Queries run ADC (asymmetric distance computation): the query stays
+  * full-precision; per subspace a 16-entry lookup table of partial dot
+  * products ⟨q_s, c⟩ is computed ONCE per query, and each corpus vector's
+  * approximate dot is just 8 table lookups summed — no float math per
+  * candidate component. Approximate cosine divides by the RECONSTRUCTION
+  * norm √Σ_s‖c_{s,code_s}‖² (the norm of the decoded vector), so the
+  * score is exactly cos(q, decode(codes)).
+  *
+  * Scale shape: codebooks are model metadata (8×16×8 doubles) embedded as
+  * literals — cell encoding is a pure projection (128 compiled `array_dot`
+  * calls per row, no join, map-side); the ENCODED corpus (vec_id + 8 int
+  * codes) is what a deployment persists and scans; the query side
+  * (queries × luts) is broadcast. The corpus is scanned once, never
+  * shuffled; per-(query, vector) work is 8 array lookups.
+  *
+  * Determinism contract (what lets DuckDB replay it bit-for-bit):
+  * codebooks are the first [[pqCodes]] vectors' subvectors (code = rank in
+  * vec_id order); assignment argmax on score = 2⟨x_s,c⟩ − ‖c‖² (the
+  * −‖x_s‖² term is constant under the argmax), ties → smaller code; all
+  * dots fold ascending in DOUBLE ([[graft.exprs.ArrayDot]] ≡ DuckDB
+  * `list_sum` comprehensions); the 8-term ADC and norm sums are
+  * left-associated in ascending subspace order on both engines.
+  */
+object Quantization {
+
+  /** Number of contiguous subspaces (M in the PQ literature). */
+  val pqSubspaces = 8
+
+  /** Codebook entries per subspace (2^nbits; 16 ⇒ 4-bit codes). */
+  val pqCodes = 16
+
+  val pqQueries = 10
+  val pqTopK = 3
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("array_dot", a, b)
+
+  /** One codebook entry: (code, subvector components, ‖c‖²). */
+  type PqEntry = (Int, Array[Double], Double)
+
+  /** Per-subspace codebooks derived from the first [[pqCodes]] vectors
+    * (ascending vec_id; code = rank, robust to non-dense ids). Model-sized:
+    * collected once to the driver and inlined as plan literals, exactly
+    * like the IVF centroid sets.
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): IndexedSeq[IndexedSeq[PqEntry]] = {
+    val rows = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < pqCodes)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = rows.head.length
+    val subDim = dim / pqSubspaces
+    require(subDim * pqSubspaces == dim,
+      s"embedding dim $dim not divisible into $pqSubspaces subspaces")
+    (0 until pqSubspaces).map { s =>
+      rows.toIndexedSeq.zipWithIndex.map { case (e, code) =>
+        val sub = e.slice(s * subDim, (s + 1) * subDim)
+        // ascending-index fold — the operand order ArrayDot and DuckDB's
+        // list_sum share, so ‖c‖² is bit-identical across engines
+        val cc = sub.foldLeft(0.0)((a, x) => a + x * x)
+        (code, sub, cc)
+      }
+    }
+  }
+
+  /** Encode the corpus: vec_id + one 4-bit code per subspace (here as int
+    * columns `code0..code7`) + the reconstruction norm. This slim table is
+    * the persisted artifact of a PQ deployment — 8 B/vector payload.
+    */
+  private[graft] def encode(spark: SparkSession, dir: String,
+      cb: IndexedSeq[IndexedSeq[PqEntry]]): DataFrame = {
+    val subDim = cb.head.head._2.length
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding").as("e"))
+    val codeCols = (0 until pqSubspaces).map { s =>
+      val xs = slice(col("e"), s * subDim + 1, subDim)
+      // argmax(2⟨x,c⟩ − ‖c‖²) as ONE array_max over (score, −code) structs:
+      // each codebook dot computed exactly once, ties to the smaller code
+      val best = array_max(array(cb(s).map { case (code, sub, cc) =>
+        struct((lit(2.0) * dot(xs, typedlit(sub)) - lit(cc)).as("sc"),
+          lit(-code).as("negcode"))
+      }: _*))
+      (-best.getField("negcode")).as(s"code$s")
+    }
+    val enc = v.select(col("vec_id") +: codeCols: _*)
+    // ‖decode(codes)‖² = Σ_s ‖c_{s,code_s}‖² — literal-array lookups,
+    // left-associated ascending like the oracle's ordered list_sum
+    val rn2 = (0 until pqSubspaces).map { s =>
+      element_at(typedlit(cb(s).map(_._3).toArray), col(s"code$s").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    enc.withColumn("rn", sqrt(rn2))
+  }
+
+  /** s11: PQ-ADC approximate cosine top-k for the query set
+    * `vec_id < nQueries` — same query surface as the exact baseline
+    * ([[Similarity.cosineTopK]], s1), scored against 8-byte codes instead
+    * of 256-byte vectors.
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val subDim = cb.head.head._2.length
+    val enc = encode(spark, dir, cb).where(col("rn") > 0)
+
+    val q0 = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("e"))
+      .withColumn("qn", sqrt(dot(col("e"), col("e"))))
+      .where(col("qn") > 0)
+    // per-query ADC lookup tables: lut_s[c] = ⟨q_s, codebook_s[c]⟩
+    val lutCols = (0 until pqSubspaces).map { s =>
+      val qs = slice(col("e"), s * subDim + 1, subDim)
+      array(cb(s).map { case (_, sub, _) => dot(qs, typedlit(sub)) }: _*)
+        .as(s"lut$s")
+    }
+    val ql = q0.select(Seq(col("qid"), col("qn")) ++ lutCols: _*)
+
+    // approximate dot = 8 table lookups, left-associated ascending
+    val adc = (0 until pqSubspaces).map { s =>
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_cosine").desc, col("vec_id"))
+    enc.join(broadcast(ql), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), (adc / (col("qn") * col("rn"))).as("approx_cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("vec_id"),
+        round(col("approx_cosine"), 6).as("approx_cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+}

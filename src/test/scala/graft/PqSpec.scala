@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Quantization
+
+/** Product quantization (s11): the operator's ADC top-k must equal an
+  * INDEPENDENT plain-Scala re-derivation on the same vectors — separate
+  * code path, same determinism contract (double folds ascending, argmax
+  * ties to the smaller code, ADC summed in ascending subspace order).
+  */
+class PqSpec extends SparkSpec {
+
+  private val dir = sf0001
+
+  /** (qid, rnk, vec_id, approx_cosine@6dp) derived with driver-side Scala
+    * collections only.
+    */
+  private def reference(): Seq[(Long, Int, Long, Double)] = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val m = Quantization.pqSubspaces
+    val dim = vecs.head._2.length
+    val sd = dim / m
+    val cb: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map { s =>
+      vecs.take(Quantization.pqCodes).toIndexedSeq
+        .map(_._2.slice(s * sd, (s + 1) * sd))
+    }
+    val cc = cb.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // encode: per subspace argmax(2<x,c> - |c|^2), ties -> smaller code
+    val codes = vecs.map { case (id, e) =>
+      id -> (0 until m).map { s =>
+        val xs = e.slice(s * sd, (s + 1) * sd)
+        (0 until Quantization.pqCodes)
+          .map(c => (2.0 * dot(xs, cb(s)(c)) - cc(s)(c), c))
+          .reduceLeft((a, b) => if (b._1 > a._1) b else a) // strict: ties keep the earlier (smaller) code
+          ._2
+      }
+    }
+    val rn = codes.map { case (id, cs) =>
+      id -> math.sqrt((0 until m).map(s => cc(s)(cs(s))).reduceLeft(_ + _))
+    }.toMap
+    val qs = vecs.filter(_._1 < Quantization.pqQueries)
+      .map { case (id, e) => (id, e, math.sqrt(dot(e, e))) }
+      .filter(_._3 > 0)
+    qs.flatMap { case (qid, qe, qn) =>
+      val scored = codes
+        .filter { case (id, _) => id != qid && rn(id) > 0 }
+        .map { case (id, cs) =>
+          val adc = (0 until m)
+            .map(s => dot(qe.slice(s * sd, (s + 1) * sd), cb(s)(cs(s))))
+            .reduceLeft(_ + _)
+          (id, adc / (qn * rn(id)))
+        }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Quantization.pqTopK)
+      scored.zipWithIndex.map { case ((id, c), i) =>
+        (qid, i + 1, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("s11 ADC top-k equals the independent re-derivation") {
+    val got = Quantization.pqAdcTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == reference())
+  }
+
+  test("codes are 4-bit and the encoded table is slim") {
+    val cb = Quantization.pqCodebooks(spark, dir)
+    val enc = Quantization.encode(spark, dir, cb)
+    val m = Quantization.pqSubspaces
+    assert(enc.columns.toSeq ==
+      Seq("vec_id") ++ (0 until m).map(s => s"code$s") :+ "rn")
+    val bounds = enc.select(
+      (0 until m).map(s => max(col(s"code$s"))) ++
+        (0 until m).map(s => min(col(s"code$s"))): _*).collect()(0)
+    (0 until m).foreach { s =>
+      assert(bounds.getInt(s) < Quantization.pqCodes)
+      assert(bounds.getInt(m + s) >= 0)
+    }
+  }
+
+  test("the ADC join broadcasts the query side") {
+    val plan = Quantization.pqAdcTopK(spark, dir).queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin") ||
+      plan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+}
