@@ -89,6 +89,9 @@ object SparkEntry {
     // collision rate.
     "d17_simhash64_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs64(s, d)),
     "d7_dup_clusters" -> ((s: SparkSession, d: String) => Dedup.dupClusters(s, d)),
+    // Soft dedup: keep every copy with probability 1/cluster_size via the
+    // exact integer accept test (no keeper join at train time).
+    "d25_soft_dedup" -> ((s: SparkSession, d: String) => Dedup.softDedup(s, d)),
     "s1_cosine_topk" -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
     "s2_ann_lsh" -> Similarity.annLsh _,
     "t1_lang_stats" -> TextAnalysis.langStats _,
@@ -267,6 +270,10 @@ object SparkEntry {
     }),
     // Streaming DSIR: the q54 chassis over c12 state — continuous
     // selection-model maintenance; drained selection == one-shot c11.
+    // Streaming decontamination: frozen registry, each micro-batch
+    // screened map-side in foreachBatch; union == one-shot c3.
+    "q72_stream_decontamination" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runDecontaminationAvailableNow(s, d)),
     "q62_stream_importance" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runDsirSelectAvailableNow(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
@@ -360,6 +367,9 @@ object SparkEntry {
     "t20_bpe_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
+    // Deterministic global shuffle + shard assignment: one salted md5
+    // drives shard and within-shard order — reproducible export shards.
+    "c14_shuffle_export" -> ((s: SparkSession, d: String) => Corpus.shuffleExport(s, d)),
     // S6 sink composed with the JSON source: q14's result written as
     // line-delimited JSON, read back under the same schema, hash-checked
     // against q14's oracle.
@@ -638,6 +648,8 @@ object SparkEntry {
       ("c9_contamination_registry" -> m("c3_contamination")) +
       // suite-split generational appends screened == one-shot contamination
       ("c10_registry_append" -> m("c3_contamination")) +
+      // streaming per-batch screens unioned == one-shot contamination
+      ("q72_stream_decontamination" -> m("c3_contamination")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph
@@ -1473,6 +1485,28 @@ object SparkEntry {
         |  CAST(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS INT) AS is_keeper
         |FROM comp c JOIN sz s USING (cluster_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Soft dedup: d7's cluster sizes (recursive-CTE CC replay) joined to
+    // ALL docs (absent => size 1), salted md5 bucket, exact integer accept
+    // test bucket*size < buckets — the same construction on both engines.
+    "d25_soft_dedup" ->
+      s"""WITH RECURSIVE $simhashHamCte,
+        |pairs AS (SELECT d1, d2 FROM ham WHERE hamming <= 3),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |walk(node, lab) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src),
+        |comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id),
+        |sizes AS (SELECT c.doc_id, s.cluster_size FROM comp c JOIN sz s USING (cluster_id)),
+        |b AS (SELECT d.doc_id,
+        |  CAST(COALESCE(sizes.cluster_size, 1) AS BIGINT) AS cluster_size,
+        |  CAST(CAST(list_sum([(strpos('0123456789abcdef', md5('soft:' || CAST(d.doc_id AS VARCHAR))[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % ${Dedup.softDedupBuckets} AS INT) AS bucket
+        |  FROM documents d LEFT JOIN sizes ON d.doc_id = sizes.doc_id)
+        |SELECT doc_id, cluster_size, bucket,
+        |  CAST(CASE WHEN bucket * cluster_size < ${Dedup.softDedupBuckets} THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
@@ -2440,6 +2474,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN bucket * bucket * n_lang < ${b.toLong * b} * n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k JOIN c ON k.lang = c.lang, m
         |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+    },
+
+    // Deterministic shuffle-shard export: skey = md5('shuf:'||doc_id),
+    // shard = leading-32-bit bucket of skey mod exportShards, pos = rank
+    // of skey within the shard — identical hash and rank on both engines.
+    "c14_shuffle_export" -> {
+      val ns = Corpus.exportShards
+      s"""WITH k AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |  CAST(CAST(list_sum([(strpos('0123456789abcdef', skey[i]) - 1) * (16 ** (8 - i)) for i in range(1, 9)]) AS BIGINT) % $ns AS INT) AS shard
+        |  FROM k)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
+        |  doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin
     },
 
     // Sequence packing: pack id = floor(per-language token prefix-sum /

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -175,6 +176,45 @@ object Corpus {
         sum((col("bucket") * col("bucket") * col("n_lang") < b * b * col("n_min"))
           .cast("long")).as("n_kept"))
       .orderBy(col("lang"))
+  }
+
+  /** Shard count for [[shuffleExport]] — the parallel unit of the written
+    * training set. Local constant; a deployment sets it to O(cluster
+    * write parallelism) so each shard is one writer's worth of data.
+    */
+  val exportShards = 8
+
+  /** c14: deterministic GLOBAL SHUFFLE + sharded export assignment — the
+    * last step before a corpus becomes training shards. Trainers need the
+    * corpus in an order uncorrelated with ingest (adjacent web pages are
+    * near-identical; an unshuffled epoch is a curriculum nobody chose),
+    * and the shuffle must be REPRODUCIBLE so a resumed/re-run export
+    * yields byte-identical shards.
+    *
+    * One salted hash drives everything: skey = md5('shuf:' || doc_id) is
+    * the permutation rank; its leading 64 bits mod [[exportShards]] pick
+    * the shard, and position within the shard is the rank of skey. A doc's
+    * (shard, pos) is a pure function of its id — stateless, repeatable,
+    * engine-independent.
+    *
+    * Scale shape: `ORDER BY rand()` is a full global sort with a
+    * non-reproducible key; this is one hash projection + one shuffle on
+    * shard with a within-shard sort (at scale: repartition on shard +
+    * sortWithinPartitions, each shard streaming to its writer — the
+    * window formulation here is the same plan shape at local shard
+    * counts). Doc payloads move exactly once, to their writer.
+    */
+  def shuffleExport(spark: SparkSession, dir: String): DataFrame = {
+    val skey = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val shard = (conv(substring(col("skey"), 1, 8), 16, 10)
+      .cast("long") % exportShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), skey.as("skey"))
+      .select(col("doc_id"), col("skey"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
   }
 
   /** Benchmark source for [[contamination]] — the held-out slice whose

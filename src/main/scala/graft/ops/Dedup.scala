@@ -351,6 +351,46 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Bucket modulus for [[softDedup]] — 100 buckets like
+    * [[graft.ops.Corpus.hashSample]]'s, so the keep rate quantizes in
+    * whole percent.
+    */
+  val softDedupBuckets = 100
+
+  /** d25: SOFT dedup — duplication-aware DOWNWEIGHTING instead of
+    * removal. Hard dedup (keep one per cluster) treats the duplication
+    * count as noise; recent pipelines instead keep every copy with
+    * sampling probability 1/cluster_size, so each distinct CONTENT
+    * contributes one expected document while surface diversity (which
+    * copy survives) is preserved and no join against a keeper table is
+    * needed at train time.
+    *
+    * The sample is the exact-rational accept test (the c13 pattern):
+    * keep iff `bucket · cluster_size < buckets` over the salted md5
+    * bucket — integers end to end, no float rate, so the decision is
+    * engine-reproducible and a cluster of 1 is always kept (bucket < 100
+    * holds for every bucket).
+    *
+    * Scale shape: [[dupClusters]]' label table (memoized; clustered docs
+    * only — a vanishing fraction of the corpus) broadcast-joins the slim
+    * doc-id projection, and the keep decision is a stateless map-side
+    * filter; the corpus text never shuffles.
+    */
+  def softDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = dupClusters(spark, dir).select(col("doc_id"), col("cluster_size"))
+    val bucket = (conv(substring(md5(concat(lit("soft:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % softDedupBuckets).cast("int")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(sizes), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        bucket.as("bucket"))
+      .withColumn("kept",
+        (col("bucket").cast("long") * col("cluster_size") <
+          lit(softDedupBuckets.toLong)).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d13 anchor geometry: anchors are `anchorTokens`-token windows at
     * EVERY position (positional, duplicates preserved — unlike the
     * distinct shingle set d2 uses), capped at `anchorMaxOcc` total

@@ -186,6 +186,35 @@ object DocumentsStream {
     graft.ops.IncrementalDsir.select(spark, state)
   }
 
+  /** q72: streaming DECONTAMINATION — the c9 registry screening under the
+    * chassis: the benchmark-shingle registry is built ONCE before the
+    * stream starts (the s8 model-freeze contract — a new suite means a
+    * registry append, c10, not an ingest-path rebuild), and every
+    * document micro-batch is screened map-side against the broadcast
+    * registry in its own foreachBatch. Screening is per-doc independent,
+    * so the union of per-batch screens equals the one-shot c3
+    * contamination scan exactly — any micro-batch split, same rows.
+    *
+    * Per-batch output lands in a batch-id-keyed subdir (overwrite), so a
+    * redelivered batch rewrites its own output instead of duplicating —
+    * the d18 exactly-once pattern with the directory as the marker. Per
+    * trigger cost is O(batch) shingling plus a broadcast probe; no stream
+    * store, no shuffle of prior batches.
+    */
+  def runDecontaminationAvailableNow(spark: SparkSession, dir: String,
+      files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val reg = TmpDirs.scratch("graft_q72_registry_").toString
+    graft.ops.Corpus.buildContaminationRegistry(spark, dir, reg)
+    val out = TmpDirs.scratch("graft_q72_out_").toString
+    drainMerges(spark, dir, files, "q72") { (b, id) =>
+      val train = b.where(col("source") =!= graft.ops.Corpus.benchmarkSource)
+      graft.ops.Corpus.contaminationAgainst(b.sparkSession, reg, train)
+        .write.mode("overwrite").parquet(s"$out/b$id")
+    }
+    spark.read.parquet(s"$out/b*").orderBy(col("doc_id"))
+  }
+
   /** q63: streaming SEMANTIC dedup — d23's frozen-model merge under the
     * chassis: embeddings arrive in micro-batches, each is assigned to the
     * frozen centroid model's cells map-side and merged into one

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup}
+
+/** Round-11 corpus operators: soft dedup (d25), deterministic shuffle
+  * export (c14), streaming decontamination (q72). Each checked against an
+  * independent JVM re-derivation or the already-verified one-shot twin.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  test("d25: accept test matches a JVM md5 re-derivation; sizes match d7") {
+    val rows = Dedup.softDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val d7 = Dedup.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length == nDocs) // every doc decided, clustered or not
+    rows.foreach { case (id, size, bucket, kept) =>
+      assert(size == d7.getOrElse(id, 1L))
+      val b = (java.lang.Long.parseLong(md5hex(s"soft:$id").take(8), 16) % 100).toInt
+      assert(bucket == b)
+      assert(kept == (if (bucket.toLong * size < 100L) 1 else 0))
+      if (size == 1L) assert(kept == 1) // singletons always survive
+    }
+  }
+
+  test("c14: a permutation — every doc once, contiguous pos, derivable order") {
+    val rows = Corpus.shuffleExport(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_._3).distinct.length == nDocs)
+    assert(rows.forall { case (s, _, _) => s >= 0 && s < Corpus.exportShards })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // independent JVM re-derivation of shard and within-shard order
+    rows.groupBy(_._1).foreach { case (shard, g) =>
+      val expected = g.map(_._3).sortBy(id => (md5hex(s"shuf:$id"), id))
+      assert(g.sortBy(_._2).map(_._3).toSeq == expected.toSeq)
+      g.foreach { case (s, _, id) =>
+        val b = java.lang.Long.parseLong(md5hex(s"shuf:$id").take(8), 16) % Corpus.exportShards
+        assert(s == b.toInt)
+      }
+    }
+  }
+
+  test("q72: streaming per-batch screens drain to the one-shot contamination") {
+    val streamed = graft.streaming.DocumentsStream
+      .runDecontaminationAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val oneShot = Corpus.contamination(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == oneShot)
+  }
+}
