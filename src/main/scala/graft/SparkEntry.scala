@@ -157,6 +157,9 @@ object SparkEntry {
     // codebooks, 8-byte codes (32x), ADC lookup-table scoring against
     // the full-precision query.
     "s11_pq_topk" -> ((s: SparkSession, d: String) => Quantization.pqAdcTopK(s, d)),
+    // IVF-PQ: probes bound WHICH vectors a query touches, codes bound
+    // what each costs — the production composed index shape.
+    "s12_ivf_pq" -> ((s: SparkSession, d: String) => Quantization.ivfPqTopK(s, d)),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -1776,6 +1779,61 @@ object SparkEntry {
         |rk AS (SELECT qid, vec_id, approx_cosine,
         |         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id) AS rnk FROM sc2)
         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(approx_cosine, 6) AS approx_cosine
+        |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+    },
+
+    // IVF-PQ: the s3 cell/probe CTEs composed with the s11 encode/ADC
+    // CTEs — candidates restricted to each query's probed cells, scored
+    // by ADC against the codes.
+    "s12_ivf_pq" -> {
+      val m = graft.ops.Quantization.pqSubspaces
+      val kc = graft.ops.Quantization.pqCodes
+      val nq = graft.ops.Quantization.pqQueries
+      val k = graft.ops.Quantization.pqTopK
+      val cells = graft.ops.Similarity.ivfCells
+      val probes = graft.ops.Similarity.ivfProbes
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id < $cells),
+        |a1 AS (SELECT n.vec_id, n.nrm, c.cid,
+        |         list_sum([n.e[i] * c.ce[i] for i in range(1, len(n.e)+1)]) / (n.nrm * c.cn) AS ccos
+        |       FROM n, c),
+        |rkd AS (SELECT vec_id, cid, ccos,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rc
+        |        FROM a1),
+        |cells AS (SELECT vec_id, cid AS cell FROM rkd WHERE rc = 1),
+        |prb AS (SELECT vec_id AS qid, cid AS pcell FROM rkd WHERE vec_id < $nq AND rc <= $probes),
+        |sp AS (SELECT CAST(r.range AS INT) AS s FROM range(0, $m) r),
+        |sub AS (SELECT vec_id, s, e[(s*(len(e)//$m)+1):((s+1)*(len(e)//$m))] AS x FROM v, sp),
+        |cbk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id FROM v WHERE vec_id < $kc),
+        |cbs AS (SELECT cbk.code, sub.s, sub.x AS c,
+        |          list_sum([sub.x[i]*sub.x[i] for i in range(1, len(sub.x)+1)]) AS cc
+        |        FROM cbk JOIN sub ON cbk.vec_id = sub.vec_id),
+        |sco AS (SELECT t.vec_id, t.s, c2.code,
+        |          2*list_sum([t.x[i]*c2.c[i] for i in range(1, len(t.x)+1)]) - c2.cc AS score
+        |        FROM sub t JOIN cbs c2 ON t.s = c2.s),
+        |enc AS (SELECT vec_id, s, code FROM sco
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) = 1),
+        |rn AS (SELECT e2.vec_id, sqrt(list_sum(list(c2.cc ORDER BY e2.s))) AS rn
+        |       FROM enc e2 JOIN cbs c2 ON e2.s = c2.s AND e2.code = c2.code GROUP BY e2.vec_id),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_sum([e[i]*e[i] for i in range(1, len(e)+1)])) AS qn
+        |       FROM v WHERE vec_id < $nq),
+        |cand AS (SELECT p.qid, x.vec_id, x.cell FROM prb p
+        |         JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),
+        |parts AS (SELECT cand.qid, cand.vec_id, cand.cell, q.s,
+        |            list_sum([q.x[i]*c3.c[i] for i in range(1, len(q.x)+1)]) AS part
+        |          FROM cand JOIN sub q ON q.vec_id = cand.qid
+        |          JOIN enc e3 ON e3.vec_id = cand.vec_id AND e3.s = q.s
+        |          JOIN cbs c3 ON c3.s = e3.s AND c3.code = e3.code),
+        |adc AS (SELECT qid, vec_id, any_value(cell) AS cell,
+        |          list_sum(list(part ORDER BY s)) AS adc
+        |        FROM parts GROUP BY qid, vec_id),
+        |sc2 AS (SELECT a.qid, a.vec_id, a.cell, a.adc / (q2.qn * r2.rn) AS approx_cosine
+        |        FROM adc a JOIN qn q2 ON a.qid = q2.qid JOIN rn r2 ON a.vec_id = r2.vec_id
+        |        WHERE q2.qn > 0 AND r2.rn > 0),
+        |rk AS (SELECT qid, vec_id, cell, approx_cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id) AS rnk FROM sc2)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, cell, round(approx_cosine, 6) AS approx_cosine
         |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
     },
 

@@ -149,4 +149,90 @@ object Quantization {
         round(col("approx_cosine"), 6).as("approx_cosine"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** s12: IVF-PQ — the two scale levers COMPOSED, which is the actual
+    * production ANN index shape (FAISS IVF-PQ): the IVF cells bound WHICH
+    * vectors a query touches (probes/cells of the corpus, s3's lever) and
+    * the PQ codes bound what each touched vector COSTS (8 table lookups
+    * over 8 bytes, s11's lever). At 100 TB neither lever suffices alone —
+    * probing 1/8th of 100 TB still reads 12 TB of floats, and ADC over
+    * the whole corpus still scans every row; together the scan is
+    * probes/cells × 8 B/vector.
+    *
+    * One projection over one corpus scan computes cell + codes + norm
+    * (centroids and codebooks are both literal model metadata); the
+    * probe join is broadcast (queries × probe cells); the corpus never
+    * shuffles. Cell semantics are exactly s3's (cosine argmax, ties →
+    * smaller cid, zero-norm → out-of-domain cell −1); code/ADC semantics
+    * are exactly s11's — so the oracle is the composition of the two
+    * already-verified CTE chains.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val subDim = cb.head.head._2.length
+    val cents = Similarity.firstKCentroids(spark, dir)
+
+    // corpus: cell + 8 codes + reconstruction norm, one map-side pass
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val bestC = array_max(array(cents.map { c =>
+      struct((dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))).as("c"),
+        lit(-c._1).as("negcid"))
+    }: _*))
+    val cell = when(isnan(bestC.getField("c")), lit(-1L))
+      .otherwise(-bestC.getField("negcid"))
+    val codeCols = (0 until pqSubspaces).map { s =>
+      val xs = slice(col("e"), s * subDim + 1, subDim)
+      val best = array_max(array(cb(s).map { case (code, sub, cc) =>
+        struct((lit(2.0) * dot(xs, typedlit(sub)) - lit(cc)).as("sc"),
+          lit(-code).as("negcode"))
+      }: _*))
+      (-best.getField("negcode")).as(s"code$s")
+    }
+    val enc0 = v.select(Seq(col("vec_id"), cell.as("cell")) ++ codeCols: _*)
+    val rn2 = (0 until pqSubspaces).map { s =>
+      element_at(typedlit(cb(s).map(_._3).toArray), col(s"code$s").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val enc = enc0.withColumn("rn", sqrt(rn2)).where(col("rn") > 0)
+
+    // queries: ADC luts + their ivfProbes nearest cells
+    val q0 = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("e"))
+      .withColumn("qn", sqrt(dot(col("e"), col("e"))))
+      .where(col("qn") > 0)
+    val lutCols = (0 until pqSubspaces).map { s =>
+      val qs = slice(col("e"), s * subDim + 1, subDim)
+      array(cb(s).map { case (_, sub, _) => dot(qs, typedlit(sub)) }: _*)
+        .as(s"lut$s")
+    }
+    val probeCol = explode(array(cents.map { c =>
+      struct(lit(c._1).as("pcell"),
+        (dot(col("e"), typedlit(c._2)) / (col("qn") * lit(c._3))).as("ccos"))
+    }: _*)).as("pc")
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("pcell"))
+    val probes = q0
+      .select(Seq(col("qid"), col("qn"), probeCol) ++ lutCols: _*)
+      .select(Seq(col("qid"), col("qn"), col("pc.pcell"), col("pc.ccos")) ++
+        (0 until pqSubspaces).map(s => col(s"lut$s")): _*)
+      .withColumn("rc", row_number().over(wq))
+      .where(col("rc") <= Similarity.ivfProbes)
+      .drop("ccos", "rc")
+
+    val adc = (0 until pqSubspaces).map { s =>
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx_cosine").desc, col("vec_id"))
+    enc.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        (adc / (col("qn") * col("rn"))).as("approx_cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("vec_id"),
+        col("cell"), round(col("approx_cosine"), 6).as("approx_cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 }

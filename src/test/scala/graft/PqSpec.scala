@@ -74,6 +74,71 @@ class PqSpec extends SparkSpec {
     assert(got == reference())
   }
 
+  test("s12 IVF-PQ equals the independent re-derivation") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val m = Quantization.pqSubspaces
+    val sd = vecs.head._2.length / m
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val cb = (0 until m).map { s =>
+      vecs.take(Quantization.pqCodes).toIndexedSeq.map(_._2.slice(s * sd, (s + 1) * sd))
+    }
+    val cc = cb.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    val cents = vecs.take(graft.ops.Similarity.ivfCells)
+      .map { case (cid, e) => (cid, e, nrm(e)) }
+    // cell assignment: argmax centroid cosine, ties -> smaller cid
+    def cellOf(e: Array[Double]): Long = {
+      val n = nrm(e)
+      if (n == 0) -1L
+      else cents.map { case (cid, ce, cn) => (dot(e, ce) / (n * cn), cid) }
+        .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
+    }
+    val codes = vecs.map { case (id, e) =>
+      id -> (0 until m).map { s =>
+        val xs = e.slice(s * sd, (s + 1) * sd)
+        (0 until Quantization.pqCodes)
+          .map(c => (2.0 * dot(xs, cb(s)(c)) - cc(s)(c), c))
+          .reduceLeft((a, b) => if (b._1 > a._1) b else a)._2
+      }
+    }.toMap
+    val rn = codes.map { case (id, cs) =>
+      id -> math.sqrt((0 until m).map(s => cc(s)(cs(s))).reduceLeft(_ + _))
+    }
+    val cellMap = vecs.map { case (id, e) => id -> cellOf(e) }.toMap
+    val expected = vecs.filter(_._1 < Quantization.pqQueries)
+      .map { case (id, e) => (id, e, nrm(e)) }.filter(_._3 > 0)
+      .flatMap { case (qid, qe, qn) =>
+        val probed = cents.map { case (cid, ce, cn) => (dot(qe, ce) / (qn * cn), cid) }
+          .sortBy { case (c, cid) => (-c, cid) }
+          .take(graft.ops.Similarity.ivfProbes).map(_._2).toSet
+        vecs.filter { case (id, _) =>
+          id != qid && probed.contains(cellMap(id)) && rn(id) > 0 }
+          .map { case (id, _) =>
+            val adc = (0 until m)
+              .map(s => dot(qe.slice(s * sd, (s + 1) * sd), cb(s)(codes(id)(s))))
+              .reduceLeft(_ + _)
+            (id, cellMap(id), adc / (qn * rn(id)))
+          }
+          .sortBy { case (id, _, c) => (-c, id) }
+          .take(Quantization.pqTopK).zipWithIndex
+          .map { case ((id, cell, c), i) =>
+            (qid, i + 1, id, cell,
+              BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Quantization.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+  }
+
   test("codes are 4-bit and the encoded table is slim") {
     val cb = Quantization.pqCodebooks(spark, dir)
     val enc = Quantization.encode(spark, dir, cb)
