@@ -368,6 +368,10 @@ object SparkEntry {
     // Tokenizer fertility audit over the learned BPE: per-language
     // tokens/word and chars/token — the multilingual quality report.
     "t20_bpe_fertility" -> ((s: SparkSession, d: String) => TextAnalysis.bpeFertility(s, d)),
+    // Text normalization audit: NFC compose (native codegen expression) +
+    // control/format strip + whitespace collapse; Unicode gauntlet rides
+    // along since the synthetic corpus is ASCII.
+    "t21_normalize_audit" -> ((s: SparkSession, d: String) => TextAnalysis.normalizeAudit(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // Deterministic global shuffle + shard assignment: one salted md5
@@ -2290,6 +2294,31 @@ object SparkEntry {
         |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
         |FROM lt JOIN ch ON lt.lang = ch.lang
         |ORDER BY lt.lang""".stripMargin
+    },
+
+    // Normalization audit: DuckDB's nfc_normalize is the NFC twin; the
+    // regex strip/collapse runs the SAME patterns (RE2 and Java agree on
+    // \p{Cc}/\p{Cf} and ASCII-only \s — the gauntlet pins it). Gauntlet
+    // strings are chr()-built from the shared normGauntlet table so both
+    // engines see byte-identical inputs.
+    "t21_normalize_audit" -> {
+      val rows = graft.ops.TextAnalysis.normGauntlet
+        .map { case (id, _, sql) => s"(CAST($id AS BIGINT), $sql)" }
+        .mkString(", ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES $rows) g(doc_id, text)),
+        |n AS (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |          '[\\p{Cc}\\p{Cf}]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+        |      FROM corpus)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed,
+        |  CAST(length(text) AS INT) AS n_raw,
+        |  CAST(length(norm) AS INT) AS n_norm,
+        |  sha256(norm) AS sha
+        |FROM n ORDER BY doc_id""".stripMargin
     },
 
     // Left-outer interval join replay: matched rows are the plain interval

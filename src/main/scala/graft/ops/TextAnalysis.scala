@@ -762,4 +762,57 @@ object TextAnalysis {
     val feats = qualityFeatures(Tables.documents(spark, dir)).persist()
     nbClassify(feats, nbCounts(feats))
   }
+
+  /** t21 gauntlet: Unicode edge cases the corpus (ASCII by construction)
+    * cannot exercise, with each string expressed twice — once as the Scala
+    * literal the Spark side unions in, once as the `chr()`-built SQL
+    * expression the DuckDB oracle interpolates. Negative ids keep them
+    * disjoint from real documents. Cases: canonical composition (combining
+    * acute, ring, Hangul jamo), control/format stripping (tab, VT, BEL,
+    * ZWJ, zero-width space), NBSP retention (\\s is ASCII-only in BOTH
+    * regex engines — pinned, not accidental), whitespace collapse, and an
+    * already-clean identity row.
+    */
+  val normGauntlet: Seq[(Long, String, String)] = Seq(
+    (-1L, "café menu", "'cafe' || chr(769) || ' menu'"),
+    (-2L, "Åland islands", "'A' || chr(778) || 'land islands'"),
+    (-3L, "가 hangul jamo", "chr(4352) || chr(4449) || ' hangul jamo'"),
+    (-4L, "tab\tandbellend", "'tab' || chr(9) || 'and' || chr(11) || 'bell' || chr(7) || 'end'"),
+    (-5L, "a b stays nbsp", "'a' || chr(160) || 'b stays nbsp'"),
+    (-6L, "  double  spaced  words  ", "'  double  spaced  words  '"),
+    (-7L, "zero‍width​join", "'zero' || chr(8205) || 'width' || chr(8203) || 'join'"),
+    (-8L, "plain ascii already clean", "'plain ascii already clean'"))
+
+  /** t21: TEXT NORMALIZATION audit — the cleaning stage every hash-based
+    * operator upstream depends on: NFC canonical composition (the native
+    * [[graft.exprs.NfcNormalize]] codegen expression), control/format
+    * character stripping, whitespace collapse, trim. Un-normalized text
+    * silently under-dedups (e+◌́ and é shingle differently), so this runs
+    * BEFORE fingerprints/minhash in a real pipeline.
+    *
+    * Emits per doc: changed flag, raw/normalized char counts, and the
+    * sha256 of the normalized text (the content key d1-style exact dedup
+    * would use downstream). Pure map-side projection — one corpus scan,
+    * no shuffle, no UDF. The [[normGauntlet]] rows ride along because the
+    * synthetic corpus is ASCII: they make the oracle comparison exercise
+    * real composition/stripping, not just the identity path.
+    */
+  def normalizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gauntlet = normGauntlet.map { case (id, s, _) => (id, s) }
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(gauntlet)
+    val norm = trim(regexp_replace(regexp_replace(
+      call_function("nfc_normalize", col("text")),
+      "[\\p{Cc}\\p{Cf}]", ""), "\\s+", " "))
+    corpus
+      .select(col("doc_id"), col("text"), norm.as("norm"))
+      .select(col("doc_id"),
+        (col("norm") =!= col("text")).cast("int").as("changed"),
+        length(col("text")).as("n_raw"),
+        length(col("norm")).as("n_norm"),
+        sha2(col("norm"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+  }
 }

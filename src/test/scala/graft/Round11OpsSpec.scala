@@ -55,6 +55,36 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("t21: gauntlet rows normalize as Unicode says they must") {
+    val rows = graft.ops.TextAnalysis.normalizeAudit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // -1: e + combining acute composes to é: one char shorter, changed
+    assert(rows(-1L) == ((1, 10, 9, sha("café menu"))))
+    // -2: A + combining ring -> Å
+    assert(rows(-2L) == ((1, 14, 13, sha("Åland islands"))))
+    // -3: Hangul jamo pair composes to one syllable
+    assert(rows(-3L) == ((1, 14, 13, sha("가 hangul jamo"))))
+    // -4: tab, VT, BEL are all Cc -> stripped
+    assert(rows(-4L) == ((1, 16, 13, sha("tabandbellend"))))
+    // -5: NBSP is Zs, not Cc/Cf/\s -> untouched
+    assert(rows(-5L)._1 == 0)
+    // -6: collapse + trim
+    assert(rows(-6L) == ((1, 25, 19, sha("double spaced words"))))
+    // -7: ZWJ and ZWSP are Cf -> stripped
+    assert(rows(-7L) == ((1, 15, 13, sha("zerowidthjoin"))))
+    // -8: identity
+    assert(rows(-8L)._1 == 0)
+    // the ASCII corpus is already normal: every real doc unchanged
+    assert(rows.filter(_._1 >= 0).values.forall(_._1 == 0))
+    // expression fast path: already-NFC input returns the SAME string
+    val direct = graft.exprs.NfcNormalize.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain"))
+    assert(direct.toString == "plain")
+  }
+
   test("q72: streaming per-batch screens drain to the one-shot contamination") {
     val streamed = graft.streaming.DocumentsStream
       .runDecontaminationAvailableNow(spark, sf0001).collect()
