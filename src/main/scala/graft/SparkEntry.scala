@@ -40,6 +40,14 @@ object SparkEntry {
     s7ModelDirs.computeIfAbsent((s, d), _ =>
       graft.util.TmpDirs.scratch("graft_s7_model_").toString)
 
+  /** s13's PQ codebook dir, same lifecycle as [[s7ModelDirs]]. */
+  private val s13ModelDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  private def s13ModelDir(s: SparkSession, d: String): String =
+    s13ModelDirs.computeIfAbsent((s, d), _ =>
+      graft.util.TmpDirs.scratch("graft_s13_model_").toString)
+
   /** t16's BPE model dir, same lifecycle as [[s7ModelDirs]]. */
   private val t16ModelDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -160,6 +168,11 @@ object SparkEntry {
     // IVF-PQ: probes bound WHICH vectors a query touches, codes bound
     // what each costs — the production composed index shape.
     "s12_ivf_pq" -> ((s: SparkSession, d: String) => Quantization.ivfPqTopK(s, d)),
+    // Persisted PQ codebooks (model registry): derive+write once per
+    // (session, input), reload as a parquet scan — must equal deriving
+    // fresh exactly (s11's oracle; the s7 freeze contract for PQ).
+    "s13_pq_persisted" -> ((s: SparkSession, d: String) =>
+      Quantization.pqAdcTopKPersisted(s, d, s13ModelDir(s, d))),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -277,6 +290,11 @@ object SparkEntry {
     // screened map-side in foreachBatch; union == one-shot c3.
     "q72_stream_decontamination" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runDecontaminationAvailableNow(s, d)),
+    // Streaming soft dedup: micro-batches merge into the d12 state, the
+    // d25 accept test reads the drained cluster sizes — live
+    // duplication-aware sampling weights at O(batch) per trigger.
+    "q73_stream_soft_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runSoftDedupAvailableNow(s, d)),
     "q62_stream_importance" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runDsirSelectAvailableNow(s, d)),
     "t7_pii_redact" -> ((s: SparkSession, d: String) => TextAnalysis.redactPii(s, d)),
@@ -657,6 +675,10 @@ object SparkEntry {
       ("c10_registry_append" -> m("c3_contamination")) +
       // streaming per-batch screens unioned == one-shot contamination
       ("q72_stream_decontamination" -> m("c3_contamination")) +
+      // drained d12 state sizes + d25 accept test == one-shot soft dedup
+      ("q73_stream_soft_dedup" -> m("d25_soft_dedup")) +
+      // persisted PQ codebooks reload bit-identically == deriving fresh
+      ("s13_pq_persisted" -> m("s11_pq_topk")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph

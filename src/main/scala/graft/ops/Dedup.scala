@@ -376,8 +376,18 @@ object Dedup {
     * doc-id projection, and the keep decision is a stateless map-side
     * filter; the corpus text never shuffles.
     */
-  def softDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = dupClusters(spark, dir).select(col("doc_id"), col("cluster_size"))
+  def softDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupOf(spark, dir,
+      dupClusters(spark, dir).select(col("doc_id"), col("cluster_size")))
+
+  /** Pure form: the d25 accept test over an ALREADY-COMPUTED cluster-size
+    * table (doc_id, cluster_size) — one-shot (d25) and streaming-state
+    * (q73) label sources share it, so soft dedup over a drained
+    * incremental state equals the one-shot by construction once the
+    * labelings agree (which the d12/q54 parity specs already pin).
+    */
+  private[graft] def softDedupOf(spark: SparkSession, dir: String,
+      sizes: DataFrame): DataFrame = {
     val bucket = (conv(substring(md5(concat(lit("soft:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % softDedupBuckets).cast("int")
     Tables.documents(spark, dir).select(col("doc_id"))

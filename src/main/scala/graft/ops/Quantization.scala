@@ -118,8 +118,11 @@ object Quantization {
     * of 256-byte vectors.
     */
   def pqAdcTopK(spark: SparkSession, dir: String,
-      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
-    val cb = pqCodebooks(spark, dir)
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame =
+    pqAdcTopKWith(spark, dir, pqCodebooks(spark, dir), nQueries, k)
+
+  private def pqAdcTopKWith(spark: SparkSession, dir: String,
+      cb: IndexedSeq[IndexedSeq[PqEntry]], nQueries: Int, k: Int): DataFrame = {
     val subDim = cb.head.head._2.length
     val enc = encode(spark, dir, cb).where(col("rn") > 0)
 
@@ -149,6 +152,43 @@ object Quantization {
         round(col("approx_cosine"), 6).as("approx_cosine"))
       .orderBy(col("qid"), col("rnk"))
   }
+
+  /** s13: PERSISTED PQ codebooks — the model-registry shape for the PQ
+    * artifact (the s7/t16 pattern): derive once, write the per-subspace
+    * entries to a parquet model dir, and every later run reloads them as
+    * a plain scan — no corpus pass. Parquet stores doubles losslessly, so
+    * the reloaded codebooks (and therefore codes, reconstruction norms,
+    * and ADC scores) are bit-identical to deriving fresh — s13 shares
+    * s11's oracle. Operationally this is the contract that matters for
+    * PQ: codes persisted with the corpus are only decodable against THE
+    * codebook that produced them, so the codebook must be a durable
+    * artifact with the same freeze semantics as the IVF model (retrain =
+    * re-encode, a scheduled rebuild, never an ingest-path event).
+    */
+  def persistedPqCodebooks(spark: SparkSession, dir: String,
+      modelDir: String): IndexedSeq[IndexedSeq[PqEntry]] = {
+    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      import spark.implicits._
+      pqCodebooks(spark, dir).zipWithIndex
+        .flatMap { case (entries, s) =>
+          entries.map { case (code, sub, cc) => (s, code, sub.toSeq, cc) }
+        }
+        .toDF("s", "code", "sub", "cc")
+        .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    }
+    val rows = spark.read.parquet(modelDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, es) =>
+        es.sortBy(_._2).map { case (_, code, sub, cc) => (code, sub, cc) }.toIndexedSeq
+      }
+  }
+
+  def pqAdcTopKPersisted(spark: SparkSession, dir: String, modelDir: String,
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame =
+    pqAdcTopKWith(spark, dir, persistedPqCodebooks(spark, dir, modelDir), nQueries, k)
 
   /** s12: IVF-PQ — the two scale levers COMPOSED, which is the actual
     * production ANN index shape (FAISS IVF-PQ): the IVF cells bound WHICH

@@ -186,6 +186,30 @@ object DocumentsStream {
     graft.ops.IncrementalDsir.select(spark, state)
   }
 
+  /** q73: streaming SOFT DEDUP — the d25 downweighting fed by LIVE
+    * clustering state: document micro-batches merge into the d12
+    * generational SimHash state (exactly q54's ingest path), and the
+    * serve-time read applies the d25 integer accept test over the
+    * drained state's cluster sizes. Because the incremental labeling
+    * equals the one-shot d7 labeling for any split (the q54 parity
+    * contract) and the accept test is a pure function of (doc_id,
+    * cluster_size), the sampled corpus equals one-shot d25 exactly —
+    * which is the operational point: a continuously-ingesting pipeline
+    * can keep duplication-aware sampling weights current at O(batch)
+    * cost per trigger, and re-draw the training sample at any moment
+    * without re-clustering.
+    */
+  def runSoftDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q73_state_").toString)
+    drainMerges(spark, dir, files, "q73")((b, _) =>
+      IncrementalDedup.merge(b.sparkSession, state, b))
+    graft.ops.Dedup.softDedupOf(spark, dir,
+      IncrementalDedup.clusters(spark, state)
+        .select(col("doc_id"), col("cluster_size")))
+  }
+
   /** q72: streaming DECONTAMINATION — the c9 registry screening under the
     * chassis: the benchmark-shingle registry is built ONCE before the
     * stream starts (the s8 model-freeze contract — a new suite means a

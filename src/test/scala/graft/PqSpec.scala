@@ -159,4 +159,58 @@ class PqSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin") ||
       plan.toString.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("s13: persisted codebooks reload bit-identically and never re-derive") {
+    val model = graft.util.TmpDirs.scratch("graft_pq_model_spec_").toString
+    val fresh = Quantization.pqAdcTopK(spark, dir).collect().toSeq
+    val first = Quantization.pqAdcTopKPersisted(spark, dir, model).collect().toSeq
+    assert(first == fresh)
+    // reload against a nonexistent corpus path: the registry alone must
+    // carry the model (would throw if the codebooks were re-derived)
+    def flat(c: IndexedSeq[IndexedSeq[Quantization.PqEntry]]) =
+      c.map(_.map { case (code, sub, cc) => (code, sub.toSeq, cc) })
+    val cb = Quantization.persistedPqCodebooks(spark, "/nonexistent/corpus", model)
+    assert(flat(cb) == flat(Quantization.pqCodebooks(spark, dir)))
+  }
+
+  test("s12: the corpus is never shuffled with its payload") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ReusedExchangeExec, ShuffleExchangeExec}
+    def exchanges(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p match {
+        case e: Exchange => Seq(e)
+        case r: ReusedExchangeExec => Seq(r)
+        case _ => Nil
+      }) ++ kids.flatMap(exchanges)
+    }
+    val df = Quantization.ivfPqTopK(spark, dir)
+    df.collect() // materialize so AQE finalizes the stages
+    val ex = exchanges(df.queryExecution.executedPlan)
+    // exactly one broadcast (the probe/lut query side); any shuffle may
+    // carry only the top-k candidate projection (qid, vec_id, cell,
+    // approx_cosine for the rank window) — never the embedding payload
+    assert(ex.exists {
+      case _: BroadcastExchangeExec => true
+      case r: ReusedExchangeExec => r.child.isInstanceOf[BroadcastExchangeExec]
+      case _ => false
+    }, s"expected a broadcast of the query side:\n$ex")
+    val shuffles = ex.collect { case s: ShuffleExchangeExec => s }
+    shuffles.foreach { s =>
+      val cols = s.output.map(_.name.toLowerCase)
+      // no shuffle may carry the CORPUS vector payload; lut columns may
+      // cross only inside the query-side probe ranking (queries × cells
+      // rows — model-sized), recognizable by its pcell/ccos columns
+      assert(!cols.exists(c => c == "embedding" || c == "e"),
+        s"corpus vector payload crossed a shuffle: $cols")
+      if (cols.exists(_.startsWith("lut")))
+        assert(cols.contains("pcell"),
+          s"lut payload crossed a non-probe shuffle: $cols")
+    }
+  }
 }

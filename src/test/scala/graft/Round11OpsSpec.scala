@@ -85,6 +85,15 @@ class Round11OpsSpec extends SparkSpec {
     assert(direct.toString == "plain")
   }
 
+  test("q73: streaming soft dedup equals the one-shot d25") {
+    val streamed = graft.streaming.DocumentsStream
+      .runSoftDedupAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val oneShot = Dedup.softDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(streamed == oneShot)
+  }
+
   test("q72: streaming per-batch screens drain to the one-shot contamination") {
     val streamed = graft.streaming.DocumentsStream
       .runDecontaminationAvailableNow(spark, sf0001).collect()
