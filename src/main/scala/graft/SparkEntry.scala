@@ -48,6 +48,14 @@ object SparkEntry {
     s13ModelDirs.computeIfAbsent((s, d), _ =>
       graft.util.TmpDirs.scratch("graft_s13_model_").toString)
 
+  /** s15's frozen reference-vector dir, same lifecycle as [[s7ModelDirs]]. */
+  private val s15ModelDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]
+
+  private def s15ModelDir(s: SparkSession, d: String): String =
+    s15ModelDirs.computeIfAbsent((s, d), _ =>
+      graft.util.TmpDirs.scratch("graft_s15_model_").toString)
+
   /** t16's BPE model dir, same lifecycle as [[s7ModelDirs]]. */
   private val t16ModelDirs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]
@@ -173,6 +181,28 @@ object SparkEntry {
     // fresh exactly (s11's oracle; the s7 freeze contract for PQ).
     "s13_pq_persisted" -> ((s: SparkSession, d: String) =>
       Quantization.pqAdcTopKPersisted(s, d, s13ModelDir(s, d))),
+    // PQ quality monitoring: recall@k of the ADC top-k vs the exact
+    // brute force — the number that prices a PQ bit budget.
+    "s14_pq_recall_audit" -> ((s: SparkSession, d: String) =>
+      Quantization.pqRecallAudit(s, d)),
+    // Streaming IVF-PQ ingest: the s15 encode-and-append per micro-batch;
+    // drained index == one-shot s12.
+    "q74_stream_ivfpq_ingest" -> ((s: SparkSession, d: String) => {
+      val model = s15ModelDir(s, d)
+      graft.ops.IncrementalIvfPq.persistedRefVectors(s, d, model)
+      graft.streaming.DocumentsStream.runIvfPqIngestAvailableNow(s, d, model)
+    }),
+    // Incremental IVF-PQ: batches encoded map-side against the frozen
+    // model into write-only 8-byte code generations; union query == s12.
+    "s15_ivfpq_incremental" -> ((s: SparkSession, d: String) => {
+      val model = s15ModelDir(s, d)
+      graft.ops.IncrementalIvfPq.persistedRefVectors(s, d, model)
+      val state = graft.util.TmpDirs.scratch("graft_s15_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      (0 until 3).foreach(r => graft.ops.IncrementalIvfPq.merge(s, state, model,
+        vecs.where(pmod(col("vec_id"), lit(3)) === r)))
+      graft.ops.IncrementalIvfPq.annTopK(s, d, state, model)
+    }),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -679,6 +709,10 @@ object SparkEntry {
       ("q73_stream_soft_dedup" -> m("d25_soft_dedup")) +
       // persisted PQ codebooks reload bit-identically == deriving fresh
       ("s13_pq_persisted" -> m("s11_pq_topk")) +
+      // frozen-model batch encodings unioned == one-shot s12 encoding
+      ("s15_ivfpq_incremental" -> m("s12_ivf_pq")) +
+      // and its streaming drain: == the same one-shot s12
+      ("q74_stream_ivfpq_ingest" -> m("s12_ivf_pq")) +
       // stream-vs-batch parity: micro-batch-merged state == one-shot d7
       ("q54_stream_incremental_dedup" -> m("d7_dup_clusters")) +
       // same parity for the MinHash modality: == CC over the d3 graph
@@ -1806,6 +1840,56 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id) AS rnk FROM sc2)
         |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, round(approx_cosine, 6) AS approx_cosine
         |FROM rk WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+    },
+
+    // PQ recall audit: the s1 exact-top-k CTEs and the s11 encode/ADC
+    // CTEs composed (s10's shape on the quantization axis), one left
+    // join on (query, neighbor), per-query hit count / recall.
+    "s14_pq_recall_audit" -> {
+      val m = graft.ops.Quantization.pqSubspaces
+      val kc = graft.ops.Quantization.pqCodes
+      val nq = graft.ops.Quantization.pqQueries
+      val k = graft.ops.Quantization.pqTopK
+      s"""WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings),
+        |n0 AS (SELECT vec_id, e, sqrt(list_sum([e[i] * e[i] for i in range(1, len(e)+1)])) AS nrm FROM v),
+        |nex AS (SELECT * FROM n0 WHERE nrm > 0),
+        |ep AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |        list_sum([q.e[i] * c.e[i] for i in range(1, len(q.e)+1)]) / (q.nrm * c.nrm) AS cosine
+        |      FROM nex q, nex c WHERE q.vec_id < $nq AND c.vec_id <> q.vec_id),
+        |er AS (SELECT qid, vec_id,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM ep),
+        |ex AS (SELECT qid, vec_id FROM er WHERE rnk <= $k),
+        |sp AS (SELECT CAST(r.range AS INT) AS s FROM range(0, $m) r),
+        |sub AS (SELECT vec_id, s, e[(s*(len(e)//$m)+1):((s+1)*(len(e)//$m))] AS x FROM v, sp),
+        |cbk AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, vec_id FROM v WHERE vec_id < $kc),
+        |cbs AS (SELECT cbk.code, sub.s, sub.x AS c,
+        |          list_sum([sub.x[i]*sub.x[i] for i in range(1, len(sub.x)+1)]) AS cc
+        |        FROM cbk JOIN sub ON cbk.vec_id = sub.vec_id),
+        |sco AS (SELECT t.vec_id, t.s, c2.code,
+        |          2*list_sum([t.x[i]*c2.c[i] for i in range(1, len(t.x)+1)]) - c2.cc AS score
+        |        FROM sub t JOIN cbs c2 ON t.s = c2.s),
+        |enc AS (SELECT vec_id, s, code FROM sco
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, code) = 1),
+        |rn AS (SELECT e2.vec_id, sqrt(list_sum(list(c2.cc ORDER BY e2.s))) AS rn
+        |       FROM enc e2 JOIN cbs c2 ON e2.s = c2.s AND e2.code = c2.code GROUP BY e2.vec_id),
+        |qn AS (SELECT vec_id AS qid, sqrt(list_sum([e[i]*e[i] for i in range(1, len(e)+1)])) AS qn
+        |       FROM v WHERE vec_id < $nq),
+        |parts AS (SELECT q.vec_id AS qid, e3.vec_id AS vec_id, q.s,
+        |            list_sum([q.x[i]*c3.c[i] for i in range(1, len(q.x)+1)]) AS part
+        |          FROM sub q JOIN enc e3 ON q.vec_id < $nq AND e3.vec_id <> q.vec_id AND e3.s = q.s
+        |          JOIN cbs c3 ON c3.s = e3.s AND c3.code = e3.code),
+        |adcq AS (SELECT qid, vec_id, list_sum(list(part ORDER BY s)) AS adc FROM parts GROUP BY qid, vec_id),
+        |sc2 AS (SELECT a.qid, a.vec_id, a.adc / (q2.qn * r2.rn) AS approx_cosine
+        |        FROM adcq a JOIN qn q2 ON a.qid = q2.qid JOIN rn r2 ON a.vec_id = r2.vec_id
+        |        WHERE q2.qn > 0 AND r2.rn > 0),
+        |rk2 AS (SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id) AS rnk FROM sc2),
+        |ap AS (SELECT qid, vec_id FROM rk2 WHERE rnk <= $k)
+        |SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall
+        |FROM ex e LEFT JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
     },
 
     // IVF-PQ: the s3 cell/probe CTEs composed with the s11 encode/ADC

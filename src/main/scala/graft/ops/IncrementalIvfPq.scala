@@ -1,0 +1,162 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** s15: INCREMENTAL IVF-PQ ingest — the FAISS add()/search() loop under
+  * the GenState protocol: the model (reference vectors, from which both
+  * the IVF centroids and the PQ codebooks derive) is FROZEN in a registry,
+  * and each ingest batch is encoded map-side — cell + 8 codes +
+  * reconstruction norm, ONE projection — into a write-only `vN/codes`
+  * generation. Queries arrive full-precision (ADC is asymmetric by
+  * design) and run s12's probe-and-ADC top-k over the union of live
+  * generations.
+  *
+  * This closes the quantization family the way s8 closed IVF: the
+  * serving index a deployment actually accumulates holds 8-BYTE code
+  * rows, never vectors — so the ingested state for a 100 TB embedding
+  * stream is ~3 TB, and ingest cost is one compiled pass over the batch
+  * plus one slim parquet append. Nothing ever reads prior state at
+  * ingest; read amplification at query time is O(live generations),
+  * bounded the LSM way by [[compact]].
+  *
+  * Exactness: (cell, codes, rn) are pure functions of (vector, frozen
+  * model), so the union of per-batch encodings IS the one-shot s12
+  * encoding table for ANY batch split — s15 shares s12's oracle. The
+  * `_CONFIG` fingerprint (md5 of the reference-vector rendering) refuses
+  * a merge against a different model: PQ codes are only decodable
+  * against the codebook that produced them, so mixing regimes would
+  * corrupt every downstream ADC score silently.
+  */
+object IncrementalIvfPq {
+
+  private val commitTable = "codes"
+
+  private def codesPath(stateDir: String, v: Int) = s"$stateDir/v$v/codes"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir, commitTable)
+
+  /** The frozen reference vectors — the ONE persisted artifact both model
+    * halves derive from: IVF centroids are the vectors themselves
+    * ([[Similarity.firstKCentroids]] semantics) and PQ codebooks are
+    * their subvector slices ([[Quantization.pqCodebooks]] semantics,
+    * bit-identical because parquet stores the doubles losslessly).
+    */
+  def persistedRefVectors(spark: SparkSession, dir: String,
+      modelDir: String): Seq[Similarity.Centroid] = {
+    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      import spark.implicits._
+      Similarity.firstKCentroids(spark, dir, Quantization.pqCodes)
+        .map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+        .toDF("cid", "ce", "cn")
+        .coalesce(1).write.mode("overwrite").parquet(modelDir)
+    }
+    loadRefVectors(spark, modelDir)
+  }
+
+  /** Load the frozen model (must exist — ingest and query never derive). */
+  def loadRefVectors(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] = {
+    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"IncrementalIvfPq: no frozen model at $modelDir — persist via " +
+        "persistedRefVectors first; ingest never derives")
+    spark.read.parquet(modelDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** PQ codebooks derived from the frozen reference vectors — the same
+    * slicing and ascending-fold ‖c‖² as [[Quantization.pqCodebooks]].
+    */
+  def codebooksOf(refs: Seq[Similarity.Centroid]): IndexedSeq[IndexedSeq[Quantization.PqEntry]] = {
+    val rows = refs.sortBy(_._1).map(_._2).toIndexedSeq
+    val dim = rows.head.length
+    val subDim = dim / Quantization.pqSubspaces
+    (0 until Quantization.pqSubspaces).map { s =>
+      rows.zipWithIndex.map { case (e, code) =>
+        val sub = e.slice(s * subDim, (s + 1) * subDim)
+        val cc = sub.foldLeft(0.0)((a, x) => a + x * x)
+        (code, sub, cc)
+      }
+    }
+  }
+
+  private def fingerprint(refs: Seq[Similarity.Centroid]): String = {
+    val rendered = refs.sortBy(_._1)
+      .map { case (cid, e, n) => s"$cid:${e.mkString(",")}:$n" }.mkString(";")
+    MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Ingest `newVecs` (a (vec_id, embedding) projection, vec_ids disjoint
+    * from prior ingests): encode the batch against the frozen model and
+    * append one codes generation. Write-only — no prior state read, no
+    * vector stored.
+    */
+  def merge(spark: SparkSession, stateDir: String, modelDir: String,
+      newVecs: DataFrame): Int = {
+    val refs = loadRefVectors(spark, modelDir)
+    val cb = codebooksOf(refs)
+    GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(refs)))
+    val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
+    newVecs
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
+      .select(Seq(col("vec_id"), Quantization.cellCol(refs).as("cell")) ++
+        Quantization.codeColsOf(cb): _*)
+      .withColumn("rn", Quantization.rnCol(cb))
+      .write.mode("overwrite").parquet(codesPath(stateDir, next))
+    next
+  }
+
+  /** The s12-shaped per-query top-k over the union of live code
+    * generations: queries come full-precision from the corpus at `dir`
+    * (the asymmetric half); candidates are ONLY what has been ingested.
+    */
+  def annTopK(spark: SparkSession, dir: String, stateDir: String,
+      modelDir: String, nQueries: Int = Quantization.pqQueries,
+      k: Int = Quantization.pqTopK): DataFrame = {
+    val refs = loadRefVectors(spark, modelDir)
+    val cb = codebooksOf(refs)
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvfPq.annTopK: no state at $stateDir")
+    val enc = versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
+      .reduce(_ unionByName _)
+      .where(col("rn") > 0)
+    Quantization.ivfPqTopKFrom(spark, dir, cb, refs, enc, nQueries, k)
+  }
+
+  /** Fold the live generations into one (GenState manifest protocol —
+    * crash-idempotent, leftovers swept). Codes are immutable pure
+    * functions of the frozen model, so compaction is a plain union
+    * rewrite — no re-encoding, no vector reads.
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvfPq.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(codesPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

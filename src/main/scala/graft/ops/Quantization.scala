@@ -153,6 +153,31 @@ object Quantization {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** s14: PQ RECALL AUDIT — recall@k of the ADC top-k (s11) against the
+    * exact brute force (s1), per query: s10's monitoring pattern applied
+    * to the quantization axis. This is THE number that prices a PQ bit
+    * budget — 8 subspaces × 4 bits trades recall for 32× compression, and
+    * whether that trade holds on YOUR embedding distribution (not the
+    * paper's) is exactly what this query measures. Reuses the two
+    * oracle-verified operators verbatim; one slim (query, neighbor) left
+    * join + per-query count.
+    */
+  def pqRecallAudit(spark: SparkSession, dir: String,
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
+    val exact = Similarity.cosineTopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = pqAdcTopK(spark, dir, nQueries, k)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("avid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** s13: PERSISTED PQ codebooks — the model-registry shape for the PQ
     * artifact (the s7/t16 pattern): derive once, write the per-subspace
     * entries to a parquet model dir, and every later run reloads them as
@@ -207,23 +232,23 @@ object Quantization {
     * are exactly s11's — so the oracle is the composition of the two
     * already-verified CTE chains.
     */
-  def ivfPqTopK(spark: SparkSession, dir: String,
-      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
-    val cb = pqCodebooks(spark, dir)
-    val subDim = cb.head.head._2.length
-    val cents = Similarity.firstKCentroids(spark, dir)
-
-    // corpus: cell + 8 codes + reconstruction norm, one map-side pass
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+  /** IVF cell of the `e`/`nrm` columns under literal `cents` — s3's exact
+    * assignment semantics (cosine argmax, ties → smaller cid, zero-norm →
+    * out-of-domain cell −1).
+    */
+  private[ops] def cellCol(cents: Seq[Similarity.Centroid]): Column = {
     val bestC = array_max(array(cents.map { c =>
       struct((dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))).as("c"),
         lit(-c._1).as("negcid"))
     }: _*))
-    val cell = when(isnan(bestC.getField("c")), lit(-1L))
+    when(isnan(bestC.getField("c")), lit(-1L))
       .otherwise(-bestC.getField("negcid"))
-    val codeCols = (0 until pqSubspaces).map { s =>
+  }
+
+  /** The per-subspace code columns (`code0..codeM`) of the `e` column. */
+  private[ops] def codeColsOf(cb: IndexedSeq[IndexedSeq[PqEntry]]): Seq[Column] = {
+    val subDim = cb.head.head._2.length
+    (0 until pqSubspaces).map { s =>
       val xs = slice(col("e"), s * subDim + 1, subDim)
       val best = array_max(array(cb(s).map { case (code, sub, cc) =>
         struct((lit(2.0) * dot(xs, typedlit(sub)) - lit(cc)).as("sc"),
@@ -231,11 +256,37 @@ object Quantization {
       }: _*))
       (-best.getField("negcode")).as(s"code$s")
     }
-    val enc0 = v.select(Seq(col("vec_id"), cell.as("cell")) ++ codeCols: _*)
-    val rn2 = (0 until pqSubspaces).map { s =>
+  }
+
+  /** Reconstruction norm √Σ_s ‖c_{s,code_s}‖² from the code columns. */
+  private[ops] def rnCol(cb: IndexedSeq[IndexedSeq[PqEntry]]): Column =
+    sqrt((0 until pqSubspaces).map { s =>
       element_at(typedlit(cb(s).map(_._3).toArray), col(s"code$s").cast("int") + 1)
-    }.reduceLeft(_ + _)
-    val enc = enc0.withColumn("rn", sqrt(rn2)).where(col("rn") > 0)
+    }.reduceLeft(_ + _))
+
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
+    val cb = pqCodebooks(spark, dir)
+    val cents = Similarity.firstKCentroids(spark, dir)
+    // corpus: cell + 8 codes + reconstruction norm, one map-side pass
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val enc = v.select(Seq(col("vec_id"), cellCol(cents).as("cell")) ++ codeColsOf(cb): _*)
+      .withColumn("rn", rnCol(cb))
+      .where(col("rn") > 0)
+    ivfPqTopKFrom(spark, dir, cb, cents, enc, nQueries, k)
+  }
+
+  /** The query half of IVF-PQ over an ALREADY-ENCODED corpus `enc`
+    * (vec_id, cell, code0..codeM, rn) — one-shot (s12) and incremental
+    * (s15) encoders share it, so their results agree whenever their
+    * encodings do (which the frozen-model contract guarantees).
+    */
+  private[ops] def ivfPqTopKFrom(spark: SparkSession, dir: String,
+      cb: IndexedSeq[IndexedSeq[PqEntry]], cents: Seq[Similarity.Centroid],
+      enc: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val subDim = cb.head.head._2.length
 
     // queries: ADC luts + their ivfProbes nearest cells
     val q0 = Tables.embeddings(spark, dir)

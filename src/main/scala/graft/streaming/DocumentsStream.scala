@@ -168,6 +168,25 @@ object DocumentsStream {
     graft.ops.IncrementalIvf.annTopK(spark, state, modelDir)
   }
 
+  /** q74: streaming IVF-PQ ingest — the s15 encode-and-append under the
+    * chassis: embedding micro-batches are encoded map-side against the
+    * FROZEN reference-vector model (cell + 8 codes + norm, one compiled
+    * projection) into write-only 8-byte code generations; the drained
+    * index answers s12's probe-and-ADC top-k exactly (encoding is a pure
+    * function of vector × frozen model, so any micro-batch split unions
+    * to the one-shot encoding). This is the production vector-ingest
+    * loop at its cheapest: per trigger one batch pass + one slim append,
+    * the serving state 32× smaller than the vectors it indexes.
+    */
+  def runIvfPqIngestAvailableNow(spark: SparkSession, dir: String,
+      modelDir: String, stateDir: Option[String] = None,
+      files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q74_state_").toString)
+    drainMerges(spark, dir, files, "q74", Tables.embeddings)((b, _) =>
+      graft.ops.IncrementalIvfPq.merge(b.sparkSession, state, modelDir, b))
+    graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, modelDir)
+  }
+
   /** q62: streaming DSIR — continuous data selection under the same
     * chassis: each document micro-batch pays its text pass once
     * (foreachBatch → [[graft.ops.IncrementalDsir.merge]], write-only slim

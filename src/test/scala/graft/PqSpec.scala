@@ -160,6 +160,78 @@ class PqSpec extends SparkSpec {
       plan.toString.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s14: recall audit equals a set-intersection re-derivation") {
+    val exact = graft.ops.Similarity.cosineTopK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Quantization.pqAdcTopK(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val audit = Quantization.pqRecallAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(audit.map(_._1).toSet == exact.keySet)
+    audit.foreach { case (qid, nExact, nHit, recall) =>
+      val e = exact(qid)
+      val hits = e.intersect(approx.getOrElse(qid, Set.empty))
+      assert(nExact == e.size && nHit == hits.size)
+      assert(math.abs(recall - hits.size.toDouble / e.size) < 1e-6)
+    }
+  }
+
+  test("s15: split-ingest against the frozen model equals one-shot s12") {
+    val model = graft.util.TmpDirs.scratch("graft_s15_model_spec_").toString
+    graft.ops.IncrementalIvfPq.persistedRefVectors(spark, dir, model)
+    val state = graft.util.TmpDirs.scratch("graft_s15_state_spec_").toString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // a DIFFERENT split than the registered entry (5-way) — exactness
+    // must be split-invariant, not split-specific
+    (0 until 5).foreach(r => graft.ops.IncrementalIvfPq.merge(spark, state, model,
+      vecs.where(pmod(col("vec_id"), lit(5)) === r)))
+    val inc = graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val oneShot = Quantization.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(inc == oneShot)
+    // compaction folds to one generation and preserves the answer
+    graft.ops.IncrementalIvfPq.compact(spark, state)
+    assert(graft.ops.IncrementalIvfPq.completeVersions(spark, state).size == 1)
+    val afterCompact = graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(afterCompact == oneShot)
+  }
+
+  test("q74: streaming IVF-PQ ingest drains to the one-shot s12") {
+    val model = graft.util.TmpDirs.scratch("graft_q74_model_spec_").toString
+    graft.ops.IncrementalIvfPq.persistedRefVectors(spark, dir, model)
+    val streamed = graft.streaming.DocumentsStream
+      .runIvfPqIngestAvailableNow(spark, dir, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    val oneShot = Quantization.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(streamed == oneShot)
+  }
+
+  test("s15: a merge against a different frozen model is refused") {
+    val modelA = graft.util.TmpDirs.scratch("graft_s15_ma_").toString
+    graft.ops.IncrementalIvfPq.persistedRefVectors(spark, dir, modelA)
+    val state = graft.util.TmpDirs.scratch("graft_s15_refuse_").toString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.ops.IncrementalIvfPq.merge(spark, state, modelA, vecs.limit(10))
+    // a model derived from different reference vectors (drop vec 0)
+    val modelB = graft.util.TmpDirs.scratch("graft_s15_mb_").toString
+    import spark.implicits._
+    graft.ops.Similarity.firstKCentroids(spark, dir, Quantization.pqCodes + 1)
+      .drop(1).map { case (cid, ce, cn) => (cid, ce.toSeq, cn) }
+      .toDF("cid", "ce", "cn").coalesce(1).write.mode("overwrite").parquet(modelB)
+    val ex = intercept[Exception] {
+      graft.ops.IncrementalIvfPq.merge(spark, state, modelB, vecs.limit(10))
+    }
+    assert(ex.getMessage.toLowerCase.contains("config") ||
+      ex.getMessage.toLowerCase.contains("model"))
+  }
+
   test("s13: persisted codebooks reload bit-identically and never re-derive") {
     val model = graft.util.TmpDirs.scratch("graft_pq_model_spec_").toString
     val fresh = Quantization.pqAdcTopK(spark, dir).collect().toSeq
