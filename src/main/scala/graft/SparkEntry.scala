@@ -409,6 +409,10 @@ object SparkEntry {
     // Exact-substring dedup: anchor-index candidates + diagonal-run exact
     // span verification (the third dedup modality: verbatim spans).
     "d13_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstringPairs(s, d)),
+    // Duplicated-span REMOVAL: every >= minSpan token run also present in
+    // an earlier doc is cut from the later one — the span survives once,
+    // unique remainders survive with it.
+    "d26_span_removal" -> ((s: SparkSession, d: String) => Dedup.spanRemoval(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
     // Held-out bigram Stupid-Backoff surprisal: benchmark slice scored
     // against a model fit on the rest — the backoff path actually fires.
@@ -1436,6 +1440,41 @@ object SparkEntry {
         |FROM runs GROUP BY d1, d2
         |HAVING max(run) + ${k - 1} >= ${graft.ops.Dedup.minSpanTokens}
         |ORDER BY d1, d2""".stripMargin
+    },
+
+    // Span removal: the d13 run CTEs extended with positions (min j per
+    // run = the span's start in the LATER doc), coverage = union of the
+    // qualifying runs' position ranges, cut = comprehension keeping the
+    // uncovered tokens, sha256 over the single-space rejoin — the same
+    // token/join convention both engines already share.
+    "d26_span_removal" -> {
+      val k = graft.ops.Dedup.anchorTokens
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents),
+        |anch AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${k - 1}], ' ') AS anchor
+        |         FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${k - 2})) AS i
+        |               FROM toks WHERE len(t) >= $k)),
+        |idx AS (SELECT doc_id, pos, anchor FROM (
+        |          SELECT doc_id, pos, anchor,
+        |            count(*) OVER (PARTITION BY anchor) AS aocc FROM anch)
+        |        WHERE aocc <= ${graft.ops.Dedup.anchorMaxOcc}),
+        |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS i, b.pos AS j
+        |      FROM idx a JOIN idx b ON a.anchor = b.anchor AND a.doc_id < b.doc_id),
+        |r AS (SELECT d1, d2, j - i AS diag, i, j,
+        |        i - row_number() OVER (PARTITION BY d1, d2, j - i ORDER BY i) AS grp FROM m),
+        |runs AS (SELECT d1, d2, diag, grp, min(j) AS startj, count(*) AS run
+        |         FROM r GROUP BY 1, 2, 3, 4),
+        |cpos AS (SELECT DISTINCT d2 AS doc_id, unnest(range(startj, startj + run + ${k - 1})) AS cpos
+        |         FROM runs WHERE run + ${k - 1} >= ${graft.ops.Dedup.minSpanTokens}),
+        |cov AS (SELECT doc_id, list(cpos) AS cov FROM cpos GROUP BY doc_id),
+        |cut AS (SELECT t2.doc_id, t2.t,
+        |          CASE WHEN cov.cov IS NULL THEN t2.t
+        |               ELSE [t2.t[i] for i in range(1, len(t2.t)+1) if NOT list_contains(cov.cov, i - 1)]
+        |          END AS kept
+        |        FROM toks t2 LEFT JOIN cov ON t2.doc_id = cov.doc_id)
+        |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |  CAST(len(t) - len(kept) AS INT) AS n_removed,
+        |  sha256(coalesce(array_to_string(kept, ' '), '')) AS sha
+        |FROM cut ORDER BY doc_id""".stripMargin
     },
 
     // k-anonymity: groups of quasi-identifiers smaller than k, exact

@@ -445,8 +445,13 @@ object Dedup {
     * than per-document, so no skewed window partition exists by
     * construction.
     */
-  def exactSubstringPairs(spark: SparkSession, dir: String,
-      minSpan: Int = minSpanTokens): DataFrame = {
+  /** The d13 positional candidate table (d1 < d2, aligned anchor
+    * positions i/j) — shared by the pair detector ([[exactSubstringPairs]])
+    * and the span REMOVER ([[spanRemoval]]); one definition keeps the
+    * one-scan ReuseExchange plan and the occurrence-cap rule identical in
+    * both consumers.
+    */
+  private def substringCandidates(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
       .where(size(col("t")) >= anchorTokens)
@@ -477,23 +482,71 @@ object Dedup {
     // both branches read the one exchange (ReuseExchange, pinned in
     // ExactSubstringSpec), which is also the only plan that exists at
     // 100 TB where the index side never fits a broadcast.
-    val cand = idx.as("a").hint("merge")
+    idx.as("a").hint("merge")
       .join(idx.as("b"),
         col("a.anchor") === col("b.anchor") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.pos").as("i"), col("b.pos").as("j"))
-    // islands-and-gaps on each alignment diagonal: consecutive i's on one
-    // (pair, diag) share (i − row_number), so run length = group count
+  }
+
+  /** Maximal shared runs with POSITIONS: islands-and-gaps on each
+    * alignment diagonal (consecutive i's on one (pair, diag) share
+    * i − row_number), one row per run with its start in the LATER doc.
+    */
+  private def substringRuns(spark: SparkSession, dir: String): DataFrame = {
+    val cand = substringCandidates(spark, dir)
     val wd = Window.partitionBy(col("d1"), col("d2"), col("j") - col("i"))
       .orderBy(col("i"))
     cand
       .withColumn("grp", col("i") - row_number().over(wd))
       .groupBy(col("d1"), col("d2"), (col("j") - col("i")).as("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
+      .agg(min(col("j")).as("startj"), count(lit(1)).as("run"))
+  }
+
+  def exactSubstringPairs(spark: SparkSession, dir: String,
+      minSpan: Int = minSpanTokens): DataFrame =
+    substringRuns(spark, dir)
       .groupBy(col("d1"), col("d2"))
       .agg((max(col("run")) + lit(anchorTokens - 1)).as("span_len"))
       .where(col("span_len") >= minSpan)
       .orderBy(col("d1"), col("d2"))
+
+  /** d26: duplicated-span REMOVAL — the transform the span detector (d13)
+    * exists to feed: every maximal token run of at least `minSpan` tokens
+    * that also appears in an EARLIER document (smaller doc_id) is CUT
+    * from the later one, so each verbatim span survives exactly once in
+    * corpus order and partially-duplicated documents keep their unique
+    * remainder (where hard dedup would either keep the whole duplicate or
+    * drop unique text with it). Emits per doc the token counts and the
+    * sha256 of the cleaned text — the content key downstream stages hash.
+    *
+    * Scale shape: runs come from the same one-exchange anchor index as
+    * d13 (occurrence-capped, never all-pairs); coverage explodes one row
+    * per REMOVED token (output-bounded, a vanishing fraction of a healthy
+    * corpus) and folds to one sorted positions array per affected doc;
+    * the cut itself is a per-row lambda over the token array — affected
+    * docs join a slim coverage table, untouched docs pass through a null.
+    */
+  def spanRemoval(spark: SparkSession, dir: String,
+      minSpan: Int = minSpanTokens): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
+    val cov = substringRuns(spark, dir)
+      .where(col("run") + lit(anchorTokens - 1) >= minSpan)
+      .select(col("d2").as("doc_id"),
+        explode(sequence(col("startj"),
+          col("startj") + col("run").cast("int") + lit(anchorTokens - 2))).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cpos"))).as("cov"))
+    docs.join(cov, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(t, (x, i) -> cov IS NULL OR NOT array_contains(cov, i))"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).as("n_removed"),
+        sha2(array_join(col("kept"), " "), 256).as("sha"))
+      .orderBy(col("doc_id"))
   }
 
   /** 32-bit SimHash over tokens (term frequency preserved): bit b is the

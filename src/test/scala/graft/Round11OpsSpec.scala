@@ -55,6 +55,35 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("d26: removal is consistent with the d13 pair detector") {
+    val removed = Dedup.spanRemoval(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val pairs = Dedup.exactSubstringPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val laterDocs = pairs.map(_._2).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS t")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(removed.keySet == docs.keySet)
+    def sha(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    removed.foreach { case (id, (nTok, nRem, h)) =>
+      assert(nTok == docs(id).length)
+      assert(nRem >= 0 && nRem <= nTok)
+      if (laterDocs.contains(id))
+        // the longest shared run with an earlier doc is >= minSpan, and
+        // all its positions are cut — so at least that many tokens go
+        assert(nRem >= Dedup.minSpanTokens,
+          s"doc $id is a d13 later-doc but lost only $nRem tokens")
+      else {
+        assert(nRem == 0, s"doc $id has no earlier-doc span but lost $nRem")
+        assert(h == sha(docs(id).mkString(" ")))
+      }
+    }
+    // the transform must actually fire on this duplicate-dense corpus
+    assert(laterDocs.nonEmpty)
+  }
+
   test("t21: gauntlet rows normalize as Unicode says they must") {
     val rows = graft.ops.TextAnalysis.normalizeAudit(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
