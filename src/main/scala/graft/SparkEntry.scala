@@ -413,6 +413,20 @@ object SparkEntry {
     // an earlier doc is cut from the later one — the span survives once,
     // unique remainders survive with it.
     "d26_span_removal" -> ((s: SparkSession, d: String) => Dedup.spanRemoval(s, d)),
+    // Incremental removal: the d26 cut served from d20's drained anchor
+    // state (split-ingest == one-shot by the d20 parity contract).
+    "d27_span_removal_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d27_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalSubstring.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(4)) =!= 0), Some("b0"))
+      graft.ops.IncrementalSubstring.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(4)) === 0), Some("b1"))
+      graft.ops.IncrementalSubstring.removal(s, d, state)
+    }),
+    // Streaming removal: q58's ingest with the removal cut at drain.
+    "q75_stream_span_removal" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runSpanRemovalAvailableNow(s, d)),
     "t8_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalysis.unigramSurprisal(s, d)),
     // Held-out bigram Stupid-Backoff surprisal: benchmark slice scored
     // against a model fit on the rest — the backoff path actually fires.
@@ -730,6 +744,9 @@ object SparkEntry {
       ("d20_substring_incremental" -> m("d13_exact_substring")) +
       // and its streaming drain: == the same one-shot spans
       ("q58_stream_substring_dedup" -> m("d13_exact_substring")) +
+      // state-served removal == one-shot d26 (d20 parity + shared cut)
+      ("d27_span_removal_incremental" -> m("d26_span_removal")) +
+      ("q75_stream_span_removal" -> m("d26_span_removal")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +

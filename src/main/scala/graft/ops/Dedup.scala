@@ -528,10 +528,20 @@ object Dedup {
     * docs join a slim coverage table, untouched docs pass through a null.
     */
   def spanRemoval(spark: SparkSession, dir: String,
-      minSpan: Int = minSpanTokens): DataFrame = {
+      minSpan: Int = minSpanTokens): DataFrame =
+    spanRemovalOf(spark, dir, substringRuns(spark, dir), minSpan)
+
+  /** Pure form: the d26 cut from an ALREADY-COMPUTED run table (d1, d2,
+    * startj, run) — the one-shot index ([[spanRemoval]]) and the drained
+    * incremental state ([[IncrementalSubstring.removal]], d27/q75) share
+    * it, so state-served removal equals the one-shot wherever the run
+    * tables agree (which the d20 split-ingest parity pins).
+    */
+  private[graft] def spanRemovalOf(spark: SparkSession, dir: String,
+      runs: DataFrame, minSpan: Int = minSpanTokens): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), call_function("ws_tokens", col("text")).as("t"))
-    val cov = substringRuns(spark, dir)
+    val cov = runs
       .where(col("run") + lit(anchorTokens - 1) >= minSpan)
       .select(col("d2").as("doc_id"),
         explode(sequence(col("startj"),

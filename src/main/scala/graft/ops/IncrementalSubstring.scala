@@ -178,9 +178,20 @@ object IncrementalSubstring {
     * diagonal islands-and-gaps, per-pair max.
     */
   def spans(spark: SparkSession, stateDir: String,
-      minSpan: Int = Dedup.minSpanTokens): DataFrame = {
+      minSpan: Int = Dedup.minSpanTokens): DataFrame =
+    stateRuns(spark, stateDir)
+      .groupBy(col("d1"), col("d2"))
+      .agg((max(col("run")) + lit(Dedup.anchorTokens - 1)).as("span_len"))
+      .where(col("span_len") >= minSpan)
+      .orderBy(col("d1"), col("d2"))
+
+  /** Maximal shared runs with POSITIONS from the drained state — the
+    * positional twin of [[spans]]' per-pair maxima, feeding the d26/d27
+    * removal cut. Same read-side occurrence filter and hit dedup.
+    */
+  private def stateRuns(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
-    require(live.nonEmpty, s"IncrementalSubstring.spans: no state at $stateDir")
+    require(live.nonEmpty, s"IncrementalSubstring.stateRuns: no state at $stateDir")
     val allAnch = spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
     val hot = occOf(allAnch)
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
@@ -192,12 +203,22 @@ object IncrementalSubstring {
     hits
       .withColumn("grp", col("i") - row_number().over(wd))
       .groupBy(col("d1"), col("d2"), (col("j") - col("i")).as("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((max(col("run")) + lit(Dedup.anchorTokens - 1)).as("span_len"))
-      .where(col("span_len") >= minSpan)
-      .orderBy(col("d1"), col("d2"))
+      .agg(min(col("j")).as("startj"), count(lit(1)).as("run"))
   }
+
+  /** d27: duplicated-span REMOVAL served from the incremental state —
+    * the d26 cut over [[stateRuns]]. Because the drained state's deduped
+    * hit set equals the one-shot candidate set for any split-ingest (the
+    * d20 parity contract), the removal verdict — which tokens of which
+    * docs are cut — is identical to one-shot d26, its shared oracle. The
+    * operational win: a continuously-ingesting corpus keeps its span
+    * index current at O(batch) per merge, and the (expensive) removal
+    * rewrite runs on demand from state alone, never re-probing old text
+    * against old text.
+    */
+  def removal(spark: SparkSession, dir: String, stateDir: String,
+      minSpan: Int = Dedup.minSpanTokens): DataFrame =
+    Dedup.spanRemovalOf(spark, dir, stateRuns(spark, stateDir), minSpan)
 
   /** LSM maintenance: fold both tables of every live generation into one
     * (`_COMPACTED` manifest before the commit, crash-idempotent), delete

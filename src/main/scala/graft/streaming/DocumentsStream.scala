@@ -113,6 +113,20 @@ object DocumentsStream {
     graft.ops.IncrementalSubstring.spans(spark, state)
   }
 
+  /** q75: streaming duplicated-span REMOVAL — the q58 ingest (anchor
+    * index merged per micro-batch) with the d26/d27 removal cut as the
+    * serve-time read: any drain of the stream can rewrite the corpus
+    * with every earlier-seen span removed, at state-scan cost. Shares
+    * d26's oracle through the d20 split-ingest parity.
+    */
+  def runSpanRemovalAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q75_state_").toString)
+    drainMerges(spark, dir, files, "q75")((b, id) =>
+      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalSubstring.removal(spark, dir, state)
+  }
+
   /** q60: streaming MEDIA near-dup — the d21 merge under the chassis:
     * each micro-batch of raw asset bytes is decoded + dHashed once,
     * probed against the persisted signature union, and appended as a

@@ -84,6 +84,23 @@ class Round11OpsSpec extends SparkSpec {
     assert(laterDocs.nonEmpty)
   }
 
+  test("d27/q75: state-served removal equals the one-shot d26, any split") {
+    val oneShot = Dedup.spanRemoval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    // 3-way split (different from the registered 4-way entry)
+    val state = graft.util.TmpDirs.scratch("graft_d27_spec_").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    (0 until 3).foreach(r => graft.ops.IncrementalSubstring.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === r), Some(s"s$r")))
+    val inc = graft.ops.IncrementalSubstring.removal(spark, sf0001, state).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(inc == oneShot)
+    val streamed = graft.streaming.DocumentsStream
+      .runSpanRemovalAvailableNow(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(streamed == oneShot)
+  }
+
   test("t21: gauntlet rows normalize as Unicode says they must") {
     val rows = graft.ops.TextAnalysis.normalizeAudit(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
