@@ -115,8 +115,11 @@ object IncrementalEmbedding {
     // 3. verify: payloads joined back BY KEY from the same generation
     // files (pruned to vec_id/e/nrm — one vector per corpus row crosses
     // the wire, not one per candidate); cosine mirrors d6 exactly
+    // zero-norm vectors have undefined cosine (and ANSI double division
+    // throws on /0) — excluded from verification like d6's one-shot path
     val pay = spark.read.parquet(allPaths: _*)
       .select(col("vec_id"), col("e"), col("nrm"))
+      .where(col("nrm") > 0)
     val p1 = pay.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
     val p2 = pay.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
     val cos = call_function("array_dot", col("e1"), col("e2")) /

@@ -241,7 +241,12 @@ object Quantization {
       struct((dot(col("e"), typedlit(c._2)) / (col("nrm") * lit(c._3))).as("c"),
         lit(-c._1).as("negcid"))
     }: _*))
-    when(isnan(bestC.getField("c")), lit(-1L))
+    // zero-norm branch FIRST: under ANSI mode (Spark 4 default) a double
+    // division by zero THROWS rather than yielding NaN, so the guard must
+    // keep the division from ever executing — CaseWhen evaluates only the
+    // taken branch, which makes this safe where an isnan() post-check of
+    // the divided value would already have crashed
+    when(col("nrm") <= lit(0.0), lit(-1L))
       .otherwise(-bestC.getField("negcid"))
   }
 

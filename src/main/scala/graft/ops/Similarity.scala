@@ -145,7 +145,10 @@ object Similarity {
     */
   private[graft] def verifyPairs(spark: SparkSession, dir: String,
       pairs: DataFrame, threshold: Double): DataFrame = {
-    val pay = withNorm(Tables.embeddings(spark, dir))
+    // zero-norm vectors have undefined cosine; ANSI double division
+    // THROWS on /0, and the oracle's NaN fails every threshold anyway —
+    // exclusion is both crash-proof and value-identical
+    val pay = withNorm(Tables.embeddings(spark, dir)).where(col("nrm") > 0)
     val p1 = pay.select(col("vec_id").as("v1"), col("e").as("e1"), col("nrm").as("n1"))
     val p2 = pay.select(col("vec_id").as("v2"), col("e").as("e2"), col("nrm").as("n2"))
     val cos = dot(col("e1"), col("e2")) / (col("n1") * col("n2"))
@@ -378,12 +381,17 @@ object Similarity {
     val bestS = array_max(array(cents.map { c =>
       struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
     }: _*))
-    val cell = when(isnan(bestS.getField("c")), lit(-1L))
+    // zero-norm branch FIRST: ANSI double division THROWS on /0, so the
+    // out-of-domain −1 must short-circuit before any centroid cosine
+    // evaluates (CaseWhen runs only the taken branch)
+    val cell = when(col("nrm") <= lit(0.0), lit(-1L))
       .otherwise(-bestS.getField("negcid"))
     val asg = v.withColumn("cell", cell)
 
-    // queries → their ivfProbes nearest cells (rank over 16 rows per query)
-    val qc = v.where(col("vec_id") < nQueries)
+    // queries → their ivfProbes nearest cells (rank over 16 rows per
+    // query); zero-norm queries have no defined ranking and are excluded
+    // (same contract as the s1 brute force)
+    val qc = v.where(col("vec_id") < nQueries).where(col("nrm") > 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(array(cents.map { c =>
           struct(lit(c._1).as("pcell"), centCos(c).as("ccos"))
@@ -473,7 +481,7 @@ object Similarity {
   private[graft] def probeTopK(asg: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val cos = dot(col("qe"), col("e")) / (col("qn") * col("nrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    asg.join(broadcast(probes),
+    asg.join(broadcast(probes.where(col("qn") > 0)),
         col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cell"), cos.as("cosine"))
       .withColumn("rnk", row_number().over(w))
@@ -532,16 +540,15 @@ object Similarity {
     // callers holding the persisted s7 model pass it in (bit-identical
     // to training fresh — the registry contract); default trains
     val cents = centroids.getOrElse(trainIvfCentroids(spark, dir))
-    val v = withNorm(Tables.embeddings(spark, dir))
+    // zero-norm vectors assign to no cell and never pair — filtered
+    // BEFORE the argmax projection (ANSI double division throws on /0)
+    val v = withNorm(Tables.embeddings(spark, dir)).where(col("nrm") > 0)
     val bestS = array_max(array(cents.map { c =>
       struct(centCos(c).as("c"), lit(-c._1).as("negcid"))
     }: _*))
-    // zero-norm vectors assign to no cell (NaN cosines) and never pair
     val asg = v.select(col("vec_id"),
-        when(isnan(bestS.getField("c")), lit(-1L))
-          .otherwise(-bestS.getField("negcid")).as("cell"),
+        (-bestS.getField("negcid")).as("cell"),
         round(bestS.getField("c"), 6).as("ccos"))
-      .where(col("cell") >= 0)
       // one materialization of the 16-dot argmax projection feeds the
       // self-join's both sides AND the keeper join below
       .repartition(col("cell"))
@@ -567,6 +574,7 @@ object Similarity {
     // repartition = materialization barrier: the 8-plane bucket aggregation
     // is computed once and reused by both self-join branches.
     val v = withNorm(Tables.embeddings(spark, dir))
+      .where(col("nrm") > 0)
       .withColumn("bucket", lshBucket(col("e")))
       .repartition(col("vec_id"))
     val a = v.select(col("vec_id"), col("e"), col("nrm"), col("bucket"))

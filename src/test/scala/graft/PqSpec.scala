@@ -16,8 +16,8 @@ class PqSpec extends SparkSpec {
   /** (qid, rnk, vec_id, approx_cosine@6dp) derived with driver-side Scala
     * collections only.
     */
-  private def reference(): Seq[(Long, Int, Long, Double)] = {
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def reference(d: String): Seq[(Long, Int, Long, Double)] = {
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -71,11 +71,11 @@ class PqSpec extends SparkSpec {
   test("s11 ADC top-k equals the independent re-derivation") {
     val got = Quantization.pqAdcTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
-    assert(got == reference())
+    assert(got == reference(dir))
   }
 
-  test("s12 IVF-PQ equals the independent re-derivation") {
-    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def s12Reference(d: String): Seq[(Long, Int, Long, Long, Double)] = {
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -134,9 +134,59 @@ class PqSpec extends SparkSpec {
               BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
       }.toSeq.sortBy(t => (t._1, t._2))
+    expected
+  }
+
+  test("s12 IVF-PQ equals the independent re-derivation") {
     val got = Quantization.ivfPqTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
-    assert(got == expected)
+    assert(got == s12Reference(dir))
+  }
+
+  test("adversarial staged corpus: zero vectors, duplicates, exact ties") {
+    import spark.implicits._
+    // dim 16 (subDim 2); 24 vectors: ids 0..15 are codebook/centroid refs,
+    // 16 = duplicate of 3 (identical codes -> vec_id tie-break must fire),
+    // 17 = verbatim codebook entry 5, 20 = the all-zero vector (zero norm:
+    // cell -1, never probed; still PQ-encodable), rest arbitrary
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 16).map(i => i.toLong -> vec(i)) ++ Seq(
+        16L -> vec(3),
+        17L -> vec(5),
+        18L -> vec(100),
+        19L -> vec(101),
+        20L -> Array.fill(16)(0.0f),
+        21L -> vec(102),
+        22L -> vec(103),
+        23L -> vec(3)) // second duplicate of 3 -> three-way tie
+    val tmp = graft.util.TmpDirs.scratch("graft_pq_adversarial_").toString
+    rows.map { case (id, e) => (id, e.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val got11 = Quantization.pqAdcTopK(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got11 == reference(tmp))
+    val got12 = Quantization.ivfPqTopK(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got12 == s12Reference(tmp))
+
+    // the zero vector never appears as a candidate in s12 (cell -1 is
+    // out of every probe's domain)
+    assert(!got12.exists(_._3 == 20L))
+    // duplicates of vec 3 carry identical approx cosines toward any
+    // query that surfaces one of them — the tie resolves by vec_id
+    val dupRanks = got11.filter(t => Set(3L, 16L, 23L).contains(t._3))
+      .groupBy(_._1).values
+    dupRanks.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3) == sorted.map(_._3).sorted,
+        s"vec_id tie-break violated among duplicates: $sorted")
+    }
   }
 
   test("codes are 4-bit and the encoded table is slim") {
