@@ -49,8 +49,14 @@ object Text {
     call_function("lexicon_counts", text,
       lit(lexicons.map(_.mkString(",")).mkString("|")))
 
+  /** Stopword fraction of the tokens; an EMPTY document scores 0.0 — the
+    * zero-token branch must short-circuit (ANSI double division throws on
+    * /0, and CaseWhen evaluates only the taken branch), so a single empty
+    * string anywhere in a real corpus cannot kill the stats job.
+    */
   def stopwordRatio(text: Column): Column = {
     val lc = lexiconCounts(text, Seq(stopwords))
-    element_at(lc, 1).cast("double") / element_at(lc, 2)
+    when(element_at(lc, 2) === lit(0L), lit(0.0))
+      .otherwise(element_at(lc, 1).cast("double") / element_at(lc, 2))
   }
 }

@@ -92,7 +92,10 @@ object TextAnalysis {
     val lc = lexiconCounts(col("text"), Seq(stopwords))
     val ntokL = element_at(lc, 2)
     val ntok = ntokL.cast("double")
-    val distinctRatio = element_at(lc, 3).cast("double") / ntok
+    // empty documents score 0 across the board (zero-token branch first —
+    // ANSI double division throws on /0)
+    val distinctRatio = when(ntokL === lit(0L), lit(0.0))
+      .otherwise(element_at(lc, 3).cast("double") / ntok)
     val score =
       lit(0.4) * least(ntok / 128, lit(1.0)) +
       lit(0.4) * distinctRatio +
