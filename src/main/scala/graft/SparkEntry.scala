@@ -438,6 +438,9 @@ object SparkEntry {
     // control/format strip + whitespace collapse; Unicode gauntlet rides
     // along since the synthetic corpus is ASCII.
     "t21_normalize_audit" -> ((s: SparkSession, d: String) => TextAnalysis.normalizeAudit(s, d)),
+    // Dataset card: the per-source datasheet — volume, language spread,
+    // exact duplication rate, mean quality; every number engine-exact.
+    "t22_dataset_card" -> ((s: SparkSession, d: String) => TextAnalysis.datasetCard(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // Deterministic global shuffle + shard assignment: one salted md5
@@ -2457,6 +2460,27 @@ object SparkEntry {
         |FROM lt JOIN ch ON lt.lang = ch.lang
         |ORDER BY lt.lang""".stripMargin
     },
+
+    // Dataset card: d1's content hash + t3's score formula + t1's
+    // scaled-integer mean, aggregated by source — all fragments already
+    // verified in their own oracles.
+    "t22_dataset_card" ->
+      """WITH toks AS (SELECT doc_id, source, lang, n_chars, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |f AS (SELECT source, lang, n_chars, CAST(len(t) AS BIGINT) AS ntok,
+        |        CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(len(t) AS DOUBLE) / 128, CAST(1.0 AS DOUBLE))
+        |          + CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+        |          + CAST(0.2 AS DOUBLE) * least((CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 4, CAST(1.0 AS DOUBLE))) * 1e12) AS BIGINT) AS sc,
+        |        sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |      FROM toks)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+        |  round(CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate,
+        |  round(CAST(sum(sc) AS DOUBLE) / count(*) / 1e12, 6) AS avg_score
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Normalization audit: DuckDB's nfc_normalize is the NFC twin; the
     // regex strip/collapse runs the SAME patterns (RE2 and Java agree on

@@ -766,6 +766,52 @@ object TextAnalysis {
     nbClassify(feats, nbCounts(feats))
   }
 
+  /** t22: DATASET CARD — the per-source datasheet a training corpus ships
+    * with: volume (docs / tokens / chars), language spread, exact-content
+    * duplication rate (d1's normalized sha256 as the content key), and
+    * mean heuristic quality ([[scored]]'s formula). This is the report a
+    * data consumer reads before a single training token flows — and
+    * because every number here is exact (count-distinct on the content
+    * hash, scaled-integer score sums per t1's trick), two engines agree
+    * bit for bit.
+    *
+    * One corpus pass: every per-doc column (token count, score, content
+    * hash) is a compiled projection over the same scan, then one
+    * aggregation by source (count-distinct rewrites to an expand +
+    * two-phase aggregate — map-side partials, no row explosion).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val lc = lexiconCounts(col("text"), Seq(stopwords))
+    val ntokL = element_at(lc, 2)
+    val ntok = ntokL.cast("double")
+    val dr = when(ntokL === lit(0L), lit(0.0))
+      .otherwise(element_at(lc, 3).cast("double") / ntok)
+    val score =
+      lit(0.4) * least(ntok / 128, lit(1.0)) +
+      lit(0.4) * dr +
+      lit(0.2) * least(stopwordRatio(col("text")) * 4, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        ntokL.as("ntok"),
+        floor(score * lit(1e12)).as("sc"),
+        sha2(normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("sc_sum").cast("double") / col("n_docs") / lit(1e12), 6)
+          .as("avg_score"))
+      .orderBy(col("source"))
+  }
+
   /** t21 gauntlet: Unicode edge cases the corpus (ASCII by construction)
     * cannot exercise, with each string expressed twice — once as the Scala
     * literal the Spark side unions in, once as the `chr()`-built SQL

@@ -40,6 +40,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     "t10_gopher" -> ((s: SparkSession, d: String) => graft.ops.TextAnalysis.gopherRules(s, d)),
     "t15_repetition" -> ((s: SparkSession, d: String) => graft.ops.TextAnalysis.repetitionProfile(s, d)),
     "t21_normalize" -> ((s: SparkSession, d: String) => graft.ops.TextAnalysis.normalizeAudit(s, d)),
+    "t22_dataset_card" -> ((s: SparkSession, d: String) => graft.ops.TextAnalysis.datasetCard(s, d)),
     "d1_exact" -> (graft.ops.Dedup.exactDedup _),
     "d2_jaccard" -> ((s: SparkSession, d: String) => graft.ops.Dedup.ngramJaccardPairs(s, d)),
     "d26_span_removal" -> ((s: SparkSession, d: String) => graft.ops.Dedup.spanRemoval(s, d)),
