@@ -441,6 +441,20 @@ object SparkEntry {
     // Dataset card: the per-source datasheet — volume, language spread,
     // exact duplication rate, mean quality; every number engine-exact.
     "t22_dataset_card" -> ((s: SparkSession, d: String) => TextAnalysis.datasetCard(s, d)),
+    // Incremental card: the count-distinct view maintained via slim
+    // distinct-key generations; split-ingest == one-shot t22.
+    "t23_card_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_t23_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), Some("b0"))
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), Some("b1"))
+      graft.ops.IncrementalCard.serve(s, state)
+    }),
+    // Streaming card maintenance: a live datasheet at O(batch)/trigger.
+    "q76_stream_card" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runCardMaintenanceAvailableNow(s, d)),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // Deterministic global shuffle + shard assignment: one salted md5
@@ -750,6 +764,9 @@ object SparkEntry {
       // state-served removal == one-shot d26 (d20 parity + shared cut)
       ("d27_span_removal_incremental" -> m("d26_span_removal")) +
       ("q75_stream_span_removal" -> m("d26_span_removal")) +
+      // distinct-key generations folded == the one-shot card
+      ("t23_card_incremental" -> m("t22_dataset_card")) +
+      ("q76_stream_card" -> m("t22_dataset_card")) +
       // persisted model reload == training fresh (bit-exact parquet
       // round-trip of the centroid doubles)
       ("s7_ann_ivf_persisted" -> m("s5_ann_ivf_trained")) +

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t23: INCREMENTAL dataset-card maintenance — the q65 view family
+  * extended to COUNT DISTINCT, the classic hard case of incremental view
+  * maintenance: a distinct count is not a sum of per-batch distinct
+  * counts (batches share content), so the additive-partials protocol
+  * alone cannot maintain it.
+  *
+  * The answer is the standard one, under the d18 chassis: persist the
+  * SUFFICIENT STATISTIC instead of the number. Each generation holds
+  *   - `vN/partials`: the batch's additive half — per source: docs,
+  *     tokens, chars, scaled score sum (exact decimal);
+  *   - `vN/hashes`: the batch's DISTINCT (source, content-hash) pairs;
+  *   - `vN/langs`: the batch's distinct (source, lang) pairs.
+  * Serving folds sums additively and counts the UNION-distinct of the
+  * key tables; compaction dedups re-observed keys, so state size is
+  * bounded by DISTINCT CONTENT (the quantity being measured), not by
+  * rows ingested — and per-ingest cost is O(batch): one compiled stats
+  * pass, two slim distinct aggregations, three parquet appends, nothing
+  * read.
+  *
+  * Exactness: distinct-union is idempotent and commutative and the sums
+  * are associative, so any split-ingest folds to the one-shot t22 card
+  * bit for bit (shared per-doc projection [[TextAnalysis.cardDocStats]],
+  * rounding only at serve time — the q65 rule). Batch-key markers make
+  * re-delivered batches no-ops (the additive half would double-count;
+  * the distinct half would not — markers protect the pair).
+  */
+object IncrementalCard {
+
+  private val commitTable = "partials"
+
+  private def partialsPath(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
+  private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
+  private def langsPath(stateDir: String, v: Int) = s"$stateDir/v$v/langs"
+
+  def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
+    GenState.completeVersions(spark, stateDir, commitTable)
+
+  def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
+    GenState.latestVersion(spark, stateDir, commitTable)
+
+  /** Ingest one batch of documents (doc_ids disjoint from prior ingests
+    * unless re-delivered under the same `batchKey`).
+    */
+  def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
+      batchKey: Option[String] = None): Int = {
+    val live = latestVersion(spark, stateDir)
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.get // re-delivery is a no-op
+    }
+    val next = live.map(_ + 1).getOrElse(0)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    val stats = TextAnalysis.cardDocStats(newDocs)
+    // key tables first, additive commit table LAST: a crash leaves an
+    // incomplete generation that the next attempt rebuilds wholesale
+    stats.select(col("source"), col("h")).distinct()
+      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    stats.select(col("source"), col("lang")).distinct()
+      .write.mode("overwrite").parquet(langsPath(stateDir, next))
+    stats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
+      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    next
+  }
+
+  /** The current card from state alone — identical columns, values, and
+    * rounding to the one-shot t22.
+    */
+  def serve(spark: SparkSession, stateDir: String): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalCard.serve: no state at $stateDir")
+    val sums = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("sc_sum")).as("sc_sum"))
+    val nd = spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+      .distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_texts"))
+    val nl = spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
+      .distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"))
+    sums.join(nl, "source").join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("sc_sum").cast("double") / col("n_docs") / lit(1e12), 6)
+          .as("avg_score"))
+      .orderBy(col("source"))
+  }
+
+  /** Fold the live generations into one: sums re-aggregate, key tables
+    * dedup — state returns to O(distinct content). Markers travel with
+    * the fold (re-delivery must stay a no-op after maintenance).
+    */
+  def compact(spark: SparkSession, stateDir: String): Int = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalCard.compact: no state at $stateDir")
+    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
+    val next = versions.last + 1
+    spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+      .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
+      .distinct().write.mode("overwrite").parquet(langsPath(stateDir, next))
+    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum"))
+      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    next
+  }
+
+  def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
+    GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))
+}

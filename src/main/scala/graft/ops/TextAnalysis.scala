@@ -780,7 +780,12 @@ object TextAnalysis {
     * aggregation by source (count-distinct rewrites to an expand +
     * two-phase aggregate — map-side partials, no row explosion).
     */
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc projection behind the dataset card: (source, lang,
+    * n_chars, ntok, scaled score, content hash) — one compiled pass;
+    * shared by the one-shot card (t22) and the incremental maintenance
+    * (t23/q76) so the two paths cannot diverge on a single doc's stats.
+    */
+  private[graft] def cardDocStats(docs: DataFrame): DataFrame = {
     val lc = lexiconCounts(col("text"), Seq(stopwords))
     val ntokL = element_at(lc, 2)
     val ntok = ntokL.cast("double")
@@ -790,11 +795,18 @@ object TextAnalysis {
       lit(0.4) * least(ntok / 128, lit(1.0)) +
       lit(0.4) * dr +
       lit(0.2) * least(stopwordRatio(col("text")) * 4, lit(1.0))
-    Tables.documents(spark, dir)
-      .select(col("source"), col("lang"), col("n_chars"),
-        ntokL.as("ntok"),
-        floor(score * lit(1e12)).as("sc"),
-        sha2(normalized(col("text")).cast("binary"), 256).as("h"))
+    docs.select(col("source"), col("lang"), col("n_chars"),
+      ntokL.as("ntok"),
+      floor(score * lit(1e12)).as("sc"),
+      sha2(normalized(col("text")).cast("binary"), 256).as("h"))
+  }
+
+  /** Serve the card from an already-computed per-doc stats table — the
+    * t22 aggregation, factored so the incremental fold reuses the exact
+    * final arithmetic (rounding only at serve time).
+    */
+  private[graft] def cardOf(stats: DataFrame): DataFrame =
+    stats
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -810,7 +822,9 @@ object TextAnalysis {
         round(col("sc_sum").cast("double") / col("n_docs") / lit(1e12), 6)
           .as("avg_score"))
       .orderBy(col("source"))
-  }
+
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    cardOf(cardDocStats(Tables.documents(spark, dir)))
 
   /** t21 gauntlet: Unicode edge cases the corpus (ASCII by construction)
     * cannot exercise, with each string expressed twice — once as the Scala

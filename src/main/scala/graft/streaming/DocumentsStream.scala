@@ -201,6 +201,22 @@ object DocumentsStream {
     graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, modelDir)
   }
 
+  /** q76: streaming dataset-card maintenance — the t23 count-distinct
+    * view under the chassis: each document micro-batch appends its
+    * additive partials plus its distinct key tables (batch-key
+    * exactly-once), and the served card equals the one-shot t22 at any
+    * drain point. The operational shape of a LIVE datasheet: the corpus
+    * dashboard stays current at O(batch) per trigger, including the
+    * duplication rate — the number naive additive views cannot maintain.
+    */
+  def runCardMaintenanceAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q76_state_").toString)
+    drainMerges(spark, dir, files, "q76")((b, id) =>
+      graft.ops.IncrementalCard.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalCard.serve(spark, state)
+  }
+
   /** q62: streaming DSIR — continuous data selection under the same
     * chassis: each document micro-batch pays its text pass once
     * (foreachBatch → [[graft.ops.IncrementalDsir.merge]], write-only slim

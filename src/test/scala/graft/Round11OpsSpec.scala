@@ -55,6 +55,37 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("t23/q76: count-distinct card maintenance equals one-shot, survives redelivery + compaction") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    val oneShot = rows(graft.ops.TextAnalysis.datasetCard(spark, sf0001))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val state = graft.util.TmpDirs.scratch("graft_t23_spec_").toString
+    (0 until 4).foreach(r => graft.ops.IncrementalCard.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(4)) === r), Some(s"k$r")))
+    assert(rows(graft.ops.IncrementalCard.serve(spark, state)) == oneShot)
+    // re-delivered batch key: no new generation, card unchanged (the
+    // additive half would otherwise double-count)
+    val before = graft.ops.IncrementalCard.completeVersions(spark, state)
+    graft.ops.IncrementalCard.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(4)) === 1), Some("k1"))
+    assert(graft.ops.IncrementalCard.completeVersions(spark, state) == before)
+    assert(rows(graft.ops.IncrementalCard.serve(spark, state)) == oneShot)
+    // compaction folds to one generation, keys dedup, card unchanged,
+    // markers survive (k2 redelivery still a no-op)
+    graft.ops.IncrementalCard.compact(spark, state)
+    assert(graft.ops.IncrementalCard.completeVersions(spark, state).size == 1)
+    assert(rows(graft.ops.IncrementalCard.serve(spark, state)) == oneShot)
+    graft.ops.IncrementalCard.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(4)) === 2), Some("k2"))
+    assert(rows(graft.ops.IncrementalCard.serve(spark, state)) == oneShot)
+    // streaming drain == one-shot
+    val streamed = rows(graft.streaming.DocumentsStream
+      .runCardMaintenanceAvailableNow(spark, sf0001))
+    assert(streamed == oneShot)
+  }
+
   test("d26: removal is consistent with the d13 pair detector") {
     val removed = Dedup.spanRemoval(spark, sf0001).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
