@@ -455,6 +455,19 @@ object SparkEntry {
     // Streaming card maintenance: a live datasheet at O(batch)/trigger.
     "q76_stream_card" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runCardMaintenanceAvailableNow(s, d)),
+    // Approximate card: folded HLL sketches instead of distinct-key
+    // tables — O(1) state per group. DataSketches estimates have no
+    // DuckDB twin, so this is a rows-only entry BY DESIGN (no oracleSql);
+    // CardSketchSpec pins estimate-vs-exact error and split invariance.
+    "t24_card_approx" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_t24_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("b0"))
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1"))
+      graft.ops.IncrementalCard.serveApprox(s, state)
+    }),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
     // Deterministic global shuffle + shard assignment: one salted md5

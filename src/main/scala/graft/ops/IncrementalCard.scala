@@ -36,6 +36,7 @@ object IncrementalCard {
   private def partialsPath(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
   private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
   private def langsPath(stateDir: String, v: Int) = s"$stateDir/v$v/langs"
+  private def sketchesPath(stateDir: String, v: Int) = s"$stateDir/v$v/sketches"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -62,6 +63,15 @@ object IncrementalCard {
       .write.mode("overwrite").parquet(hashesPath(stateDir, next))
     stats.select(col("source"), col("lang")).distinct()
       .write.mode("overwrite").parquet(langsPath(stateDir, next))
+    // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
+    // the same keys (Apache DataSketches via hll_sketch_agg) — the
+    // serve-time choice between exact and approx is a READ choice; the
+    // ingest pays both (one extra aggregation of the already-computed
+    // stats, kilobytes written)
+    stats.groupBy(col("source"))
+      .agg(expr("hll_sketch_agg(h)").as("hsk"),
+        expr("hll_sketch_agg(lang)").as("lsk"))
+      .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
     stats.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
@@ -97,9 +107,44 @@ object IncrementalCard {
       .orderBy(col("source"))
   }
 
+  /** t24: the APPROXIMATE card — dup rate and language spread from the
+    * folded HLL sketches instead of the distinct-key tables. Same
+    * additive columns, estimated distincts. This is the 100 TB dial: the
+    * exact key tables grow with DISTINCT CONTENT (already bounded, but
+    * real), while the sketch state is O(sources × sketch size) —
+    * kilobytes, forever — and a deployment that accepts ~1% distinct
+    * error can drop the key tables entirely and keep this read. Sketch
+    * union is associative and deterministic, so any split-ingest serves
+    * the same estimate.
+    */
+  def serveApprox(spark: SparkSession, stateDir: String): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalCard.serveApprox: no state at $stateDir")
+    val sums = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("sc_sum")).as("sc_sum"))
+    val est = spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
+      .groupBy(col("source"))
+      .agg(expr("cast(round(hll_sketch_estimate(hll_union_agg(hsk))) as bigint)")
+          .as("n_distinct_est"),
+        expr("cast(round(hll_sketch_estimate(hll_union_agg(lsk))) as bigint)")
+          .as("n_langs_est"))
+    sums.join(est, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs_est"), col("n_distinct_est"),
+        round(lit(1.0) - col("n_distinct_est").cast("double") / col("n_docs"), 6)
+          .as("dup_rate_est"),
+        round(col("sc_sum").cast("double") / col("n_docs") / lit(1e12), 6)
+          .as("avg_score"))
+      .orderBy(col("source"))
+  }
+
   /** Fold the live generations into one: sums re-aggregate, key tables
-    * dedup — state returns to O(distinct content). Markers travel with
-    * the fold (re-delivery must stay a no-op after maintenance).
+    * dedup, sketches union — state returns to O(distinct content) exact
+    * plus O(1) sketched. Markers travel with the fold (re-delivery must
+    * stay a no-op after maintenance).
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -110,6 +155,10 @@ object IncrementalCard {
       .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))
     spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
       .distinct().write.mode("overwrite").parquet(langsPath(stateDir, next))
+    spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
+      .groupBy(col("source"))
+      .agg(expr("hll_union_agg(hsk)").as("hsk"), expr("hll_union_agg(lsk)").as("lsk"))
+      .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
