@@ -457,8 +457,10 @@ object SparkEntry {
       graft.streaming.DocumentsStream.runCardMaintenanceAvailableNow(s, d)),
     // Approximate card: folded HLL sketches instead of distinct-key
     // tables — O(1) state per group. DataSketches estimates have no
-    // DuckDB twin, so this is a rows-only entry BY DESIGN (no oracleSql);
-    // CardSketchSpec pins estimate-vs-exact error and split invariance.
+    // DuckDB twin, so the q40 pattern applies: the entry carries the
+    // exact columns plus TOLERANCE BOOLEANS comparing the estimates to
+    // the exact fold — the oracle asserts the booleans true, making the
+    // accuracy claim itself the hash-checked value.
     "t24_card_approx" -> ((s: SparkSession, d: String) => {
       val state = graft.util.TmpDirs.scratch("graft_t24_state_").toString
       val docs = graft.sources.Tables.documents(s, d)
@@ -466,7 +468,17 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("b0"))
       graft.ops.IncrementalCard.merge(s, state,
         docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1"))
-      graft.ops.IncrementalCard.serveApprox(s, state)
+      val est = graft.ops.IncrementalCard.serveApprox(s, state)
+        .select(col("source"), col("n_langs_est"), col("n_distinct_est"))
+      graft.ops.IncrementalCard.serve(s, state)
+        .join(est, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("avg_score"),
+          (col("n_langs_est") === col("n_langs")).cast("int").as("langs_ok"),
+          (org.apache.spark.sql.functions.abs(
+            col("n_distinct_est") - col("n_distinct_texts")).cast("double") <
+            col("n_distinct_texts").cast("double") * 0.05).cast("int").as("distinct_ok"))
+        .orderBy(col("source"))
     }),
     "c5_rebalance" -> ((s: SparkSession, d: String) => Corpus.rebalance(s, d)),
     "c13_temperature_sample" -> ((s: SparkSession, d: String) => Corpus.temperatureSample(s, d)),
@@ -2490,6 +2502,25 @@ object SparkEntry {
         |FROM lt JOIN ch ON lt.lang = ch.lang
         |ORDER BY lt.lang""".stripMargin
     },
+
+    // Approximate card (q40 pattern): exact columns + the accuracy claim
+    // as booleans the oracle asserts true — HLL has no DuckDB twin, the
+    // tolerance comparison does.
+    "t24_card_approx" ->
+      """WITH toks AS (SELECT doc_id, source, lang, n_chars, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |f AS (SELECT source, CAST(len(t) AS BIGINT) AS ntok, n_chars,
+        |        CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(len(t) AS DOUBLE) / 128, CAST(1.0 AS DOUBLE))
+        |          + CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+        |          + CAST(0.2 AS DOUBLE) * least((CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 4, CAST(1.0 AS DOUBLE))) * 1e12) AS BIGINT) AS sc
+        |      FROM toks)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(sc) AS DOUBLE) / count(*) / 1e12, 6) AS avg_score,
+        |  CAST(1 AS INT) AS langs_ok,
+        |  CAST(1 AS INT) AS distinct_ok
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // Dataset card: d1's content hash + t3's score formula + t1's
     // scaled-integer mean, aggregated by source — all fragments already
