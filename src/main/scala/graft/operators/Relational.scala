@@ -221,15 +221,21 @@ object Relational {
     * regexp_extract keeps it inside whole-stage codegen (and is portable to
     * the DuckDB oracle, unlike engine-specific JSON path dialects).
     */
-  def q13EventsJson(spark: SparkSession, dir: String): DataFrame =
+  def q13EventsJson(spark: SparkSession, dir: String): DataFrame = {
+    // regexp_extract returns the EMPTY STRING on no match (not null), and
+    // under ANSI casting "" to int THROWS — so a single malformed props
+    // row would kill the job. Empty → null first; the cast then only ever
+    // sees digit strings (or null, which casts to null).
+    val kStr = regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1)
     Tables.events(spark, dir)
       .select(col("event_type"),
-        regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("int").as("k"))
+        when(kStr === lit(""), lit(null)).otherwise(kStr).cast("int").as("k"))
       .select(col("event_type"),
         (floor(col("k") / 10.0) * 10).cast("int").as("k_bucket"))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("k_bucket"))
+  }
 
   /** Tumbling time-window aggregation over the event stream table — batch
     * twin of [[graft.streaming.EventsStream.runDailyAvailableNow]], which
