@@ -46,13 +46,15 @@ import org.apache.spark.sql.functions._
   * cold filter is the only consumer that relies on the markers (see
   * [[mergeOccOf]]).
   *
-  * Scale shape: a merge tokenizes only its batch, aggregates one pruned
-  * anchor column over the union with a map-side partial aggregate (the
-  * read-amortized probe cost d15 also pays — O(distinct anchors) slim
-  * shuffle rows, never a corpus-wide positional-row shuffle), and joins
-  * bounded-fan-out candidates; the read unions slim hit generations and
-  * pays d13's post-join window stages but never its corpus-wide anchor
-  * self-join. [[compact]] folds both tables the LSM way.
+  * Scale shape: a merge tokenizes only its batch, writes an O(batch)
+  * per-generation occurrence PARTIAL (`vN/occ`, the d18 write-only trick),
+  * derives the cold filter by folding the slim partials (O(distinct
+  * anchors) one-row-per-anchor parquet — never a corpus-wide
+  * positional-row scan or shuffle), and joins bounded-fan-out candidates;
+  * the read unions slim hit generations and pays d13's post-join window
+  * stages but never its corpus-wide anchor self-join. [[compact]] folds
+  * all three tables the LSM way (occ with re-aggregation — sum is
+  * associative).
   */
 object IncrementalSubstring {
 
@@ -66,6 +68,7 @@ object IncrementalSubstring {
 
   private def anchorsPath(stateDir: String, v: Int) = s"$stateDir/v$v/anchors"
   private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
+  private def occPath(stateDir: String, v: Int) = s"$stateDir/v$v/occ"
 
   /** Batch-local positional anchor index — d13's construction verbatim. */
   private def anchorsOf(docs: DataFrame): DataFrame =
@@ -79,13 +82,16 @@ object IncrementalSubstring {
       .where(col("anchor").isNotNull && col("doc_id").isNotNull)
 
   /** Per-anchor occurrence over `anch`, duplicate-proof: one occurrence
-    * is one distinct (doc_id, pos), never one stored row. The wide
-    * pre-aggregation dedup shuffle makes this the READ-side counter —
-    * exact whatever reached the state dir.
+    * is one distinct (doc_id, pos), never one stored row — exact whatever
+    * reached the state dir, so this is the READ-side counter. A (doc_id,
+    * pos) determines its anchor text, so per-anchor distinct-(doc_id, pos)
+    * counting equals a global positional dedup + count, in ONE distinct
+    * aggregate (partial map-side dedup) instead of a dedup shuffle
+    * followed by an aggregation shuffle.
     */
   private def occOf(anch: DataFrame): DataFrame =
-    anch.dropDuplicates("doc_id", "pos")
-      .groupBy(col("anchor")).agg(count(lit(1)).as("aocc"))
+    anch.groupBy(col("anchor"))
+      .agg(count_distinct(col("doc_id"), col("pos")).as("aocc"))
 
   /** The MERGE-side counter: a direct per-anchor count with NO
     * (doc_id, pos) dedup. Anchors are distinct per (doc_id, pos) within
@@ -104,22 +110,36 @@ object IncrementalSubstring {
     anch.groupBy(col("anchor")).agg(count(lit(1)).as("aocc"))
 
   /** The NEW-involving candidate hits of one merge: the batch's anchors
-    * vs the full persisted union, both restricted to anchors still cold
-    * on the union-so-far (the SAFE half of the cap — an anchor already
-    * past the cap can only end hotter, so the one-shot drops it too, and
-    * excluding it now is exact while bounding the probe fan-out to
-    * ≤ cap² per anchor). Both orientations of a new-old pair admitted,
-    * then normalized so (i, j) follow (d1, d2) = (smaller, larger) doc —
-    * exactly d13's candidate orientation; new-new hits arrive twice and
-    * dedup away. Lazy — [[merge]] executes it; the plan spec inspects
-    * that old documents enter only as persisted anchor parquet.
+    * vs old anchors plus the batch itself, all restricted to anchors still
+    * cold on the union-so-far (the SAFE half of the cap — an anchor
+    * already past the cap can only end hotter, so the one-shot drops it
+    * too, and excluding it now is exact while bounding the probe fan-out
+    * to ≤ cap² per anchor). `hot` is the complement filter — the
+    * OVER-cap anchors, folded by [[merge]] from the slim per-generation
+    * `occ` partials; every anchor has an occ row (its own batch counted
+    * it), so anti-joining `hot` is exactly the cold inner-join, and the
+    * hot set is SMALL by construction (≤ total-occurrences / cap rows —
+    * the cap is a skew guard), so AQE turns both filters into broadcast
+    * anti-joins with no positional-row shuffle.
+    *
+    * Orientation: (i, j) follow (d1, d2) = (smaller, larger) doc —
+    * exactly d13's candidate orientation. A new-NEW pair would arrive in
+    * both orientations from a symmetric product; the `is_new` tag on the
+    * probe-target side admits it only where `n.doc_id < o.doc_id`, so the
+    * output is duplicate-free BY CONSTRUCTION and the merge pays no
+    * dedup shuffle (the read side still dedups across generations for
+    * unkeyed-duplicate robustness). Lazy — [[merge]] executes it; the
+    * plan spec inspects that old documents enter only as persisted anchor
+    * parquet.
     */
-  private[graft] def candidateHits(newAnch: DataFrame, allAnch: DataFrame): DataFrame = {
-    val coldNow = mergeOccOf(allAnch)
-      .where(col("aocc") <= Dedup.anchorMaxOcc).select(col("anchor"))
-    newAnch.join(coldNow, "anchor").as("n")
-      .join(allAnch.join(coldNow, "anchor").as("o"),
-        col("n.anchor") === col("o.anchor") && col("n.doc_id") =!= col("o.doc_id"))
+  private[graft] def candidateHits(newAnch: DataFrame, oldAnch: DataFrame,
+      hot: DataFrame): DataFrame = {
+    val probeTarget = oldAnch.withColumn("is_new", lit(false))
+      .unionByName(newAnch.withColumn("is_new", lit(true)))
+    newAnch.join(hot, Seq("anchor"), "left_anti").as("n")
+      .join(probeTarget.join(hot, Seq("anchor"), "left_anti").as("o"),
+        col("n.anchor") === col("o.anchor") && col("n.doc_id") =!= col("o.doc_id") &&
+          (!col("o.is_new") || col("n.doc_id") < col("o.doc_id")))
       .select(
         least(col("n.doc_id"), col("o.doc_id")).as("d1"),
         greatest(col("n.doc_id"), col("o.doc_id")).as("d2"),
@@ -128,7 +148,6 @@ object IncrementalSubstring {
         when(col("n.doc_id") < col("o.doc_id"), col("o.pos"))
           .otherwise(col("n.pos")).as("j"),
         col("n.anchor").as("anchor"))
-      .dropDuplicates("d1", "d2", "i", "j")
   }
 
   /** Ingest `newDocs` (a (doc_id, text, …) projection, doc_ids disjoint
@@ -159,17 +178,34 @@ object IncrementalSubstring {
     // anchor the batch once; the generation dir is the materialized copy
     // both probe sides read (anchors land before hits — a crash leaves an
     // uncommitted generation the next merge overwrites)
-    anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    def t[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_SUBSTR_TRACE"))
+        println(f"TRACE merge/$l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    t("anchors")(anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next)))
+    val newAnch = spark.read.parquet(anchorsPath(stateDir, next))
+
+    // per-generation occurrence PARTIAL (the d18 write-only trick): one slim
+    // (anchor, aocc) row per distinct batch anchor, O(batch) to produce.
+    // Folding these partials (sum per anchor) equals mergeOccOf over the
+    // full positional union — [[mergeOccOf]]'s disjoint-doc_id argument —
+    // so the cold filter below never re-aggregates old positional rows.
+    t("occ")(mergeOccOf(newAnch).write.mode("overwrite").parquet(occPath(stateDir, next)))
 
     // marker BEFORE the commit table: whenever the generation is
     // complete, its key is on disk (every crash point → exactly-once)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
 
-    val allPaths = live.map(anchorsPath(stateDir, _)) :+ anchorsPath(stateDir, next)
-    candidateHits(
-      spark.read.parquet(anchorsPath(stateDir, next)),
-      spark.read.parquet(allPaths: _*))
-      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    val hot = spark.read.parquet((live :+ next).map(occPath(stateDir, _)): _*)
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+      .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
+    val oldAnch =
+      if (live.isEmpty) newAnch.limit(0)
+      else spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
+    t("hits")(candidateHits(newAnch, oldAnch, hot)
+      .write.mode("overwrite").parquet(hitsPath(stateDir, next)))
     next
   }
 
@@ -232,6 +268,11 @@ object IncrementalSubstring {
     val next = versions.last + 1
     spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    // occ partials fold WITH re-aggregation (sum is associative): the
+    // compacted index returns to one row per distinct anchor
+    spark.read.parquet(versions.map(occPath(stateDir, _)): _*)
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+      .write.mode("overwrite").parquet(occPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op after maintenance

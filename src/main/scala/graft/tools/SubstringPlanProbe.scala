@@ -23,9 +23,12 @@ object SubstringPlanProbe {
     val scratch2 = graft.util.TmpDirs.scratch("graft_subplan_b2_").toString
     IncrementalSubstring.merge(spark, scratch2,
       docs.where(pmod(col("doc_id"), lit(8)) === 0))
+    val hot = spark.read.parquet(s"$state/v0/occ", s"$scratch2/v0/occ")
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+      .where(col("aocc") > graft.ops.Dedup.anchorMaxOcc).select(col("anchor"))
     val cand = IncrementalSubstring.candidateHits(
       spark.read.parquet(s"$scratch2/v0/anchors"),
-      spark.read.parquet(s"$state/v0/anchors", s"$scratch2/v0/anchors"))
+      spark.read.parquet(s"$state/v0/anchors"), hot)
     cand.collect()
     val plan = cand.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head

@@ -127,8 +127,11 @@ class IncrementalSubstringSpec extends SparkSpec {
     val scratch2 = graft.util.TmpDirs.scratch("graft_d20_plan_b2_").toString
     IncrementalSubstring.merge(spark, scratch2, batch2)
     val newAnch = spark.read.parquet(s"$scratch2/v0/anchors")
+    val hot = spark.read.parquet(s"$state/v0/occ", s"$scratch2/v0/occ")
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+      .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     val cand = IncrementalSubstring.candidateHits(newAnch,
-      spark.read.parquet(s"$state/v0/anchors", s"$scratch2/v0/anchors"))
+      spark.read.parquet(s"$state/v0/anchors"), hot)
     val plan = cand.queryExecution.executedPlan.toString
     assert(!plan.contains("ws_tokens"), s"probe re-tokenizes documents:\n$plan")
     assert(!plan.contains("documents"), s"probe re-reads document text:\n$plan")
