@@ -56,27 +56,32 @@ object IncrementalCard {
     }
     val next = live.map(_ + 1).getOrElse(0)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    val stats = TextAnalysis.cardDocStats(newDocs)
-    // key tables first, additive commit table LAST: a crash leaves an
-    // incomplete generation that the next attempt rebuilds wholesale
-    stats.select(col("source"), col("h")).distinct()
-      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
-    stats.select(col("source"), col("lang")).distinct()
-      .write.mode("overwrite").parquet(langsPath(stateDir, next))
-    // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
-    // the same keys (Apache DataSketches via hll_sketch_agg) — the
-    // serve-time choice between exact and approx is a READ choice; the
-    // ingest pays both (one extra aggregation of the already-computed
-    // stats, kilobytes written)
-    stats.groupBy(col("source"))
-      .agg(expr("hll_sketch_agg(h)").as("hsk"),
-        expr("hll_sketch_agg(lang)").as("lsk"))
-      .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
-    stats.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"),
-        sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
-      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    // persist across the four writes below: the stats projection is one
+    // compiled tokenize+score pass over the batch TEXT — uncached, each
+    // write would redo it, quadrupling per-trigger ingest cost
+    val stats = TextAnalysis.cardDocStats(newDocs).persist()
+    try {
+      // key tables first, additive commit table LAST: a crash leaves an
+      // incomplete generation that the next attempt rebuilds wholesale
+      stats.select(col("source"), col("h")).distinct()
+        .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+      stats.select(col("source"), col("lang")).distinct()
+        .write.mode("overwrite").parquet(langsPath(stateDir, next))
+      // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
+      // the same keys (Apache DataSketches via hll_sketch_agg) — the
+      // serve-time choice between exact and approx is a READ choice; the
+      // ingest pays both (one extra aggregation of the already-computed
+      // stats, kilobytes written)
+      stats.groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(h)").as("hsk"),
+          expr("hll_sketch_agg(lang)").as("lsk"))
+        .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+      stats.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
+        .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    } finally stats.unpersist()
     next
   }
 

@@ -105,13 +105,29 @@ object IncrementalIvfPq {
     * from prior ingests): encode the batch against the frozen model and
     * append one codes generation. Write-only — no prior state read, no
     * vector stored.
+    *
+    * `batchKey` makes the ingest IDEMPOTENT under at-least-once
+    * re-delivery (the [[IncrementalExact]] pattern): codes are write-only
+    * appends, so an UNKEYED re-delivered micro-batch (q74's crash window —
+    * merge landed, stream checkpoint didn't) would append duplicate code
+    * rows, and [[annTopK]]'s union + per-query row_number would rank the
+    * same vec_id twice — silently breaking the s15 == s12 parity. A keyed
+    * merge whose key a complete generation already records is a no-op;
+    * the marker commits atomically with the generation. Streaming callers
+    * should pass the foreachBatch batch id.
     */
   def merge(spark: SparkSession, stateDir: String, modelDir: String,
-      newVecs: DataFrame): Int = {
+      newVecs: DataFrame, batchKey: Option[String] = None): Int = {
     val refs = loadRefVectors(spark, modelDir)
     val cb = codebooksOf(refs)
     GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(refs)))
-    val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
+    val live = latestVersion(spark, stateDir)
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.get // already ingested: re-delivery is a no-op
+    }
+    val next = live.map(_ + 1).getOrElse(0)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
     newVecs
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
@@ -150,6 +166,9 @@ object IncrementalIvfPq {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    // markers travel with the fold: a re-delivered batch key must stay a
+    // no-op even after its generation was compacted away
+    GenState.copyIngestMarkers(spark, stateDir, versions, next)
     versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(codesPath(stateDir, next))

@@ -70,6 +70,13 @@ object Quantization {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // fail loud, not with an opaque rows.head error or a silently
+    // under-sized codebook: code = rank is only "robust to non-dense ids"
+    // when pqCodes vectors actually have vec_id < pqCodes
+    require(rows.length == pqCodes,
+      s"pqCodebooks: need $pqCodes vectors with vec_id < $pqCodes at $dir, " +
+        s"found ${rows.length} — codebooks must be exactly $pqCodes entries " +
+        "per subspace (4-bit codes)")
     val dim = rows.head.length
     val subDim = dim / pqSubspaces
     require(subDim * pqSubspaces == dim,
@@ -166,7 +173,10 @@ object Quantization {
       nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame = {
     val exact = Similarity.cosineTopK(spark, dir, nQueries, k)
       .select(col("qid"), col("vec_id"))
-    val approx = pqAdcTopK(spark, dir, nQueries, k)
+    // thread ONE derived codebook into the ADC side: the audit already
+    // pays the exact-baseline scan, it should not pay a second
+    // driver-side codebook collect on top
+    val approx = pqAdcTopKWith(spark, dir, pqCodebooks(spark, dir), nQueries, k)
       .select(col("qid").as("aqid"), col("vec_id").as("avid"))
     exact.join(approx,
         col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")

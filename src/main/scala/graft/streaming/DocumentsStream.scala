@@ -196,8 +196,9 @@ object DocumentsStream {
       modelDir: String, stateDir: Option[String] = None,
       files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q74_state_").toString)
-    drainMerges(spark, dir, files, "q74", Tables.embeddings)((b, _) =>
-      graft.ops.IncrementalIvfPq.merge(b.sparkSession, state, modelDir, b))
+    drainMerges(spark, dir, files, "q74", Tables.embeddings)((b, id) =>
+      graft.ops.IncrementalIvfPq.merge(b.sparkSession, state, modelDir, b,
+        Some(s"b$id")))
     graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, modelDir)
   }
 

@@ -262,6 +262,35 @@ class PqSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("s15: keyed re-delivered batch is a NO-OP, surviving compaction") {
+    // the q74 crash window: merge landed, stream checkpoint didn't — an
+    // unkeyed re-delivery would append duplicate code rows and annTopK's
+    // union + row_number would rank the same vec_id twice
+    val model = graft.util.TmpDirs.scratch("graft_s15_redel_model_").toString
+    graft.ops.IncrementalIvfPq.persistedRefVectors(spark, dir, model)
+    val state = graft.util.TmpDirs.scratch("graft_s15_redel_state_").toString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val b1 = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b2 = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+    graft.ops.IncrementalIvfPq.merge(spark, state, model, b1, Some("b0"))
+    graft.ops.IncrementalIvfPq.merge(spark, state, model, b2, Some("b1"))
+    val before = graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(graft.ops.IncrementalIvfPq.merge(spark, state, model, b2, Some("b1")) == 1)
+    assert(graft.ops.IncrementalIvfPq.completeVersions(spark, state) == Seq(0, 1),
+      "re-delivered keyed batch created a generation")
+    val after = graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(after == before, "re-delivered batch changed the served top-k")
+    // and the no-op survives compaction (markers travel with the fold)
+    val v = graft.ops.IncrementalIvfPq.compact(spark, state)
+    assert(graft.ops.IncrementalIvfPq.merge(spark, state, model, b2, Some("b1")) == v)
+    assert(graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, model).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      == before)
+  }
+
   test("s15: a merge against a different frozen model is refused") {
     val modelA = graft.util.TmpDirs.scratch("graft_s15_ma_").toString
     graft.ops.IncrementalIvfPq.persistedRefVectors(spark, dir, modelA)
