@@ -324,6 +324,8 @@ object Corpus {
       suiteDocs: DataFrame): Int = {
     val next = GenState.latestVersion(spark, registryDir, registryTable)
       .map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
+    GenState.assertClaimed(spark, registryDir, next, claim)
     suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
     next
@@ -366,7 +368,9 @@ object Corpus {
     require(versions.nonEmpty, s"compactRegistry: no registry at $registryDir")
     val leftovers = GenState.foldedLeftovers(spark, registryDir, registryTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
     GenState.writeCompactManifest(spark, registryDir, next, versions)
+    GenState.assertClaimed(spark, registryDir, next, claim)
     spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
     GenState.deleteVersions(spark, registryDir, versions ++ leftovers)

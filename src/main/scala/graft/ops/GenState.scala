@@ -183,6 +183,88 @@ object GenState {
       writeUtf8(f, new Path(s"$stateDir/v$to/$ingestPrefix$k"), ""))
   }
 
+  // ---- single-writer generation claims ------------------------------------
+  //
+  // Generation numbers are allocated by directory LISTING, so two
+  // concurrent writers into one state dir could both pick vN and
+  // interleave table writes — a committed generation mixing two batches'
+  // rows, corrupt in a way no read-side dedup can detect. State dirs are
+  // single-writer by OPERATIONAL contract; the claim protocol turns a
+  // violation into serialization or a clean abort, never a mixed commit:
+  //
+  //   1. after choosing `next`, a writer must [[claimGeneration]]: an
+  //      EXCLUSIVE create (no overwrite) of `vN/_CLAIM` holding a fresh
+  //      writer token. An incomplete vN that is already claimed is a crash
+  //      leftover under the documented redo-wholesale rule — the claimant
+  //      deletes the dir and re-claims exclusively, so of two LIVE writers
+  //      exactly one holds the claim; the loser aborts loudly, having
+  //      written nothing that counts;
+  //   2. immediately before its commit-table write, [[assertClaimed]]: a
+  //      writer whose claim was stolen mid-merge (the thief believed it
+  //      crashed) aborts BEFORE committing, so only the thief's rebuilt
+  //      generation can complete.
+  //
+  // Lease-free limit, stated plainly: a writer that stalls through the
+  // thief's ENTIRE rebuild and wakes exactly between its assert and its
+  // commit write is indistinguishable from a crash-redo; closing that last
+  // window needs heartbeat leases a batch protocol does not carry. The
+  // exclusive create is atomic on HDFS/object stores with conditional
+  // create; on the local FS it is as atomic as create(overwrite=false).
+
+  private def claimPath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_CLAIM")
+
+  /** Claim generation `v` for this writer (step 1 above). Returns the
+    * writer token to present to [[assertClaimed]] before the commit write.
+    * Throws IllegalStateException — with nothing committed — when the
+    * version listing is stale (v already committed by someone else) or a
+    * live concurrent writer wins the exclusive create.
+    */
+  def claimGeneration(spark: SparkSession, stateDir: String, v: Int,
+      commitTable: String = "labels"): String = {
+    val f = fs(spark, stateDir)
+    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
+      throw new IllegalStateException(
+        s"GenState: generation v$v at $stateDir is already committed — a " +
+          "concurrent writer ingested since this merge listed versions; " +
+          "state dirs are single-writer (clean abort, nothing written)")
+    val p = claimPath(stateDir, v)
+    if (f.exists(p)) {
+      // incomplete AND claimed: a crash leftover being redone wholesale
+      // (the documented recovery rule). Delete and re-claim exclusively —
+      // if the "leftover" was in fact a live writer, exactly one of the
+      // two exclusive creates below succeeds.
+      f.delete(new Path(s"$stateDir/v$v"), true)
+    }
+    val token = java.util.UUID.randomUUID().toString
+    val out =
+      try f.create(p, false)
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"GenState: lost the claim race for v$v at $stateDir — another " +
+            "writer is ingesting into this state dir concurrently; state " +
+            "dirs are single-writer (clean abort, nothing committed)")
+      }
+    try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    token
+  }
+
+  /** Step 2 above: call immediately before the commit-table write. Throws
+    * IllegalStateException when this writer's claim was taken over — the
+    * merge must abort instead of committing a generation another writer
+    * is rebuilding.
+    */
+  def assertClaimed(spark: SparkSession, stateDir: String, v: Int,
+      token: String): Unit = {
+    val f = fs(spark, stateDir)
+    val p = claimPath(stateDir, v)
+    val held = if (f.exists(p)) readUtf8(f, p) else "<missing>"
+    if (held != token)
+      throw new IllegalStateException(
+        s"GenState: the claim on v$v at $stateDir was taken over by another " +
+          "writer mid-merge (token mismatch) — aborting before commit; state " +
+          "dirs are single-writer")
+  }
+
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,
     * require()d identical on every later merge into the same state dir.
     */

@@ -55,6 +55,7 @@ object IncrementalCard {
         return live.get // re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
     // persist across the four writes below: the stats projection is one
     // compiled tokenize+score pass over the batch TEXT — uncached, each
@@ -76,6 +77,7 @@ object IncrementalCard {
         .agg(expr("hll_sketch_agg(h)").as("hsk"),
           expr("hll_sketch_agg(lang)").as("lsk"))
         .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+      GenState.assertClaimed(spark, stateDir, next, claim)
       stats.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
           sum(col("n_chars")).as("n_chars"),
@@ -156,6 +158,7 @@ object IncrementalCard {
     require(versions.nonEmpty, s"IncrementalCard.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
       .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))
     spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
@@ -166,6 +169,7 @@ object IncrementalCard {
       .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),

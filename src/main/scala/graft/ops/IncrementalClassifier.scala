@@ -52,7 +52,9 @@ object IncrementalClassifier {
         return live.get // already ingested: re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     TextAnalysis.nbCounts(TextAnalysis.qualityFeatures(newDocs))
       .write.mode("overwrite").parquet(countsPath(stateDir, next))
     next
@@ -85,11 +87,13 @@ object IncrementalClassifier {
     require(versions.nonEmpty, s"IncrementalClassifier.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
       .groupBy(col("feature"), col("v"))
       .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -126,6 +126,7 @@ object IncrementalDedup {
       Map("maxHamming" -> maxHamming.toString, "width" -> width.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next)
 
     // 1. sign the new batch once and persist its bands — the generation's
     // own band dir is also the materialized copy the pair join reads (no
@@ -178,6 +179,7 @@ object IncrementalDedup {
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an
     // incomplete generation the next merge simply overwrites)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -199,9 +201,11 @@ object IncrementalDedup {
     require(versions.nonEmpty, s"IncrementalDedup.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -54,7 +54,9 @@ object IncrementalDsir {
         return live.get // already ingested: re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     Corpus.dsirCounts(newDocs)
       .write.mode("overwrite").parquet(countsPath(stateDir, next))
     next
@@ -85,9 +87,11 @@ object IncrementalDsir {
     require(versions.nonEmpty, s"IncrementalDsir.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

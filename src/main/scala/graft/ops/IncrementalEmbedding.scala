@@ -92,6 +92,7 @@ object IncrementalEmbedding {
       Map("threshold" -> threshold.toString, "cap" -> cap.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next)
 
     // 1. index the new batch once (norm + SRP bucket) and persist it —
     // the generation dir doubles as the materialized copy the join reads
@@ -143,6 +144,7 @@ object IncrementalEmbedding {
       completeVersions(spark, stateDir), matPairs, next)
 
     // 4. commit (labels' _SUCCESS marks the generation complete)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -158,9 +160,11 @@ object IncrementalEmbedding {
     require(versions.nonEmpty, s"IncrementalEmbedding.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

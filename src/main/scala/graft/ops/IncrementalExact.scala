@@ -70,7 +70,9 @@ object IncrementalExact {
         return live.get // already ingested: re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     partialOf(newDocs).write.mode("overwrite").parquet(hashesPath(stateDir, next))
     next
   }
@@ -99,6 +101,7 @@ object IncrementalExact {
     require(versions.nonEmpty, s"IncrementalExact.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     val folded = spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
       .groupBy(col("h"))
       .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
@@ -109,6 +112,7 @@ object IncrementalExact {
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op even after its generation was compacted away
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -71,11 +71,13 @@ object IncrementalIvf {
     val spec = graft.exprs.IvfProbe.render(loadModel(spark, modelDir))
     GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(spec)))
     val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     // same assignment as s6/s7: top-1 probe, NaN (zero-norm) → cell −1
     val best = element_at(
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
     val cell = when(isnan(best.getField("ccos")), lit(-1L))
       .otherwise(best.getField("cid"))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     Similarity.withNorm(newVecs)
       .withColumn("cell", cell)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
@@ -96,8 +98,10 @@ object IncrementalIvf {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalIvf.delete: no state at $stateDir")
     val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     spark.read.parquet(postingsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
     next
@@ -158,7 +162,9 @@ object IncrementalIvf {
     require(versions.nonEmpty, s"IncrementalIvf.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     livePostings(spark, stateDir)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -127,7 +127,9 @@ object IncrementalIvfPq {
         return live.get // already ingested: re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     newVecs
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
@@ -165,10 +167,12 @@ object IncrementalIvfPq {
     require(versions.nonEmpty, s"IncrementalIvfPq.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op even after its generation was compacted away
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(codesPath(stateDir, next))

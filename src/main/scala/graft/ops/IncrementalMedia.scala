@@ -82,6 +82,7 @@ object IncrementalMedia {
     GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
     val live = completeVersions(spark, stateDir)
     val next = live.lastOption.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
 
     // decode exactly once, at ingest; the generation dir is the
     // materialized copy every later probe reads (merge hot-path contract)
@@ -94,6 +95,7 @@ object IncrementalMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     candidatePairs(
       spark.read.parquet(sigsPath(stateDir, next)),
       spark.read.parquet(allPaths: _*), maxHamming)
@@ -120,10 +122,12 @@ object IncrementalMedia {
     require(versions.nonEmpty, s"IncrementalMedia.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
       .dropDuplicates("name")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))

@@ -75,6 +75,7 @@ object IncrementalMinHash {
     GenState.checkConfig(spark, stateDir, Map("threshold" -> threshold.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next)
 
     // 1. shingle + sign the new batch ONCE; the generation dirs double as
     // the materialized copies every downstream join reads (no recompute
@@ -123,6 +124,7 @@ object IncrementalMinHash {
     val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
     // 5. commit: labels' _SUCCESS marks the generation complete
+    GenState.assertClaimed(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -138,11 +140,13 @@ object IncrementalMinHash {
     require(versions.nonEmpty, s"IncrementalMinHash.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     spark.read.parquet(versions.map(setsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -83,6 +83,7 @@ object IncrementalRotMedia {
     GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
     val live = completeVersions(spark, stateDir)
     val next = live.lastOption.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
 
     newMedia.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
@@ -95,6 +96,7 @@ object IncrementalRotMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     mergePairs(
       spark.read.parquet(sigsPath(stateDir, next)),
       spark.read.parquet(allPaths: _*), maxHamming)
@@ -124,10 +126,12 @@ object IncrementalRotMedia {
     require(versions.nonEmpty, s"IncrementalRotMedia.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
       .dropDuplicates("name", "t")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))

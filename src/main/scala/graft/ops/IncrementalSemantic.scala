@@ -51,6 +51,7 @@ object IncrementalSemantic {
       Map("threshold" -> threshold.toString, "cells" -> cents.size.toString))
     val prev = latestVersion(spark, stateDir)
     val next = prev.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next)
 
     // 1. assign the new batch ONCE: frozen-model top-1 cell + rounded
     // centroid cosine persisted with the vector (zero-norm vectors have
@@ -98,6 +99,7 @@ object IncrementalSemantic {
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     val labels = LabelState.deltaLabels(spark, stateDir,
       completeVersions(spark, stateDir), matPairs, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -108,9 +110,11 @@ object IncrementalSemantic {
     require(versions.nonEmpty, s"IncrementalSemantic.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -174,6 +174,7 @@ object IncrementalSubstring {
         return live.last // already ingested: re-delivery is a no-op
     }
     val next = live.lastOption.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
 
     // anchor the batch once; the generation dir is the materialized copy
     // both probe sides read (anchors land before hits — a crash leaves an
@@ -204,6 +205,7 @@ object IncrementalSubstring {
     val oldAnch =
       if (live.isEmpty) newAnch.limit(0)
       else spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     t("hits")(candidateHits(newAnch, oldAnch, hot)
       .write.mode("overwrite").parquet(hitsPath(stateDir, next)))
     next
@@ -266,6 +268,7 @@ object IncrementalSubstring {
     require(versions.nonEmpty, s"IncrementalSubstring.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
     // occ partials fold WITH re-aggregation (sum is associative): the
@@ -277,6 +280,7 @@ object IncrementalSubstring {
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op after maintenance
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(hitsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

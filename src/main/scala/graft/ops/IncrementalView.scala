@@ -74,7 +74,9 @@ object IncrementalView {
         return live.get // already ingested: re-delivery is a no-op
     }
     val next = live.map(_ + 1).getOrElse(0)
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    GenState.assertClaimed(spark, stateDir, next, claim)
     partialOf(newEvents).write.mode("overwrite").parquet(partialsPath(stateDir, next))
     next
   }
@@ -195,7 +197,9 @@ object IncrementalView {
           return live.get
       }
       val next = live.map(_ + 1).getOrElse(0)
+      val claim = GenState.claimGeneration(spark, stateDir, next, "partials")
       batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+      GenState.assertClaimed(spark, stateDir, next, claim)
       rawFeed
         .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
@@ -226,11 +230,13 @@ object IncrementalView {
     require(versions.nonEmpty, s"IncrementalView.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
     GenState.writeCompactManifest(spark, stateDir, next, versions)
     GenState.copyIngestMarkers(spark, stateDir, versions, next)
+    GenState.assertClaimed(spark, stateDir, next, claim)
     folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
