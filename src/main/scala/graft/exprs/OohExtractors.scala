@@ -76,7 +76,7 @@ object OohExtractors {
   private val trEnd =
     "<tr[\\s>]|</table[\\s>]|</?(?:thead|tbody|tfoot)[\\s>]"
 
-  private def autoClose(c: Column): Column = {
+  private[graft] def autoClose(c: Column): Column = {
     val p = regexp_replace(
       c,
       s"(?s)<p(\\s[^>]*)?>((?:(?!</p>|$pBoundary).)*)(?=$pBoundary|$$)",
