@@ -116,6 +116,37 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bareRows == want.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
   }
 
+  test("rewrite fires on q7-shaped SQL TEXT, not just the Column API path") {
+    // the same rank-filter idiom arriving through the parser: a Spark
+    // upgrade that changes the analyzed shape of SQL windows must not
+    // silently fall the SQL surface back to a full WindowExec sort while
+    // the Column API keeps the operator
+    graft.sources.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("topk_sql_orders")
+    try {
+      val sql =
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM topk_sql_orders) WHERE rn <= 3""".stripMargin
+      val q = spark.sql(sql)
+      val plan = q.queryExecution.executedPlan
+      assert(collectFirst(plan) { case f: FinalTopKPerKeyExec => f }.isDefined,
+        s"rewrite did not fire on SQL text:\n$plan")
+      assert(collect(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        "SQL-text plan fell back to a full window sort")
+      // and the SQL-surface result equals the WindowExec reference
+      spark.conf.set(graft.plans.RewriteWindowTopK.enabledKey, "false")
+      val want =
+        try spark.sql(sql).orderBy("o_custkey", "o_orderkey").collect().toSeq
+        finally spark.conf.unset(graft.plans.RewriteWindowTopK.enabledKey)
+      assert(q.orderBy("o_custkey", "o_orderkey").collect().toSeq == want)
+    } finally spark.catalog.dropTempView("topk_sql_orders")
+  }
+
   test("spark.graft.rewriteWindowTopK=false disables the rewrite") {
     val df = spark.range(1000)
       .select((col("id") % 10).as("key"), (col("id") % 97).as("v"), col("id"))
