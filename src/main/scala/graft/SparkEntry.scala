@@ -379,6 +379,19 @@ object SparkEntry {
       graft.ops.IncrementalExact.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
       graft.ops.IncrementalExact.dedup(s, state)
     }),
+    // d28: right-to-be-forgotten for the write-only exact modality —
+    // split-ingest, then TOMBSTONE every doc_id ≡ 3 (mod 7); the served
+    // aggregate re-derives affected hash groups from the per-doc sidecar
+    // and must equal the one-shot d1 aggregate over the SURVIVING docs.
+    "d28_exact_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d28_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalExact.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalExact.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalExact.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalExact.dedup(s, state)
+    }),
     // Incremental MinHash-LSH dedup state (the Jaccard modality's d12):
     // split-ingest into a fresh generational state dir, clusters compared
     // against reachability over the one-shot d3 pair graph.
@@ -759,6 +772,12 @@ object SparkEntry {
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
       // write-only partial-agg ingest == d1's one-shot exact aggregate
       ("d18_exact_incremental" -> m("d1_exact_dedup")) +
+      // tombstoned state == d1's one-shot aggregate over the SURVIVORS
+      ("d28_exact_delete" ->
+        """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+          |  min(doc_id) AS keeper, count(*) AS n_copies
+          |FROM documents WHERE doc_id % 7 <> 3
+          |GROUP BY 1 ORDER BY keeper""".stripMargin) +
       // per-batch registry screening unioned == one-shot contamination
       ("c9_contamination_registry" -> m("c3_contamination")) +
       // suite-split generational appends screened == one-shot contamination

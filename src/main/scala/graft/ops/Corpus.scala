@@ -325,7 +325,7 @@ object Corpus {
     val next = GenState.latestVersion(spark, registryDir, registryTable)
       .map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
-    GenState.assertClaimed(spark, registryDir, next, claim)
+    GenState.assertWritable(spark, registryDir, next, claim, registryTable)
     suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
     next
@@ -369,8 +369,8 @@ object Corpus {
     val leftovers = GenState.foldedLeftovers(spark, registryDir, registryTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
-    GenState.writeCompactManifest(spark, registryDir, next, versions)
-    GenState.assertClaimed(spark, registryDir, next, claim)
+    GenState.writeCompactManifest(spark, registryDir, next, versions, claim, registryTable)
+    GenState.assertWritable(spark, registryDir, next, claim, registryTable)
     spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
     GenState.deleteVersions(spark, registryDir, versions ++ leftovers)

@@ -89,12 +89,17 @@ object GenState {
 
   /** Record in generation `next` the source versions it folds. MUST be
     * called before `next`'s labels commit: a complete compacted generation
-    * then always carries its manifest, whatever the crash point.
+    * then always carries its manifest, whatever the crash point. Guarded
+    * by the claim `token` like every other per-generation write — a
+    * compactor whose claim was stolen must not stamp a manifest onto the
+    * thief's generation.
     */
   def writeCompactManifest(spark: SparkSession, stateDir: String, next: Int,
-      folded: Seq[Int]): Unit =
+      folded: Seq[Int], token: String, commitTable: String = "labels"): Unit = {
+    assertWritable(spark, stateDir, next, token, commitTable)
     writeUtf8(fs(spark, stateDir), manifestPath(stateDir, next),
       folded.mkString("\n"))
+  }
 
   def deleteVersions(spark: SparkSession, stateDir: String, vs: Seq[Int]): Unit = {
     val f = fs(spark, stateDir)
@@ -159,11 +164,16 @@ object GenState {
   /** Record `key` on (not-yet-complete) generation `v`; call BEFORE the
     * commit table's write so the marker exists whenever the generation is
     * complete. Clears stale markers first — an incomplete vN is abandoned
-    * work being redone.
+    * work being redone. Guarded by the claim `token`: a stalled writer
+    * waking after a thief's commit must NOT clear the committed
+    * generation's markers (that would break exactly-once re-delivery) —
+    * the commit-exists check refuses, and a mismatched token aborts before
+    * any delete.
     */
   def writeIngestMarker(spark: SparkSession, stateDir: String, v: Int,
-      key: String): Unit = {
+      key: String, token: String, commitTable: String = "labels"): Unit = {
     requireValidKey(key)
+    assertWritable(spark, stateDir, v, token, commitTable)
     val f = fs(spark, stateDir)
     markerNames(f, stateDir, v).foreach(k =>
       f.delete(new Path(s"$stateDir/v$v/$ingestPrefix$k"), false))
@@ -172,10 +182,13 @@ object GenState {
 
   /** Carry the markers of `from` generations onto (not-yet-complete)
     * generation `to` — compaction must not forget which batches were
-    * ingested. Call before `to`'s commit write.
+    * ingested. Call before `to`'s commit write. Claim-guarded like
+    * [[writeIngestMarker]].
     */
   def copyIngestMarkers(spark: SparkSession, stateDir: String,
-      from: Seq[Int], to: Int): Unit = {
+      from: Seq[Int], to: Int, token: String,
+      commitTable: String = "labels"): Unit = {
+    assertWritable(spark, stateDir, to, token, commitTable)
     val f = fs(spark, stateDir)
     markerNames(f, stateDir, to).foreach(k =>
       f.delete(new Path(s"$stateDir/v$to/$ingestPrefix$k"), false))
@@ -193,31 +206,97 @@ object GenState {
   // violation into serialization or a clean abort, never a mixed commit:
   //
   //   1. after choosing `next`, a writer must [[claimGeneration]]: an
-  //      EXCLUSIVE create (no overwrite) of `vN/_CLAIM` holding a fresh
-  //      writer token. An incomplete vN that is already claimed is a crash
+  //      atomic publish (via [[ClaimBackend.tryClaim]], default: exclusive
+  //      create) of `vN/_CLAIM` holding a fresh writer token, then a
+  //      READ-BACK verifying the published claim still holds this writer's
+  //      token. An incomplete vN that is already claimed is a crash
   //      leftover under the documented redo-wholesale rule — the claimant
-  //      deletes the dir and re-claims exclusively, so of two LIVE writers
-  //      exactly one holds the claim; the loser aborts loudly, having
-  //      written nothing that counts;
-  //   2. immediately before its commit-table write, [[assertClaimed]]: a
-  //      writer whose claim was stolen mid-merge (the thief believed it
-  //      crashed) aborts BEFORE committing, so only the thief's rebuilt
-  //      generation can complete.
+  //      deletes the dir and re-claims. The delete/create interleaving of
+  //      two LIVE claimants can momentarily let both creates succeed (B's
+  //      recursive delete may remove A's just-created claim); the
+  //      read-back closes it: at most one claimant sees its OWN token
+  //      (possibly neither — both abort, which is safe), because the claim
+  //      file holds one value and each loser observes the other's token or
+  //      an absent file. The claim is authoritative only at READ time —
+  //      which is why every later write re-reads it (step 2);
+  //   2. immediately before EVERY per-generation write — each table, each
+  //      ingest marker, the compact manifest, and the final commit —
+  //      [[assertWritable]]: the writer re-reads its claim AND checks the
+  //      generation has not been committed by someone else. A writer whose
+  //      claim was stolen mid-merge (the thief believed it crashed) aborts
+  //      at its NEXT write, so it can clobber at most the one table write
+  //      already in flight when the steal happened — and a thief always
+  //      starts by deleting the whole vN dir, so a stolen-then-rebuilt
+  //      generation never mixes the two writers' rows unless the loser's
+  //      in-flight write lands AFTER the thief's rebuild of that same
+  //      table. Marker writes can't be in flight concurrently with a
+  //      commit: they refuse outright once the commit `_SUCCESS` exists.
   //
-  // Lease-free limit, stated plainly: a writer that stalls through the
-  // thief's ENTIRE rebuild and wakes exactly between its assert and its
-  // commit write is indistinguishable from a crash-redo; closing that last
-  // window needs heartbeat leases a batch protocol does not carry. The
-  // exclusive create is atomic on HDFS/object stores with conditional
-  // create; on the local FS it is as atomic as create(overwrite=false).
+  // Residual window, stated plainly: the guard is check-then-write, not a
+  // lease, so a writer that stalls INSIDE a single guarded write — after
+  // its assertWritable, before the write lands — and wakes after the thief
+  // has rebuilt and committed can still clobber that one table. Closing
+  // that needs heartbeat leases (or a backend whose writes are themselves
+  // conditional), which a batch protocol does not carry; what the guard
+  // DOES guarantee is that a stalled loser making multiple writes aborts
+  // at the first one after the steal, and that ingest markers on a
+  // committed generation are never cleared.
+
+  /** Pluggable atomicity seam for the claim protocol. The default
+    * ([[FsClaimBackend]]) relies on atomic `create(overwrite=false)` —
+    * true on HDFS and ABFS, best-effort on the local FS. S3 has no atomic
+    * exclusive create; a deployment targeting S3 plugs a backend whose
+    * [[tryClaim]] is an `If-None-Match: *` conditional PUT (or a DynamoDB
+    * lock item) and whose [[readClaim]] is a strongly-consistent GET —
+    * merge/compact code is untouched, it only ever talks to [[GenState]].
+    */
+  trait ClaimBackend {
+    /** Atomically publish `token` at claim path `p` iff no claim exists.
+      * Returns false when another claim was already present (lost race).
+      */
+    def tryClaim(f: FileSystem, p: Path, token: String): Boolean
+    /** The current claim token at `p`, or None when absent. */
+    def readClaim(f: FileSystem, p: Path): Option[String]
+    /** Drop any claim at `p` — the redo-wholesale steal path calls this
+      * after deleting a crash leftover's dir, so a backend whose claim
+      * store is EXTERNAL to the filesystem (CAS row, lock item) does not
+      * deadlock the state dir on the leftover's token forever.
+      */
+    def releaseClaim(f: FileSystem, p: Path): Unit
+  }
+
+  /** Filesystem default: exclusive create + read-back. The claim lives
+    * inside the vN dir, so the steal path's recursive delete already
+    * removes it — releaseClaim is a best-effort single-file delete.
+    */
+  object FsClaimBackend extends ClaimBackend {
+    def tryClaim(f: FileSystem, p: Path, token: String): Boolean = {
+      val out =
+        try f.create(p, false)
+        catch { case _: java.io.IOException => return false }
+      try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    }
+    def readClaim(f: FileSystem, p: Path): Option[String] =
+      if (f.exists(p)) Some(readUtf8(f, p)) else None
+    def releaseClaim(f: FileSystem, p: Path): Unit =
+      if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** The claim backend in effect for this JVM. A deployment swaps this
+    * once at startup (e.g. to a conditional-put S3 backend) without
+    * touching any merge code. Volatile: set-before-use from the driver.
+    */
+  @volatile var claimBackend: ClaimBackend = FsClaimBackend
 
   private def claimPath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_CLAIM")
 
   /** Claim generation `v` for this writer (step 1 above). Returns the
-    * writer token to present to [[assertClaimed]] before the commit write.
-    * Throws IllegalStateException — with nothing committed — when the
-    * version listing is stale (v already committed by someone else) or a
-    * live concurrent writer wins the exclusive create.
+    * writer token to present to [[assertWritable]] before every later
+    * per-generation write. Throws IllegalStateException — with nothing
+    * committed — when the version listing is stale (v already committed by
+    * someone else) or a live concurrent writer wins the claim race, at
+    * publish time or at the read-back.
     */
   def claimGeneration(spark: SparkSession, stateDir: String, v: Int,
       commitTable: String = "labels"): String = {
@@ -228,36 +307,58 @@ object GenState {
           "concurrent writer ingested since this merge listed versions; " +
           "state dirs are single-writer (clean abort, nothing written)")
     val p = claimPath(stateDir, v)
-    if (f.exists(p)) {
+    if (claimBackend.readClaim(f, p).isDefined) {
       // incomplete AND claimed: a crash leftover being redone wholesale
-      // (the documented recovery rule). Delete and re-claim exclusively —
-      // if the "leftover" was in fact a live writer, exactly one of the
-      // two exclusive creates below succeeds.
+      // (the documented recovery rule). Delete and re-claim — if the
+      // "leftover" was in fact a live writer, the read-back below lets at
+      // most one of the two claimants proceed.
       f.delete(new Path(s"$stateDir/v$v"), true)
+      claimBackend.releaseClaim(f, p)
     }
     val token = java.util.UUID.randomUUID().toString
-    val out =
-      try f.create(p, false)
-      catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"GenState: lost the claim race for v$v at $stateDir — another " +
-            "writer is ingesting into this state dir concurrently; state " +
-            "dirs are single-writer (clean abort, nothing committed)")
-      }
-    try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!claimBackend.tryClaim(f, p, token))
+      throw new IllegalStateException(
+        s"GenState: lost the claim race for v$v at $stateDir — another " +
+          "writer is ingesting into this state dir concurrently; state " +
+          "dirs are single-writer (clean abort, nothing committed)")
+    // read-back: a concurrent claimant's crash-leftover delete can have
+    // removed this just-published claim before (or after) its own tryClaim
+    // — the claim is only authoritative as READ, so verify it survived.
+    if (!claimBackend.readClaim(f, p).contains(token))
+      throw new IllegalStateException(
+        s"GenState: the claim on v$v at $stateDir did not survive its own " +
+          "publish (a concurrent claimant's redo-wholesale delete raced it) " +
+          "— clean abort, nothing committed; state dirs are single-writer")
     token
   }
 
-  /** Step 2 above: call immediately before the commit-table write. Throws
-    * IllegalStateException when this writer's claim was taken over — the
-    * merge must abort instead of committing a generation another writer
-    * is rebuilding.
+  /** Step 2 above: call immediately before EVERY per-generation write.
+    * Throws IllegalStateException when the generation was committed by
+    * another writer (never write into — or delete markers of — a
+    * committed generation) or this writer's claim was taken over — the
+    * merge must abort instead of corrupting a generation another writer
+    * owns.
+    */
+  def assertWritable(spark: SparkSession, stateDir: String, v: Int,
+      token: String, commitTable: String = "labels"): Unit = {
+    val f = fs(spark, stateDir)
+    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
+      throw new IllegalStateException(
+        s"GenState: generation v$v at $stateDir was committed by another " +
+          "writer while this merge was stalled — refusing to write into a " +
+          "committed generation; state dirs are single-writer")
+    assertClaimed(spark, stateDir, v, token)
+  }
+
+  /** The claim-token half of [[assertWritable]]. Kept callable on its own
+    * for the commit write itself (where the commit table's `_SUCCESS`
+    * cannot yet exist under a held claim — the thief deletes the dir
+    * first), but operators should reach for [[assertWritable]].
     */
   def assertClaimed(spark: SparkSession, stateDir: String, v: Int,
       token: String): Unit = {
     val f = fs(spark, stateDir)
-    val p = claimPath(stateDir, v)
-    val held = if (f.exists(p)) readUtf8(f, p) else "<missing>"
+    val held = claimBackend.readClaim(f, claimPath(stateDir, v)).getOrElse("<missing>")
     if (held != token)
       throw new IllegalStateException(
         s"GenState: the claim on v$v at $stateDir was taken over by another " +

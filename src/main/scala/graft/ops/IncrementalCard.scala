@@ -56,7 +56,7 @@ object IncrementalCard {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     // persist across the four writes below: the stats projection is one
     // compiled tokenize+score pass over the batch TEXT — uncached, each
     // write would redo it, quadrupling per-trigger ingest cost
@@ -64,8 +64,10 @@ object IncrementalCard {
     try {
       // key tables first, additive commit table LAST: a crash leaves an
       // incomplete generation that the next attempt rebuilds wholesale
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       stats.select(col("source"), col("h")).distinct()
         .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       stats.select(col("source"), col("lang")).distinct()
         .write.mode("overwrite").parquet(langsPath(stateDir, next))
       // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
@@ -73,11 +75,12 @@ object IncrementalCard {
       // serve-time choice between exact and approx is a READ choice; the
       // ingest pays both (one extra aggregation of the already-computed
       // stats, kilobytes written)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       stats.groupBy(col("source"))
         .agg(expr("hll_sketch_agg(h)").as("hsk"),
           expr("hll_sketch_agg(lang)").as("lsk"))
         .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
-      GenState.assertClaimed(spark, stateDir, next, claim)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       stats.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
           sum(col("n_chars")).as("n_chars"),
@@ -159,17 +162,20 @@ object IncrementalCard {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
       .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
       .distinct().write.mode("overwrite").parquet(langsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(expr("hll_union_agg(hsk)").as("hsk"), expr("hll_union_agg(lsk)").as("lsk"))
       .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),

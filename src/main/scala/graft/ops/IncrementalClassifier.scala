@@ -53,8 +53,8 @@ object IncrementalClassifier {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     TextAnalysis.nbCounts(TextAnalysis.qualityFeatures(newDocs))
       .write.mode("overwrite").parquet(countsPath(stateDir, next))
     next
@@ -91,9 +91,9 @@ object IncrementalClassifier {
     val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
       .groupBy(col("feature"), col("v"))
       .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -139,6 +139,7 @@ object IncrementalDedup {
       else
         Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
           .withColumnRenamed("block", "half"))
+    GenState.assertWritable(spark, stateDir, next, claim)
     signed.write.mode("overwrite").parquet(bandsPath(stateDir, next))
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
 
@@ -168,6 +169,7 @@ object IncrementalDedup {
     // both the EMPTY-BATCH FAST PATH check (a pair-free batch carries the
     // previous labels forward verbatim and skips the CC loop — the common
     // streaming case) and CC read the slim parquet back.
+    GenState.assertWritable(spark, stateDir, next, claim)
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     // affected-component-scoped seeded CC → the label DELTA of this batch
@@ -179,7 +181,7 @@ object IncrementalDedup {
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an
     // incomplete generation the next merge simply overwrites)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -202,10 +204,11 @@ object IncrementalDedup {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -55,8 +55,8 @@ object IncrementalDsir {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     Corpus.dsirCounts(newDocs)
       .write.mode("overwrite").parquet(countsPath(stateDir, next))
     next
@@ -89,9 +89,9 @@ object IncrementalDsir {
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

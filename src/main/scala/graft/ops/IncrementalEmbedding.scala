@@ -96,6 +96,7 @@ object IncrementalEmbedding {
 
     // 1. index the new batch once (norm + SRP bucket) and persist it —
     // the generation dir doubles as the materialized copy the join reads
+    GenState.assertWritable(spark, stateDir, next, claim)
     newVecs
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
@@ -134,6 +135,7 @@ object IncrementalEmbedding {
     // vN. The emptiness probe and CC both read the slim parquet back, so
     // a duplicate-bearing merge pays the join exactly once (it used to
     // execute again from scratch inside CC after the limit(1) probe).
+    GenState.assertWritable(spark, stateDir, next, claim)
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
@@ -144,7 +146,7 @@ object IncrementalEmbedding {
       completeVersions(spark, stateDir), matPairs, next)
 
     // 4. commit (labels' _SUCCESS marks the generation complete)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -161,10 +163,11 @@ object IncrementalEmbedding {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -21,10 +21,17 @@ import graft.ops.Text.normalized
   * split-ingest-then-read is hash-identical to d1's one-shot aggregate
   * for ANY batch split, by associativity + commutativity of (min, sum).
   *
-  * Commit marker is `hashes/_SUCCESS` itself (single-table generations);
-  * compaction reuses the `_COMPACTED` manifest protocol, folding the
-  * partials WITH re-aggregation so the index shrinks to one row per
-  * distinct content.
+  * Commit marker is `hashes/_SUCCESS` itself; compaction reuses the
+  * `_COMPACTED` manifest protocol, folding the partials WITH
+  * re-aggregation so the index shrinks to one row per distinct content.
+  *
+  * d28 ([[delete]]): aggregates can't subtract a member, so each
+  * generation also stores a slim per-doc SIDECAR `vN/docs` = (doc_id, h)
+  * — O(batch), two columns — and deletes are tombstone generations with
+  * [[IncrementalIvf]]'s LSM shadowing semantics. The read path replaces
+  * only the AFFECTED (h, gen) partials with re-aggregations of their
+  * surviving sidecar rows (broadcast-scoped, O(deleted docs) correction
+  * work); [[compact]] applies tombstones physically — the GDPR purge.
   */
 object IncrementalExact {
 
@@ -37,13 +44,21 @@ object IncrementalExact {
     GenState.latestVersion(spark, stateDir, commitTable)
 
   private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
+  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
+  private def tombsPath(stateDir: String, v: Int) = s"$stateDir/v$v/tombstones"
+
+  /** The slim per-doc projection a generation's sidecar stores. */
+  private def sidecarOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(normalized(col("text")).cast("binary"), 256).as("h"))
 
   /** The d1 partial aggregate of one batch. */
   private def partialOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), sha2(normalized(col("text")).cast("binary"), 256).as("h"))
+    sidecarOf(docs)
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  private def hasTable(spark: SparkSession, path: String): Boolean =
+    GenState.fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
 
   /** Ingest `newDocs` (doc_ids disjoint from prior ingests): WRITE-ONLY —
     * hashes the batch, partial-aggregates it, appends a generation.
@@ -71,14 +86,91 @@ object IncrementalExact {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    GenState.assertClaimed(spark, stateDir, next, claim)
-    partialOf(newDocs).write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    // per-doc SIDECAR first (doc_id, h — the subtractable record deletes
+    // re-aggregate from; O(batch), two slim columns), then the partial
+    // aggregate OF the sidecar read back (content hashed exactly once);
+    // hashes' _SUCCESS stays the commit marker, so a crash between the
+    // two writes leaves an incomplete generation redone wholesale
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    sidecarOf(newDocs).write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(docsPath(stateDir, next))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
     next
   }
 
+  /** d28: TOMBSTONE a set of documents — the right-to-be-forgotten path
+    * for the write-only exact modality. Partial AGGREGATES cannot
+    * subtract a member, so deletes lean on the per-doc sidecar: this
+    * writes one generation holding `vN/tombstones` (the distinct doc_ids)
+    * plus empty sidecar and hashes tables (the latter's `_SUCCESS` is the
+    * commit marker — the generation protocol stays uniform), and the READ
+    * path re-aggregates only the AFFECTED hash groups from surviving
+    * sidecar rows. [[IncrementalIvf.delete]]'s LSM shadowing semantics: a
+    * tombstone deletes a doc_id from generations OLDER than itself only,
+    * so a later re-ingest of the same id is live again (the sanctioned
+    * exception to the disjoint-doc_id ingest contract); [[compact]]
+    * applies tombstones PHYSICALLY and drops them — the purge point.
+    * Requires sidecar-bearing state (a pre-sidecar state dir must be
+    * re-ingested or compacted from source before deletes are possible —
+    * there is nothing to subtract from).
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame,
+      batchKey: Option[String] = None): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalExact.delete: no state at $stateDir")
+    live.foreach(v => require(hasTable(spark, docsPath(stateDir, v)),
+      s"IncrementalExact.delete: generation v$v at $stateDir has no per-doc " +
+        "sidecar (pre-sidecar layout) — deletes need the sidecar to " +
+        "re-aggregate from; rebuild the state dir first"))
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.last
+    }
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("doc_id")).dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(hashesPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    next
+  }
+
+  /** Tombstone-shadowed SURVIVING sidecar rows of `versions`, tagged with
+    * their generation: a (doc_id, h, gen) row is live unless some
+    * tombstone generation d > gen deletes its doc_id.
+    */
+  private def survivorsOf(spark: SparkSession, stateDir: String,
+      versions: Seq[Int], delVs: Seq[Int]): DataFrame = {
+    val side = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
+      .withColumn("gen", lit(v))).reduce(_ unionByName _)
+    if (delVs.isEmpty) side
+    else {
+      val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+        .select(col("doc_id").as("del_id"), lit(v).as("dgen"))).reduce(_ unionByName _)
+      side.join(tombs,
+        side("doc_id") === tombs("del_id") && tombs("dgen") > side("gen"),
+        "left_anti")
+    }
+  }
+
   /** The corpus-wide d1 result from the current state: one re-aggregation
-    * over the unioned slim partials.
+    * over the unioned slim partials. With tombstones present, the stored
+    * partial of an AFFECTED (h, gen) group — one that lost a member to a
+    * newer tombstone — is replaced by a re-aggregation of that group's
+    * surviving sidecar rows; unaffected groups (the overwhelming mass —
+    * deletes are small) serve from their stored aggregates untouched, so
+    * the correction work is O(deleted docs), broadcast-joined, not a
+    * corpus re-aggregation.
     */
   def dedup(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
@@ -86,7 +178,33 @@ object IncrementalExact {
       import spark.implicits._
       return Seq.empty[(String, Long, Long)].toDF("h", "keeper", "n_copies")
     }
-    spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+    val delVs = versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
+    val fold =
+      if (delVs.isEmpty)
+        // tombstone-free fast path: no gen tags, no sidecar read
+        spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+      else {
+        val partsG = versions.map(v => spark.read.parquet(hashesPath(stateDir, v))
+          .withColumn("gen", lit(v))).reduce(_ unionByName _)
+        val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+          .select(col("doc_id").as("del_id"), lit(v).as("dgen"))).reduce(_ unionByName _)
+        val side = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
+          .withColumn("gen", lit(v))).reduce(_ unionByName _)
+        // the (h, gen) groups that lost at least one member — tombstone-
+        // batch-sized, hence broadcast on both uses below
+        val affected = side.join(tombs,
+            side("doc_id") === tombs("del_id") && tombs("dgen") > side("gen"),
+            "left_semi")
+          .select(col("h"), col("gen")).distinct()
+        val reagg = survivorsOf(spark, stateDir, versions, delVs)
+          .join(broadcast(affected), Seq("h", "gen"), "left_semi")
+          .groupBy(col("h"), col("gen"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        partsG.join(broadcast(affected), Seq("h", "gen"), "left_anti")
+          .unionByName(reagg)
+          .select(col("h"), col("keeper"), col("n_copies"))
+      }
+    fold
       .groupBy(col("h"))
       .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
       .orderBy(col("keeper"))
@@ -94,7 +212,14 @@ object IncrementalExact {
 
   /** Fold the live partials into ONE re-aggregated generation (the index
     * returns to one row per distinct content); `_COMPACTED` manifest
-    * before the commit, crash-idempotent as in d12.
+    * before the commit, crash-idempotent as in d12. On sidecar-bearing
+    * state this also applies every tombstone PHYSICALLY: the folded
+    * sidecar holds only shadow-surviving rows, the folded partial is
+    * their aggregate, and no tombstones table is carried — deleting the
+    * source generations removes the tombstoned bytes from disk, the
+    * point a right-to-be-forgotten pipeline certifies (the
+    * [[IncrementalIvf.compact]] purge semantics). A pre-sidecar state dir
+    * folds partials the original way and stays sidecar-free.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -102,17 +227,32 @@ object IncrementalExact {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    val folded = spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
-      .groupBy(col("h"))
-      .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
+    val sidecars = versions.forall(v => hasTable(spark, docsPath(stateDir, v)))
+    val folded =
+      if (!sidecars)
+        // pre-sidecar layout: no tombstones possible ([[delete]] refuses),
+        // the fold is the pure partial re-aggregation
+        spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+          .groupBy(col("h"))
+          .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
+      else {
+        val delVs = versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivorsOf(spark, stateDir, versions, delVs)
+          .select(col("doc_id"), col("h"))
+          .write.mode("overwrite").parquet(docsPath(stateDir, next))
+        spark.read.parquet(docsPath(stateDir, next))
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      }
     // manifest BEFORE the commit write: _COMPACTED must exist whenever the
     // compacted generation is complete. (The single-table layout writes
     // the manifest first, then the table whose _SUCCESS commits.)
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op even after its generation was compacted away
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

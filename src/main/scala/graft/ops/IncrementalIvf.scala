@@ -77,7 +77,7 @@ object IncrementalIvf {
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
     val cell = when(isnan(best.getField("ccos")), lit(-1L))
       .otherwise(best.getField("cid"))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     Similarity.withNorm(newVecs)
       .withColumn("cell", cell)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
@@ -99,9 +99,10 @@ object IncrementalIvf {
     require(live.nonEmpty, s"IncrementalIvf.delete: no state at $stateDir")
     val next = live.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(postingsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
     next
@@ -163,8 +164,8 @@ object IncrementalIvf {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     livePostings(spark, stateDir)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -128,8 +128,8 @@ object IncrementalIvfPq {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     newVecs
       .select(col("vec_id"), col("embedding").as("e"))
       .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
@@ -168,11 +168,11 @@ object IncrementalIvfPq {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op even after its generation was compacted away
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(codesPath(stateDir, next))

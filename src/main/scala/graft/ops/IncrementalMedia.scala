@@ -86,6 +86,7 @@ object IncrementalMedia {
 
     // decode exactly once, at ingest; the generation dir is the
     // materialized copy every later probe reads (merge hot-path contract)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     newMedia.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (name, bytes) =>
@@ -95,7 +96,7 @@ object IncrementalMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     candidatePairs(
       spark.read.parquet(sigsPath(stateDir, next)),
       spark.read.parquet(allPaths: _*), maxHamming)
@@ -123,11 +124,12 @@ object IncrementalMedia {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
       .dropDuplicates("name")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))

@@ -83,8 +83,10 @@ object IncrementalMinHash {
     // labels — a crash leaves an uncommitted generation the next merge
     // overwrites.
     val sigs = Dedup.minhashSigsOf(newDocs).repartition(col("doc_id"))
+    GenState.assertWritable(spark, stateDir, next, claim)
     sigs.select(col("doc_id"), col("sh"))
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
     Dedup.bandRowsOf(
         spark.read.parquet(setsPath(stateDir, next))
           .withColumn("sig", call_function("minhash_sig", col("sh"))))
@@ -115,6 +117,7 @@ object IncrementalMinHash {
     // (crash-abandoned with the rest of vN); emptiness probe and CC read
     // the slim parquet back instead of re-executing the join (see
     // IncrementalEmbedding — the shared merge hot-path contract).
+    GenState.assertWritable(spark, stateDir, next, claim)
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
@@ -124,7 +127,7 @@ object IncrementalMinHash {
     val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
     // 5. commit: labels' _SUCCESS marks the generation complete
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -141,12 +144,14 @@ object IncrementalMinHash {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(setsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

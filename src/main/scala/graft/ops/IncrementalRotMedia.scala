@@ -85,6 +85,7 @@ object IncrementalRotMedia {
     val next = live.lastOption.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
 
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     newMedia.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (name, bytes) =>
@@ -96,7 +97,7 @@ object IncrementalRotMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     mergePairs(
       spark.read.parquet(sigsPath(stateDir, next)),
       spark.read.parquet(allPaths: _*), maxHamming)
@@ -127,11 +128,12 @@ object IncrementalRotMedia {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
       .dropDuplicates("name", "t")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))

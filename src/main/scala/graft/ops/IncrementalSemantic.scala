@@ -57,6 +57,7 @@ object IncrementalSemantic {
     // centroid cosine persisted with the vector (zero-norm vectors have
     // NaN cosines → no cell; they can never pair, drop at ingest)
     val spec = graft.exprs.IvfProbe.render(cents)
+    GenState.assertWritable(spark, stateDir, next, claim)
     val best = element_at(
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
     newVecs
@@ -95,11 +96,12 @@ object IncrementalSemantic {
       .select(col("d1"), col("d2"))
 
     // materialize once (merge hot-path contract), then delta-CC
+    GenState.assertWritable(spark, stateDir, next, claim)
     pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     val labels = LabelState.deltaLabels(spark, stateDir,
       completeVersions(spark, stateDir), matPairs, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
     next
   }
@@ -111,10 +113,11 @@ object IncrementalSemantic {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
+    GenState.assertWritable(spark, stateDir, next, claim)
     LabelState.foldedSnapshot(spark, stateDir, versions, next)
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

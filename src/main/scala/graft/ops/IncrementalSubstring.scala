@@ -70,6 +70,27 @@ object IncrementalSubstring {
   private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
   private def occPath(stateDir: String, v: Int) = s"$stateDir/v$v/occ"
 
+  /** Generation `v`'s occurrence partial — read from `vN/occ` when it
+    * exists, else BACKFILLED on the fly from `vN/anchors` (a state dir
+    * persisted before the occ-partial layout has anchor generations with
+    * no occ table; deriving the partial via the duplicate-proof [[occOf]]
+    * is exact, it just re-pays the aggregation the partial exists to
+    * avoid — run [[compact]] once to materialize the migration).
+    */
+  private def occPartial(spark: SparkSession, stateDir: String, v: Int): DataFrame = {
+    val f = GenState.fs(spark, stateDir)
+    if (f.exists(new org.apache.hadoop.fs.Path(s"${occPath(stateDir, v)}/_SUCCESS")))
+      spark.read.parquet(occPath(stateDir, v))
+    else occOf(spark.read.parquet(anchorsPath(stateDir, v)))
+  }
+
+  /** The folded per-anchor occurrence of generations `vs` — the sum of
+    * their slim partials, O(distinct anchors), never a positional scan.
+    */
+  private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int]): DataFrame =
+    vs.map(occPartial(spark, stateDir, _)).reduce(_ unionByName _)
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+
   /** Batch-local positional anchor index — d13's construction verbatim. */
   private def anchorsOf(docs: DataFrame): DataFrame =
     docs
@@ -185,6 +206,7 @@ object IncrementalSubstring {
         println(f"TRACE merge/$l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     t("anchors")(anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next)))
     val newAnch = spark.read.parquet(anchorsPath(stateDir, next))
 
@@ -193,19 +215,19 @@ object IncrementalSubstring {
     // Folding these partials (sum per anchor) equals mergeOccOf over the
     // full positional union — [[mergeOccOf]]'s disjoint-doc_id argument —
     // so the cold filter below never re-aggregates old positional rows.
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     t("occ")(mergeOccOf(newAnch).write.mode("overwrite").parquet(occPath(stateDir, next)))
 
     // marker BEFORE the commit table: whenever the generation is
     // complete, its key is on disk (every crash point → exactly-once)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
 
-    val hot = spark.read.parquet((live :+ next).map(occPath(stateDir, _)): _*)
-      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+    val hot = foldedOcc(spark, stateDir, live :+ next)
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     val oldAnch =
       if (live.isEmpty) newAnch.limit(0)
       else spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     t("hits")(candidateHits(newAnch, oldAnch, hot)
       .write.mode("overwrite").parquet(hitsPath(stateDir, next)))
     next
@@ -230,8 +252,18 @@ object IncrementalSubstring {
   private def stateRuns(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalSubstring.stateRuns: no state at $stateDir")
-    val allAnch = spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
-    val hot = occOf(allAnch)
+    // FINAL-count cap filter from the slim occ partials — O(distinct
+    // anchors) rows folded, no scan of the corpus-wide positional anchor
+    // index at read time. Partial sums equal the positional count under
+    // the disjoint-doc_id ingest contract (see [[mergeOccOf]]); a state
+    // dir fed by an UNKEYED at-least-once driver (re-delivered batches
+    // merged twice) can overcount — set
+    // `spark.graft.substring.occFromAnchors=true` to pay the
+    // duplicate-proof positional re-aggregation ([[occOf]]) instead.
+    val hot = (if (spark.conf.getOption("spark.graft.substring.occFromAnchors")
+          .contains("true"))
+        occOf(spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*))
+      else foldedOcc(spark, stateDir, live))
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     val hits = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
       .join(hot, Seq("anchor"), "left_anti")
@@ -269,18 +301,21 @@ object IncrementalSubstring {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
     // occ partials fold WITH re-aggregation (sum is associative): the
-    // compacted index returns to one row per distinct anchor
-    spark.read.parquet(versions.map(occPath(stateDir, _)): _*)
-      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+    // compacted index returns to one row per distinct anchor. Pre-occ
+    // generations backfill from their anchors here ([[occPartial]]) —
+    // compaction IS the migration point for legacy state dirs.
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    foldedOcc(spark, stateDir, versions)
       .write.mode("overwrite").parquet(occPath(stateDir, next))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op after maintenance
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
       .write.mode("overwrite").parquet(hitsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

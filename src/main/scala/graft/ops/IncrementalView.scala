@@ -75,8 +75,8 @@ object IncrementalView {
     }
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(newEvents).write.mode("overwrite").parquet(partialsPath(stateDir, next))
     next
   }
@@ -198,8 +198,8 @@ object IncrementalView {
       }
       val next = live.map(_ + 1).getOrElse(0)
       val claim = GenState.claimGeneration(spark, stateDir, next, "partials")
-      batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _))
-      GenState.assertClaimed(spark, stateDir, next, claim)
+      batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, "partials"))
+      GenState.assertWritable(spark, stateDir, next, claim, "partials")
       rawFeed
         .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
@@ -234,9 +234,9 @@ object IncrementalView {
     val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
-    GenState.writeCompactManifest(spark, stateDir, next, versions)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next)
-    GenState.assertClaimed(spark, stateDir, next, claim)
+    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -98,9 +98,10 @@ class IncrementalDedupSpec extends SparkSpec {
 
     // replay compact's exact write sequence but CRASH before the deletes:
     // fold v0+v1 into v2, manifest, commit labels — leave v0/v1 on disk
+    val claim = graft.ops.GenState.claimGeneration(spark, state, 2)
     spark.read.parquet(s"$state/v0/bands", s"$state/v1/bands")
       .write.mode("overwrite").parquet(s"$state/v2/bands")
-    graft.ops.GenState.writeCompactManifest(spark, state, 2, Seq(0, 1))
+    graft.ops.GenState.writeCompactManifest(spark, state, 2, Seq(0, 1), claim)
     graft.ops.LabelState.foldedSnapshot(spark, state, Seq(0, 1), 2)
       .write.mode("overwrite").parquet(s"$state/v2/labels")
 

@@ -101,4 +101,89 @@ class IncrementalExactSpec extends SparkSpec {
     assert(sorted(IncrementalExact.dedup(spark, state)) == want,
       "doubled corpus should double every n_copies with the same keepers")
   }
+
+  // one-shot d1 aggregate over an arbitrary surviving subset
+  private def oneShotOver(surviving: org.apache.spark.sql.DataFrame) =
+    sorted(surviving
+      .select(col("doc_id"),
+        sha2(graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")))
+
+  test("d28 delete: tombstoned serve == one-shot aggregate over the survivors") {
+    val state = graft.util.TmpDirs.scratch("graft_d28_del_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val dead = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+    IncrementalExact.delete(spark, state, dead.select(col("doc_id")))
+    val want = oneShotOver(docs.where(pmod(col("doc_id"), lit(7)) =!= 3))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == want,
+      "tombstoned serve diverged from the one-shot over surviving docs")
+    // deleting a keeper hands keeper-ship to the next-smallest copy and
+    // zero-survivor groups vanish — both covered by the equality above;
+    // sanity: the deleted set was non-trivial and spanned both generations
+    assert(dead.count() > 0)
+    assert(dead.where(pmod(col("doc_id"), lit(2)) === 0).count() > 0)
+    assert(dead.where(pmod(col("doc_id"), lit(2)) === 1).count() > 0)
+  }
+
+  test("d28 re-ingest after delete is LIVE again (s9 shadowing semantics)") {
+    val state = graft.util.TmpDirs.scratch("graft_d28_reing_").toString
+    IncrementalExact.merge(spark, state, docs)
+    val deadIds = docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+    IncrementalExact.delete(spark, state, deadIds)
+    // re-ingest the very same docs: a tombstone shadows OLDER generations
+    // only, so the re-ingested copies are live
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(7)) === 3))
+    assert(sorted(IncrementalExact.dedup(spark, state)) ==
+      sorted(Dedup.exactDedup(spark, sf0001)),
+      "re-ingested docs must be live again after their tombstone")
+  }
+
+  test("d28 compact purges tombstones physically; serve unchanged; deletes survive maintenance") {
+    val state = graft.util.TmpDirs.scratch("graft_d28_purge_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    IncrementalExact.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+    val before = sorted(IncrementalExact.dedup(spark, state))
+    val v = IncrementalExact.compact(spark, state)
+    assert(IncrementalExact.completeVersions(spark, state) == Seq(v))
+    assert(sorted(IncrementalExact.dedup(spark, state)) == before)
+    val f = graft.ops.GenState.fs(spark, state)
+    // no tombstones carried — they were consumed by the physical purge
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")),
+      "compacted generation must not carry tombstones")
+    // and the purged sidecar no longer holds ANY deleted doc_id — the
+    // right-to-be-forgotten certification point (bytes left the disk with
+    // the source generations)
+    val leaked = spark.read.parquet(s"$state/v$v/docs")
+      .where(pmod(col("doc_id"), lit(7)) === 3).count()
+    assert(leaked == 0, s"purged sidecar still holds $leaked deleted rows")
+    // deletes keep holding after further ingest + a second compact
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(7)) === 3))
+    assert(sorted(IncrementalExact.dedup(spark, state)) ==
+      sorted(Dedup.exactDedup(spark, sf0001)))
+  }
+
+  test("d28 delete refuses a pre-sidecar state dir (nothing to subtract from)") {
+    val state = graft.util.TmpDirs.scratch("graft_d28_presid_").toString
+    IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 100))
+    // simulate the pre-sidecar layout: drop the docs table
+    val f = graft.ops.GenState.fs(spark, state)
+    f.delete(new org.apache.hadoop.fs.Path(s"$state/v0/docs"), true)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalExact.delete(spark, state,
+        docs.where(col("doc_id") < 10).select(col("doc_id")))
+    }
+    assert(ex.getMessage.contains("sidecar"))
+    // the sidecar-less dir still serves and compacts the original way
+    assert(sorted(IncrementalExact.dedup(spark, state)) ==
+      oneShotOver(docs.where(col("doc_id") < 100)))
+    val v = IncrementalExact.compact(spark, state)
+    assert(sorted(IncrementalExact.dedup(spark, state)) ==
+      oneShotOver(docs.where(col("doc_id") < 100)))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/docs")),
+      "pre-sidecar compact must not invent a partial sidecar")
+  }
 }
