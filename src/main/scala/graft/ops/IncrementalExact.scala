@@ -89,16 +89,19 @@ object IncrementalExact {
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     // per-doc SIDECAR first (doc_id, h — the subtractable record deletes
     // re-aggregate from; O(batch), two slim columns), then the partial
-    // aggregate OF the sidecar read back (content hashed exactly once);
-    // hashes' _SUCCESS stays the commit marker, so a crash between the
-    // two writes leaves an incomplete generation redone wholesale
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    sidecarOf(newDocs).write.mode("overwrite").parquet(docsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(docsPath(stateDir, next))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    // aggregate of the SAME cached projection (content hashed exactly
+    // once, no read-back); hashes' _SUCCESS stays the commit marker, so a
+    // crash between the two writes leaves an incomplete generation redone
+    // wholesale
+    val side = sidecarOf(newDocs).persist()
+    try {
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      side.write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      side.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    } finally side.unpersist()
     next
   }
 

@@ -70,26 +70,27 @@ object IncrementalSubstring {
   private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
   private def occPath(stateDir: String, v: Int) = s"$stateDir/v$v/occ"
 
-  /** Generation `v`'s occurrence partial — read from `vN/occ` when it
-    * exists, else BACKFILLED on the fly from `vN/anchors` (a state dir
-    * persisted before the occ-partial layout has anchor generations with
-    * no occ table; deriving the partial via the duplicate-proof [[occOf]]
-    * is exact, it just re-pays the aggregation the partial exists to
-    * avoid — run [[compact]] once to materialize the migration).
-    */
-  private def occPartial(spark: SparkSession, stateDir: String, v: Int): DataFrame = {
-    val f = GenState.fs(spark, stateDir)
-    if (f.exists(new org.apache.hadoop.fs.Path(s"${occPath(stateDir, v)}/_SUCCESS")))
-      spark.read.parquet(occPath(stateDir, v))
-    else occOf(spark.read.parquet(anchorsPath(stateDir, v)))
-  }
-
   /** The folded per-anchor occurrence of generations `vs` — the sum of
     * their slim partials, O(distinct anchors), never a positional scan.
+    * A generation with no `vN/occ` table (a state dir persisted before
+    * the occ-partial layout) is BACKFILLED on the fly from its anchors
+    * via the duplicate-proof [[occOf]] — exact, it just re-pays the
+    * aggregation the partial exists to avoid; run [[compact]] once to
+    * materialize the migration. The common all-partials-present case
+    * reads every occ dir in ONE multi-path scan (single FileIndex, one
+    * stage).
     */
-  private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int]): DataFrame =
-    vs.map(occPartial(spark, stateDir, _)).reduce(_ unionByName _)
+  private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int]): DataFrame = {
+    val f = GenState.fs(spark, stateDir)
+    val (have, missing) = vs.partition(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"${occPath(stateDir, v)}/_SUCCESS")))
+    val parts =
+      (if (have.nonEmpty) Seq(spark.read.parquet(have.map(occPath(stateDir, _)): _*))
+       else Seq.empty) ++
+        missing.map(v => occOf(spark.read.parquet(anchorsPath(stateDir, v))))
+    parts.reduce(_ unionByName _)
       .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+  }
 
   /** Batch-local positional anchor index — d13's construction verbatim. */
   private def anchorsOf(docs: DataFrame): DataFrame =
