@@ -392,6 +392,20 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
       graft.ops.IncrementalExact.dedup(s, state)
     }),
+    // d29: right-to-be-forgotten for the CLUSTERING modality — tombstone
+    // every doc_id ≡ 3 (mod 7) after split-ingest; the served clustering
+    // re-labels only the affected components over surviving stored edges
+    // (splits included) and must equal the one-shot d7 clustering over
+    // the surviving corpus.
+    "d29_cluster_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d29_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalDedup.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalDedup.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalDedup.clusters(s, state)
+    }),
     // Incremental MinHash-LSH dedup state (the Jaccard modality's d12):
     // split-ingest into a fresh generational state dir, clusters compared
     // against reachability over the one-shot d3 pair graph.
@@ -400,6 +414,27 @@ object SparkEntry {
       val docs = graft.sources.Tables.documents(s, d)
       graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
       graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalMinHash.clusters(s, state)
+    }),
+    // d30/d31: the d29 tombstone-delete protocol on the other two
+    // pair-graph modalities — embedding (vec space) and MinHash (Jaccard)
+    // — each must equal its one-shot clustering over the survivors.
+    "d30_embedding_cluster_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d30_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalEmbedding.merge(s, state, vecs.where(pmod(col("vec_id"), lit(5)) === 0))
+      graft.ops.IncrementalEmbedding.delete(s, state,
+        vecs.where(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      graft.ops.IncrementalEmbedding.clusters(s, state)
+    }),
+    "d31_minhash_cluster_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d31_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalMinHash.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalMinHash.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
       graft.ops.IncrementalMinHash.clusters(s, state)
     }),
     // Incremental EXACT-SUBSTRING dedup (the last modality outside the
@@ -770,6 +805,15 @@ object SparkEntry {
       ("d10_clusters_persisted" -> m("d7_dup_clusters")) +
       // split-ingest-then-merge == full recompute on the union
       ("d12_incremental_dedup" -> m("d7_dup_clusters")) +
+      // tombstoned clustering == d7's one-shot over the SURVIVING docs
+      // (same CTE text, survivors filter pushed into the corpus scan)
+      ("d29_cluster_delete" -> m("d7_dup_clusters")
+        .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)")) +
+      // the same delete protocol on the embedding and Jaccard modalities
+      ("d30_embedding_cluster_delete" -> m("d11_embedding_clusters")
+        .replace("FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)")) +
+      ("d31_minhash_cluster_delete" -> m("d15_minhash_incremental")
+        .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)")) +
       // write-only partial-agg ingest == d1's one-shot exact aggregate
       ("d18_exact_incremental" -> m("d1_exact_dedup")) +
       // tombstoned state == d1's one-shot aggregate over the SURVIVORS

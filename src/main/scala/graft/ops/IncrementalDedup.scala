@@ -90,11 +90,58 @@ object IncrementalDedup {
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
   private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
-  /** Current labels — the latest-wins fold over the live label DELTAS
-    * (empty 2-col frame when no generation exists). See [[LabelState]].
+  /** Current labels — the latest-wins fold over the live label DELTAS,
+    * with any tombstones applied (affected components re-labeled over
+    * their surviving stored edges — [[LabelState.deletedAwareLabels]];
+    * tombstone-free state short-circuits to the plain fold). Empty 2-col
+    * frame when no generation exists.
     */
   def stateLabels(spark: SparkSession, stateDir: String): DataFrame =
-    LabelState.folded(spark, stateDir, completeVersions(spark, stateDir))
+    LabelState.deletedAwareLabels(spark, stateDir,
+      completeVersions(spark, stateDir), "bands", "doc_id")
+
+  /** d29: TOMBSTONE a set of documents — right-to-be-forgotten for the
+    * CLUSTERING modality, where removing a doc can SPLIT its component
+    * (no row-level shadowing of the label table can be exact). Writes one
+    * generation holding `vN/tombstones` plus empty bands/pairs tables and
+    * an empty label delta (labels' `_SUCCESS` commits, keeping the
+    * generation protocol uniform). s9 shadowing semantics: a tombstone
+    * deletes a doc from generations older than itself only — a later
+    * re-ingest of the same id is live again; [[compact]] applies
+    * tombstones physically (bands/pairs of deleted docs leave disk — the
+    * purge point). Serving reads correct ONLY the affected components
+    * (see [[stateLabels]]); merges keep running untouched — a probe may
+    * still pair a NEW doc against a tombstoned doc's persisted bands, and
+    * the serve drops that edge, exactly as the one-shot over survivors
+    * never forms it. Requires every live generation to carry its pairs
+    * table: the re-labeling replays stored edges, so a state dir
+    * compacted by a pre-retention layout must be rebuilt before deletes.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalDedup.delete: no state at $stateDir")
+    live.foreach(v => require(
+      GenState.fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+      s"IncrementalDedup.delete: generation v$v at $stateDir has no pairs " +
+        "table (pre-retention layout) — component re-labeling replays " +
+        "stored edges; rebuild the state dir first"))
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(bandsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    LabelState.emptyDelta(spark)
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
 
   /** Ingest `newDocs` (a (doc_id, text, …) projection whose doc_ids are
     * disjoint from prior ingests) into the state at `stateDir`; returns
@@ -186,9 +233,17 @@ object IncrementalDedup {
     next
   }
 
-  /** LSM maintenance: fold every live generation's bands into ONE new
-    * generation (labels carried forward unchanged) and delete the old
-    * dirs — read amplification returns to 1 after a run of daily ingests.
+  /** LSM maintenance: fold every live generation's bands AND pairs into
+    * ONE new generation and delete the old dirs — read amplification
+    * returns to 1 after a run of daily ingests. Pairs are retained
+    * through the fold (O(verified dup pairs) — the dedup signal itself,
+    * not corpus-sized) because [[delete]]'s component re-labeling replays
+    * them; a fold over a pre-retention state (some generation without a
+    * pairs table) skips the pairs write, preserving delete()'s refusal.
+    * Tombstones are applied PHYSICALLY: folded bands and pairs exclude
+    * every effectively-deleted doc (the purge point — deleted bytes leave
+    * disk with the source dirs), the labels snapshot is the
+    * tombstone-corrected labeling, and no tombstones table is carried.
     * Crash-safe at EVERY point: the new generation's labels commit LAST,
     * so a crash before that leaves the old generations intact and the
     * half-written one ignored; and the folded source list is recorded in
@@ -204,12 +259,27 @@ object IncrementalDedup {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
+      "bands", "doc_id")
     GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("doc_id"))), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    if (pairVs == versions) {
+      GenState.assertWritable(spark, stateDir, next, claim)
+      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+        .dropDuplicates("d1", "d2")
+        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.foldedSnapshot(spark, stateDir, versions, next)
+    LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id")
+      .withColumn("gen", lit(next))
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

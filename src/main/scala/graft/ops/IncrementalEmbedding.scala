@@ -163,12 +163,30 @@ object IncrementalEmbedding {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    // tombstones applied PHYSICALLY at the fold (the d29 purge protocol):
+    // vecs and retained pairs exclude every effectively-deleted vector,
+    // the labels snapshot is the corrected labeling, no tombstones carried
+    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
+      "vecs", "vec_id")
     GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("vec_id"))), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    if (pairVs == versions) {
+      GenState.assertWritable(spark, stateDir, next, claim)
+      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+        .dropDuplicates("d1", "d2")
+        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.foldedSnapshot(spark, stateDir, versions, next)
+    LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
+      .withColumn("gen", lit(next))
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
@@ -183,6 +201,37 @@ object IncrementalEmbedding {
     */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
     Dedup.clustersOf(
-        LabelState.folded(spark, stateDir, completeVersions(spark, stateDir)))
+        LabelState.deletedAwareLabels(spark, stateDir,
+          completeVersions(spark, stateDir), "vecs", "vec_id"))
       .withColumnRenamed("doc_id", "vec_id")
+
+  /** d30: TOMBSTONE a set of vectors — [[IncrementalDedup.delete]]'s d29
+    * protocol on the embedding modality (same shadowing semantics, same
+    * affected-component re-labeling over surviving stored edges, same
+    * physical purge at [[compact]]).
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalEmbedding.delete: no state at $stateDir")
+    live.foreach(v => require(
+      GenState.fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+      s"IncrementalEmbedding.delete: generation v$v at $stateDir has no pairs " +
+        "table (pre-retention layout) — rebuild the state dir first"))
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
+    ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(vecsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    LabelState.emptyDelta(spark)
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
 }

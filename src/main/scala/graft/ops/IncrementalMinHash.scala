@@ -144,15 +144,32 @@ object IncrementalMinHash {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    // tombstones applied PHYSICALLY at the fold (the d29 purge protocol)
+    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
+      "sets", "doc_id")
+    val dropDeleted = (df: DataFrame) =>
+      df.join(broadcast(teff.select(col("node").as("doc_id"))), Seq("doc_id"), "left_anti")
     GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
+    dropDeleted(spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*))
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(versions.map(setsPath(stateDir, _)): _*)
+    dropDeleted(spark.read.parquet(versions.map(setsPath(stateDir, _)): _*))
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
+    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    if (pairVs == versions) {
+      GenState.assertWritable(spark, stateDir, next, claim)
+      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+        .dropDuplicates("d1", "d2")
+        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.foldedSnapshot(spark, stateDir, versions, next)
+    LabelState.deletedAwareLabels(spark, stateDir, versions, "sets", "doc_id")
+      .withColumn("gen", lit(next))
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
@@ -167,5 +184,38 @@ object IncrementalMinHash {
     */
   def clusters(spark: SparkSession, stateDir: String): DataFrame =
     Dedup.clustersOf(
-      LabelState.folded(spark, stateDir, completeVersions(spark, stateDir)))
+      LabelState.deletedAwareLabels(spark, stateDir,
+        completeVersions(spark, stateDir), "sets", "doc_id"))
+
+  /** d31: TOMBSTONE a set of documents — [[IncrementalDedup.delete]]'s
+    * d29 protocol on the Jaccard modality (same shadowing semantics, same
+    * affected-component re-labeling, same physical purge at [[compact]]).
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalMinHash.delete: no state at $stateDir")
+    live.foreach(v => require(
+      GenState.fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+      s"IncrementalMinHash.delete: generation v$v at $stateDir has no pairs " +
+        "table (pre-retention layout) — rebuild the state dir first"))
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(setsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(setsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(bandsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    LabelState.emptyDelta(spark)
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
 }

@@ -178,4 +178,109 @@ object LabelState {
   def foldedSnapshot(spark: SparkSession, stateDir: String,
       versions: Seq[Int], next: Int): DataFrame =
     folded(spark, stateDir, versions).withColumn("gen", lit(next))
+
+  // ---- tombstone deletes for the pair-graph modalities (d29) --------------
+  //
+  // The aggregate modalities subtract members (d28's sidecar) and the
+  // postings modality anti-joins (s9); a CLUSTERING is harder: removing a
+  // doc can SPLIT its connected component, so no row-level shadowing of
+  // the label table can be exact. The exact trade, built on what the
+  // merges already persist: pair facts are PAIRWISE (an edge never routes
+  // through a third doc), so the one-shot pair graph over the surviving
+  // corpus is exactly the stored pair union minus deleted-incident edges
+  // — and only components CONTAINING a deleted doc can change. The serve
+  // re-runs CC over precisely those components' surviving edges and
+  // splices the result over the untouched fold. Deletes are small, so the
+  // affected set is broadcast-scoped and the correction is O(affected
+  // components' edges), not a corpus re-clustering.
+
+  def tombsPath(stateDir: String, v: Int) = s"$stateDir/v$v/tombstones"
+  def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+
+  private def hasTable(spark: SparkSession, path: String): Boolean =
+    GenState.fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
+
+  /** Live generations that carry a tombstones table. */
+  def tombstoneVersions(spark: SparkSession, stateDir: String,
+      versions: Seq[Int]): Seq[Int] =
+    versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
+
+  /** Tombstoned ids still in EFFECT: [[IncrementalIvf]]'s LSM shadowing —
+    * a tombstone at generation d deletes an id from generations OLDER
+    * than d only, so an id re-ingested into the modality's per-item index
+    * table (`indexTable`, id column `idCol`) at a LATER generation is
+    * live again. The re-ingest probe is a broadcast of the (small)
+    * tombstone set against the id column of index generations newer than
+    * the oldest tombstone — column-pruned, no index payload moves.
+    */
+  def effectiveTombstones(spark: SparkSession, stateDir: String,
+      versions: Seq[Int], indexTable: String, idCol: String): DataFrame = {
+    import spark.implicits._
+    val delVs = tombstoneVersions(spark, stateDir, versions)
+    if (delVs.isEmpty) return Seq.empty[Long].toDF("node")
+    val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+      .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+    val laterVs = versions.filter(_ > delVs.min)
+    if (laterVs.isEmpty) return tombs.select(col("node")).distinct()
+    val laterIdx = laterVs.map(v =>
+      spark.read.parquet(s"$stateDir/v$v/$indexTable")
+        .select(col(idCol).cast("long").as("node")).withColumn("igen", lit(v)))
+      .reduce(_ unionByName _)
+    val reingested = laterIdx.join(broadcast(tombs), Seq("node"))
+      .where(col("igen") > col("dgen"))
+      .select(col("node")).distinct()
+    tombs.select(col("node")).distinct()
+      .join(reingested, Seq("node"), "left_anti")
+  }
+
+  /** The current (node, label) table with every tombstone applied — equal
+    * to the one-shot clustering of the surviving corpus. Tombstone-free
+    * state short-circuits to [[folded]] (no extra scan, the common case).
+    * With tombstones: affected components (those holding an effective
+    * tombstone) are re-labeled by CC over their surviving stored edges —
+    * the same adaptive driver-union-find / distributed-loop split as
+    * [[deltaLabels]] — and members left edge-less drop out of the
+    * labeling (a clustered doc whose only duplicates were deleted is a
+    * singleton again). Requires every live generation to carry its
+    * `pairs` table (merges always write one; tombstone generations write
+    * an empty one; a state dir compacted BEFORE pairs retention cannot
+    * serve deletes — the modality's delete() refuses it up front).
+    */
+  def deletedAwareLabels(spark: SparkSession, stateDir: String,
+      versions: Seq[Int], indexTable: String, idCol: String): DataFrame = {
+    val current = folded(spark, stateDir, versions)
+    if (tombstoneVersions(spark, stateDir, versions).isEmpty) return current
+    val teff = effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
+    val affected = current.join(broadcast(teff), Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    val members = current.join(broadcast(affected), Seq("label"), "left_semi")
+    // stored pairs of the affected components (both endpoints share the
+    // component, so one endpoint semi-join suffices), minus every
+    // deleted-incident edge — exactly the survivors' pair graph there
+    val pairVs = versions.filter(v => hasTable(spark, pairsPath(stateDir, v)))
+    val liveEdges = (if (pairVs.isEmpty) emptyDelta(spark).select(
+        col("node").as("d1"), col("label").as("d2"))
+      else spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+        .select(col("d1").cast("long"), col("d2").cast("long")))
+      .join(members.select(col("node").as("d1")), Seq("d1"), "left_semi")
+      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+      .dropDuplicates("d1", "d2")
+    val sample = liveEdges.limit(smallEdgeLimit + 1).collect()
+    val relabeled =
+      if (sample.isEmpty) emptyDelta(spark).select(col("node"), col("label"))
+      else if (sample.length <= smallEdgeLimit) {
+        import spark.implicits._
+        unionFindMinLabels(sample.map(r => (r.getLong(0), r.getLong(1))))
+          .toSeq.toDF("node", "label")
+      } else {
+        val ckpt = ConnectedComponents.durable(spark,
+          graft.util.TmpDirs.sessionCheckpointDir(spark))
+        ConnectedComponents.labelPropagation(liveEdges, 50, ckpt)
+          .map(_._1)
+          .getOrElse(ConnectedComponents.starContraction(liveEdges, ckpt = ckpt)._1)
+      }
+    current.join(broadcast(affected), Seq("label"), "left_anti")
+      .unionByName(relabeled)
+  }
 }

@@ -264,4 +264,133 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.merge(spark, state, docs.where(col("doc_id") === 0))
     assert(IncrementalDedup.latestVersion(spark, state).contains(0))
   }
+
+  // one-shot d7 clustering over an arbitrary surviving subset: materialize
+  // the survivors as a scratch corpus dir and run the one-shot job on it
+  private def oneShotOver(surviving: org.apache.spark.sql.DataFrame) = {
+    val dir = graft.util.TmpDirs.scratch("graft_d29_oneshot_").toString
+    surviving.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    clustersSorted(Dedup.dupClusters(spark, dir))
+  }
+
+  test("d29 delete: tombstoned clustering == one-shot d7 over the survivors") {
+    val state = graft.util.TmpDirs.scratch("graft_d29_del_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    for (mod <- Seq(7, 3)) {
+      val state2 = graft.util.TmpDirs.scratch(s"graft_d29_del_${mod}_").toString
+      IncrementalDedup.merge(spark, state2, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      IncrementalDedup.merge(spark, state2, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      IncrementalDedup.delete(spark, state2,
+        docs.where(pmod(col("doc_id"), lit(mod)) === 0).select(col("doc_id")))
+      assert(clustersSorted(IncrementalDedup.clusters(spark, state2)) ==
+        oneShotOver(docs.where(pmod(col("doc_id"), lit(mod)) =!= 0)),
+        s"mod-$mod delete diverged from the survivors' one-shot clustering")
+    }
+  }
+
+  test("d29 split: deleting a bridge doc splits its component (handcrafted state)") {
+    // a 3-chain 1—2—3 where 2 is the only bridge: deleting 2 must split
+    // the component into two singletons, which leave the clustering
+    // entirely — the case no row-level label shadowing can get right
+    import spark.implicits._
+    val state = graft.util.TmpDirs.scratch("graft_d29_bridge_").toString
+    Seq((1L, 0, 0L), (2L, 0, 0L), (3L, 0, 0L)).toDF("doc_id", "band", "half")
+      .write.parquet(s"$state/v0/bands")
+    Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2").write.parquet(s"$state/v0/pairs")
+    Seq((1L, 1L, 0), (2L, 1L, 0), (3L, 1L, 0)).toDF("node", "label", "gen")
+      .write.parquet(s"$state/v0/labels")
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)).map(_.head) ==
+      Seq(1L, 2L, 3L))
+    IncrementalDedup.delete(spark, state, Seq(2L).toDF("doc_id"))
+    assert(IncrementalDedup.clusters(spark, state).count() == 0,
+      "bridge deletion must dissolve the chain into unclustered singletons")
+    // a 4-chain 1—2—3—4 loses 2: {3,4} survives as a pair, 1 is a singleton
+    val state2 = graft.util.TmpDirs.scratch("graft_d29_chain4_").toString
+    Seq((1L, 0, 0L), (2L, 0, 0L), (3L, 0, 0L), (4L, 0, 0L))
+      .toDF("doc_id", "band", "half").write.parquet(s"$state2/v0/bands")
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+      .write.parquet(s"$state2/v0/pairs")
+    Seq((1L, 1L, 0), (2L, 1L, 0), (3L, 1L, 0), (4L, 1L, 0))
+      .toDF("node", "label", "gen").write.parquet(s"$state2/v0/labels")
+    IncrementalDedup.delete(spark, state2, Seq(2L).toDF("doc_id"))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state2)) ==
+      Seq(Seq(3L, 3L, 2L, 1), Seq(4L, 3L, 2L, 0)),
+      "4-chain minus its bridge must re-label {3,4} with min-id 3 and drop 1")
+  }
+
+  test("d30 embedding delete: == one-shot clustering over surviving vectors; compact purges") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    def oneShotSurviving(mods: Seq[Int]) = {
+      val dead = (id: org.apache.spark.sql.Column) =>
+        mods.map(m => pmod(id, lit(7)) === m).reduce(_ || _)
+      val pairs = graft.ops.Similarity.embeddingNearDupPairs(spark, sf0001)
+        .where(!dead(col("v1")) && !dead(col("v2")))
+        .select(col("v1"), col("v2"))
+      val labels = graft.ops.ConnectedComponents.adaptiveMinLabels(spark, pairs)
+      Dedup.clustersOf(labels).withColumnRenamed("doc_id", "vec_id")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val state = graft.util.TmpDirs.scratch("graft_d30_del_").toString
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 0))
+    graft.ops.IncrementalEmbedding.merge(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 1))
+    graft.ops.IncrementalEmbedding.delete(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")))
+    def served = graft.ops.IncrementalEmbedding.clusters(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served == oneShotSurviving(Seq(0)))
+    val v = graft.ops.IncrementalEmbedding.compact(spark, state)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")))
+    assert(spark.read.parquet(s"$state/v$v/vecs")
+      .where(pmod(col("vec_id"), lit(7)) === 0).count() == 0,
+      "purged vecs still hold deleted vectors")
+    assert(served == oneShotSurviving(Seq(0)))
+    graft.ops.IncrementalEmbedding.delete(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(7)) === 1).select(col("vec_id")))
+    assert(served == oneShotSurviving(Seq(0, 1)),
+      "delete after compact diverged — pairs retention broken")
+  }
+
+  test("d29 re-ingest after delete is LIVE again (s9 shadowing semantics)") {
+    val state = graft.util.TmpDirs.scratch("graft_d29_reing_").toString
+    IncrementalDedup.merge(spark, state, docs)
+    IncrementalDedup.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(7)) === 0))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) ==
+      clustersSorted(Dedup.dupClusters(spark, sf0001)),
+      "re-ingested docs must rejoin their clusters after their tombstone")
+  }
+
+  test("d29 compact purges tombstones physically; deletes survive and compose with maintenance") {
+    val state = graft.util.TmpDirs.scratch("graft_d29_purge_").toString
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    IncrementalDedup.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+    val before = clustersSorted(IncrementalDedup.clusters(spark, state))
+    val v = IncrementalDedup.compact(spark, state)
+    assert(IncrementalDedup.completeVersions(spark, state) == Seq(v))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) == before)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")),
+      "compacted generation must not carry tombstones")
+    // purge certification: no deleted doc left in bands OR pairs
+    assert(spark.read.parquet(s"$state/v$v/bands")
+      .where(pmod(col("doc_id"), lit(7)) === 0).count() == 0,
+      "purged band index still holds deleted docs")
+    val pairsLeft = spark.read.parquet(s"$state/v$v/pairs")
+      .where(pmod(col("d1"), lit(7)) === 0 || pmod(col("d2"), lit(7)) === 0).count()
+    assert(pairsLeft == 0, s"purged pair table still holds $pairsLeft deleted-incident edges")
+    // pairs retention through compact: a FURTHER delete still works
+    IncrementalDedup.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 1).select(col("doc_id")))
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) ==
+      oneShotOver(docs.where(
+        pmod(col("doc_id"), lit(7)) =!= 0 && pmod(col("doc_id"), lit(7)) =!= 1)),
+      "delete after compact diverged — pairs retention broken")
+  }
 }

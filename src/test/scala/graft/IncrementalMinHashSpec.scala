@@ -103,4 +103,43 @@ class IncrementalMinHashSpec extends SparkSpec {
     IncrementalMinHash.merge(spark, fresh, docs.where(col("doc_id") === 0))
     assert(IncrementalMinHash.latestVersion(spark, fresh).contains(0))
   }
+
+  test("d31 delete: tombstoned clustering == CC over the survivors' pair graph; compact purges") {
+    // one-shot over survivors: CC over d3 pairs with both endpoints alive
+    def oneShotSurviving(mods: Seq[Int]) = {
+      val dead = (id: org.apache.spark.sql.Column) =>
+        mods.map(m => pmod(id, lit(7)) === m).reduce(_ || _)
+      val pairs = Dedup.minhashLshPairs(spark, sf0001)
+        .where(!dead(col("d1")) && !dead(col("d2")))
+        .select(col("d1"), col("d2"))
+      val ckpt = ConnectedComponents.durable(spark,
+        graft.util.TmpDirs.sessionCheckpointDir(spark))
+      val labels = ConnectedComponents.labelPropagation(pairs, 50, ckpt)
+        .map(_._1)
+        .getOrElse(ConnectedComponents.starContraction(pairs, ckpt = ckpt)._1)
+      clustersSorted(Dedup.clustersOf(labels))
+    }
+    val state = graft.util.TmpDirs.scratch("graft_d31_del_").toString
+    IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    IncrementalMinHash.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+    assert(clustersSorted(IncrementalMinHash.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0)))
+    // compact: purge + pairs retention, then a FURTHER delete still works
+    val v = IncrementalMinHash.compact(spark, state)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")))
+    for (t <- Seq("bands", "sets"))
+      assert(spark.read.parquet(s"$state/v$v/$t")
+        .where(pmod(col("doc_id"), lit(7)) === 0).count() == 0,
+        s"purged $t still holds deleted docs")
+    assert(clustersSorted(IncrementalMinHash.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0)))
+    IncrementalMinHash.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 1).select(col("doc_id")))
+    assert(clustersSorted(IncrementalMinHash.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0, 1)),
+      "delete after compact diverged — pairs retention broken")
+  }
 }
