@@ -70,14 +70,24 @@ object Bench {
   }
 
   /** Compact key: the prefix before the first '_' when unique across the
-    * query set (q1, d7, s4, …), the full name otherwise (ooh_occupations /
-    * ooh_report share "ooh"). Deterministic, round-stable.
+    * query set (q1, d7, s4, …); on a collision (ooh_occupations /
+    * ooh_report share "ooh") the SHORTEST prefix of the full name that is
+    * unique among the colliders (ooh_o / ooh_r) — every byte in the
+    * compact line buys headroom under the driver's 2000-char stdout tail.
+    * Deterministic, round-stable.
     */
   def shortKeys(names: Seq[String]): String => String = {
     val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
     (name: String) => {
       val p = name.takeWhile(_ != '_')
-      if (byPrefix(p).sizeIs == 1) p else name
+      byPrefix(p) match {
+        case Seq(_) => p
+        case clash =>
+          (p.length + 1 to name.length).iterator
+            .map(name.take)
+            .find(cand => clash.count(_.startsWith(cand)) == 1)
+            .getOrElse(name)
+      }
     }
   }
 
@@ -146,9 +156,13 @@ object Bench {
     val short = shortKeys(stats.map(_.name))
     val qs = objJson(stats.map(s => short(s.name) -> sec2(s.min)))
     val total = stats.collect { case s if s.min >= 0 => s.min }.sum
+    // byte diet (the query set grew past 170): sf renders as its basename
+    // and the pass count lives only in the file line — the driver's own
+    // record carries the full sf path and protocol anyway
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     def render(snip: Int, cap: Int) =
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","stat":"min","passes":$passes,""" +
-        s""""queries":$qs,"errors":${errJson(errors, snip, cap)},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","stat":"min",""" +
+        s""""queries":$qs,"errors":${errJson(errors, snip, cap)},"sf":"${esc(sfShort)}"}"""
     // the driver keeps only the LAST 2000 chars of stdout: degrade the
     // error payload (never the per-query timings) until the line fits —
     // the full untruncated errors always land in the file line

@@ -437,6 +437,33 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
       graft.ops.IncrementalMinHash.clusters(s, state)
     }),
+    // d32: deletes for the substring modality — tombstoned-incident hits
+    // drop from the served spans; occurrence (the cap) is append-only by
+    // design (see IncrementalSubstring.delete), which the oracle pins:
+    // pair join over survivors, cap over the full ingest history.
+    "d32_substring_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d32_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalSubstring.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalSubstring.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalSubstring.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalSubstring.spans(s, state)
+    }),
+    // d33: deletes for the perceptual media modality — pair facts are
+    // per-item, so shadowing is a plain anti-join; oracle = m5's golden
+    // pairs minus the tombstoned name's incidences.
+    "d33_media_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d33_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Multimodal.ppmNearFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media.where(col("name") < "imga_r"))
+      graft.ops.IncrementalMedia.merge(s, state, media.where(col("name") >= "imga_r"))
+      graft.ops.IncrementalMedia.delete(s, state,
+        media.where(col("name") === "imga_bright.ppm").select(col("name")))
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
     // Incremental EXACT-SUBSTRING dedup (the last modality outside the
     // state matrix): generational positional anchor index, merge-time
     // cold-anchor probe + read-time final-count cap (the two EXACT halves
@@ -814,6 +841,19 @@ object SparkEntry {
         .replace("FROM embeddings)", "FROM embeddings WHERE vec_id % 7 <> 3)")) +
       ("d31_minhash_cluster_delete" -> m("d15_minhash_incremental")
         .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)")) +
+      // substring deletes: survivors filter on the PAIR JOIN only — the
+      // occurrence cap stays over the full corpus (append-only occurrence,
+      // the semantics IncrementalSubstring.delete documents)
+      ("d32_substring_delete" -> m("d13_exact_substring")
+        .replace("ON a.anchor = b.anchor AND a.doc_id < b.doc_id),",
+          "ON a.anchor = b.anchor AND a.doc_id < b.doc_id " +
+            "WHERE a.doc_id % 7 <> 3 AND b.doc_id % 7 <> 3),")) +
+      // media deletes: m5's golden pairs minus the tombstoned name
+      ("d33_media_delete" ->
+        """SELECT name1, name2, hamming FROM (VALUES
+          |  ('imga.ppm', 'imga_recode.ppm', CAST(0 AS INT))
+          |) AS t(name1, name2, hamming)
+          |ORDER BY name1, name2""".stripMargin) +
       // write-only partial-agg ingest == d1's one-shot exact aggregate
       ("d18_exact_incremental" -> m("d1_exact_dedup")) +
       // tombstoned state == d1's one-shot aggregate over the SURVIVORS

@@ -273,6 +273,7 @@ object IncrementalDedup {
         .select(col("d1").cast("long"), col("d2").cast("long"))
         .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
         .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+        .select(col("d1"), col("d2")) // USING-joins reorder columns
         .dropDuplicates("d1", "d2")
         .write.mode("overwrite").parquet(pairsPath(stateDir, next))
     }

@@ -104,13 +104,64 @@ object IncrementalMedia {
     next
   }
 
+  /** Tombstoned names still in effect — s9 shadowing over the STRING-keyed
+    * sig index (a name re-ingested after its tombstone is live again).
+    */
+  private def effectiveTombstones(spark: SparkSession, stateDir: String,
+      versions: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val f = GenState.fs(spark, stateDir)
+    val delVs = versions.filter(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+    if (delVs.isEmpty) return Seq.empty[String].toDF("node")
+    val tombs = delVs.map(v =>
+      spark.read.parquet(s"$stateDir/v$v/tombstones")
+        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+    val laterVs = versions.filter(_ > delVs.min)
+    if (laterVs.isEmpty) return tombs.select(col("node")).distinct()
+    val laterIdx = laterVs.map(v => spark.read.parquet(sigsPath(stateDir, v))
+      .select(col("name").as("node")).withColumn("igen", lit(v)))
+      .reduce(_ unionByName _)
+    val reingested = laterIdx.join(broadcast(tombs), Seq("node"))
+      .where(col("igen") > col("dgen")).select(col("node")).distinct()
+    tombs.select(col("node")).distinct().join(reingested, Seq("node"), "left_anti")
+  }
+
+  /** d33: TOMBSTONE a set of media names — [[IncrementalDedup.delete]]'s
+    * protocol on the perceptual modality (pairs are per-item facts, so
+    * shadowing is a plain anti-join — no component re-labeling needed);
+    * [[compact]] purges sigs and pairs physically.
+    */
+  def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalMedia.delete: no state at $stateDir")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    names.select(col("name").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    next
+  }
+
   /** The m5-shaped pair table over the current state: union the pair
-    * generations (re-delivered or doubly-found pairs dedup here).
+    * generations (re-delivered or doubly-found pairs dedup here), minus
+    * every tombstoned-incident pair (d33 shadowing).
     */
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
-    spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val teff = effectiveTombstones(spark, stateDir, live)
+    val base = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    base
+      .join(broadcast(teff.select(col("node").as("name1"))), Seq("name1"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("name2"))), Seq("name2"), "left_anti")
+      .select(base.columns.map(col).toSeq: _*) // USING-joins reorder columns
       .dropDuplicates("name1", "name2")
       .orderBy(col("name1"), col("name2"))
   }
@@ -124,13 +175,21 @@ object IncrementalMedia {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // tombstones applied PHYSICALLY (the d33 purge): folded sigs and
+    // pairs exclude every effectively-deleted name, nothing carried
+    val teff = effectiveTombstones(spark, stateDir, versions)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("name"))), Seq("name"), "left_anti")
       .dropDuplicates("name")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+    val basePairs = spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+    basePairs
+      .join(broadcast(teff.select(col("node").as("name1"))), Seq("name1"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("name2"))), Seq("name2"), "left_anti")
+      .select(basePairs.columns.map(col).toSeq: _*) // USING-joins reorder columns
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

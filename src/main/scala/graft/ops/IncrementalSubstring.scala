@@ -234,6 +234,45 @@ object IncrementalSubstring {
     next
   }
 
+  /** d32: TOMBSTONE a set of documents — deletes for the substring
+    * modality. Writes one generation holding `vN/tombstones` plus empty
+    * anchors/occ/hits tables (hits' `_SUCCESS` commits). s9 shadowing
+    * semantics: older generations only; a later re-ingest is live again
+    * (its hits re-form at the re-merge; surviving stored duplicates
+    * dedup at read). The served spans drop every tombstoned-incident
+    * hit; [[compact]] purges anchors and hits physically.
+    *
+    * Occurrence is APPEND-ONLY by design: the cap filter keeps counting
+    * deleted docs (their occ partials are retained, even through
+    * compaction), because the merge-side cap drop is exact only under
+    * monotone occurrence — a delete that retroactively "un-hotted" an
+    * anchor could never resurrect its hits (they were dropped before
+    * storage). The d32 oracle pins exactly these semantics: pair join
+    * over survivors, cap over the full ingest history. Consequence: a
+    * post-delete state dir must serve the cap from the occ partials
+    * (the default) — the `spark.graft.substring.occFromAnchors` fallback
+    * re-counts from the purged positional index and would disagree.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalSubstring.delete: no state at $stateDir")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(anchorsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(occPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(occPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(hitsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    next
+  }
+
   /** The d13-shaped span table from the current state: union the hit
     * generations, apply the FINAL-count half of the cap, replay d13's
     * diagonal islands-and-gaps, per-pair max.
@@ -266,8 +305,16 @@ object IncrementalSubstring {
         occOf(spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*))
       else foldedOcc(spark, stateDir, live))
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
+    // tombstone shadowing (d32): drop every hit incident to an
+    // effectively-deleted doc — the survivors' hit set exactly, since a
+    // hit never routes through a third document. Occurrence (the cap
+    // above) deliberately keeps counting deleted docs — see [[delete]].
+    val teff = LabelState.effectiveTombstones(spark, stateDir, live,
+      "anchors", "doc_id")
     val hits = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
       .join(hot, Seq("anchor"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
       .dropDuplicates("d1", "d2", "i", "j")
     val wd = Window.partitionBy(col("d1"), col("d2"), col("j") - col("i"))
       .orderBy(col("i"))
@@ -302,12 +349,17 @@ object IncrementalSubstring {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // tombstones applied PHYSICALLY to anchors and hits (the purge);
+    // occ is APPEND-ONLY and folds the full history — see [[delete]]
+    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
+      "anchors", "doc_id")
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("doc_id"))), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
     // occ partials fold WITH re-aggregation (sum is associative): the
     // compacted index returns to one row per distinct anchor. Pre-occ
-    // generations backfill from their anchors here ([[occPartial]]) —
+    // generations backfill from their anchors here ([[foldedOcc]]) —
     // compaction IS the migration point for legacy state dirs.
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     foldedOcc(spark, stateDir, versions)
@@ -318,6 +370,9 @@ object IncrementalSubstring {
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+      .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
       .write.mode("overwrite").parquet(hitsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

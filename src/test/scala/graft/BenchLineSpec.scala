@@ -85,12 +85,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.median(Nil) == -1.0)
   }
 
-  test("compact keys: unique prefixes shorten, shared prefixes keep full name") {
+  test("compact keys: unique prefixes shorten, colliders extend to the shortest unique prefix") {
     val short = Bench.shortKeys(Seq("q1_agg", "d7_clusters", "ooh_occupations", "ooh_report"))
     assert(short("q1_agg") == "q1")
     assert(short("d7_clusters") == "d7")
-    assert(short("ooh_occupations") == "ooh_occupations")
-    assert(short("ooh_report") == "ooh_report")
+    assert(short("ooh_occupations") == "ooh_o")
+    assert(short("ooh_report") == "ooh_r")
+    // still injective when colliders share more than the underscore prefix
+    val deep = Bench.shortKeys(Seq("ab_cd_one", "ab_cd_two"))
+    assert(deep("ab_cd_one") == "ab_cd_o")
+    assert(deep("ab_cd_two") == "ab_cd_t")
+    assert(Set("q1_agg", "d7_clusters", "ooh_occupations", "ooh_report")
+      .map(short).size == 4, "compact keys must stay injective")
   }
 
   test("sec2 renders 2-dp with trailing zeros stripped and -1 intact") {

@@ -181,6 +181,45 @@ class IncrementalSubstringSpec extends SparkSpec {
     }
   }
 
+  test("d32 delete: tombstoned-incident spans drop; occurrence stays append-only; compact purges") {
+    // shadowing is per-pair (a hit never routes through a third doc), so
+    // spans-after-delete must equal the FULL state's spans filtered to
+    // surviving pairs — exact by construction, whatever the cap did
+    val dead = (id: org.apache.spark.sql.Column) => pmod(id, lit(7)) === 3
+    val full = graft.util.TmpDirs.scratch("graft_d32_full_").toString
+    IncrementalSubstring.merge(spark, full, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalSubstring.merge(spark, full, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val expected = spansSorted(IncrementalSubstring.spans(spark, full)
+      .where(!dead(col("d1")) && !dead(col("d2"))))
+    val state = graft.util.TmpDirs.scratch("graft_d32_del_").toString
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    IncrementalSubstring.delete(spark, state,
+      docs.where(dead(col("doc_id"))).select(col("doc_id")))
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == expected)
+    assert(expected.nonEmpty, "the delete set should leave some surviving spans")
+    assert(expected != spansSorted(IncrementalSubstring.spans(spark, full)),
+      "the delete set should actually remove some spans")
+    // compact: anchors and hits purge; occ keeps the full history (the
+    // append-only cap statistic delete() documents); serve unchanged
+    val v = IncrementalSubstring.compact(spark, state)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")))
+    assert(spark.read.parquet(s"$state/v$v/anchors")
+      .where(dead(col("doc_id"))).count() == 0, "purged anchors still hold deleted docs")
+    assert(spark.read.parquet(s"$state/v$v/hits")
+      .where(dead(col("d1")) || dead(col("d2"))).count() == 0,
+      "purged hits still hold deleted-incident rows")
+    // occ fold is IDENTICAL to the full state's (history retained)
+    val occOfDir = (s0: String) => spark.read.parquet(
+        IncrementalSubstring.completeVersions(spark, s0).map(vv => s"$s0/v$vv/occ"): _*)
+      .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(occOfDir(state) == occOfDir(full),
+      "compaction must retain deleted docs' occurrence history (append-only cap)")
+    assert(spansSorted(IncrementalSubstring.spans(spark, state)) == expected)
+  }
+
   test("pre-occ state dirs backfill: occ partials derive from anchors; compact migrates") {
     val state = graft.util.TmpDirs.scratch("graft_d20_preocc_").toString
     IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))

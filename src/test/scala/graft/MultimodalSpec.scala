@@ -122,6 +122,28 @@ class MultimodalSpec extends SparkSpec {
     // decode happens at ingest only: sigs state never stores payloads
     val sigCols = spark.read.parquet(s"$state/v$v/sigs").columns.toSeq
     assert(sigCols == Seq("name", "sig"), s"sigs generation carries extra columns: $sigCols")
+
+    // d33: tombstone a member — its incident pairs drop; survivors keep
+    import spark.implicits._
+    graft.ops.IncrementalMedia.delete(spark, state,
+      Seq("imga_bright.ppm").toDF("name"))
+    assert(got(state) == want.filterNot(p =>
+      p._1 == "imga_bright.ppm" || p._2 == "imga_bright.ppm"),
+      "tombstoned-incident pairs must drop from the served table")
+    // compact purges physically and keeps serving the survivors
+    val v2 = graft.ops.IncrementalMedia.compact(spark, state)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v2/tombstones")))
+    assert(spark.read.parquet(s"$state/v$v2/sigs")
+      .where(col("name") === "imga_bright.ppm").count() == 0,
+      "purged sigs still hold the deleted name")
+    assert(got(state) == want.filterNot(p =>
+      p._1 == "imga_bright.ppm" || p._2 == "imga_bright.ppm"))
+    // re-ingest after delete: live again (s9), full pair table restored
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(col("name") === "imga_bright.ppm"))
+    assert(got(state) == want,
+      "re-ingested media must rejoin its pairs after its tombstone")
   }
 
   test("m5 vs m3: exact hashing misses the re-encoded copy, dHash pins it at Hamming 0") {
