@@ -125,6 +125,16 @@ object Bench {
     if (s.isEmpty || s == "-") s + "0" else s
   }
 
+  /** 1-dp rendering for the stdout line only (the full-precision values
+    * live in the file line): at 176 queries every byte of the compact
+    * line counts against the driver's 2000-char tail, and "0.1" vs
+    * "0.11" buys ~1 char × most of the board.
+    */
+  def sec1(v: Double): String = {
+    val s = f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    if (s.isEmpty || s == "-") s + "0" else s
+  }
+
   private def objJson(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
 
@@ -154,15 +164,21 @@ object Bench {
   def compactLine(stats: Seq[QStat], errors: Map[String, String],
       passes: Int, sfDir: String): String = {
     val short = shortKeys(stats.map(_.name))
-    val qs = objJson(stats.map(s => short(s.name) -> sec2(s.min)))
+    val qs = objJson(stats.map(s => short(s.name) -> sec1(s.min)))
     val total = stats.collect { case s if s.min >= 0 => s.min }.sum
-    // byte diet (the query set grew past 170): sf renders as its basename
-    // and the pass count lives only in the file line — the driver's own
-    // record carries the full sf path and protocol anyway
+    // byte diet (the query set grew past 170): per-query values render
+    // 1-dp, sf as its basename, the empty errors object is elided, and
+    // the pass count + the min/med/max statistic breakdown live only in
+    // the file line — the driver's own record carries the full sf path
+    // and protocol, and BENCH_LOCAL.json at HEAD carries full precision.
+    // Values here are still per-query MINS (contention cannot inflate).
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    def render(snip: Int, cap: Int) =
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec","stat":"min",""" +
-        s""""queries":$qs,"errors":${errJson(errors, snip, cap)},"sf":"${esc(sfShort)}"}"""
+    def render(snip: Int, cap: Int) = {
+      val errPart =
+        if (errors.isEmpty) "" else s""""errors":${errJson(errors, snip, cap)},"""
+      s"""{"metric":"total","value":${sec2(total)},"unit":"sec",""" +
+        s""""queries":$qs,$errPart"sf":"${esc(sfShort)}"}"""
+    }
     // the driver keeps only the LAST 2000 chars of stdout: degrade the
     // error payload (never the per-query timings) until the line fits —
     // the full untruncated errors always land in the file line

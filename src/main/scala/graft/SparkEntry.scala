@@ -453,6 +453,13 @@ object SparkEntry {
     // d33: deletes for the perceptual media modality — pair facts are
     // per-item, so shadowing is a plain anti-join; oracle = m5's golden
     // pairs minus the tombstoned name's incidences.
+    // q77/q78: the delete feeds under the STREAMING chassis — ingest
+    // micro-batches, then tombstone micro-batches; drained serve == the
+    // one-shot over the survivors (d28's / d29's oracle).
+    "q77_stream_exact_delete" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runExactDeleteAvailableNow(s, d)),
+    "q78_stream_cluster_delete" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runClusterDeleteAvailableNow(s, d)),
     "d33_media_delete" -> ((s: SparkSession, d: String) => {
       val state = graft.util.TmpDirs.scratch("graft_d33_state_").toString
       val media = s.read.format("binaryFile")
@@ -848,6 +855,14 @@ object SparkEntry {
         .replace("ON a.anchor = b.anchor AND a.doc_id < b.doc_id),",
           "ON a.anchor = b.anchor AND a.doc_id < b.doc_id " +
             "WHERE a.doc_id % 7 <> 3 AND b.doc_id % 7 <> 3),")) +
+      // streamed delete feeds: == the same survivors-only one-shots
+      ("q77_stream_exact_delete" ->
+        """SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+          |  min(doc_id) AS keeper, count(*) AS n_copies
+          |FROM documents WHERE doc_id % 7 <> 3
+          |GROUP BY 1 ORDER BY keeper""".stripMargin) +
+      ("q78_stream_cluster_delete" -> m("d7_dup_clusters")
+        .replace("FROM documents)", "FROM documents WHERE doc_id % 7 <> 3)")) +
       // media deletes: m5's golden pairs minus the tombstoned name
       ("d33_media_delete" ->
         """SELECT name1, name2, hamming FROM (VALUES

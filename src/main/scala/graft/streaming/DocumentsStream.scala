@@ -127,6 +127,50 @@ object DocumentsStream {
     graft.ops.IncrementalSubstring.removal(spark, dir, state)
   }
 
+  /** q77: the right-to-be-forgotten pipeline under the streaming chassis
+    * — documents stream in (q57's keyed d18 merges), then DELETE REQUESTS
+    * stream in as their own micro-batches, each a keyed d28 tombstone
+    * generation. Delete batches are idempotent two ways: the batch-key
+    * markers make a re-delivered delete a no-op outright, and
+    * re-tombstoning the same ids would change nothing anyway (shadowing
+    * is a set property). The drained aggregate equals d1's one-shot over
+    * the SURVIVORS (d28's oracle); a later re-ingest of the tombstoned
+    * docs restores the full corpus (the s9 liveness path — spec-pinned).
+    */
+  def runExactDeleteAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q77_state_").toString)
+    drainMerges(spark, dir, files, "q77i")((b, id) =>
+      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, 2, "q77d", table = (ss, d) =>
+        Tables.documents(ss, d).where(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id")))(
+      (b, id) => graft.ops.IncrementalExact.delete(b.sparkSession, state, b,
+        Some(s"del$id")))
+    graft.ops.IncrementalExact.dedup(spark, state)
+  }
+
+  /** q78: streaming deletes for the CLUSTERING modality — the q54 ingest
+    * stream followed by a streamed d29 tombstone feed; the drained
+    * clustering equals the one-shot over the survivors, component splits
+    * included. d29 deletes carry no batch key — re-tombstoning the same
+    * ids is semantically idempotent (shadowing is a set property), so
+    * at-least-once re-delivery needs no marker.
+    */
+  def runClusterDeleteAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q78_state_").toString)
+    drainMerges(spark, dir, files, "q78i")((b, _) =>
+      IncrementalDedup.merge(b.sparkSession, state, b))
+    drainMerges(spark, dir, 2, "q78d", table = (ss, d) =>
+        Tables.documents(ss, d).where(pmod(col("doc_id"), lit(7)) === 3)
+          .select(col("doc_id")))(
+      (b, _) => IncrementalDedup.delete(b.sparkSession, state, b))
+    IncrementalDedup.clusters(spark, state)
+  }
+
   /** q60: streaming MEDIA near-dup — the d21 merge under the chassis:
     * each micro-batch of raw asset bytes is decoded + dHashed once,
     * probed against the persisted signature union, and appended as a

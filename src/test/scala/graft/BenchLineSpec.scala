@@ -33,14 +33,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("x" * 31), "error snippet not truncated to 30 chars")
   }
 
-  test("compact line reports per-query MIN and declares the statistic") {
+  test("compact line reports per-query MIN; the file line declares the full statistics") {
     val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0),
       Bench.QStat("d7_clusters", 8.0, 7.5, 50.0))
     val line = Bench.compactLine(stats, Map.empty, 3, "sf")
-    assert(line.contains(""""stat":"min""""))
     assert(line.contains(""""q1":1.5"""))
     assert(line.contains(""""d7":7.5"""))
     assert(line.contains(""""value":9"""), s"total must sum mins: $line")
+    // the empty errors object is elided (byte diet) — the json stays valid
+    assert(!line.contains(""""errors""""), s"empty errors must be elided: $line")
+    // min/med/max live in the FILE line under their own keys
+    val full = Bench.fullLine(stats, Map.empty, 3, "sf")
+    assert(full.contains(""""min":""") && full.contains(""""max":"""),
+      s"file line must carry the statistic breakdown: $full")
   }
 
   test("stdout errors object is capped with an (omitted) count") {

@@ -183,6 +183,46 @@ class DocumentsStreamSpec extends SparkSpec {
       assert(boomAt.isDefined, s"unexpected stream failure: $e") }
   }
 
+  test("q77/q78: streamed delete feeds serve the survivors; re-ingest restores the corpus") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    // exact modality: ingest stream + keyed delete stream == survivors
+    val state = graft.util.TmpDirs.scratch("graft_q77_spec_state_").toString
+    val served = DocumentsStream.runExactDeleteAvailableNow(
+        spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val survivors = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+    val want = survivors
+      .select(col("doc_id"), org.apache.spark.sql.functions.sha2(
+        graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_copies"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served == want,
+      "streamed deletes diverged from the survivors-only aggregate")
+    // the s9 liveness path under streaming: re-ingest the tombstoned docs
+    // as one more keyed merge — the full-corpus aggregate returns
+    graft.ops.IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 3), Some("reingest"))
+    val full = graft.ops.IncrementalExact.dedup(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val wantFull = graft.ops.Dedup.exactDedup(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(full == wantFull, "re-ingested docs must be live after their tombstones")
+    // clustering modality: streamed d29 tombstones == survivors' one-shot
+    val cstate = graft.util.TmpDirs.scratch("graft_q78_spec_state_").toString
+    val cserved = DocumentsStream.runClusterDeleteAvailableNow(
+        spark, sf0001, stateDir = Some(cstate))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val sdir = graft.util.TmpDirs.scratch("graft_q78_oneshot_").toString
+    survivors.write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    val cwant = Dedup.dupClusters(spark, sdir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cserved == cwant,
+      "streamed cluster deletes diverged from the survivors' one-shot clustering")
+  }
+
   test("q57 re-delivery window: duplicated exact-ingest batch is a no-op, counts stay exact") {
     val src = graft.util.TmpDirs.scratch("graft_q57_redel_src_").toString
     val ckpt = graft.util.TmpDirs.scratch("graft_q57_redel_ckpt_").toString
