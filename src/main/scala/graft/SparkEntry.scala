@@ -148,6 +148,22 @@ object SparkEntry {
         vecs.where(pmod(col("vec_id"), lit(5)) === 0))
       graft.ops.IncrementalSemantic.clusters(s, state)
     }),
+    // d34: the d29 delete protocol on the SemDeDup modality — the model
+    // stays FROZEN (trained on the full corpus), survivors re-cluster;
+    // oracle = d22's replay with the survivors filter on the cells CTE
+    // (training unfiltered, assignment/pairing filtered).
+    "d34_semantic_delete" -> ((s: SparkSession, d: String) => {
+      val cents = Similarity.persistedIvfCentroids(s, d, s7ModelDir(s, d))
+      val state = graft.util.TmpDirs.scratch("graft_d34_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      graft.ops.IncrementalSemantic.merge(s, state, cents,
+        vecs.where(pmod(col("vec_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalSemantic.merge(s, state, cents,
+        vecs.where(pmod(col("vec_id"), lit(5)) === 0))
+      graft.ops.IncrementalSemantic.delete(s, state,
+        vecs.where(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      graft.ops.IncrementalSemantic.clusters(s, state)
+    }),
     // Streaming semantic dedup: the q54 chassis over d23 state with the
     // frozen model; drained clustering == one-shot d22.
     "q63_stream_semantic_dedup" -> ((s: SparkSession, d: String) =>
@@ -923,6 +939,12 @@ object SparkEntry {
       ("q61_stream_classifier_train" -> m("t17_quality_classifier")) +
       // frozen-model cell split-ingest == d22's one-shot clustering
       ("d23_semantic_incremental" -> m("d22_semantic_dedup")) +
+      // semantic deletes: frozen full-corpus model, survivors-only
+      // assignment/pairing — the filter lands on the cells CTE, training
+      // stays unfiltered
+      ("d34_semantic_delete" -> m("d22_semantic_dedup")
+        .replace("FROM rkd WHERE rc = 1 AND nrm > 0)",
+          "FROM rkd WHERE rc = 1 AND nrm > 0 AND vec_id % 7 <> 3)")) +
       // and the streaming drain of the same merge: == d22
       ("q63_stream_semantic_dedup" -> m("d22_semantic_dedup")) +
       // count-generation split-ingest == c11's one-shot selection

@@ -106,19 +106,69 @@ object IncrementalSemantic {
     next
   }
 
-  /** LSM maintenance: fold vecs, snapshot labels, manifest-then-commit. */
+  /** d34: TOMBSTONE a set of vectors — [[IncrementalDedup.delete]]'s d29
+    * protocol on the SemDeDup modality (same shadowing, same
+    * affected-component re-labeling over surviving stored edges; the
+    * keeper re-derives naturally because only labeled — hence surviving —
+    * members enter the least-prototypical window).
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalSemantic.delete: no state at $stateDir")
+    live.foreach(v => require(
+      GenState.fs(spark, stateDir).exists(
+        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+      s"IncrementalSemantic.delete: generation v$v at $stateDir has no pairs " +
+        "table (pre-retention layout) — rebuild the state dir first"))
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next)
+    GenState.assertWritable(spark, stateDir, next, claim)
+    ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(vecsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim)
+    LabelState.emptyDelta(spark)
+      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    next
+  }
+
+  /** LSM maintenance: fold vecs, retain pairs, snapshot labels,
+    * manifest-then-commit — with tombstones applied PHYSICALLY (the d29
+    * purge protocol; a pre-retention fold skips the pairs write).
+    */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalSemantic.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
+    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
+      "vecs", "vec_id")
     GenState.assertWritable(spark, stateDir, next, claim)
     spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      .join(broadcast(teff.select(col("node").as("vec_id"))), Seq("vec_id"), "left_anti")
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
+      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    if (pairVs == versions) {
+      GenState.assertWritable(spark, stateDir, next, claim)
+      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+        .select(col("d1").cast("long"), col("d2").cast("long"))
+        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
+        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+        .select(col("d1"), col("d2")) // USING-joins reorder columns
+        .dropDuplicates("d1", "d2")
+        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.foldedSnapshot(spark, stateDir, versions, next)
+    LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
+      .withColumn("gen", lit(next))
       .write.mode("overwrite").parquet(labelsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
@@ -136,7 +186,8 @@ object IncrementalSemantic {
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val versions = completeVersions(spark, stateDir)
-    val labels = LabelState.folded(spark, stateDir, versions)
+    val labels = LabelState.deletedAwareLabels(spark, stateDir, versions,
+        "vecs", "vec_id")
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
     val asg = spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .select(col("vec_id"), col("cell"), col("ccos"))

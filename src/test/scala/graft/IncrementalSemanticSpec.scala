@@ -67,4 +67,40 @@ class IncrementalSemanticSpec extends SparkSpec {
       .runSemanticDedupAvailableNow(spark, sf0001, modelDir))
     assert(got == sorted(Similarity.semDedupClusters(spark, sf0001)))
   }
+
+  test("d34 delete: == one-shot SemDeDup over survivors under the FROZEN model; compact purges") {
+    // one-shot twin: survivors materialized as a scratch corpus, clustered
+    // with the centroids trained on the FULL corpus (the frozen-model
+    // contract deletes must respect — a delete never retrains)
+    def oneShotSurviving(mods: Seq[Int]) = {
+      val alive = mods.map(m => pmod(col("vec_id"), lit(7)) =!= m).reduce(_ && _)
+      val dir = graft.util.TmpDirs.scratch("graft_d34_oneshot_").toString
+      vecs.where(alive).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      sorted(Similarity.semDedupClusters(spark, dir, centroids = Some(cents)))
+    }
+    val state = graft.util.TmpDirs.scratch("graft_d34_del_").toString
+    IncrementalSemantic.merge(spark, state, cents,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 0))
+    IncrementalSemantic.merge(spark, state, cents,
+      vecs.where(pmod(col("vec_id"), lit(2)) === 1))
+    IncrementalSemantic.delete(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(7)) === 0).select(col("vec_id")))
+    assert(sorted(IncrementalSemantic.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0)))
+    // compact: physical purge, pairs retained, serve unchanged; a FURTHER
+    // delete composes
+    val v = IncrementalSemantic.compact(spark, state)
+    val f = graft.ops.GenState.fs(spark, state)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/tombstones")))
+    assert(spark.read.parquet(s"$state/v$v/vecs")
+      .where(pmod(col("vec_id"), lit(7)) === 0).count() == 0,
+      "purged vecs still hold deleted vectors")
+    assert(sorted(IncrementalSemantic.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0)))
+    IncrementalSemantic.delete(spark, state,
+      vecs.where(pmod(col("vec_id"), lit(7)) === 1).select(col("vec_id")))
+    assert(sorted(IncrementalSemantic.clusters(spark, state)) ==
+      oneShotSurviving(Seq(0, 1)),
+      "delete after compact diverged — pairs retention broken")
+  }
 }
