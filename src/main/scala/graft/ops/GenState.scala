@@ -271,9 +271,22 @@ object GenState {
     */
   object FsClaimBackend extends ClaimBackend {
     def tryClaim(f: FileSystem, p: Path, token: String): Boolean = {
+      // Only the already-exists failure is a lost race; any other
+      // IOException is infrastructure (disk, network, permissions) and must
+      // surface as the abort CAUSE, not masquerade as a concurrent-writer
+      // conflict. Hadoop filesystems signal the race as (their own or
+      // java.nio's) FileAlreadyExistsException; some local-FS paths raise a
+      // bare IOException whose message names the existing file — match both.
       val out =
         try f.create(p, false)
-        catch { case _: java.io.IOException => return false }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(m =>
+                m.contains("already exists") || m.contains("File exists")) =>
+            return false
+        }
       try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
       true
     }
@@ -307,14 +320,26 @@ object GenState {
           "concurrent writer ingested since this merge listed versions; " +
           "state dirs are single-writer (clean abort, nothing written)")
     val p = claimPath(stateDir, v)
+    def abortCommitted(): Nothing =
+      throw new IllegalStateException(
+        s"GenState: generation v$v at $stateDir was committed by its " +
+          "claimant while this steal was in flight — refusing to destroy a " +
+          "committed generation; state dirs are single-writer (clean abort)")
     if (claimBackend.readClaim(f, p).isDefined) {
       // incomplete AND claimed: a crash leftover being redone wholesale
       // (the documented recovery rule). Delete and re-claim — if the
       // "leftover" was in fact a live writer, the read-back below lets at
-      // most one of the two claimants proceed.
+      // most one of the two claimants proceed. The entry commit check above
+      // is check-then-act, so a stalled-but-LIVE claimant may commit in the
+      // window between it and this delete; re-check immediately before the
+      // destructive step (and again before re-claiming) so the thief never
+      // deletes a COMMITTED generation — narrowing the race to the same
+      // single-write granularity as the rest of the protocol.
+      if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))) abortCommitted()
       f.delete(new Path(s"$stateDir/v$v"), true)
       claimBackend.releaseClaim(f, p)
     }
+    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))) abortCommitted()
     val token = java.util.UUID.randomUUID().toString
     if (!claimBackend.tryClaim(f, p, token))
       throw new IllegalStateException(

@@ -187,25 +187,40 @@ object IncrementalExact {
         // tombstone-free fast path: no gen tags, no sidecar read
         spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
       else {
-        val partsG = versions.map(v => spark.read.parquet(hashesPath(stateDir, v))
+        // TOMBSTONE BOUND: a tombstone at generation d shadows doc rows of
+        // generations STRICTLY OLDER than d, so generations >= max(delVs)
+        // can never be affected — serve them from their stored aggregates
+        // without gen tags, sidecar reads, or join participation. The
+        // correction scan is then bounded by the corpus AT DELETE TIME and
+        // stays flat as post-delete ingest generations accumulate.
+        val maxDel = delVs.max
+        val (oldVs, newVs) = versions.partition(_ < maxDel)
+        val untouched =
+          if (newVs.isEmpty) None
+          else Some(spark.read.parquet(newVs.map(hashesPath(stateDir, _)): _*))
+        val partsG = oldVs.map(v => spark.read.parquet(hashesPath(stateDir, v))
           .withColumn("gen", lit(v))).reduce(_ unionByName _)
         val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
           .select(col("doc_id").as("del_id"), lit(v).as("dgen"))).reduce(_ unionByName _)
-        val side = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
+        val side = oldVs.map(v => spark.read.parquet(docsPath(stateDir, v))
           .withColumn("gen", lit(v))).reduce(_ unionByName _)
-        // the (h, gen) groups that lost at least one member — tombstone-
-        // batch-sized, hence broadcast on both uses below
+        // the (h, gen) groups that lost at least one member. Usually
+        // tombstone-batch-sized, but a GDPR-scale bulk delete makes it
+        // arbitrarily large — no forced broadcast hint; AQE picks broadcast
+        // when the runtime size is small and degrades to a shuffle join
+        // (working, not OOM) when it is not.
         val affected = side.join(tombs,
             side("doc_id") === tombs("del_id") && tombs("dgen") > side("gen"),
             "left_semi")
           .select(col("h"), col("gen")).distinct()
-        val reagg = survivorsOf(spark, stateDir, versions, delVs)
-          .join(broadcast(affected), Seq("h", "gen"), "left_semi")
+        val reagg = survivorsOf(spark, stateDir, oldVs, delVs)
+          .join(affected, Seq("h", "gen"), "left_semi")
           .groupBy(col("h"), col("gen"))
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-        partsG.join(broadcast(affected), Seq("h", "gen"), "left_anti")
+        val corrected = partsG.join(affected, Seq("h", "gen"), "left_anti")
           .unionByName(reagg)
           .select(col("h"), col("keeper"), col("n_copies"))
+        untouched.map(corrected.unionByName(_)).getOrElse(corrected)
       }
     fold
       .groupBy(col("h"))

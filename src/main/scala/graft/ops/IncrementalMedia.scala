@@ -122,7 +122,7 @@ object IncrementalMedia {
     val laterIdx = laterVs.map(v => spark.read.parquet(sigsPath(stateDir, v))
       .select(col("name").as("node")).withColumn("igen", lit(v)))
       .reduce(_ unionByName _)
-    val reingested = laterIdx.join(broadcast(tombs), Seq("node"))
+    val reingested = laterIdx.join(tombs, Seq("node"))
       .where(col("igen") > col("dgen")).select(col("node")).distinct()
     tombs.select(col("node")).distinct().join(reingested, Seq("node"), "left_anti")
   }
@@ -156,11 +156,13 @@ object IncrementalMedia {
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
+    // no forced broadcast on the delete-derived frame: AQE broadcasts
+    // when the tombstone set is small, shuffle-joins a bulk delete
     val teff = effectiveTombstones(spark, stateDir, live)
     val base = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
     base
-      .join(broadcast(teff.select(col("node").as("name1"))), Seq("name1"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("name2"))), Seq("name2"), "left_anti")
+      .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
+      .join(teff.select(col("node").as("name2")), Seq("name2"), "left_anti")
       .select(base.columns.map(col).toSeq: _*) // USING-joins reorder columns
       .dropDuplicates("name1", "name2")
       .orderBy(col("name1"), col("name2"))
@@ -175,21 +177,28 @@ object IncrementalMedia {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    // tombstones applied PHYSICALLY (the d33 purge): folded sigs and
-    // pairs exclude every effectively-deleted name, nothing carried
-    val teff = effectiveTombstones(spark, stateDir, versions)
+    // tombstones applied PHYSICALLY, per-GENERATION
+    // ([[LabelState.purgeByGen]], string-keyed): pre-delete sigs/pairs
+    // leave disk even for re-ingested names — a delete-then-re-ingest
+    // must not retain its pre-delete signature rows through maintenance
+    val f2 = GenState.fs(spark, stateDir)
+    val hasTombs = versions.exists(v =>
+      f2.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+    def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
-      .join(broadcast(teff.select(col("node").as("name"))), Seq("name"), "left_anti")
+    (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+     else LabelState.purgeByGen(tombs,
+       versions.map(v => (v, spark.read.parquet(sigsPath(stateDir, v)))),
+       Seq("name")))
       .dropDuplicates("name")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    val basePairs = spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
-    basePairs
-      .join(broadcast(teff.select(col("node").as("name1"))), Seq("name1"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("name2"))), Seq("name2"), "left_anti")
-      .select(basePairs.columns.map(col).toSeq: _*) // USING-joins reorder columns
+    (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+     else LabelState.purgePairsByGen(tombs,
+       effectiveTombstones(spark, stateDir, versions),
+       versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+       Seq("name1", "name2")))
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

@@ -144,26 +144,34 @@ object IncrementalMinHash {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
-    // tombstones applied PHYSICALLY at the fold (the d29 purge protocol)
-    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
-      "sets", "doc_id")
-    val dropDeleted = (df: DataFrame) =>
-      df.join(broadcast(teff.select(col("node").as("doc_id"))), Seq("doc_id"), "left_anti")
+    // tombstones applied PHYSICALLY at the fold, per-GENERATION
+    // ([[LabelState.purgeByGen]]): pre-delete rows leave disk even for
+    // re-ingested ids — the d29 purge protocol without the re-ingest
+    // retention hole. Tombstone-free state keeps the multi-path scans.
+    val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
+    def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def foldTable(path: Int => String): DataFrame =
+      if (!hasTombs) spark.read.parquet(versions.map(path): _*)
+      else LabelState.purgeByGen(tombs,
+        versions.map(v => (v, spark.read.parquet(path(v)))), Seq("doc_id"))
     GenState.assertWritable(spark, stateDir, next, claim)
-    dropDeleted(spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*))
+    foldTable(bandsPath(stateDir, _))
       .write.mode("overwrite").parquet(bandsPath(stateDir, next))
     GenState.assertWritable(spark, stateDir, next, claim)
-    dropDeleted(spark.read.parquet(versions.map(setsPath(stateDir, _)): _*))
+    foldTable(setsPath(stateDir, _))
       .write.mode("overwrite").parquet(setsPath(stateDir, next))
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
     if (pairVs == versions) {
       GenState.assertWritable(spark, stateDir, next, claim)
-      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-        .select(col("d1").cast("long"), col("d2").cast("long"))
-        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
-        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
-        .select(col("d1"), col("d2")) // USING-joins reorder columns
+      (if (!hasTombs)
+         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           .select(col("d1").cast("long"), col("d2").cast("long"))
+       else LabelState.purgePairsByGen(tombs,
+         LabelState.effectiveTombstones(spark, stateDir, versions, "sets", "doc_id"),
+         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           .select(col("d1").cast("long"), col("d2").cast("long")))),
+         Seq("d1", "d2")))
         .dropDuplicates("d1", "d2")
         .write.mode("overwrite").parquet(pairsPath(stateDir, next))
     }

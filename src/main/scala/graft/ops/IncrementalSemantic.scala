@@ -147,21 +147,29 @@ object IncrementalSemantic {
     val leftovers = GenState.foldedLeftovers(spark, stateDir)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
-    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
-      "vecs", "vec_id")
+    // per-GENERATION purge ([[LabelState.purgeByGen]]): pre-delete
+    // vecs/pairs leave disk even for re-ingested ids; tombstone-free
+    // state keeps the one-scan fold
+    val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
+    def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
-      .join(broadcast(teff.select(col("node").as("vec_id"))), Seq("vec_id"), "left_anti")
+    (if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+     else LabelState.purgeByGen(tombs,
+       versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
+       Seq("vec_id")))
       .write.mode("overwrite").parquet(vecsPath(stateDir, next))
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
     if (pairVs == versions) {
       GenState.assertWritable(spark, stateDir, next, claim)
-      spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-        .select(col("d1").cast("long"), col("d2").cast("long"))
-        .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
-        .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
-        .select(col("d1"), col("d2")) // USING-joins reorder columns
+      (if (!hasTombs)
+         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           .select(col("d1").cast("long"), col("d2").cast("long"))
+       else LabelState.purgePairsByGen(tombs,
+         LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
+         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           .select(col("d1").cast("long"), col("d2").cast("long")))),
+         Seq("d1", "d2")))
         .dropDuplicates("d1", "d2")
         .write.mode("overwrite").parquet(pairsPath(stateDir, next))
     }

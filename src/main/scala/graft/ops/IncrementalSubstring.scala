@@ -69,6 +69,23 @@ object IncrementalSubstring {
   private def anchorsPath(stateDir: String, v: Int) = s"$stateDir/v$v/anchors"
   private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
   private def occPath(stateDir: String, v: Int) = s"$stateDir/v$v/occ"
+  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
+
+  /** The table the tombstone re-ingest probe scans: the slim one-column
+    * `vN/docs` projection (one row per batch doc) when every live
+    * generation carries it, else the positional `anchors` index (legacy
+    * state persisted before the docs layout — exact, it just re-pays the
+    * corpus-sized column scan the projection exists to avoid; [[compact]]
+    * materializes the migration).
+    */
+  private def probeTable(spark: SparkSession, stateDir: String,
+      live: Seq[Int]): String = {
+    val f = GenState.fs(spark, stateDir)
+    if (live.forall(v => f.exists(
+        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))))
+      "docs"
+    else "anchors"
+  }
 
   /** The folded per-anchor occurrence of generations `vs` — the sum of
     * their slim partials, O(distinct anchors), never a positional scan.
@@ -211,6 +228,15 @@ object IncrementalSubstring {
     t("anchors")(anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next)))
     val newAnch = spark.read.parquet(anchorsPath(stateDir, next))
 
+    // slim per-generation doc projection — the table the tombstone
+    // re-ingest probe scans ([[probeTable]]): one row per batch doc, so a
+    // delete-bearing read never scans the corpus-sized positional anchors
+    // index just to ask "was this id re-ingested later?". From newDocs,
+    // not newAnch: a short doc with no anchors still counts as re-ingested.
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    t("docs")(newDocs.select(col("doc_id")).dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(docsPath(stateDir, next)))
+
     // per-generation occurrence PARTIAL (the d18 write-only trick): one slim
     // (anchor, aocc) row per distinct batch anchor, O(batch) to produce.
     // Folding these partials (sum per anchor) equals mergeOccOf over the
@@ -265,6 +291,9 @@ object IncrementalSubstring {
     spark.read.parquet(anchorsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("doc_id").cast("long").as("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(occPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(occPath(stateDir, next))
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
@@ -310,11 +339,11 @@ object IncrementalSubstring {
     // hit never routes through a third document. Occurrence (the cap
     // above) deliberately keeps counting deleted docs — see [[delete]].
     val teff = LabelState.effectiveTombstones(spark, stateDir, live,
-      "anchors", "doc_id")
+      probeTable(spark, stateDir, live), "doc_id")
     val hits = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
       .join(hot, Seq("anchor"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+      .join(teff.select(col("node").as("d1")), Seq("d1"), "left_anti")
+      .join(teff.select(col("node").as("d2")), Seq("d2"), "left_anti")
       .dropDuplicates("d1", "d2", "i", "j")
     val wd = Window.partitionBy(col("d1"), col("d2"), col("j") - col("i"))
       .orderBy(col("i"))
@@ -349,14 +378,35 @@ object IncrementalSubstring {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    // tombstones applied PHYSICALLY to anchors and hits (the purge);
-    // occ is APPEND-ONLY and folds the full history — see [[delete]]
-    val teff = LabelState.effectiveTombstones(spark, stateDir, versions,
-      "anchors", "doc_id")
+    // tombstones applied PHYSICALLY to anchors/docs/hits per-GENERATION
+    // ([[LabelState.purgeByGen]] — pre-delete rows leave disk even for
+    // re-ingested ids); occ is APPEND-ONLY and folds the full history —
+    // see [[delete]]
+    val f = GenState.fs(spark, stateDir)
+    val hasTombs = versions.exists(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"${LabelState.tombsPath(stateDir, v)}/_SUCCESS")))
+    def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
-      .join(broadcast(teff.select(col("node").as("doc_id"))), Seq("doc_id"), "left_anti")
+    (if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
+     else LabelState.purgeByGen(tombs,
+       versions.map(v => (v, spark.read.parquet(anchorsPath(stateDir, v)))),
+       Seq("doc_id")))
       .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    // the slim doc projection folds the same way (legacy generations
+    // without one backfill from their anchors — compaction IS the
+    // migration point, as for occ)
+    val docsFrames = versions.map { v =>
+      val have = f.exists(
+        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))
+      (v, if (have) spark.read.parquet(docsPath(stateDir, v))
+          else spark.read.parquet(anchorsPath(stateDir, v))
+            .select(col("doc_id")).dropDuplicates("doc_id"))
+    }
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    (if (!hasTombs) docsFrames.map(_._2).reduce(_ unionByName _)
+     else LabelState.purgeByGen(tombs, docsFrames, Seq("doc_id")))
+      .dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(docsPath(stateDir, next))
     // occ partials fold WITH re-aggregation (sum is associative): the
     // compacted index returns to one row per distinct anchor. Pre-occ
     // generations backfill from their anchors here ([[foldedOcc]]) —
@@ -369,9 +419,12 @@ object IncrementalSubstring {
     // no-op after maintenance
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
-      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+    (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
+     else LabelState.purgePairsByGen(tombs,
+       LabelState.effectiveTombstones(spark, stateDir, versions,
+         probeTable(spark, stateDir, versions), "doc_id"),
+       versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
+       Seq("d1", "d2")))
       .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
       .write.mode("overwrite").parquet(hitsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

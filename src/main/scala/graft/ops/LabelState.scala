@@ -226,11 +226,73 @@ object LabelState {
       spark.read.parquet(s"$stateDir/v$v/$indexTable")
         .select(col(idCol).cast("long").as("node")).withColumn("igen", lit(v)))
       .reduce(_ unionByName _)
-    val reingested = laterIdx.join(broadcast(tombs), Seq("node"))
+    // no forced broadcast: tombs is usually tiny, but a GDPR-scale bulk
+    // delete is unbounded — AQE picks broadcast when the runtime size is
+    // small and degrades to a shuffle join (working, not OOM) otherwise
+    val reingested = laterIdx.join(tombs, Seq("node"))
       .where(col("igen") > col("dgen"))
       .select(col("node")).distinct()
     tombs.select(col("node")).distinct()
       .join(reingested, Seq("node"), "left_anti")
+  }
+
+  /** EVERY tombstoned id with its newest tombstone generation — the
+    * per-generation purge input ([[purgeByGen]]). Unlike
+    * [[effectiveTombstones]] this KEEPS re-ingested ids: their pre-delete
+    * index rows must still purge (gen < dgen), only rows written at or
+    * after the re-ingest stay. `node` is returned as stored in the
+    * tombstones tables (long for the pair-graph modalities, string for
+    * media).
+    */
+  def tombstonesByGen(spark: SparkSession, stateDir: String,
+      versions: Seq[Int]): DataFrame = {
+    val delVs = tombstoneVersions(spark, stateDir, versions)
+    require(delVs.nonEmpty, "tombstonesByGen: no tombstone generations")
+    delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+      .groupBy(col("node")).agg(max(col("dgen")).as("dgen"))
+  }
+
+  /** Per-GENERATION shadowing purge for compact: drop every row of the
+    * per-generation tables whose id (any of `idCols`) carries a tombstone
+    * NEWER than the row's generation — INCLUDING re-ingested ids, the
+    * exact modality's row-level rule ([[IncrementalExact]]). This is
+    * strictly stronger than the doc-level [[effectiveTombstones]] purge:
+    * a delete-then-re-ingest no longer retains the doc's PRE-delete
+    * index/pair rows through maintenance (which would both double the
+    * index forever and keep stale edges derivable from the deleted
+    * content). `perGen` supplies each live generation's table already
+    * projected/cast so `idCols` compare against `tombs("node")` directly;
+    * the `gen` tag never leaves this helper.
+    */
+  def purgeByGen(tombs: DataFrame, perGen: Seq[(Int, DataFrame)],
+      idCols: Seq[String]): DataFrame = {
+    val tagged = perGen.map { case (v, df) => df.withColumn("gen", lit(v)) }
+      .reduce(_ unionByName _)
+    val cols = tagged.columns.filterNot(_ == "gen").map(col).toSeq
+    idCols.foldLeft(tagged) { (df, c) =>
+      df.join(tombs, df(c) === tombs("node") && tombs("dgen") > df("gen"),
+        "left_anti")
+    }.select(cols: _*)
+  }
+
+  /** The compact purge rule for PAIR/HIT tables: [[purgeByGen]] PLUS a
+    * doc-level exclusion of effectively-deleted ids (`teff`). The second
+    * half is not redundant: a merge that runs AFTER a tombstone can still
+    * pair a NEW item against the deleted item's persisted index rows,
+    * storing an edge whose generation is newer than the tombstone —
+    * per-generation shadowing alone would retain it, and once compact
+    * drops the tombstones no read could filter it either. Index tables
+    * don't need this (only an id's own merges write its index rows, so
+    * per-generation shadowing covers them completely).
+    */
+  def purgePairsByGen(tombs: DataFrame, teff: DataFrame,
+      perGen: Seq[(Int, DataFrame)], idCols: Seq[String]): DataFrame = {
+    val base = purgeByGen(tombs, perGen, idCols)
+    val cols = base.columns.map(col).toSeq
+    idCols.foldLeft(base) { (df, c) =>
+      df.join(teff.select(col("node").as(c)), Seq(c), "left_anti")
+    }.select(cols: _*) // USING-joins reorder columns
   }
 
   /** The current (node, label) table with every tombstone applied — equal
@@ -245,15 +307,29 @@ object LabelState {
     * `pairs` table (merges always write one; tombstone generations write
     * an empty one; a state dir compacted BEFORE pairs retention cannot
     * serve deletes — the modality's delete() refuses it up front).
+    *
+    * Re-ingest contract: shadowing is DOC-level here (an id re-ingested
+    * after its tombstone is live with ALL its stored edges), so a
+    * re-ingest under the same id must carry IDENTICAL content for the
+    * served clustering to equal the one-shot — the re-merge then
+    * regenerates the same pairs and the read-side dedup absorbs the
+    * overlap. A differing-content re-ingest can serve stale pre-delete
+    * edges until [[purgeByGen]]-based compaction drops the pre-tombstone
+    * rows (the maintenance point that bounds the staleness window).
+    *
+    * No forced broadcasts on the delete-derived frames (teff, affected):
+    * they are tombstone-batch-sized in the common case but unbounded
+    * under a GDPR-scale bulk delete — AQE broadcasts when small and falls
+    * back to shuffle joins (degraded-but-working) when not.
     */
   def deletedAwareLabels(spark: SparkSession, stateDir: String,
       versions: Seq[Int], indexTable: String, idCol: String): DataFrame = {
     val current = folded(spark, stateDir, versions)
     if (tombstoneVersions(spark, stateDir, versions).isEmpty) return current
     val teff = effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
-    val affected = current.join(broadcast(teff), Seq("node"), "left_semi")
+    val affected = current.join(teff, Seq("node"), "left_semi")
       .select(col("label")).distinct()
-    val members = current.join(broadcast(affected), Seq("label"), "left_semi")
+    val members = current.join(affected, Seq("label"), "left_semi")
     // stored pairs of the affected components (both endpoints share the
     // component, so one endpoint semi-join suffices), minus every
     // deleted-incident edge — exactly the survivors' pair graph there
@@ -263,8 +339,8 @@ object LabelState {
       else spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
         .select(col("d1").cast("long"), col("d2").cast("long")))
       .join(members.select(col("node").as("d1")), Seq("d1"), "left_semi")
-      .join(broadcast(teff.select(col("node").as("d1"))), Seq("d1"), "left_anti")
-      .join(broadcast(teff.select(col("node").as("d2"))), Seq("d2"), "left_anti")
+      .join(teff.select(col("node").as("d1")), Seq("d1"), "left_anti")
+      .join(teff.select(col("node").as("d2")), Seq("d2"), "left_anti")
       .dropDuplicates("d1", "d2")
     val sample = liveEdges.limit(smallEdgeLimit + 1).collect()
     val relabeled =
@@ -280,7 +356,7 @@ object LabelState {
           .map(_._1)
           .getOrElse(ConnectedComponents.starContraction(liveEdges, ckpt = ckpt)._1)
       }
-    current.join(broadcast(affected), Seq("label"), "left_anti")
+    current.join(affected, Seq("label"), "left_anti")
       .unionByName(relabeled)
   }
 }
