@@ -7,7 +7,11 @@ import scala.util.control.NonFatal
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE bare JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"value":N,"qu":"ds","queries":{...}}` — `value` is total SECONDS;
+  * per-query values are integer deciseconds (declared by `qu`); the file
+  * line (BENCH_LOCAL.json) keeps the full
+  * `{"metric","value","unit","passes","queries","min","max","errors","sf"}`
+  * shape in full-precision seconds.
   *
   * Harness notes (round-1/3/4/5 postmortems):
   *   - a warm-up pass runs first so the first timed query does not absorb
@@ -135,6 +139,28 @@ object Bench {
     if (s.isEmpty || s == "-") s + "0" else s
   }
 
+  /** Integer-DECISECOND rendering for the stdout per-query map — the
+    * round-14 byte diet (the board passed 180 queries and the 1-dp line
+    * was ~100 chars from the driver's tail): same 0.1 s resolution as
+    * [[sec1]], but "0.4" → "4" and "1.2" → "12" — two thirds of the
+    * board is sub-second at sf0.1, so this buys ~270 chars. The line
+    * declares it via `"qunit":"ds"`; a failed query stays the `-1`
+    * sentinel regardless of unit; the top-level `value` and the whole
+    * file line remain full-precision SECONDS (BENCH_LOCAL.json is the
+    * cross-round per-query comparison surface).
+    */
+  def deci(v: Double): String =
+    if (v < 0) "-1" else Math.round(v * 10).toString
+
+  /** Integer-SECOND rendering — the last value-degradation rail: if a
+    * pathological board (hundreds of multi-second queries) pushes even
+    * the decisecond line past the driver's tail, whole seconds under
+    * `"qunit":"s"` always fit; the 0.1 s resolution stays in the file
+    * line. Expected to never fire on a healthy board.
+    */
+  def secInt(v: Double): String =
+    if (v < 0) "-1" else Math.round(v).toString
+
   private def objJson(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
 
@@ -164,28 +190,43 @@ object Bench {
   def compactLine(stats: Seq[QStat], errors: Map[String, String],
       passes: Int, sfDir: String): String = {
     val short = shortKeys(stats.map(_.name))
-    val qs = objJson(stats.map(s => short(s.name) -> sec1(s.min)))
     val total = stats.collect { case s if s.min >= 0 => s.min }.sum
-    // byte diet (the query set grew past 170): per-query values render
-    // 1-dp, sf as its basename, the empty errors object is elided, and
-    // the pass count + the min/med/max statistic breakdown live only in
-    // the file line — the driver's own record carries the full sf path
-    // and protocol, and BENCH_LOCAL.json at HEAD carries full precision.
-    // Values here are still per-query MINS (contention cannot inflate).
-    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    def render(snip: Int, cap: Int) = {
+    // byte diet, round 14 (the query set grew past 180 and the 1-dp line
+    // was ~100 chars from the driver's tail): per-query values render as
+    // integer DECISECONDS (declared by "qu":"ds" — same 0.1 s resolution
+    // as the old 1-dp seconds, ~270 chars shorter on the real board), and
+    // the constant "metric"/"unit"/"sf" fields move to the file line only
+    // ("value" stays top-level SECONDS; the driver chose the sf dir
+    // itself, so echoing it spends tail bytes on what the driver already
+    // knows). The empty errors object is elided, and the pass count + the
+    // min/med/max statistic breakdown live only in the file line —
+    // BENCH_LOCAL.json at HEAD carries full precision in seconds with the
+    // full field set. Values here are still per-query MINS (contention
+    // cannot inflate).
+    def render(qunit: String, vfn: Double => String, snip: Int, cap: Int) = {
+      val qs = objJson(stats.map(s => short(s.name) -> vfn(s.min)))
       val errPart =
-        if (errors.isEmpty) "" else s""""errors":${errJson(errors, snip, cap)},"""
-      s"""{"metric":"total","value":${sec2(total)},"unit":"sec",""" +
-        s""""queries":$qs,$errPart"sf":"${esc(sfShort)}"}"""
+        if (errors.isEmpty) "" else s""","errors":${errJson(errors, snip, cap)}"""
+      s"""{"value":${sec2(total)},"qu":"$qunit","queries":$qs$errPart}"""
     }
-    // the driver keeps only the LAST 2000 chars of stdout: degrade the
-    // error payload (never the per-query timings) until the line fits —
-    // the full untruncated errors always land in the file line
-    Seq((30, maxStdoutErrors), (20, maxStdoutErrors), (12, 5), (8, 3))
-      .iterator.map { case (s, c) => render(s, c) }
-      .find(_.length < 1950)
-      .getOrElse(render(8, 3))
+    // the driver keeps only the LAST 2000 chars of stdout: degrade first
+    // the error payload, then (a rail that never fires on a healthy
+    // board) per-query resolution to whole seconds, until the line fits —
+    // full-precision timings and untruncated errors always land in the
+    // file line
+    val attempts = for {
+      (qu, vfn) <- Seq(("ds", deci _), ("s", secInt _))
+      (snip, cap) <- Seq((30, maxStdoutErrors), (20, maxStdoutErrors), (12, 5), (8, 3))
+    } yield render(qu, vfn, snip, cap)
+    attempts.find(_.length < 1950).getOrElse {
+      // unconditional floor (a board of hundreds of 100 s+ queries — the
+      // bench itself would run ~a day): keep the total and the error
+      // digest, point at the file line for per-query data
+      val errPart =
+        if (errors.isEmpty) "" else s""","errors":${errJson(errors, 12, 5)}"""
+      s"""{"value":${sec2(total)},"qu":"s","queries":{},""" +
+        s""""note":"per-query in BENCH_LOCAL.json (line overflow)"$errPart}"""
+    }
   }
 
   /** The full-precision file line: median under "queries" (so cross-round

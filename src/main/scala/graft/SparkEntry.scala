@@ -219,6 +219,22 @@ object SparkEntry {
         vecs.where(pmod(col("vec_id"), lit(3)) === r)))
       graft.ops.IncrementalIvfPq.annTopK(s, d, state, model)
     }),
+    // s16: tombstone deletes over the s15 code postings — the s9 protocol
+    // on the quantized index: ingest everything, tombstone vec_id ≡ 3
+    // (mod 7), query the shadowed union; queries stay full-precision from
+    // the corpus (ADC is asymmetric), candidates are survivors only.
+    // compact() purges the deleted 8-byte code rows physically.
+    "s16_ivfpq_delete" -> ((s: SparkSession, d: String) => {
+      val model = s15ModelDir(s, d)
+      graft.ops.IncrementalIvfPq.persistedRefVectors(s, d, model)
+      val state = graft.util.TmpDirs.scratch("graft_s16_state_").toString
+      val vecs = graft.sources.Tables.embeddings(s, d)
+      (0 until 3).foreach(r => graft.ops.IncrementalIvfPq.merge(s, state, model,
+        vecs.where(pmod(col("vec_id"), lit(3)) === r)))
+      graft.ops.IncrementalIvfPq.delete(s, state,
+        vecs.where(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      graft.ops.IncrementalIvfPq.annTopK(s, d, state, model)
+    }),
     // Persisted trained centroids (model registry): train+write once per
     // (session, input), reload as a parquet scan after — must equal
     // training fresh exactly (s5's oracle; composes s5 x s6).
@@ -328,6 +344,20 @@ object SparkEntry {
       val docs = graft.sources.Tables.documents(s, d)
       graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
       graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalDsir.select(s, state)
+    }),
+    // c15: right-to-be-forgotten for the SELECTION MODEL — tombstone
+    // doc_id ≡ 3 (mod 7); the count state is per-doc, so the model sums,
+    // weights, and scores all re-fit over the survivors at the next
+    // select (the selection is corpus-global by nature); == one-shot c11
+    // over the surviving corpus.
+    "c15_dsir_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_c15_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.ops.IncrementalDsir.merge(s, state, docs.where(pmod(col("doc_id"), lit(5)) === 0))
+      graft.ops.IncrementalDsir.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
       graft.ops.IncrementalDsir.select(s, state)
     }),
     // Streaming DSIR: the q54 chassis over c12 state — continuous
@@ -550,6 +580,22 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(3)) === 0), Some("b1"))
       graft.ops.IncrementalCard.serve(s, state)
     }),
+    // t26: right-to-be-forgotten for the maintained datasheet — the
+    // COUNT-DISTINCT delete: tombstone doc_id ≡ 3 (mod 7); additive
+    // columns subtract, and a distinct key leaves only when its LAST
+    // surviving carrier goes (multiplicity via the per-doc sidecar);
+    // == one-shot t22 over the surviving corpus.
+    "t26_card_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_t26_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), Some("b0"))
+      graft.ops.IncrementalCard.merge(s, state,
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), Some("b1"))
+      graft.ops.IncrementalCard.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalCard.serve(s, state)
+    }),
     // Streaming card maintenance: a live datasheet at O(batch)/trigger.
     "q76_stream_card" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runCardMaintenanceAvailableNow(s, d)),
@@ -640,6 +686,21 @@ object SparkEntry {
       graft.ops.IncrementalClassifier.merge(s, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
       graft.ops.IncrementalClassifier.classify(s, state, docs)
     }),
+    // t25: right-to-be-forgotten for the TRAINED MODEL — tombstone
+    // doc_id ≡ 3 (mod 7); the deleted docs' count contributions subtract
+    // from the served model via the per-doc feature sidecar (counts are
+    // an abelian group), and the survivors score == one-shot t17 trained
+    // and scored on the surviving corpus alone.
+    "t25_classifier_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_t25_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalClassifier.merge(s, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+      graft.ops.IncrementalClassifier.merge(s, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      graft.ops.IncrementalClassifier.delete(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalClassifier.classify(s, state,
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 3))
+    }),
     // q61: the same training driven by the streaming chassis (batch-keyed
     // exactly-once ingest); drained model scores == t17.
     "q61_stream_classifier_train" -> ((s: SparkSession, d: String) =>
@@ -696,6 +757,20 @@ object SparkEntry {
         .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
       graft.ops.IncrementalRotMedia.merge(s, state, media.where(!col("name").contains("_")))
       graft.ops.IncrementalRotMedia.merge(s, state, media.where(col("name").contains("_")))
+      graft.ops.IncrementalRotMedia.pairs(s, state)
+    }),
+    // d35: the d33 tombstone protocol on the ORBIT modality — delete one
+    // golden-pair member; its pairs leave the served table, unrelated
+    // pairs survive; compact() purges the orbit signature rows physically.
+    "d35_rotmedia_delete" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d35_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Multimodal.ppmRotFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalRotMedia.merge(s, state, media.where(!col("name").contains("_")))
+      graft.ops.IncrementalRotMedia.merge(s, state, media.where(col("name").contains("_")))
+      graft.ops.IncrementalRotMedia.delete(s, state,
+        media.where(col("name") === "imga_rot90.ppm").select(col("name")))
       graft.ops.IncrementalRotMedia.pairs(s, state)
     }),
     "q69_stream_rot_media" -> ((s: SparkSession, d: String) =>
@@ -768,6 +843,33 @@ object SparkEntry {
       graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 2), Some("k2"))
       // at-least-once re-delivery of an already-ingested batch: no-op
       graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 3 === 1), Some("k1"))
+      graft.ops.IncrementalView.serve(s, state)
+    }),
+    // q79: RETRACTIONS — the view under CORRECTION batches. Two late
+    // fixes arrive after ingest: click events with event_id ≡ 3 (mod 10)
+    // were MISCATEGORIZED (actually views — retract from 'click',
+    // re-ingest as 'view'; counts and sums move between groups), and
+    // error events with event_id ≡ 5 (mod 17) were spurious (retract, no
+    // replacement). Counts and sums are an abelian group, so each
+    // correction is one more write-only negated partial; the served view
+    // must equal the direct rollup over the CORRECTED event set. The
+    // corrections deliberately keep every event's original `value` (the
+    // 2-decimal source doubles): group sums stay multiples of 0.01, so
+    // the subtract-then-round arithmetic can never land on a rounding
+    // boundary.
+    "q79_view_retraction" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_q79_state_").toString
+      val ev = graft.sources.Tables.events(s, d)
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 2 === 0), Some("k0"))
+      graft.ops.IncrementalView.merge(s, state, ev.where(col("event_id") % 2 === 1), Some("k1"))
+      val misfiled = ev.where(col("event_type") === "click" && col("event_id") % 10 === 3)
+      graft.ops.IncrementalView.retract(s, state, misfiled, Some("r0"))
+      graft.ops.IncrementalView.merge(s, state,
+        misfiled.withColumn("event_type", lit("view")), Some("k2"))
+      val spurious = ev.where(col("event_type") === "error" && col("event_id") % 17 === 5)
+      graft.ops.IncrementalView.retract(s, state, spurious, Some("r1"))
+      // at-least-once re-delivery of an already-applied retraction: no-op
+      graft.ops.IncrementalView.retract(s, state, spurious, Some("r1"))
       graft.ops.IncrementalView.serve(s, state)
     }),
     // Streaming twin: the same view maintained by foreachBatch merges
@@ -945,6 +1047,53 @@ object SparkEntry {
       ("d34_semantic_delete" -> m("d22_semantic_dedup")
         .replace("FROM rkd WHERE rc = 1 AND nrm > 0)",
           "FROM rkd WHERE rc = 1 AND nrm > 0 AND vec_id % 7 <> 3)")) +
+      // IVF-PQ deletes: model and codebooks froze on the full corpus,
+      // queries stay full-precision from the corpus — only the CANDIDATE
+      // side (the served code postings) shrinks to the survivors
+      ("s16_ivfpq_delete" -> m("s12_ivf_pq")
+        .replace("JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid),",
+          "JOIN cells x ON x.cell = p.pcell AND x.vec_id <> p.qid " +
+            "AND x.vec_id % 7 <> 3),")) +
+      // orbit-media deletes: m6's golden pairs minus every pair touching
+      // the tombstoned asset (imga_rot90 carried two of the four)
+      ("d35_rotmedia_delete" ->
+        """SELECT name1, name2, hamming FROM (VALUES
+          |  ('imga.ppm', 'imga_flip_bright.ppm', CAST(2 AS INT)),
+          |  ('imgb.ppm', 'imgb_rot180.ppm', CAST(0 AS INT))
+          |) AS t(name1, name2, hamming)
+          |ORDER BY name1, name2""".stripMargin) +
+      // DSIR deletes: the selection is corpus-global, so the oracle is
+      // c11's full replay (model sums, weights, scores, top-N) over the
+      // surviving corpus alone
+      ("c15_dsir_delete" -> m("c11_importance_select")
+        .replace("AS t FROM documents),",
+          "AS t FROM documents WHERE doc_id % 7 <> 3),")) +
+      // classifier deletes: training AND scoring over the survivors —
+      // one-shot t17 on the surviving corpus
+      ("t25_classifier_delete" -> m("t17_quality_classifier")
+        .replace("AS t FROM documents),",
+          "AS t FROM documents WHERE doc_id % 7 <> 3),")) +
+      // card deletes: the count-distinct delete — one-shot t22 over the
+      // survivors (a distinct key leaves only with its last carrier)
+      ("t26_card_delete" -> m("t22_dataset_card")
+        .replace("AS t FROM documents),",
+          "AS t FROM documents WHERE doc_id % 7 <> 3),")) +
+      // view retractions: the direct rollup over the CORRECTED event set
+      // (clicks with event_id ≡ 3 mod 10 recategorized as views, spurious
+      // errors with event_id ≡ 5 mod 17 removed)
+      ("q79_view_retraction" ->
+        """WITH corrected AS (
+          |  SELECT ts,
+          |    CASE WHEN event_type = 'click' AND event_id % 10 = 3
+          |         THEN 'view' ELSE event_type END AS event_type,
+          |    value
+          |  FROM events
+          |  WHERE NOT (event_type = 'error' AND event_id % 17 = 5))
+          |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM corrected
+          |GROUP BY 1, 2
+          |ORDER BY day, event_type""".stripMargin) +
       // and the streaming drain of the same merge: == d22
       ("q63_stream_semantic_dedup" -> m("d22_semantic_dedup")) +
       // count-generation split-ingest == c11's one-shot selection

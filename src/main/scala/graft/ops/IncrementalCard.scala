@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *   - `vN/partials`: the batch's additive half — per source: docs,
   *     tokens, chars, scaled score sum (exact decimal);
   *   - `vN/hashes`: the batch's DISTINCT (source, content-hash) pairs;
-  *   - `vN/langs`: the batch's distinct (source, lang) pairs.
+  *   - `vN/langs`: the batch's distinct (source, lang) pairs;
+  *   - `vN/sketches`: mergeable HLL twins of the key tables (t24);
+  *   - `vN/docs`: the per-doc stats sidecar — what [[delete]] needs to
+  *     subtract a doc and to track distinct-key MULTIPLICITY.
   * Serving folds sums additively and counts the UNION-distinct of the
   * key tables; compaction dedups re-observed keys, so state size is
   * bounded by DISTINCT CONTENT (the quantity being measured), not by
@@ -37,6 +40,7 @@ object IncrementalCard {
   private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
   private def langsPath(stateDir: String, v: Int) = s"$stateDir/v$v/langs"
   private def sketchesPath(stateDir: String, v: Int) = s"$stateDir/v$v/sketches"
+  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -63,7 +67,15 @@ object IncrementalCard {
     val stats = TextAnalysis.cardDocStats(newDocs).persist()
     try {
       // key tables first, additive commit table LAST: a crash leaves an
-      // incomplete generation that the next attempt rebuilds wholesale
+      // incomplete generation that the next attempt rebuilds wholesale.
+      // The d28-style PER-DOC sidecar rides first: hashes/langs are
+      // DISTINCT (a doc's membership is not recoverable from them) and
+      // partials are aggregated, so only the sidecar lets [[delete]]
+      // subtract a doc — and lets the distinct counts drop a key exactly
+      // when its LAST surviving carrier goes (multiplicity, tracked by
+      // keeping the keys per-doc instead of per-batch-distinct)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      stats.write.mode("overwrite").parquet(docsPath(stateDir, next))
       GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       stats.select(col("source"), col("h")).distinct()
         .write.mode("overwrite").parquet(hashesPath(stateDir, next))
@@ -90,12 +102,74 @@ object IncrementalCard {
     next
   }
 
+  /** t26: TOMBSTONE a set of doc_ids — right-to-be-forgotten for the
+    * maintained datasheet, the COUNT-DISTINCT hard case: a deleted doc's
+    * additive contribution subtracts (sums are an abelian group), but a
+    * distinct key must leave the card only when its LAST surviving
+    * carrier goes — multiplicity the distinct-key tables do not track.
+    * The per-doc sidecar does: a tombstoned read serves the card from the
+    * surviving sidecar rows (the one-shot t22 arithmetic over survivors,
+    * exactly), and [[compact]] re-derives every table from the survivors
+    * and purges the deleted rows physically. LSM shadowing as everywhere:
+    * a tombstone affects generations older than itself only, so a later
+    * re-ingest of the same doc_id is live again. Requires every live
+    * generation to carry the sidecar — a state dir persisted before
+    * sidecar retention cannot serve deletes and is refused up front.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalCard.delete: no state at $stateDir")
+    val f = GenState.fs(spark, stateDir)
+    require(live.forall(v => f.exists(
+        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))),
+      s"IncrementalCard.delete: state at $stateDir predates per-doc sidecar " +
+        "retention — distinct-key multiplicity is not recoverable from the " +
+        "distinct tables")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    // empty peers so every read path's multi-path scan stays uniform;
+    // empty partials LAST — the commit marker
+    Seq(docsPath _, hashesPath _, langsPath _, sketchesPath _, partialsPath _)
+      .foreach { p =>
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        spark.read.parquet(p(stateDir, live.head)).limit(0)
+          .write.mode("overwrite").parquet(p(stateDir, next))
+      }
+    next
+  }
+
+  /** The surviving per-doc sidecar rows: every sidecar row whose doc_id
+    * does NOT carry a tombstone newer than the row's generation
+    * (row-level shadowing — a re-ingested doc's newer rows survive).
+    */
+  private def survivorStats(spark: SparkSession, stateDir: String,
+      versions: Seq[Int]): DataFrame = {
+    val tagged = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
+      .withColumn("gen", lit(v))).reduce(_ unionByName _)
+    // delete-derived frame unhinted: AQE broadcasts a small tombstone
+    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
+    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    tagged.join(tombs,
+        tagged("doc_id") === tombs("node") && tombs("dgen") > tagged("gen"),
+        "left_anti")
+      .drop("gen")
+  }
+
   /** The current card from state alone — identical columns, values, and
-    * rounding to the one-shot t22.
+    * rounding to the one-shot t22. Tombstone-free state (the common case)
+    * folds the slim partials and distinct-key tables; a tombstoned state
+    * serves the t22 arithmetic over the surviving sidecar rows instead —
+    * the distinct counts need per-doc multiplicity the key tables don't
+    * carry. [[compact]] restores the slim fast path.
     */
   def serve(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalCard.serve: no state at $stateDir")
+    if (LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty)
+      return TextAnalysis.cardOf(survivorStats(spark, stateDir, versions))
     val sums = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
@@ -130,11 +204,26 @@ object IncrementalCard {
   def serveApprox(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalCard.serveApprox: no state at $stateDir")
-    val sums = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"),
-        sum(col("sc_sum")).as("sc_sum"))
+    // Delete contract for the SKETCHED half: HLL cannot subtract, so
+    // between a delete and the next [[compact]] the distinct ESTIMATES
+    // still include deleted content (an upper bound); the additive
+    // columns are corrected immediately (served from survivors). Compact
+    // re-sketches from the surviving sidecar rows, restoring the
+    // estimates — rebuild-on-compact is the accuracy contract of the
+    // approximate card under deletion.
+    val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
+    val sums =
+      if (delVs.isEmpty)
+        spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+          .groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("sc_sum")).as("sc_sum"))
+      else survivorStats(spark, stateDir, versions)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
     val est = spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(expr("cast(round(hll_sketch_estimate(hll_union_agg(hsk))) as bigint)")
@@ -155,6 +244,15 @@ object IncrementalCard {
     * dedup, sketches union — state returns to O(distinct content) exact
     * plus O(1) sketched. Markers travel with the fold (re-delivery must
     * stay a no-op after maintenance).
+    *
+    * Tombstones are applied PHYSICALLY: every table — partials, key
+    * tables, and the SKETCHES (the half that cannot subtract
+    * incrementally) — re-derives from the surviving sidecar rows, so
+    * deleted bytes leave disk, [[serveApprox]]'s estimates snap back to
+    * the survivors, and no tombstones are carried. The sidecar folds only
+    * when EVERY source generation carries one (a legacy fold must not
+    * fabricate a sidecar that would wrongly pass [[delete]]'s retention
+    * check).
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -162,6 +260,44 @@ object IncrementalCard {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val f = GenState.fs(spark, stateDir)
+    val haveSidecars = versions.forall(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS")))
+    val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
+    if (hasTombs) {
+      // tombstoned fold: one survivors projection feeds all five tables
+      val survivors = survivorStats(spark, stateDir, versions).persist()
+      try {
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivors.write.mode("overwrite").parquet(docsPath(stateDir, next))
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivors.select(col("source"), col("h")).distinct()
+          .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivors.select(col("source"), col("lang")).distinct()
+          .write.mode("overwrite").parquet(langsPath(stateDir, next))
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivors.groupBy(col("source"))
+          .agg(expr("hll_sketch_agg(h)").as("hsk"),
+            expr("hll_sketch_agg(lang)").as("lsk"))
+          .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+        GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+        GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        survivors.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
+          .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+      } finally survivors.unpersist()
+      GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+      return next
+    }
+    if (haveSidecars) {
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      spark.read.parquet(versions.map(docsPath(stateDir, _)): _*)
+        .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
       .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))

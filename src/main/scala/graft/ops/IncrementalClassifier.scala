@@ -39,10 +39,20 @@ object IncrementalClassifier {
     GenState.latestVersion(spark, stateDir, commitTable)
 
   private def countsPath(stateDir: String, v: Int) = s"$stateDir/v$v/counts"
+  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
 
   /** Ingest one raw (doc_id, text, source, …) batch: featurize, count,
     * append — write-only. `batchKey` gives d18-style exactly-once ingest
     * under at-least-once re-delivery.
+    *
+    * Alongside the O(features × bins) count partial, each generation
+    * keeps the d28-style PER-DOC sidecar `vN/docs` — the batch's feature
+    * rows (doc_id, f_*, label), one slim row per doc. The partials alone
+    * cannot serve a delete (counts are aggregated, the doc's contribution
+    * is gone); the sidecar makes the contribution recoverable, so
+    * [[delete]] works by exact integer SUBTRACTION. Featurization still
+    * runs once per document ever — the sidecar is the featurize output,
+    * not a re-read.
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
@@ -54,21 +64,99 @@ object IncrementalClassifier {
     val next = live.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    // persist across the two writes: featurize is the expensive text pass
+    val feats = TextAnalysis.qualityFeatures(newDocs).persist()
+    try {
+      // sidecar first, count partial LAST (the commit table): a crash
+      // leaves an incomplete generation the next attempt redoes wholesale
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      feats.write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      TextAnalysis.nbCounts(feats)
+        .write.mode("overwrite").parquet(countsPath(stateDir, next))
+    } finally feats.unpersist()
+    next
+  }
+
+  /** t25: TOMBSTONE a set of doc_ids — right-to-be-forgotten for the
+    * TRAINED MODEL: the deleted docs' count contributions are subtracted
+    * from the served model (counts are an abelian group, so subtraction
+    * is exact), making the model equal one-shot training over the
+    * survivors. LSM shadowing: a tombstone affects generations OLDER than
+    * itself only, so a later re-ingest of the same doc_id contributes
+    * again; [[compact]] applies tombstones physically (count partials
+    * re-summed without the deleted docs, sidecar rows purged). Requires
+    * every live generation to carry the per-doc sidecar — a state dir
+    * persisted before sidecar retention cannot serve deletes (the
+    * features are not recoverable from aggregated counts) and is refused
+    * up front.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalClassifier.delete: no state at $stateDir")
+    val f = GenState.fs(spark, stateDir)
+    require(live.forall(v => f.exists(
+        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))),
+      s"IncrementalClassifier.delete: state at $stateDir predates per-doc " +
+        "sidecar retention — deleted docs' count contributions are not " +
+        "recoverable from aggregated partials")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    TextAnalysis.nbCounts(TextAnalysis.qualityFeatures(newDocs))
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(countsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(countsPath(stateDir, next))
     next
   }
 
+  /** The effectively-deleted docs' sidecar rows: every sidecar row whose
+    * doc_id carries a tombstone NEWER than the row's generation (row-level
+    * shadowing — a re-ingested doc's newer rows keep contributing).
+    * TOMBSTONE BOUND: only generations strictly older than the newest
+    * tombstone can be affected, so the sidecar scan is bounded by the
+    * corpus AT DELETE TIME and stays flat as post-delete ingests
+    * accumulate.
+    */
+  private def deletedFeats(spark: SparkSession, stateDir: String,
+      versions: Seq[Int], delVs: Seq[Int]): DataFrame = {
+    val oldVs = versions.filter(_ < delVs.max)
+    val side = oldVs.map(v => spark.read.parquet(docsPath(stateDir, v))
+      .withColumn("gen", lit(v))).reduce(_ unionByName _)
+    // delete-derived frame unhinted: AQE broadcasts a small tombstone
+    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
+    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    side.join(tombs,
+        side("doc_id") === tombs("node") && tombs("dgen") > side("gen"),
+        "left_semi")
+      .drop("gen")
+  }
+
   /** The trained model from the current state: one re-aggregation over
-    * the unioned count partials — (feature, v) sums.
+    * the unioned count partials — (feature, v) sums — MINUS the deleted
+    * docs' contributions when tombstones exist. A (feature, v) group
+    * whose count falls to zero is dropped (except the always-present
+    * `_class` row), so the served model equals [[TextAnalysis.nbCounts]]
+    * over the surviving docs exactly — groups included.
     */
   def modelCounts(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalClassifier.modelCounts: no state at $stateDir")
-    spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+    val summed = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
       .groupBy(col("feature"), col("v"))
       .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+    val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
+    if (delVs.isEmpty) return summed
+    val negated = TextAnalysis.nbCounts(deletedFeats(spark, stateDir, versions, delVs))
+      .select(col("feature"), col("v"), (-col("c1")).as("c1"), (-col("c0")).as("c0"))
+    summed.unionByName(negated)
+      .groupBy(col("feature"), col("v"))
+      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+      .where(col("feature") === "_class" || col("c1") + col("c0") =!= 0)
   }
 
   /** Score `docs` with the incrementally-trained model — t17's output
@@ -80,7 +168,14 @@ object IncrementalClassifier {
       modelCounts(spark, stateDir))
 
   /** Fold the live count partials into ONE re-aggregated generation —
-    * the model returns to 41 rows; markers travel with the fold.
+    * the model returns to ~41 rows; markers travel with the fold.
+    * Tombstones are applied PHYSICALLY: the folded counts are the
+    * already-subtracted [[modelCounts]], the sidecar keeps only surviving
+    * rows ([[LabelState.purgeByGen]] — pre-delete rows leave disk even
+    * for re-ingested ids), and no tombstones are carried — the GDPR purge
+    * point. The sidecar folds only when EVERY source generation carries
+    * one (a legacy fold must not fabricate a sidecar that would wrongly
+    * pass [[delete]]'s retention check).
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -88,11 +183,22 @@ object IncrementalClassifier {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
-      .groupBy(col("feature"), col("v"))
-      .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
+    val folded = modelCounts(spark, stateDir)
+    val f = GenState.fs(spark, stateDir)
+    val haveSidecars = versions.forall(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS")))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+    if (haveSidecars) {
+      val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
+      def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      (if (!hasTombs) spark.read.parquet(versions.map(docsPath(stateDir, _)): _*)
+       else LabelState.purgeByGen(tombs,
+         versions.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
+         Seq("doc_id")))
+        .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)

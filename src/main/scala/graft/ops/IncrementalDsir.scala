@@ -62,14 +62,53 @@ object IncrementalDsir {
     next
   }
 
-  /** The folded count state: a plain union of the live generations
+  /** c15: TOMBSTONE a set of doc_ids — right-to-be-forgotten for the
+    * selection model. The count state is already PER-DOC (`(doc_id,
+    * source, b, cnt)` rows — its own d28-style sidecar), so no
+    * subtraction arithmetic is needed: a tombstone at generation d
+    * shadows a doc's count rows in generations OLDER than d
+    * ([[IncrementalIvf.delete]]'s LSM rule, row-level), the model sums
+    * and weights re-fit over survivors at the next [[select]], and
+    * [[compact]] purges the rows physically. A later re-ingest of the
+    * same doc_id is live again.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalDsir.delete: no state at $stateDir")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(countsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(countsPath(stateDir, next))
+    next
+  }
+
+  /** The folded count state with tombstone shadowing applied: a count row
+    * of generation g is live unless some delete generation d > g
+    * tombstones its doc_id (row-level — a re-ingested doc's newer rows
+    * survive). Tombstone-free state short-circuits to the plain union
     * (per-doc rows are disjoint across generations, so no re-aggregation
     * is needed to read).
     */
   def counts(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalDsir: no state at $stateDir")
-    spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+    val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
+    if (delVs.isEmpty)
+      return spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+    val tagged = versions.map(v =>
+      spark.read.parquet(countsPath(stateDir, v)).withColumn("gen", lit(v)))
+      .reduce(_ unionByName _)
+    // delete-derived frame unhinted: AQE broadcasts a small tombstone
+    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
+    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    tagged.join(tombs,
+        tagged("doc_id") === tombs("node") && tombs("dgen") > tagged("gen"),
+        "left_anti")
+      .drop("gen")
   }
 
   /** c11's selection over the accumulated state — equals the one-shot
@@ -78,9 +117,12 @@ object IncrementalDsir {
   def select(spark: SparkSession, stateDir: String): DataFrame =
     Corpus.dsirSelectFromCounts(spark, counts(spark, stateDir))
 
-  /** Fold the live generations into one (pure concatenation — rows are
-    * already disjoint; the win is directory count and file count, the
-    * LSM read-amplification bound).
+  /** Fold the live generations into one (pure concatenation — surviving
+    * rows are already disjoint; the win is directory count and file
+    * count, the LSM read-amplification bound). Tombstones are applied
+    * PHYSICALLY ([[counts]]'s row-level shadowing is exactly the
+    * per-generation purge) and dropped — the deleted docs' count rows
+    * leave disk, the GDPR purge point.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -88,7 +130,7 @@ object IncrementalDsir {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    val folded = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+    val folded = counts(spark, stateDir)
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)

@@ -38,6 +38,7 @@ object IncrementalIvfPq {
   private val commitTable = "codes"
 
   private def codesPath(stateDir: String, v: Int) = s"$stateDir/v$v/codes"
+  private def deletesPath(stateDir: String, v: Int) = s"$stateDir/v$v/deletes"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -140,27 +141,78 @@ object IncrementalIvfPq {
     next
   }
 
+  /** s16: TOMBSTONE a set of vectors — [[IncrementalIvf.delete]]'s s9
+    * protocol on the code postings: one generation holding `vN/deletes`
+    * (the distinct vec_ids) plus an EMPTY codes table (the commit marker).
+    * LSM shadowing: a tombstone deletes a vec_id from generations OLDER
+    * than itself only, so a later re-ingest of the same id is live again;
+    * [[compact]] applies tombstones physically — the deleted 8-byte code
+    * rows leave disk, the GDPR purge point. Deleted vectors remain valid
+    * QUERIES ([[annTopK]] takes queries full-precision from the corpus,
+    * not from state) — deletion removes them from the SERVED index only.
+    */
+  def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalIvfPq.delete: no state at $stateDir")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    ids.select(col("vec_id")).dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(deletesPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(codesPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(codesPath(stateDir, next))
+    next
+  }
+
+  /** The codes union with tombstone shadowing applied: a row of
+    * generation g is live unless some delete generation d > g tombstones
+    * its vec_id. Tombstone-free state short-circuits to the plain
+    * multi-path scan; generation tags never leave here.
+    */
+  def liveCodes(spark: SparkSession, stateDir: String): DataFrame = {
+    val versions = completeVersions(spark, stateDir)
+    require(versions.nonEmpty, s"IncrementalIvfPq.liveCodes: no state at $stateDir")
+    val f = GenState.fs(spark, stateDir)
+    val delVs = versions.filter(v => f.exists(
+      new org.apache.hadoop.fs.Path(s"${deletesPath(stateDir, v)}/_SUCCESS")))
+    if (delVs.isEmpty)
+      return spark.read.parquet(versions.map(codesPath(stateDir, _)): _*)
+    val codes = versions.map(v =>
+      spark.read.parquet(codesPath(stateDir, v)).withColumn("gen", lit(v)))
+      .reduce(_ unionByName _)
+    // delete-derived frame unhinted: AQE broadcasts a small tombstone
+    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
+    val dels = delVs.map(v =>
+      spark.read.parquet(deletesPath(stateDir, v))
+        .select(col("vec_id").as("del_id"), lit(v).as("dgen")))
+      .reduce(_ unionByName _)
+    codes.join(dels,
+        codes("vec_id") === dels("del_id") && dels("dgen") > codes("gen"),
+        "left_anti")
+      .drop("gen")
+  }
+
   /** The s12-shaped per-query top-k over the union of live code
     * generations: queries come full-precision from the corpus at `dir`
-    * (the asymmetric half); candidates are ONLY what has been ingested.
+    * (the asymmetric half); candidates are ONLY what has been ingested
+    * and not tombstoned.
     */
   def annTopK(spark: SparkSession, dir: String, stateDir: String,
       modelDir: String, nQueries: Int = Quantization.pqQueries,
       k: Int = Quantization.pqTopK): DataFrame = {
     val refs = loadRefVectors(spark, modelDir)
     val cb = codebooksOf(refs)
-    val versions = completeVersions(spark, stateDir)
-    require(versions.nonEmpty, s"IncrementalIvfPq.annTopK: no state at $stateDir")
-    val enc = versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
-      .reduce(_ unionByName _)
-      .where(col("rn") > 0)
+    val enc = liveCodes(spark, stateDir).where(col("rn") > 0)
     Quantization.ivfPqTopKFrom(spark, dir, cb, refs, enc, nQueries, k)
   }
 
   /** Fold the live generations into one (GenState manifest protocol —
     * crash-idempotent, leftovers swept). Codes are immutable pure
-    * functions of the frozen model, so compaction is a plain union
-    * rewrite — no re-encoding, no vector reads.
+    * functions of the frozen model, so compaction is a shadow-applied
+    * union rewrite — no re-encoding, no vector reads. Tombstones are
+    * applied PHYSICALLY ([[liveCodes]]) and dropped: the deleted code
+    * rows leave disk, the GDPR purge point.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -173,8 +225,7 @@ object IncrementalIvfPq {
     // no-op even after its generation was compacted away
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    versions.map(v => spark.read.parquet(codesPath(stateDir, v)))
-      .reduce(_ unionByName _)
+    liveCodes(spark, stateDir)
       .write.mode("overwrite").parquet(codesPath(stateDir, next))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next

@@ -105,22 +105,79 @@ object IncrementalRotMedia {
     next
   }
 
-  /** The m6-shaped pair table over the current state. A pair's full
-    * direction-combo set resolves at one merge, so the union needs only
-    * re-delivery dedup — taking the MIN across duplicates (identical
-    * values) keeps it robust either way.
+  /** Tombstoned names still in effect — s9 shadowing over the STRING-keyed
+    * orbit-sig index (a name re-ingested after its tombstone is live
+    * again). Same geometry as [[IncrementalMedia]]'s d33 helper, over
+    * this modality's 8-rows-per-asset sigs table.
+    */
+  private def effectiveTombstones(spark: SparkSession, stateDir: String,
+      versions: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val f = GenState.fs(spark, stateDir)
+    val delVs = versions.filter(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+    if (delVs.isEmpty) return Seq.empty[String].toDF("node")
+    val tombs = delVs.map(v =>
+      spark.read.parquet(s"$stateDir/v$v/tombstones")
+        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+    val laterVs = versions.filter(_ > delVs.min)
+    if (laterVs.isEmpty) return tombs.select(col("node")).distinct()
+    val laterIdx = laterVs.map(v => spark.read.parquet(sigsPath(stateDir, v))
+      .select(col("name").as("node")).withColumn("igen", lit(v)))
+      .reduce(_ unionByName _)
+    val reingested = laterIdx.join(tombs, Seq("node"))
+      .where(col("igen") > col("dgen")).select(col("node")).distinct()
+    tombs.select(col("node")).distinct().join(reingested, Seq("node"), "left_anti")
+  }
+
+  /** d35: TOMBSTONE a set of media names — the d33 protocol on the orbit
+    * modality (pairs are per-item facts, so shadowing is a plain
+    * anti-join); [[compact]] purges sigs and pairs physically.
+    */
+  def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalRotMedia.delete: no state at $stateDir")
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    names.select(col("name").as("node")).dropDuplicates("node")
+      .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
+      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    next
+  }
+
+  /** The m6-shaped pair table over the current state, minus every
+    * tombstoned-incident pair (d35 shadowing; delete-derived frame
+    * unhinted — AQE broadcasts a small tombstone set, shuffle-joins a
+    * bulk delete). A pair's full direction-combo set resolves at one
+    * merge, so the union needs only re-delivery dedup — taking the MIN
+    * across duplicates (identical values) keeps it robust either way.
     */
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalRotMedia.pairs: no state at $stateDir")
-    spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val teff = effectiveTombstones(spark, stateDir, live)
+    val base = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    base
+      .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
+      .join(teff.select(col("node").as("name2")), Seq("name2"), "left_anti")
+      .select(base.columns.map(col).toSeq: _*) // USING-joins reorder columns
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))
       .orderBy(col("name1"), col("name2"))
   }
 
   /** Fold both tables of every live generation (GenState manifest
-    * protocol, crash-idempotent; rows are immutable facts).
+    * protocol, crash-idempotent; rows are immutable facts). Tombstones
+    * are applied PHYSICALLY, per-GENERATION ([[LabelState.purgeByGen]],
+    * string-keyed): pre-delete sigs/pairs leave disk even for re-ingested
+    * names — a delete-then-re-ingest must not retain its pre-delete orbit
+    * rows through maintenance.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
@@ -128,13 +185,24 @@ object IncrementalRotMedia {
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     val next = versions.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val f = GenState.fs(spark, stateDir)
+    val hasTombs = versions.exists(v =>
+      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+    def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+    (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
+     else LabelState.purgeByGen(tombs,
+       versions.map(v => (v, spark.read.parquet(sigsPath(stateDir, v)))),
+       Seq("name")))
       .dropDuplicates("name", "t")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+    (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+     else LabelState.purgePairsByGen(tombs,
+       effectiveTombstones(spark, stateDir, versions),
+       versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+       Seq("name1", "name2")))
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))

@@ -81,6 +81,44 @@ object IncrementalView {
     next
   }
 
+  /** q79: RETRACT a batch of previously-ingested events — the NEGATIVE
+    * delta the additive-partials protocol gets for free: counts and sums
+    * are an abelian GROUP, not just a monoid, so a correction ingests as
+    * one more write-only generation whose partial carries negated n /
+    * sum_value. Everything downstream already carries the math — the fold
+    * sums signed partials, time travel sees the view before/after the
+    * correction, and the change feed reports the retraction as a negative
+    * delta a chained view ([[Weekly]]) absorbs by the same addition it
+    * already does. A correction workflow is retract(bad) + merge(fixed);
+    * a group whose events are all retracted folds to n == 0 and leaves
+    * the served view ([[fold]]'s emptied-group drop) exactly as the
+    * direct rollup over the corrected events would have no row.
+    *
+    * The caller must retract events AS ORIGINALLY INGESTED (same rows) —
+    * over-retraction is not detectable from aggregates (a negative-n
+    * serve would be, and fold refuses it loudly rather than serving a
+    * nonsense row). `batchKey` gives the same exactly-once contract as
+    * [[merge]]: a re-delivered retraction must not subtract twice.
+    */
+  def retract(spark: SparkSession, stateDir: String, badEvents: DataFrame,
+      batchKey: Option[String] = None): Int = {
+    val live = completeVersions(spark, stateDir)
+    require(live.nonEmpty, s"IncrementalView.retract: no state at $stateDir")
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return live.last // already retracted: re-delivery is a no-op
+    }
+    val next = live.last + 1
+    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    partialOf(badEvents)
+      .select(col("day"), col("event_type"), (-col("n")).as("n"),
+        (-col("sum_value")).as("sum_value"))
+      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    next
+  }
+
   private def fold(spark: SparkSession, stateDir: String, versions: Seq[Int]): DataFrame = {
     if (versions.isEmpty) {
       import spark.implicits._
@@ -90,6 +128,15 @@ object IncrementalView {
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
+      // a fully-retracted group leaves the view (the direct rollup over
+      // corrected events has no such row); a NEGATIVE count means the
+      // caller retracted events never ingested — refuse loudly
+      .withColumn("n", when(col("n") < 0, raise_error(concat(
+        lit("IncrementalView: negative count after retraction for group ("),
+        col("day"), lit(", "), col("event_type"),
+        lit(") — a retraction must cover only previously-ingested events"))))
+        .otherwise(col("n")))
+      .where(col("n") =!= 0)
       .orderBy(col("day"), col("event_type"))
   }
 
@@ -217,6 +264,9 @@ object IncrementalView {
       spark.read.parquet(versions.map(path(stateDir, _)): _*)
         .groupBy(col("week"), col("event_type"))
         .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
+        // retractions chain through as negative deltas: a group emptied
+        // by a correction leaves the weekly view too (q79 semantics)
+        .where(col("n") =!= 0)
         .orderBy(col("week"), col("event_type"))
     }
   }

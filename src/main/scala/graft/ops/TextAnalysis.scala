@@ -780,10 +780,12 @@ object TextAnalysis {
     * aggregation by source (count-distinct rewrites to an expand +
     * two-phase aggregate — map-side partials, no row explosion).
     */
-  /** The per-doc projection behind the dataset card: (source, lang,
-    * n_chars, ntok, scaled score, content hash) — one compiled pass;
-    * shared by the one-shot card (t22) and the incremental maintenance
-    * (t23/q76) so the two paths cannot diverge on a single doc's stats.
+  /** The per-doc projection behind the dataset card: (doc_id, source,
+    * lang, n_chars, ntok, scaled score, content hash) — one compiled
+    * pass; shared by the one-shot card (t22) and the incremental
+    * maintenance (t23/q76) so the two paths cannot diverge on a single
+    * doc's stats. `doc_id` rides along for the t26 delete sidecar
+    * (tombstones address docs by id).
     */
   private[graft] def cardDocStats(docs: DataFrame): DataFrame = {
     val lc = lexiconCounts(col("text"), Seq(stopwords))
@@ -795,7 +797,7 @@ object TextAnalysis {
       lit(0.4) * least(ntok / 128, lit(1.0)) +
       lit(0.4) * dr +
       lit(0.2) * least(stopwordRatio(col("text")) * 4, lit(1.0))
-    docs.select(col("source"), col("lang"), col("n_chars"),
+    docs.select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
       ntokL.as("ntok"),
       floor(score * lit(1e12)).as("sc"),
       sha2(normalized(col("text")).cast("binary"), 256).as("h"))

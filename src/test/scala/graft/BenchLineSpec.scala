@@ -10,16 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchLineSpec extends AnyFunSuite {
 
+  // the measured sf0.1 board shape (r13: 117/177 sub-second, 59 at 1-10 s,
+  // 1 above 10 s) — the canary models the whole +20 board at this
+  // distribution (two thirds sub-second, a third at 1-10 s, one in nine
+  // above 10 s, which pessimizes the >10 s share 20-fold)
+  private val realisticMins = Seq(0.3, 0.4, 0.5, 0.6, 0.8, 0.9, 1.2, 3.5, 11.0)
+
   private def syntheticStats(extra: Int): Seq[Bench.QStat] = {
     val current = SparkEntry.queries.keys.toSeq.sorted
-    // future queries get realistically-long names and two-digit timings
+    // future queries get realistically-long names
     val future = (0 until extra).map(i => f"z$i%02d_future_operator_name")
-    (current ++ future).map(n => Bench.QStat(n, 12.34, 11.0, 99.99))
+    (current ++ future).zipWithIndex.map { case (n, i) =>
+      val v = realisticMins(i % realisticMins.length)
+      Bench.QStat(n, v * 2, v, v * 9)
+    }
   }
 
-  test("compact stdout line stays under the driver's tail at +20 queries") {
+  test("compact stdout line stays under the driver's tail at +20 queries, 300-char headroom") {
+    // 1700 = the driver's 2000-char tail minus ≥300 chars of headroom
+    // (sbt's [success] trailer plus future growth) — the round-14 bound
+    // after the decisecond byte diet
     val line = Bench.compactLine(syntheticStats(20), Map.empty, 3, "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"compact line is ${line.length} chars:\n$line")
+    assert(line.length < 1700, s"compact line is ${line.length} chars:\n$line")
   }
 
   test("compact line survives a multi-failure run without blowing the buffer") {
@@ -33,19 +45,45 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("x" * 31), "error snippet not truncated to 30 chars")
   }
 
-  test("compact line reports per-query MIN; the file line declares the full statistics") {
+  test("compact line reports per-query MIN in declared deciseconds; file line keeps full seconds") {
     val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0),
-      Bench.QStat("d7_clusters", 8.0, 7.5, 50.0))
+      Bench.QStat("d7_clusters", 8.0, 7.5, 50.0),
+      Bench.QStat("t3_quality_scores", 1.0, -1.0, 1.0))
     val line = Bench.compactLine(stats, Map.empty, 3, "sf")
-    assert(line.contains(""""q1":1.5"""))
-    assert(line.contains(""""d7":7.5"""))
-    assert(line.contains(""""value":9"""), s"total must sum mins: $line")
+    // per-query values are integer DECISECONDS, self-declared by qunit —
+    // same 0.1 s resolution as the pre-r14 1-dp seconds, ~1.5 chars
+    // shorter per query; the failure sentinel stays -1 regardless of unit
+    assert(line.contains(""""qu":"ds""""), s"unit declaration missing: $line")
+    assert(line.contains(""""q1":15"""), line)
+    assert(line.contains(""""d7":75"""), line)
+    assert(line.contains(""""t3":-1"""), line)
+    // the top-level total stays SECONDS (failures excluded from the sum)
+    assert(line.contains(""""value":9"""), s"total must sum mins in seconds: $line")
     // the empty errors object is elided (byte diet) — the json stays valid
     assert(!line.contains(""""errors""""), s"empty errors must be elided: $line")
-    // min/med/max live in the FILE line under their own keys
+    // min/med/max live in the FILE line under their own keys, in seconds
     val full = Bench.fullLine(stats, Map.empty, 3, "sf")
     assert(full.contains(""""min":""") && full.contains(""""max":"""),
       s"file line must carry the statistic breakdown: $full")
+    assert(full.contains(""""q1_agg":12.0"""),
+      s"file line must keep full-precision seconds: $full")
+  }
+
+  test("a pathological all-slow board still fits via the whole-second rail") {
+    // every query at 30 s — absurd for a healthy board (that bench run
+    // takes five hours), but the line must stay parseable: the
+    // value-degradation rail drops per-query resolution to whole seconds
+    val slow = syntheticStats(20).map(s => s.copy(min = 30.0))
+    val line = Bench.compactLine(slow, Map.empty, 3, "/root/testdata/sf0.1")
+    assert(line.length < 1950, s"pathological line is ${line.length} chars")
+    assert(line.contains(""""qu":"s""""),
+      s"the whole-second rail must declare itself: ${line.take(120)}")
+    // beyond even that (every query 100 s+), the unconditional floor
+    // keeps the total and points at the file line
+    val absurd = syntheticStats(20).map(s => s.copy(min = 999.9))
+    val floor = Bench.compactLine(absurd, Map.empty, 3, "/root/testdata/sf0.1")
+    assert(floor.length < 1950, s"floor line is ${floor.length} chars")
+    assert(floor.contains(""""queries":{}""") && floor.contains("BENCH_LOCAL"), floor)
   }
 
   test("stdout errors object is capped with an (omitted) count") {

@@ -223,6 +223,96 @@ class DocumentsStreamSpec extends SparkSpec {
       "streamed cluster deletes diverged from the survivors' one-shot clustering")
   }
 
+  test("maybeCompact firing BETWEEN delete micro-batches: mid-stream purge, drain stays exact") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val survivors = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+    // exact modality: ingest two keyed batches, then a TWO-batch delete
+    // feed with the compaction policy firing INSIDE the feed — after the
+    // first delete micro-batch the state compacts (tombstone purged
+    // physically, mid-stream), and the second delete batch lands on the
+    // freshly-compacted state
+    val state = graft.util.TmpDirs.scratch("graft_q77_interleave_").toString
+    graft.ops.IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("b0"))
+    graft.ops.IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b1"))
+    val delSrc = graft.util.TmpDirs.scratch("graft_q77_interleave_del_").toString
+    docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+      .repartition(2).write.mode("overwrite").parquet(delSrc)
+    val ss = EventsStream.streamSession(spark)
+    var compactsFired = 0
+    val q = ss.readStream
+      .schema(ss.read.parquet(delSrc).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(delSrc)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.util.TmpDirs.scratch("graft_q77_interleave_ckpt_").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.IncrementalExact.delete(batch.sparkSession, state, batch,
+          Some(s"del$id"))
+        // the interleave under test: maintenance racing the delete feed
+        if (graft.ops.IncrementalExact.maybeCompact(
+            batch.sparkSession, state, maxLive = 2).nonEmpty)
+          compactsFired += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(compactsFired >= 1,
+      "the compaction policy never fired mid-feed — the interleave was not exercised")
+    val out = graft.ops.IncrementalExact.dedup(spark, state)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = survivors
+      .select(col("doc_id"), org.apache.spark.sql.functions.sha2(
+        graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keeper"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n_copies"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(out == want,
+      "mid-stream compaction between delete batches broke the survivors-only drain")
+    // and the purge really happened between the batches: the final state
+    // carries no tombstones from before the last compact, yet the
+    // still-live tombstone generation (if any) keeps shadowing — either
+    // way the sidecar of the newest compacted generation holds no purged
+    // doc: certify by re-folding once more and checking the disk
+    graft.ops.IncrementalExact.compact(spark, state)
+    val vlast = graft.ops.IncrementalExact.completeVersions(spark, state).last
+    assert(spark.read.parquet(s"$state/v$vlast/docs")
+      .where(pmod(col("doc_id"), lit(7)) === 3).count() == 0,
+      "deleted docs survived the interleaved purges on disk")
+    // clustering modality: the same interleave over the d29 tombstones
+    val cstate = graft.util.TmpDirs.scratch("graft_q78_interleave_").toString
+    IncrementalDedup.merge(spark, cstate, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalDedup.merge(spark, cstate, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    val q2 = ss.readStream
+      .schema(ss.read.parquet(delSrc).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(delSrc)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.util.TmpDirs.scratch("graft_q78_interleave_ckpt_").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalDedup.delete(batch.sparkSession, cstate, batch)
+        IncrementalDedup.maybeCompact(batch.sparkSession, cstate, maxLive = 2)
+        ()
+      }
+      .start()
+    q2.awaitTermination()
+    val cout = IncrementalDedup.clusters(spark, cstate)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val sdir = graft.util.TmpDirs.scratch("graft_q78_interleave_oneshot_").toString
+    survivors.write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    val cwant = Dedup.dupClusters(spark, sdir)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cout == cwant,
+      "mid-stream compaction between cluster-delete batches broke the drain")
+  }
+
   test("q57 re-delivery window: duplicated exact-ingest batch is a no-op, counts stay exact") {
     val src = graft.util.TmpDirs.scratch("graft_q57_redel_src_").toString
     val ckpt = graft.util.TmpDirs.scratch("graft_q57_redel_ckpt_").toString

@@ -112,6 +112,47 @@ class GenStateClaimSpec extends SparkSpec {
       .agg(sum(col("n_copies"))).collect()(0).getLong(0))
   }
 
+  test("a claimant committing MID-STEAL aborts the thief — a committed generation is never deleted") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_midsteal_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    // A claims v1 and stalls (incomplete + claimed: the redo-wholesale
+    // steal precondition)
+    GenState.claimGeneration(spark, state, 1, "hashes")
+    val fs = GenState.fs(spark, state)
+    val marker = new org.apache.hadoop.fs.Path(s"$state/v1/hashes/_SUCCESS")
+    // a backend whose claim READ side-effects the claimant's commit —
+    // modeling A (stalled but LIVE) committing v1 in the window between
+    // the thief's entry commit check and its recursive delete. The
+    // pre-delete re-check must abort the steal; before round 14 this
+    // window silently destroyed A's committed generation.
+    val racing = new GenState.ClaimBackend {
+      def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path, token: String): Boolean =
+        GenState.FsClaimBackend.tryClaim(f, p, token)
+      def readClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path): Option[String] = {
+        val t = GenState.FsClaimBackend.readClaim(f, p)
+        if (t.isDefined && !f.exists(marker)) f.create(marker, false).close()
+        t
+      }
+      def releaseClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path): Unit =
+        GenState.FsClaimBackend.releaseClaim(f, p)
+    }
+    val before = GenState.claimBackend
+    try {
+      GenState.claimBackend = racing
+      val ex = intercept[IllegalStateException] {
+        GenState.claimGeneration(spark, state, 1, "hashes")
+      }
+      assert(ex.getMessage.contains("committed by its claimant"), ex.getMessage)
+    } finally GenState.claimBackend = before
+    // the committed generation survived the attempted steal intact
+    assert(fs.exists(marker),
+      "the thief deleted a generation that committed mid-steal")
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0, 1))
+  }
+
   test("claim read-back: a claim deleted between publish and read-back aborts cleanly") {
     val state = graft.util.TmpDirs.scratch("graft_claim_readback_").toString
     // a backend whose publish succeeds but whose claim is immediately

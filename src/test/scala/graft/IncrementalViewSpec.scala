@@ -164,6 +164,87 @@ class IncrementalViewSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("q79 retraction: corrected serve == direct rollup over corrected events; emptied groups vanish") {
+    import spark.implicits._
+    val state = graft.util.TmpDirs.scratch("graft_q79_spec_").toString
+    // synthetic micro-corpus: two days, three types; the 'error' group on
+    // day 1 is FULLY retracted and must leave the served view
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", "click", 1.25),
+      (2L, "2024-03-01 11:00:00", "click", 2.50),
+      (3L, "2024-03-01 12:00:00", "error", 9.99),
+      (4L, "2024-03-02 09:00:00", "view", 0.75),
+      (5L, "2024-03-02 10:00:00", "click", 4.00))
+      .toDF("event_id", "raw_ts", "event_type", "value")
+      .withColumn("ts", col("raw_ts").cast("timestamp")).drop("raw_ts")
+    IncrementalView.merge(spark, state, ev, Some("k0"))
+    // correction 1: event 2 was a view, not a click (retract + re-ingest)
+    val misfiled = ev.where(col("event_id") === 2)
+    IncrementalView.retract(spark, state, misfiled, Some("r0"))
+    IncrementalView.merge(spark, state,
+      misfiled.withColumn("event_type", lit("view")), Some("k1"))
+    // correction 2: the error event was spurious — its whole group empties
+    IncrementalView.retract(spark, state, ev.where(col("event_id") === 3), Some("r1"))
+    // re-delivered retraction is a no-op (exactly-once via batch keys)
+    IncrementalView.retract(spark, state, ev.where(col("event_id") === 3), Some("r1"))
+    val corrected = ev.where(col("event_id") =!= 3)
+      .withColumn("event_type",
+        when(col("event_id") === 2, lit("view")).otherwise(col("event_type")))
+    val want = sorted(corrected
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+    assert(sorted(IncrementalView.serve(spark, state)) == want)
+    assert(!sorted(IncrementalView.serve(spark, state)).exists(_(1) == "error"),
+      "a fully-retracted group must leave the served view")
+    // time travel still sees the PRE-correction view (generations are
+    // immutable deltas; the correction is just two more of them)
+    val preCorrection = sorted(ev
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+    assert(sorted(IncrementalView.serveAsOf(spark, state, 0)) == preCorrection)
+    // compaction folds the signed partials losslessly
+    IncrementalView.compact(spark, state)
+    assert(sorted(IncrementalView.serve(spark, state)) == want)
+    // over-retraction (events never ingested) is refused loudly at serve
+    IncrementalView.retract(spark, state, ev.where(col("event_id") === 3), Some("r2"))
+    val ex = intercept[Exception] {
+      IncrementalView.serve(spark, state).collect()
+    }
+    assert(ex.getMessage != null && ex.toString.contains("negative count"),
+      s"expected the negative-count refusal, got: $ex")
+  }
+
+  test("q79 chaining: the weekly view stays correct through a retraction window") {
+    val daily = graft.util.TmpDirs.scratch("graft_q79_chain_d_").toString
+    val weekly = graft.util.TmpDirs.scratch("graft_q79_chain_w_").toString
+    val misfiled = events.where(col("event_type") === "click" && col("event_id") % 10 === 3)
+    val spurious = events.where(col("event_type") === "error" && col("event_id") % 17 === 5)
+    // window 1: everything as originally (mis)recorded
+    val v0 = IncrementalView.merge(spark, daily, events, Some("k0"))
+    IncrementalView.Weekly.merge(spark, weekly,
+      IncrementalView.changeFeedRaw(spark, daily, -1, v0), Some("w0"))
+    // window 2: the corrections — two retractions and a re-ingest
+    IncrementalView.retract(spark, daily, misfiled, Some("r0"))
+    IncrementalView.merge(spark, daily,
+      misfiled.withColumn("event_type", lit("view")), Some("k1"))
+    val v1 = IncrementalView.retract(spark, daily, spurious, Some("r1"))
+    IncrementalView.Weekly.merge(spark, weekly,
+      IncrementalView.changeFeedRaw(spark, daily, v0, v1), Some("w1"))
+    // the chained weekly view == the weekly rollup over corrected events
+    val corrected = events
+      .where(!(col("event_type") === "error" && col("event_id") % 17 === 5))
+      .withColumn("event_type",
+        when(col("event_type") === "click" && col("event_id") % 10 === 3, lit("view"))
+          .otherwise(col("event_type")))
+    val direct = corrected
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val got = IncrementalView.Weekly.serve(spark, weekly)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == direct, "chained weekly view diverged through the retraction window")
+  }
+
   test("empty state serves an empty view with the q14 schema") {
     val state = graft.util.TmpDirs.scratch("graft_q65_empty_").toString
     val df = IncrementalView.serve(spark, state)
