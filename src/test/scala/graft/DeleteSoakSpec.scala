@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IncrementalCard, IncrementalExact, TextAnalysis}
+
+/** Randomized (seed-pinned) SOAK over the delete protocol: a scripted
+  * interleaving of merge / tombstone / re-ingest / no-op-delete /
+  * compact steps on a tiny synthetic corpus, with the served state
+  * checked against a survivors-only one-shot after EVERY step — for both
+  * the subtractive modality (exact, d28) and the count-distinct one
+  * (card, t26). Hand-written scenarios pin each transition once; the
+  * soak pins their COMPOSITIONS (delete after compact after re-ingest
+  * after delete …), which is where shadowing protocols historically rot.
+  */
+class DeleteSoakSpec extends SparkSpec {
+
+  // 40 base docs over 12 distinct texts: every hash group has 2-5
+  // members, so deletes routinely reassign keepers and sometimes empty a
+  // group — the interesting transitions
+  private val texts = (0 until 12).map(i => s"soak document body number ${i % 12} content")
+  private def docRow(id: Long) =
+    (id, texts((id % texts.size).toInt), "en", "web", texts((id % texts.size).toInt).length.toLong)
+
+  private def toDf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(docRow).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def sortedRows(df: DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  private def oneShotExact(live: Seq[Long]) = sortedRows(
+    toDf(live)
+      .select(col("doc_id"),
+        sha2(graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")))
+
+  private def oneShotCard(live: Seq[Long]) =
+    sortedRows(TextAnalysis.cardOf(TextAnalysis.cardDocStats(toDf(live))))
+
+  test("soak: random merge/delete/re-ingest/compact interleavings stay exact on both modalities") {
+    val rnd = new scala.util.Random(42)
+    val exactState = graft.util.TmpDirs.scratch("graft_soak_exact_").toString
+    val cardState = graft.util.TmpDirs.scratch("graft_soak_card_").toString
+
+    var nextId = 0L
+    var live = Seq.empty[Long]     // ids currently ingested and not deleted
+    var deleted = Seq.empty[Long]  // ids currently tombstoned
+    var batch = 0
+    var deletes = 0
+    var revivals = 0
+
+    def mergeBoth(ids: Seq[Long]): Unit = {
+      IncrementalExact.merge(spark, exactState, toDf(ids), Some(s"b$batch"))
+      IncrementalCard.merge(spark, cardState, toDf(ids), Some(s"b$batch"))
+      batch += 1
+    }
+    def deleteBoth(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      val df = ids.toDF("doc_id")
+      IncrementalExact.delete(spark, exactState, df)
+      IncrementalCard.delete(spark, cardState, df)
+    }
+
+    // seed state: two disjoint batches
+    (0 until 2).foreach { _ =>
+      val ids = (nextId until nextId + 12); nextId += 12
+      live ++= ids; mergeBoth(ids)
+    }
+
+    (0 until 14).foreach { step =>
+      // compact every fifth step (maintenance interleaves the walk at
+      // fixed points); the other steps draw from a delete-biased mix
+      if (step % 5 == 4) {
+        IncrementalExact.compact(spark, exactState)
+        IncrementalCard.compact(spark, cardState)
+      } else rnd.nextInt(6) match {
+        case 0 => // fresh-ingest a new batch
+          val n = 4 + rnd.nextInt(8)
+          val ids = (nextId until nextId + n); nextId += n
+          live ++= ids; mergeBoth(ids)
+        case 1 | 2 if live.nonEmpty => // tombstone a random live subset
+          val ids = rnd.shuffle(live).take(1 + rnd.nextInt(6))
+          live = live.filterNot(ids.contains); deleted ++= ids
+          deletes += 1
+          deleteBoth(ids)
+        case 3 | 4 if deleted.nonEmpty => // re-ingest previously-deleted ids
+          val ids = rnd.shuffle(deleted).take(1 + rnd.nextInt(3))
+          deleted = deleted.filterNot(ids.contains); live ++= ids
+          revivals += 1
+          mergeBoth(ids)
+        case _ => // tombstone ids never ingested: must be a harmless no-op
+          deleteBoth(Seq(900000L + step, 900001L + step))
+      }
+      val want = oneShotExact(live)
+      assert(sortedRows(IncrementalExact.dedup(spark, exactState)) == want,
+        s"exact modality diverged at soak step $step (live=${live.sorted})")
+      assert(sortedRows(IncrementalCard.serve(spark, cardState)) == oneShotCard(live),
+        s"card modality diverged at soak step $step (live=${live.sorted})")
+    }
+    // the walk must actually have exercised deletion and revival (with
+    // seed 42 it does both several times — every delete also happened to
+    // be fully revived later, which is why this counts EVENTS, not the
+    // end-state tombstone set)
+    assert(deletes >= 2 && revivals >= 1,
+      s"soak walk too tame (deletes=$deletes revivals=$revivals) — widen the step mix")
+  }
+}

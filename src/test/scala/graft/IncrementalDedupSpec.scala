@@ -365,6 +365,35 @@ class IncrementalDedupSpec extends SparkSpec {
       "re-ingested docs must rejoin their clusters after their tombstone")
   }
 
+  test("delete-then-re-ingest-then-compact: pre-delete rows leave disk (per-generation purge)") {
+    // the r14 purge rule ([[LabelState.purgeByGen]]): a tombstone shadows
+    // rows of generations OLDER than itself even when the id was
+    // re-ingested later — without it, a delete-then-re-ingest retained
+    // the doc's PRE-delete band rows through maintenance, doubling its
+    // index footprint forever
+    val state = graft.util.TmpDirs.scratch("graft_d29_reingpurge_").toString
+    IncrementalDedup.merge(spark, state, docs)
+    IncrementalDedup.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id")))
+    IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(7)) === 0))
+    val v = IncrementalDedup.compact(spark, state)
+    // the folded band index holds each doc's rows exactly ONCE: the
+    // re-ingested copies (identical content → identical rows) survive,
+    // the pre-delete copies were purged — equal-row duplicates would
+    // betray retention
+    val bands = spark.read.parquet(s"$state/v$v/bands")
+    assert(bands.count() == bands.distinct().count(),
+      "pre-delete band rows survived compaction for re-ingested docs")
+    // and the re-ingested docs are fully live: clustering == one-shot
+    assert(clustersSorted(IncrementalDedup.clusters(spark, state)) ==
+      clustersSorted(Dedup.dupClusters(spark, sf0001)))
+    // same certification for the pair table (per-gen purge + doc-level
+    // exclusion — [[LabelState.purgePairsByGen]])
+    val pairs = spark.read.parquet(s"$state/v$v/pairs")
+    assert(pairs.count() == pairs.distinct().count(),
+      "duplicate pair rows survived compaction")
+  }
+
   test("d29 compact purges tombstones physically; deletes survive and compose with maintenance") {
     val state = graft.util.TmpDirs.scratch("graft_d29_purge_").toString
     IncrementalDedup.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))

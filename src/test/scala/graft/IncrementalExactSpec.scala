@@ -166,6 +166,52 @@ class IncrementalExactSpec extends SparkSpec {
       sorted(Dedup.exactDedup(spark, sf0001)))
   }
 
+  test("tombstone bound: generations ingested AFTER the newest tombstone never join the correction") {
+    // the r14 read-path bound: a tombstone shadows strictly-older
+    // generations only, so newer generations serve from their stored
+    // aggregates — their SIDECARS must not even be scanned. This pins the
+    // plan shape so a refactor can't silently reintroduce the
+    // correction-scans-everything behavior (whose cost grows with every
+    // post-delete ingest instead of being frozen at delete-time size).
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val state = graft.util.TmpDirs.scratch("graft_d28_bound_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    IncrementalExact.delete(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+    // two post-delete ingests (disjoint ids)
+    IncrementalExact.merge(spark, state,
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+    IncrementalExact.merge(spark, state,
+      docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+    val served = IncrementalExact.dedup(spark, state)
+    val roots = served.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    // pre-delete sidecars participate in the correction…
+    assert(roots.exists(_.contains("/v0/docs")) && roots.exists(_.contains("/v1/docs")),
+      s"correction must read pre-delete sidecars; scanned: $roots")
+    // …post-delete sidecars must NOT (their aggregates serve untouched)
+    assert(!roots.exists(_.contains("/v3/docs")) && !roots.exists(_.contains("/v4/docs")),
+      s"post-delete sidecars leaked into the correction scan: $roots")
+    // while their aggregate partials ARE unioned in
+    assert(roots.exists(_.contains("/v3/hashes")) && roots.exists(_.contains("/v4/hashes")),
+      s"post-delete aggregates missing from the serve union: $roots")
+    // and the served answer is the survivors + replicas one-shot
+    val surv = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+    val want = oneShotOver(surv
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))))
+    assert(sorted(served) == want)
+  }
+
   test("d28 delete refuses a pre-sidecar state dir (nothing to subtract from)") {
     val state = graft.util.TmpDirs.scratch("graft_d28_presid_").toString
     IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 100))
