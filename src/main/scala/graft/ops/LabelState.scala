@@ -218,10 +218,15 @@ object LabelState {
     import spark.implicits._
     val delVs = tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty) return Seq.empty[Long].toDF("node")
+    // NEWEST tombstone per node, not every tombstone row: an id deleted,
+    // re-ingested, then deleted AGAIN would otherwise probe its re-ingest
+    // against the FIRST tombstone (igen > old dgen) and come back alive —
+    // the delete-revive-delete bug the DeleteSoakSpec walk caught
     val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
-      .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
+      .groupBy(col("node")).agg(max(col("dgen")).as("dgen"))
     val laterVs = versions.filter(_ > delVs.min)
-    if (laterVs.isEmpty) return tombs.select(col("node")).distinct()
+    if (laterVs.isEmpty) return tombs.select(col("node"))
     val laterIdx = laterVs.map(v =>
       spark.read.parquet(s"$stateDir/v$v/$indexTable")
         .select(col(idCol).cast("long").as("node")).withColumn("igen", lit(v)))
@@ -232,7 +237,7 @@ object LabelState {
     val reingested = laterIdx.join(tombs, Seq("node"))
       .where(col("igen") > col("dgen"))
       .select(col("node")).distinct()
-    tombs.select(col("node")).distinct()
+    tombs.select(col("node"))
       .join(reingested, Seq("node"), "left_anti")
   }
 

@@ -243,6 +243,81 @@ class DeleteFamiliesSpec extends SparkSpec {
       .select(col("n_docs")).head().getLong(0) == 1)
   }
 
+  test("delete-revive-delete: the SECOND tombstone sticks (newest-tombstone-per-node rule)") {
+    // regression pin for the bug the cluster soak caught: with every
+    // tombstone row joined into the re-ingest probe, a doc deleted (d1),
+    // re-ingested (g), then deleted again (d2 > g) matched `g > d1` and
+    // came back ALIVE. The probe must compare against the NEWEST
+    // tombstone per node. Pinned on all three effectiveTombstones
+    // implementations: the shared long-keyed one (cluster modality) and
+    // the two string-keyed media copies.
+    import graft.ops.{Dedup, IncrementalDedup, IncrementalMedia, IncrementalRotMedia}
+    val state = graft.util.TmpDirs.scratch("graft_drd_cluster_").toString
+    IncrementalDedup.merge(spark, state, docs)
+    val dead = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+    IncrementalDedup.delete(spark, state, dead.select(col("doc_id")))
+    IncrementalDedup.merge(spark, state, dead)
+    IncrementalDedup.delete(spark, state, dead.select(col("doc_id")))
+    val sdir = graft.util.TmpDirs.scratch("graft_drd_oneshot_").toString
+    survivors.write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    assert(rows(IncrementalDedup.clusters(spark, state)) ==
+      rows(Dedup.dupClusters(spark, sdir)),
+      "a re-deleted doc survived its second tombstone (cluster modality)")
+    // media modality (string-keyed copy)
+    val media = spark.read.format("binaryFile")
+      .load(graft.ops.Multimodal.ppmNearFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    val mstate = graft.util.TmpDirs.scratch("graft_drd_media_").toString
+    IncrementalMedia.merge(spark, mstate, media)
+    val mdead = media.where(col("name") === "imga_bright.ppm")
+    IncrementalMedia.delete(spark, mstate, mdead.select(col("name")))
+    IncrementalMedia.merge(spark, mstate, mdead)
+    IncrementalMedia.delete(spark, mstate, mdead.select(col("name")))
+    assert(!rows(IncrementalMedia.pairs(spark, mstate))
+      .exists(r => r(0) == "imga_bright.ppm" || r(1) == "imga_bright.ppm"),
+      "a re-deleted asset survived its second tombstone (media modality)")
+    // orbit modality (the other string-keyed copy)
+    val rmedia = spark.read.format("binaryFile")
+      .load(graft.ops.Multimodal.ppmRotFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    val rstate = graft.util.TmpDirs.scratch("graft_drd_rot_").toString
+    IncrementalRotMedia.merge(spark, rstate, rmedia)
+    val rdead = rmedia.where(col("name") === "imga_rot90.ppm")
+    IncrementalRotMedia.delete(spark, rstate, rdead.select(col("name")))
+    IncrementalRotMedia.merge(spark, rstate, rdead)
+    IncrementalRotMedia.delete(spark, rstate, rdead.select(col("name")))
+    assert(!rows(IncrementalRotMedia.pairs(spark, rstate))
+      .exists(r => r(0) == "imga_rot90.ppm" || r(1) == "imga_rot90.ppm"),
+      "a re-deleted asset survived its second tombstone (orbit modality)")
+  }
+
+  test("tombstone-free fast paths never scan the sidecars (the delete tax is write-side only)") {
+    // the sidecar exists so deletes CAN subtract; a tombstone-free read
+    // must not pay for it — serve plans scan only the slim aggregate
+    // tables. Pinned so a refactor can't quietly tax every read with a
+    // corpus-sized sidecar scan.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def roots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    val cardState = graft.util.TmpDirs.scratch("graft_t26_fast_").toString
+    IncrementalCard.merge(spark, cardState, docs.where(col("doc_id") < 200))
+    val cardRoots = roots(IncrementalCard.serve(spark, cardState))
+    assert(cardRoots.exists(_.contains("/hashes")) && cardRoots.exists(_.contains("/partials")))
+    assert(!cardRoots.exists(_.contains("/docs")),
+      s"tombstone-free card serve scans the sidecar: $cardRoots")
+    val clsState = graft.util.TmpDirs.scratch("graft_t25_fast_").toString
+    IncrementalClassifier.merge(spark, clsState, docs.where(col("doc_id") < 200))
+    val clsRoots = roots(IncrementalClassifier.modelCounts(spark, clsState))
+    assert(clsRoots.exists(_.contains("/counts")))
+    assert(!clsRoots.exists(_.contains("/docs")),
+      s"tombstone-free model serve scans the sidecar: $clsRoots")
+  }
+
   // ------------------------------------------------------------- facade
 
   test("Deletes facade: one sweep tombstones the same ids across co-located modality stores") {

@@ -108,4 +108,58 @@ class DeleteSoakSpec extends SparkSpec {
     assert(deletes >= 2 && revivals >= 1,
       s"soak walk too tame (deletes=$deletes revivals=$revivals) — widen the step mix")
   }
+
+  test("soak: the pair-graph modality (component re-label) survives the same interleavings") {
+    // the third delete mechanism — tombstones re-label affected
+    // components over surviving stored edges — soaked with identical-text
+    // duplicate groups (SimHash distance 0), checked after every step
+    // against the one-shot clustering of the survivors
+    import graft.ops.{Dedup, IncrementalDedup}
+    val rnd = new scala.util.Random(7)
+    val state = graft.util.TmpDirs.scratch("graft_soak_cluster_").toString
+    var nextId = 0L
+    var live = Seq.empty[Long]
+    var deleted = Seq.empty[Long]
+    var deletes = 0
+    var revivals = 0
+
+    def oneShot(ids: Seq[Long]) = {
+      val dir = graft.util.TmpDirs.scratch("graft_soak_oneshot_").toString
+      toDf(ids).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      sortedRows(Dedup.dupClusters(spark, dir)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_keeper")))
+    }
+    def served() = sortedRows(IncrementalDedup.clusters(spark, state)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("is_keeper")))
+
+    val seed = (nextId until nextId + 16); nextId += 16
+    live ++= seed
+    IncrementalDedup.merge(spark, state, toDf(seed))
+
+    (0 until 10).foreach { step =>
+      if (step % 5 == 4) IncrementalDedup.compact(spark, state)
+      else rnd.nextInt(6) match {
+        case 0 =>
+          val n = 4 + rnd.nextInt(6)
+          val ids = (nextId until nextId + n); nextId += n
+          live ++= ids
+          IncrementalDedup.merge(spark, state, toDf(ids))
+        case 1 | 2 if live.nonEmpty =>
+          val ids = rnd.shuffle(live).take(1 + rnd.nextInt(5))
+          live = live.filterNot(ids.contains); deleted ++= ids; deletes += 1
+          IncrementalDedup.delete(spark, state, toDf(ids).select(col("doc_id")))
+        case 3 | 4 if deleted.nonEmpty =>
+          val ids = rnd.shuffle(deleted).take(1 + rnd.nextInt(3))
+          deleted = deleted.filterNot(ids.contains); live ++= ids; revivals += 1
+          IncrementalDedup.merge(spark, state, toDf(ids))
+        case _ =>
+          IncrementalDedup.delete(spark, state,
+            toDf(Seq(900000L + step)).select(col("doc_id")))
+      }
+      assert(served() == oneShot(live),
+        s"cluster modality diverged at soak step $step (live=${live.sorted})")
+    }
+    assert(deletes >= 2 && revivals >= 1,
+      s"cluster soak too tame (deletes=$deletes revivals=$revivals)")
+  }
 }
