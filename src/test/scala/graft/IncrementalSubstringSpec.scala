@@ -220,6 +220,25 @@ class IncrementalSubstringSpec extends SparkSpec {
     assert(spansSorted(IncrementalSubstring.spans(spark, state)) == expected)
   }
 
+  test("d32 delete-revive-delete: the second tombstone sticks (newest-tombstone-per-node rule)") {
+    // the substring modality shares LabelState.effectiveTombstones (via
+    // the slim docs-projection probe), so it inherits the r14 fix: a doc
+    // deleted, re-ingested, then deleted AGAIN must stay deleted
+    val dead = (id: org.apache.spark.sql.Column) => pmod(id, lit(7)) === 3
+    val state = graft.util.TmpDirs.scratch("graft_d32_drd_").toString
+    IncrementalSubstring.merge(spark, state, docs)
+    IncrementalSubstring.delete(spark, state,
+      docs.where(dead(col("doc_id"))).select(col("doc_id")))
+    IncrementalSubstring.merge(spark, state, docs.where(dead(col("doc_id"))))
+    IncrementalSubstring.delete(spark, state,
+      docs.where(dead(col("doc_id"))).select(col("doc_id")))
+    val served = spansSorted(IncrementalSubstring.spans(spark, state))
+    assert(served.nonEmpty)
+    assert(!served.exists(r =>
+        r.head.asInstanceOf[Long] % 7 == 3 || r(1).asInstanceOf[Long] % 7 == 3),
+      "a re-deleted doc's spans survived its second tombstone")
+  }
+
   test("pre-occ state dirs backfill: occ partials derive from anchors; compact migrates") {
     val state = graft.util.TmpDirs.scratch("graft_d20_preocc_").toString
     IncrementalSubstring.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0))
