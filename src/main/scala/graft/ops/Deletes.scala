@@ -59,4 +59,43 @@ object Deletes {
     stores.map { case (stateDir, modality) =>
       (stateDir, modality, tombstone(spark, stateDir, modality, ids))
     }
+
+  /** modality name → compact entry point (the physical purge). */
+  val compacts: Map[String, (SparkSession, String) => Int] = Map(
+    "exact" -> (IncrementalExact.compact _),
+    "cluster" -> (IncrementalDedup.compact _),
+    "minhash" -> (IncrementalMinHash.compact _),
+    "substring" -> (IncrementalSubstring.compact _),
+    "embedding" -> (IncrementalEmbedding.compact _),
+    "semantic" -> (IncrementalSemantic.compact _),
+    "ivf" -> (IncrementalIvf.compact _),
+    "ivfpq" -> (IncrementalIvfPq.compact _),
+    "media" -> (IncrementalMedia.compact _),
+    "rotmedia" -> (IncrementalRotMedia.compact _),
+    "dsir" -> (IncrementalDsir.compact _),
+    "classifier" -> (IncrementalClassifier.compact _),
+    "card" -> (IncrementalCard.compact _))
+
+  /** Tombstone AND physically erase: a tombstone alone only shadows —
+    * the deleted bytes leave disk at the modality's compact (every
+    * compact applies tombstones physically and drops them). Regulations
+    * that require actual erasure want this pair, so it is one call: the
+    * returned generation is the compacted one, tombstone-free, holding no
+    * deleted rows.
+    */
+  def purge(spark: SparkSession, stateDir: String, modality: String,
+      ids: DataFrame): Int = {
+    tombstone(spark, stateDir, modality, ids)
+    compacts(modality)(spark, stateDir)
+  }
+
+  /** [[sweep]] with physical erasure: one loop tombstones AND compacts
+    * every store — the full right-to-be-forgotten pass over a
+    * multi-modality corpus.
+    */
+  def purgeSweep(spark: SparkSession, stores: Seq[(String, String)],
+      ids: DataFrame): Seq[(String, String, Int)] =
+    stores.map { case (stateDir, modality) =>
+      (stateDir, modality, purge(spark, stateDir, modality, ids))
+    }
 }

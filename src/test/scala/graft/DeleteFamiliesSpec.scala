@@ -359,6 +359,40 @@ class DeleteFamiliesSpec extends SparkSpec {
       Deletes.tombstone(spark, exactState, "exact",
         docs.select(col("doc_id"), col("source")))
     }
+    // every modality has a compact dispatcher (the purge half)
+    assert(Deletes.compacts.keySet == Deletes.modalities.keySet,
+      "purge dispatch must cover exactly the tombstone modalities")
+  }
+
+  test("Deletes.purgeSweep: one loop tombstones AND erases across co-located stores") {
+    import spark.implicits._
+    import graft.ops.{Deletes, IncrementalExact}
+    val exactState = graft.util.TmpDirs.scratch("graft_purge_exact_").toString
+    val cardState = graft.util.TmpDirs.scratch("graft_purge_card_").toString
+    IncrementalExact.merge(spark, exactState, docs)
+    IncrementalCard.merge(spark, cardState, docs)
+    val ids = docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id"))
+    val out = Deletes.purgeSweep(spark,
+      Seq((exactState, "exact"), (cardState, "card")), ids)
+    val f = graft.ops.GenState.fs(spark, exactState)
+    out.foreach { case (dir, modality, v) =>
+      // each store folded to its compacted generation, tombstone-free,
+      // with the deleted docs' bytes gone from the per-doc tables
+      assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/tombstones")),
+        s"$modality purge carried tombstones")
+      assert(spark.read.parquet(s"$dir/v$v/docs")
+        .where(pmod(col("doc_id"), lit(7)) === 3).count() == 0,
+        s"$modality purge left deleted rows on disk")
+    }
+    // and both stores serve the survivors-only answer
+    assert(rows(IncrementalCard.serve(spark, cardState)) ==
+      rows(TextAnalysis.cardOf(TextAnalysis.cardDocStats(survivors))))
+    assert(rows(IncrementalExact.dedup(spark, exactState)) ==
+      rows(survivors
+        .select(col("doc_id"),
+          sha2(graft.ops.Text.normalized(col("text")).cast("binary"), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))))
   }
 
   test("t26: delete refuses a pre-sidecar state dir (multiplicity not recoverable)") {
