@@ -43,17 +43,20 @@ class DeleteSoakSpec extends SparkSpec {
 
   // extra soak seeds opt-in (e.g. GRAFT_SOAK_SEEDS=1,2,3 for a longer
   // hunt); the default single seed keeps the suite fast while the walk
-  // machinery stays exercised on every run
-  private def soakSeeds(default: Int): Seq[Int] =
+  // machinery stays exercised on every run. The step-mix RICHNESS guard
+  // (enough delete/revive events) is asserted strictly only for the
+  // pinned default seeds — an arbitrary hunt seed may legitimately draw
+  // a tamer walk, and its step-level correctness checks still ran.
+  private def soakSeeds(default: Int): Seq[(Int, Boolean)] =
     sys.env.get("GRAFT_SOAK_SEEDS")
-      .map(_.split(',').toSeq.map(_.trim.toInt))
-      .getOrElse(Seq(default))
+      .map(_.split(',').toSeq.map(s => (s.trim.toInt, false)))
+      .getOrElse(Seq((default, true)))
 
   test("soak: random merge/delete/re-ingest/compact interleavings stay exact on both modalities") {
-    soakSeeds(42).foreach(subtractiveWalk)
+    soakSeeds(42).foreach { case (s, strict) => subtractiveWalk(s, strict) }
   }
 
-  private def subtractiveWalk(seed: Int): Unit = {
+  private def subtractiveWalk(seed: Int, requireRich: Boolean): Unit = {
     val rnd = new scala.util.Random(seed)
     val exactState = graft.util.TmpDirs.scratch(s"graft_soak_exact_${seed}_").toString
     val cardState = graft.util.TmpDirs.scratch(s"graft_soak_card_${seed}_").toString
@@ -117,17 +120,17 @@ class DeleteSoakSpec extends SparkSpec {
     // seed 42 it does both several times — every delete also happened to
     // be fully revived later, which is why this counts EVENTS, not the
     // end-state tombstone set)
-    assert(deletes >= 2 && revivals >= 1,
+    if (requireRich) assert(deletes >= 2 && revivals >= 1,
       s"soak seed $seed too tame (deletes=$deletes revivals=$revivals) — widen the step mix")
   }
 
   test("soak: the pair-graph modality (component re-label) survives the same interleavings") {
     // seed 7's walk is the one that caught the delete-revive-delete
     // revival bug (newest-tombstone-per-node) — keep it as the default
-    soakSeeds(7).foreach(pairGraphWalk)
+    soakSeeds(7).foreach { case (s, strict) => pairGraphWalk(s, strict) }
   }
 
-  private def pairGraphWalk(seed: Int): Unit = {
+  private def pairGraphWalk(seed: Int, requireRich: Boolean): Unit = {
     // the third delete mechanism — tombstones re-label affected
     // components over surviving stored edges — soaked with identical-text
     // duplicate groups (SimHash distance 0), checked after every step
@@ -177,7 +180,7 @@ class DeleteSoakSpec extends SparkSpec {
       assert(served() == oneShot(live),
         s"cluster modality diverged at soak seed $seed step $step (live=${live.sorted})")
     }
-    assert(deletes >= 2 && revivals >= 1,
+    if (requireRich) assert(deletes >= 2 && revivals >= 1,
       s"cluster soak seed $seed too tame (deletes=$deletes revivals=$revivals)")
   }
 }
