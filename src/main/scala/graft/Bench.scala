@@ -144,7 +144,7 @@ object Bench {
     * was ~100 chars from the driver's tail): same 0.1 s resolution as
     * [[sec1]], but "0.4" → "4" and "1.2" → "12" — two thirds of the
     * board is sub-second at sf0.1, so this buys ~270 chars. The line
-    * declares it via `"qunit":"ds"`; a failed query stays the `-1`
+    * declares it via `"qu":"ds"`; a failed query stays the `-1`
     * sentinel regardless of unit; the top-level `value` and the whole
     * file line remain full-precision SECONDS (BENCH_LOCAL.json is the
     * cross-round per-query comparison surface).
@@ -152,11 +152,12 @@ object Bench {
   def deci(v: Double): String =
     if (v < 0) "-1" else Math.round(v * 10).toString
 
-  /** Integer-SECOND rendering — the last value-degradation rail: if a
+  /** Integer-SECOND rendering — a value-degradation rail: if a
     * pathological board (hundreds of multi-second queries) pushes even
     * the decisecond line past the driver's tail, whole seconds under
-    * `"qunit":"s"` always fit; the 0.1 s resolution stays in the file
-    * line. Expected to never fire on a healthy board.
+    * `"qu":"s"` usually fit (and the unconditional floor below catches
+    * the rest); the 0.1 s resolution stays in the file line. Expected to
+    * never fire on a healthy board.
     */
   def secInt(v: Double): String =
     if (v < 0) "-1" else Math.round(v).toString

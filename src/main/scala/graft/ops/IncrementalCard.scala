@@ -142,21 +142,16 @@ object IncrementalCard {
   }
 
   /** The surviving per-doc sidecar rows: every sidecar row whose doc_id
-    * does NOT carry a tombstone newer than the row's generation
-    * (row-level shadowing — a re-ingested doc's newer rows survive).
+    * does NOT carry a tombstone newer than the row's generation — the
+    * shared row-level shadowing rule ([[LabelState.purgeByGen]]; a
+    * re-ingested doc's newer rows survive).
     */
   private def survivorStats(spark: SparkSession, stateDir: String,
-      versions: Seq[Int]): DataFrame = {
-    val tagged = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
-      .withColumn("gen", lit(v))).reduce(_ unionByName _)
-    // delete-derived frame unhinted: AQE broadcasts a small tombstone
-    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
-    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    tagged.join(tombs,
-        tagged("doc_id") === tombs("node") && tombs("dgen") > tagged("gen"),
-        "left_anti")
-      .drop("gen")
-  }
+      versions: Seq[Int]): DataFrame =
+    LabelState.purgeByGen(
+      LabelState.tombstonesByGen(spark, stateDir, versions),
+      versions.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
+      Seq("doc_id"))
 
   /** The current card from state alone — identical columns, values, and
     * rounding to the one-shot t22. Tombstone-free state (the common case)

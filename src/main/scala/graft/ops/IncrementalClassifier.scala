@@ -125,15 +125,12 @@ object IncrementalClassifier {
   private def deletedFeats(spark: SparkSession, stateDir: String,
       versions: Seq[Int], delVs: Seq[Int]): DataFrame = {
     val oldVs = versions.filter(_ < delVs.max)
-    val side = oldVs.map(v => spark.read.parquet(docsPath(stateDir, v))
-      .withColumn("gen", lit(v))).reduce(_ unionByName _)
-    // delete-derived frame unhinted: AQE broadcasts a small tombstone
-    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
-    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    side.join(tombs,
-        side("doc_id") === tombs("node") && tombs("dgen") > side("gen"),
-        "left_semi")
-      .drop("gen")
+    // the shared row-level shadowing rule, complement side
+    // ([[LabelState.shadowedByGen]])
+    LabelState.shadowedByGen(
+      LabelState.tombstonesByGen(spark, stateDir, versions),
+      oldVs.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
+      "doc_id")
   }
 
   /** The trained model from the current state: one re-aggregation over

@@ -99,16 +99,11 @@ object IncrementalDsir {
     val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty)
       return spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
-    val tagged = versions.map(v =>
-      spark.read.parquet(countsPath(stateDir, v)).withColumn("gen", lit(v)))
-      .reduce(_ unionByName _)
-    // delete-derived frame unhinted: AQE broadcasts a small tombstone
-    // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
-    val tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    tagged.join(tombs,
-        tagged("doc_id") === tombs("node") && tombs("dgen") > tagged("gen"),
-        "left_anti")
-      .drop("gen")
+    // the shared row-level shadowing rule ([[LabelState.purgeByGen]])
+    LabelState.purgeByGen(
+      LabelState.tombstonesByGen(spark, stateDir, versions),
+      versions.map(v => (v, spark.read.parquet(countsPath(stateDir, v)))),
+      Seq("doc_id"))
   }
 
   /** c11's selection over the accumulated state — equals the one-shot

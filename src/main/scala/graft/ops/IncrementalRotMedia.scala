@@ -107,30 +107,18 @@ object IncrementalRotMedia {
 
   /** Tombstoned names still in effect — s9 shadowing over the STRING-keyed
     * orbit-sig index (a name re-ingested after its tombstone is live
-    * again). Same geometry as [[IncrementalMedia]]'s d33 helper, over
-    * this modality's 8-rows-per-asset sigs table.
+    * again). The shadowing rule itself lives once in
+    * [[LabelState.effectiveTombstonesFrom]]; only this modality's
+    * 8-rows-per-asset sig projection is local.
     */
   private def effectiveTombstones(spark: SparkSession, stateDir: String,
       versions: Seq[Int]): DataFrame = {
     import spark.implicits._
-    val f = GenState.fs(spark, stateDir)
-    val delVs = versions.filter(v =>
-      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+    val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty) return Seq.empty[String].toDF("node")
-    // NEWEST tombstone per name (the delete-revive-delete rule —
-    // [[LabelState.effectiveTombstones]] documents the bug this prevents)
-    val tombs = delVs.map(v =>
-      spark.read.parquet(s"$stateDir/v$v/tombstones")
-        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
-      .groupBy(col("node")).agg(max(col("dgen")).as("dgen"))
-    val laterVs = versions.filter(_ > delVs.min)
-    if (laterVs.isEmpty) return tombs.select(col("node"))
-    val laterIdx = laterVs.map(v => spark.read.parquet(sigsPath(stateDir, v))
-      .select(col("name").as("node")).withColumn("igen", lit(v)))
-      .reduce(_ unionByName _)
-    val reingested = laterIdx.join(tombs, Seq("node"))
-      .where(col("igen") > col("dgen")).select(col("node")).distinct()
-    tombs.select(col("node")).join(reingested, Seq("node"), "left_anti")
+    LabelState.effectiveTombstonesFrom(spark, stateDir, versions, delVs,
+      v => spark.read.parquet(sigsPath(stateDir, v))
+        .select(col("name").as("node")))
   }
 
   /** d35: TOMBSTONE a set of media names — the d33 protocol on the orbit

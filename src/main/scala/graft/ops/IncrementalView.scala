@@ -128,21 +128,31 @@ object IncrementalView {
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
-      // a fully-retracted group leaves the view (the direct rollup over
-      // corrected events has no such row); a NEGATIVE count means the
-      // caller retracted events never ingested — refuse loudly
-      .withColumn("n", when(col("n") < 0, raise_error(concat(
-        lit("IncrementalView: negative count after retraction for group ("),
-        col("day"), lit(", "), col("event_type"),
-        lit(") — a retraction must cover only previously-ingested events"))))
-        .otherwise(col("n")))
-      .where(col("n") =!= 0)
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** The VIEW-SERVING half of the retraction contract, applied on top of
+    * a fold only where the result presents as the maintained view (serve
+    * / serveAsOf / Weekly.serve) and NEVER on a change feed, whose rows
+    * are DELTAS: there a negative n is a legitimate retraction delta and
+    * an n == 0 row can still carry a real sum correction. On a serving
+    * surface: a fully-retracted group leaves the view (the direct rollup
+    * over corrected events has no such row), and a NEGATIVE count means
+    * the caller retracted events never ingested — refuse loudly rather
+    * than serve a nonsense row.
+    */
+  private def presentable(folded: DataFrame, timeCol: String): DataFrame =
+    folded
+      .withColumn("n", when(col("n") < 0, raise_error(concat(
+        lit("IncrementalView: negative count after retraction for group ("),
+        col(timeCol), lit(", "), col("event_type"),
+        lit(") — a retraction must cover only previously-ingested events"))))
+        .otherwise(col("n")))
+      .where(col("n") =!= 0)
+
   /** The maintained view: fold the live partials, round once, q14 shape. */
   def serve(spark: SparkSession, stateDir: String): DataFrame =
-    fold(spark, stateDir, completeVersions(spark, stateDir))
+    presentable(fold(spark, stateDir, completeVersions(spark, stateDir)), "day")
 
   /** TIME TRAVEL: the view as of generation `v` — fold the live
     * generations with version ≤ v. Because every generation is an
@@ -158,7 +168,7 @@ object IncrementalView {
       s"IncrementalView.serveAsOf: generation $v predates the oldest live " +
         s"generation ${versions.head} — history before a compaction " +
         "boundary is vacuumed")
-    fold(spark, stateDir, versions.filter(_ <= v))
+    presentable(fold(spark, stateDir, versions.filter(_ <= v)), "day")
   }
 
   /** CHANGE FEED: what the view gained BETWEEN generation `fromExclusive`
@@ -186,6 +196,8 @@ object IncrementalView {
       s"IncrementalView.changeFeed: a compacted generation in the window " +
         s"($fromExclusive, $toInclusive] folds history from at or before " +
         "the window start — that boundary is vacuumed")
+    // DELTAS, not a view: negative n is a legitimate retraction delta and
+    // an n == 0 row can still carry a sum correction — no [[presentable]]
     fold(spark, stateDir, versions.filter(v => v > fromExclusive && v <= toInclusive))
   }
 
@@ -261,13 +273,15 @@ object IncrementalView {
         return Seq.empty[(java.sql.Date, String, Long, Double)]
           .toDF("week", "event_type", "n", "sum_value")
       }
-      spark.read.parquet(versions.map(path(stateDir, _)): _*)
-        .groupBy(col("week"), col("event_type"))
-        .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
-        // retractions chain through as negative deltas: a group emptied
-        // by a correction leaves the weekly view too (q79 semantics)
-        .where(col("n") =!= 0)
-        .orderBy(col("week"), col("event_type"))
+      // retractions chain through as negative deltas; the weekly SERVE is
+      // a view surface, so the same presentation rule as the daily serve
+      // applies: emptied groups leave, negative counts refuse loudly
+      presentable(
+        spark.read.parquet(versions.map(path(stateDir, _)): _*)
+          .groupBy(col("week"), col("event_type"))
+          .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
+          .orderBy(col("week"), col("event_type")),
+        "week")
     }
   }
 

@@ -218,18 +218,31 @@ object LabelState {
     import spark.implicits._
     val delVs = tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty) return Seq.empty[Long].toDF("node")
-    // NEWEST tombstone per node, not every tombstone row: an id deleted,
-    // re-ingested, then deleted AGAIN would otherwise probe its re-ingest
-    // against the FIRST tombstone (igen > old dgen) and come back alive —
-    // the delete-revive-delete bug the DeleteSoakSpec walk caught
-    val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
-        .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
-      .groupBy(col("node")).agg(max(col("dgen")).as("dgen"))
+    effectiveTombstonesFrom(spark, stateDir, versions, delVs,
+      v => spark.read.parquet(s"$stateDir/v$v/$indexTable")
+        .select(col(idCol).cast("long").as("node")))
+  }
+
+  /** The key-type-agnostic core of [[effectiveTombstones]]: `indexOf(v)`
+    * supplies generation v's one-column `node` projection (long for the
+    * pair-graph modalities, string for the media ones — the media
+    * modalities' private wrappers call through here so the shadowing rule
+    * lives in exactly one place; the delete-revive-delete fix had to be
+    * patched in three copies before this existed). Requires `delVs`
+    * non-empty — the caller owns the key-typed empty shortcut.
+    */
+  private[ops] def effectiveTombstonesFrom(spark: SparkSession,
+      stateDir: String, versions: Seq[Int], delVs: Seq[Int],
+      indexOf: Int => DataFrame): DataFrame = {
+    // NEWEST tombstone per node ([[tombstonesByGen]]), not every
+    // tombstone row: an id deleted, re-ingested, then deleted AGAIN would
+    // otherwise probe its re-ingest against the FIRST tombstone
+    // (igen > old dgen) and come back alive — the delete-revive-delete
+    // bug the DeleteSoakSpec walk caught
+    val tombs = tombstonesByGen(spark, stateDir, versions)
     val laterVs = versions.filter(_ > delVs.min)
     if (laterVs.isEmpty) return tombs.select(col("node"))
-    val laterIdx = laterVs.map(v =>
-      spark.read.parquet(s"$stateDir/v$v/$indexTable")
-        .select(col(idCol).cast("long").as("node")).withColumn("igen", lit(v)))
+    val laterIdx = laterVs.map(v => indexOf(v).withColumn("igen", lit(v)))
       .reduce(_ unionByName _)
     // no forced broadcast: tombs is usually tiny, but a GDPR-scale bulk
     // delete is unbounded — AQE picks broadcast when the runtime size is
@@ -279,6 +292,22 @@ object LabelState {
       df.join(tombs, df(c) === tombs("node") && tombs("dgen") > df("gen"),
         "left_anti")
     }.select(cols: _*)
+  }
+
+  /** The complement of [[purgeByGen]] for a single id column: the rows a
+    * tombstone NEWER than their generation shadows — what
+    * subtraction-style deletes recover to negate (the classifier's
+    * per-doc contributions). Same row-level rule, semi instead of anti.
+    */
+  def shadowedByGen(tombs: DataFrame, perGen: Seq[(Int, DataFrame)],
+      idCol: String): DataFrame = {
+    val tagged = perGen.map { case (v, df) => df.withColumn("gen", lit(v)) }
+      .reduce(_ unionByName _)
+    val cols = tagged.columns.filterNot(_ == "gen").map(col).toSeq
+    tagged.join(tombs,
+        tagged(idCol) === tombs("node") && tombs("dgen") > tagged("gen"),
+        "left_semi")
+      .select(cols: _*)
   }
 
   /** The compact purge rule for PAIR/HIT tables: [[purgeByGen]] PLUS a

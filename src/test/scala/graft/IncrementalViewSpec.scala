@@ -214,6 +214,66 @@ class IncrementalViewSpec extends SparkSpec {
       s"expected the negative-count refusal, got: $ex")
   }
 
+  test("q79 change feed across a retraction window: negative and zero-net deltas survive") {
+    import spark.implicits._
+    val state = graft.util.TmpDirs.scratch("graft_q79_feed_").toString
+    val ev = Seq(
+      (1L, "2024-03-01 10:00:00", "click", 1.25),
+      (2L, "2024-03-01 11:00:00", "click", 2.50),
+      (3L, "2024-03-01 12:00:00", "error", 9.99))
+      .toDF("event_id", "raw_ts", "event_type", "value")
+      .withColumn("ts", col("raw_ts").cast("timestamp")).drop("raw_ts")
+    val v0 = IncrementalView.merge(spark, state, ev, Some("k0"))
+    // window (v0, v2]: a pure retraction (the error was spurious) and a
+    // zero-net VALUE correction (event 2 re-filed at 3.00: n cancels,
+    // sum moves by +0.50)
+    IncrementalView.retract(spark, state, ev.where(col("event_id") === 3), Some("r0"))
+    IncrementalView.retract(spark, state, ev.where(col("event_id") === 2), Some("r1"))
+    val v2 = IncrementalView.merge(spark, state,
+      ev.where(col("event_id") === 2).withColumn("value", lit(3.00)), Some("k1"))
+    val feed = IncrementalView.changeFeed(spark, state, v0, v2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the retraction surfaces as a NEGATIVE delta (a chained consumer
+    // applies it by adding), not an error...
+    assert(feed.exists(r => r(1) == "error" && r(2) == -1L),
+      s"the feed must report the retraction as a negative delta: $feed")
+    // ...and the zero-net correction row KEEPS its sum delta (dropping
+    // n == 0 rows here would lose the 0.50 the consumer needs)
+    assert(feed.exists(r => r(1) == "click" && r(2) == 0L && r(3) == 0.5),
+      s"the feed must keep the zero-count sum correction: $feed")
+    // while the SERVED view applies the presentation rule: the emptied
+    // error group is gone and the click group shows the corrected sum
+    val served = sorted(IncrementalView.serve(spark, state))
+    assert(!served.exists(_(1) == "error"))
+    assert(served.exists(r => r(1) == "click" && r(2) == 2L && r(3) == 4.25), served.toString)
+  }
+
+  test("q79 over-retraction: the daily AND chained weekly serves refuse a negative count") {
+    import spark.implicits._
+    val daily = graft.util.TmpDirs.scratch("graft_q79_neg_d_").toString
+    val weekly = graft.util.TmpDirs.scratch("graft_q79_neg_w_").toString
+    val ev = Seq((1L, "2024-03-01 10:00:00", "click", 1.25))
+      .toDF("event_id", "raw_ts", "event_type", "value")
+      .withColumn("ts", col("raw_ts").cast("timestamp")).drop("raw_ts")
+    val phantom = Seq((9L, "2024-03-01 10:00:00", "view", 2.00))
+      .toDF("event_id", "raw_ts", "event_type", "value")
+      .withColumn("ts", col("raw_ts").cast("timestamp")).drop("raw_ts")
+    IncrementalView.merge(spark, daily, ev, Some("k0"))
+    // retract events never ingested: the raw feed carries the negative
+    // delta (deltas are deltas), but every SERVING surface refuses
+    val v1 = IncrementalView.retract(spark, daily, phantom, Some("r0"))
+    IncrementalView.Weekly.merge(spark, weekly,
+      IncrementalView.changeFeedRaw(spark, daily, -1, v1), Some("w0"))
+    val exDaily = intercept[Exception] {
+      IncrementalView.serve(spark, daily).collect()
+    }
+    assert(exDaily.toString.contains("negative count"), exDaily.toString)
+    val exWeekly = intercept[Exception] {
+      IncrementalView.Weekly.serve(spark, weekly).collect()
+    }
+    assert(exWeekly.toString.contains("negative count"), exWeekly.toString)
+  }
+
   test("q79 chaining: the weekly view stays correct through a retraction window") {
     val daily = graft.util.TmpDirs.scratch("graft_q79_chain_d_").toString
     val weekly = graft.util.TmpDirs.scratch("graft_q79_chain_w_").toString
