@@ -31,6 +31,7 @@ object GraftSession {
       .withExtensions { ext =>
         ext.injectFunction(graft.exprs.RollingMinHash.registration)
         ext.injectFunction(graft.exprs.BottomKMd5.registration)
+        ext.injectFunction(graft.exprs.MisraGries.registration)
         ext.injectFunction(graft.exprs.VectorSumScaled.registration)
         ext.injectFunction(graft.exprs.IvfProbe.registration)
         ext.injectFunction(graft.exprs.BpeStats.registration)

@@ -298,6 +298,12 @@ object SparkEntry {
     // KMV sketch set ops: per-source-pair union/intersection estimates
     // from merged bottom-k sketches — no corpus-level text join.
     "b3_kmv_setops" -> ((s: SparkSession, d: String) => Corpus.kmvSetOps(s, d)),
+    // Provably-exact heavy hitters: Misra-Gries mergeable sketch for the
+    // candidate set (shuffle O(partitions x capacity), never the distinct
+    // token table) + candidate-bounded exact recount; exact-or-refuse
+    // in-plan via the MG bound. Same answer as t5, scale-proof plan.
+    "b4_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitters(s, d)),
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
@@ -747,6 +753,15 @@ object SparkEntry {
     // implementation in tools/gen_ppmrot_fixtures.py).
     "m6_rot_robust_dedup" -> ((s: SparkSession, d: String) =>
       graft.ops.Multimodal.ppmRotNearDup(s, d)),
+    // Audio modality, real codec: RIFF/PCM WAV decode over checked-in
+    // fixtures, reduced to exact integer stats (golden-VALUES oracle from
+    // the independent reference in tools/gen_wav_fixtures.py).
+    "m7_wav_decode" -> graft.ops.Audio.wavDecode _,
+    // Audio perceptual near-dup: mono mix -> 64-bit delta-energy
+    // fingerprint (gain- and stereo-spread-invariant) -> m5's blocked
+    // Hamming candidates -> exact bit_count verify (golden-VALUES oracle).
+    "m8_wav_near_dup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Audio.wavNearDup(s, d)),
     // The orbit row of the incremental media matrix: originals ingested
     // first, transformed copies in a second merge — every golden pair is
     // discovered cross-batch (or new-new) at its newer member's merge.
@@ -790,6 +805,37 @@ object SparkEntry {
     // And its streaming drain: micro-batch d21 merges == the same oracle.
     "q60_stream_media_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runMediaDedupAvailableNow(s, d)),
+    // The AUDIO column of the incremental matrix: the wav-denergy codec
+    // in the same codec-parametric chassis — originals ingested first,
+    // copies second, every golden pair found cross-batch; == m8's
+    // one-shot pair table (shared golden oracle).
+    "d36_audio_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d36_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Audio.wavFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(!col("name").contains("_")), codec = "wav-denergy")
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name").contains("_")), codec = "wav-denergy")
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
+    // Its streaming drain: micro-batch d36 merges == the same oracle.
+    "q81_stream_audio_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runAudioDedupAvailableNow(s, d)),
+    // Tombstone delete on the audio modality (d33's string-keyed
+    // protocol, unchanged — the chassis is codec-agnostic downstream of
+    // the signature): delete tonea.wav, its pairs leave the serve.
+    "d37_audio_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val state = graft.util.TmpDirs.scratch("graft_d37_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Audio.wavFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media, codec = "wav-denergy")
+      graft.ops.Deletes.tombstone(s, state, "audio", Seq("tonea.wav").toDF("name"))
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -876,6 +922,10 @@ object SparkEntry {
     // (write-only per trigger, exactly-once via batch-id keys).
     "q66_stream_view_maintenance" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runViewMaintenanceAvailableNow(s, d)),
+    // Streaming corrections: q79's retraction semantics as a second
+    // streamed feed (the q77 chassis) — completes the mutation matrix.
+    "q80_stream_view_correction" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runViewCorrectionAvailableNow(s, d)),
     // Time travel: the view as of the second ingest — a shorter fold over
     // the immutable generations, no snapshot copies.
     "q67_view_time_travel" -> ((s: SparkSession, d: String) => {
@@ -944,6 +994,20 @@ object SparkEntry {
         col("employmentOutlookCode").as("outlook_code"),
         to_json(col("importantQualities")).as("iq_json"))
       .orderBy(col("title"))
+
+  private val correctedRollupSql =
+    """WITH corrected AS (
+      |  SELECT ts,
+      |    CASE WHEN event_type = 'click' AND event_id % 10 = 3
+      |         THEN 'view' ELSE event_type END AS event_type,
+      |    value
+      |  FROM events
+      |  WHERE NOT (event_type = 'error' AND event_id % 17 = 5))
+      |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM corrected
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
 
   def oracleSql: Map[String, String] = {
     // q19/q20 run the IDENTICAL SQL text on both engines (spark.sql is the
@@ -1080,20 +1144,10 @@ object SparkEntry {
           "AS t FROM documents WHERE doc_id % 7 <> 3),")) +
       // view retractions: the direct rollup over the CORRECTED event set
       // (clicks with event_id ≡ 3 mod 10 recategorized as views, spurious
-      // errors with event_id ≡ 5 mod 17 removed)
-      ("q79_view_retraction" ->
-        """WITH corrected AS (
-          |  SELECT ts,
-          |    CASE WHEN event_type = 'click' AND event_id % 10 = 3
-          |         THEN 'view' ELSE event_type END AS event_type,
-          |    value
-          |  FROM events
-          |  WHERE NOT (event_type = 'error' AND event_id % 17 = 5))
-          |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-          |  count(*) AS n, round(sum(value), 2) AS sum_value
-          |FROM corrected
-          |GROUP BY 1, 2
-          |ORDER BY day, event_type""".stripMargin) +
+      // errors with event_id ≡ 5 mod 17 removed); the streamed correction
+      // feed (q80) serves the same corrected rollup
+      ("q79_view_retraction" -> correctedRollupSql) +
+      ("q80_stream_view_correction" -> correctedRollupSql) +
       // and the streaming drain of the same merge: == d22
       ("q63_stream_semantic_dedup" -> m("d22_semantic_dedup")) +
       // count-generation split-ingest == c11's one-shot selection
@@ -1107,6 +1161,16 @@ object SparkEntry {
       ("q69_stream_rot_media" -> m("m6_rot_robust_dedup")) +
       // and its streaming drain: == the same golden pairs
       ("q60_stream_media_dedup" -> m("m5_ppm_near_dup")) +
+      // audio split-ingest and its streaming drain == m8's golden pairs
+      ("d36_audio_incremental" -> m("m8_wav_near_dup")) +
+      ("q81_stream_audio_dedup" -> m("m8_wav_near_dup")) +
+      // audio tombstone delete: tonea.wav's pairs leave the serve
+      ("d37_audio_delete" ->
+        """SELECT name1, name2, hamming FROM (VALUES
+          |  ('tonea_click.wav', 'tonea_gain.wav', CAST(1 AS INT)),
+          |  ('toneb.wav', 'toneb_stereo.wav', CAST(0 AS INT))
+          |) AS t(name1, name2, hamming)
+          |ORDER BY name1, name2""".stripMargin) +
       // persisted BPE model reload == training fresh (lossless
       // string/long round-trip)
       ("t16_bpe_persisted" -> m("t14_bpe_learned_tokens")) +
@@ -2508,6 +2572,15 @@ object SparkEntry {
         |ORDER BY e.src1, e.src2""".stripMargin
     },
 
+    // Heavy hitters: the sketch+recount is provably exact (it raises
+    // in-plan otherwise), so the oracle is the direct exact top-20 —
+    // t5's text, deliberately shared.
+    "b4_heavy_hitters" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
     // Token-window chunking: same geometry constants as Corpus.chunk.
     "c1_chunking" -> {
       val w = Corpus.chunkTokens
@@ -2921,6 +2994,35 @@ object SparkEntry {
         |  ('img2.ppm', CAST(16 AS INT), CAST(4 AS INT), CAST(64 AS BIGINT), CAST(8576 AS BIGINT), CAST(10432 AS BIGINT), CAST(11776 AS BIGINT))
         |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
         |ORDER BY name""".stripMargin,
+
+    // Audio decode: golden VALUES from tools/gen_wav_fixtures.py's
+    // independent reference decoder (exact integer sums; corrupt.wav is
+    // a truncated data chunk and must reject whole).
+    "m7_wav_decode" ->
+      """SELECT name, sample_rate, n_channels, n_frames, sum_abs, peak
+        |FROM (VALUES
+        |  ('corrupt.wav', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT)),
+        |  ('tonea.wav', CAST(8000 AS INT), CAST(1 AS INT), CAST(8000 AS BIGINT), CAST(47847068 AS BIGINT), CAST(16148 AS INT)),
+        |  ('tonea_click.wav', CAST(8000 AS INT), CAST(1 AS INT), CAST(8000 AS BIGINT), CAST(51261358 AS BIGINT), CAST(31000 AS INT)),
+        |  ('tonea_gain.wav', CAST(8000 AS INT), CAST(1 AS INT), CAST(8000 AS BIGINT), CAST(23923571 AS BIGINT), CAST(8074 AS INT)),
+        |  ('toneb.wav', CAST(8000 AS INT), CAST(1 AS INT), CAST(8000 AS BIGINT), CAST(42049350 AS BIGINT), CAST(14778 AS INT)),
+        |  ('toneb_stereo.wav', CAST(8000 AS INT), CAST(2 AS INT), CAST(8000 AS BIGINT), CAST(42049350 AS BIGINT), CAST(14778 AS INT))
+        |) AS t(name, sample_rate, n_channels, n_frames, sum_abs, peak)
+        |ORDER BY name""".stripMargin,
+
+    // Audio near-dup: golden VALUES from the reference fingerprint
+    // (tonea_gain = -6 dB uniform gain, Hamming 0; tonea_click = one
+    // retouched window, Hamming 1; toneb_stereo = the same signal spread
+    // to stereo, Hamming 0 to toneb; cross-tone pairs at 31-32 —
+    // correctly absent).
+    "m8_wav_near_dup" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('tonea.wav', 'tonea_click.wav', CAST(1 AS INT)),
+        |  ('tonea.wav', 'tonea_gain.wav', CAST(0 AS INT)),
+        |  ('tonea_click.wav', 'tonea_gain.wav', CAST(1 AS INT)),
+        |  ('toneb.wav', 'toneb_stereo.wav', CAST(0 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
 
     // Perceptual near-dup: golden VALUES from the fixture generator's
     // reference dHash (imga_recode = identical raster re-encoded, Hamming

@@ -27,6 +27,9 @@ object Deletes {
     "ivf" -> (("vec_id", IncrementalIvf.delete _)),
     "ivfpq" -> (("vec_id", IncrementalIvfPq.delete _)),
     "media" -> (("name", IncrementalMedia.delete _)),
+    // the audio modality rides the codec-parametric media chassis: the
+    // delete/compact path is codec-agnostic, so the alias is the contract
+    "audio" -> (("name", IncrementalMedia.delete _)),
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
     "classifier" -> (("doc_id", IncrementalClassifier.delete _)),
@@ -71,6 +74,7 @@ object Deletes {
     "ivf" -> (IncrementalIvf.compact _),
     "ivfpq" -> (IncrementalIvfPq.compact _),
     "media" -> (IncrementalMedia.compact _),
+    "audio" -> (IncrementalMedia.compact _),
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
     "classifier" -> (IncrementalClassifier.compact _),

@@ -36,6 +36,19 @@ object IncrementalMedia {
 
   private val commitTable = "pairs"
 
+  /** Pluggable per-asset signature codecs: the chassis (generations,
+    * block-index probe, tombstones, compaction) is MODALITY-GENERIC —
+    * everything downstream of the signature sees only (name, 64-bit sig)
+    * rows — so a new perceptual modality is one registry entry. The codec
+    * is pinned in the state dir's _CONFIG: a state built under one codec
+    * refuses merges under another (signatures are not comparable across
+    * codecs).
+    */
+  val codecs: Map[String, Array[Byte] => Option[Long]] = Map(
+    "ppm-dhash" -> (bytes => Multimodal.decodePpm(bytes).map(Multimodal.dHash64)),
+    "wav-denergy" -> (bytes =>
+      Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))))
+
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
 
@@ -77,9 +90,12 @@ object IncrementalMedia {
     * Undecodable assets are dropped whole (the m4 reject rule).
     */
   def merge(spark: SparkSession, stateDir: String, newMedia: DataFrame,
-      maxHamming: Int = 3): Int = {
+      maxHamming: Int = 3, codec: String = "ppm-dhash"): Int = {
     import spark.implicits._
-    GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
+    val sigOf = codecs.getOrElse(codec, throw new IllegalArgumentException(
+      s"IncrementalMedia.merge: unknown codec '$codec' — known: ${codecs.keys.toSeq.sorted.mkString(", ")}"))
+    GenState.checkConfig(spark, stateDir,
+      Map("maxHamming" -> maxHamming.toString, "codec" -> codec))
     val live = completeVersions(spark, stateDir)
     val next = live.lastOption.map(_ + 1).getOrElse(0)
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
@@ -90,7 +106,7 @@ object IncrementalMedia {
     newMedia.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (name, bytes) =>
-        Multimodal.decodePpm(bytes).map(img => (name, Multimodal.dHash64(img)))
+        sigOf(bytes).map(sig => (name, sig))
       })
       .toDF("name", "sig")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))

@@ -123,6 +123,63 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(topN)
 
+  /** b4: PROVABLY-EXACT heavy hitters via a Misra-Gries sketch + a
+    * candidate-bounded exact recount — t5's answer with a plan that
+    * survives a distinct-token blow-up. t5's groupBy shuffles one row per
+    * distinct token per mapper; at 100 TB of web text (billions of
+    * distinct tokens, Zipf head) that shuffle IS the job. Here:
+    *
+    *  1. sketch pass: one global [[graft.exprs.MisraGries]] aggregate —
+    *     mergeable, so Spark runs it map-side and ships ≤ capacity
+    *     (token, count) entries per partition, never the token table;
+    *  2. exact pass: recount ONLY the ≤ capacity candidates (broadcast
+    *     semi-join, map-side combine onto ≤ capacity keys), top-N with
+    *     the (n DESC, token) tie-break.
+    *
+    * The result is exact-or-refuse, in-plan: the MG guarantee says any
+    * non-candidate's true count is ≤ total/(capacity+1), so if every
+    * returned row's exact count clears that bound STRICTLY (ties could
+    * lose the tie-break to an unseen token), the top-N provably equals
+    * the full recount — and a row that can't clear it raises instead of
+    * serving a maybe-wrong answer. Both passes read the same exploded
+    * scan; the sketch row also carries the total, so no third pass.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, topN: Int = 20,
+      capacity: Int = 4096): DataFrame =
+    heavyHittersOf(Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("token")), topN, capacity)
+
+  private[graft] def heavyHittersOf(toks: DataFrame, topN: Int,
+      capacity: Int): DataFrame = {
+    import toks.sparkSession.implicits._
+    // the sketch pass runs EAGERLY: its entire result is one model-sized
+    // row (≤ capacity tokens + the scalar total), and evaluating it on
+    // the driver closes the empty-candidate hole a lazy in-plan guard
+    // cannot (AQE's empty-relation propagation would cancel the guard's
+    // job along with the empty join). This is the same collect class as
+    // the persisted-model loads elsewhere — bounded by construction.
+    val first = toks.agg(
+      expr(s"misra_gries(token, $capacity)").as("cands"),
+      count(lit(1)).as("total")).collect()(0)
+    val cands = first.getSeq[String](0)
+    val total = first.getLong(1)
+    require(cands.size >= topN,
+      s"heavy_hitters: only ${cands.size} candidates survived the sketch for a " +
+        s"top-$topN — raise capacity or fall back to the exact groupBy (t5)")
+    toks.join(broadcast(cands.toDF("token")), Seq("token")) // ≤ capacity keys
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topN)
+      .select(col("token"),
+        when(col("n") * (capacity + 1) > lit(total), col("n"))
+          .otherwise(raise_error(concat(
+            lit(s"heavy_hitters: rank-$topN count "), col("n"),
+            lit(s" does not clear the MG bound total/(capacity+1) = $total/${capacity + 1} — "),
+            lit("raise capacity or fall back to the exact groupBy (t5)"))))
+          .as("n"))
+  }
+
   /** TF-IDF: top terms by tf·idf across the corpus. Two aggregations (term
     * frequency per (doc, token); document frequency per token — the df side
     * is tiny after aggregation and broadcasts back). idf = ln(N/df) with N

@@ -191,6 +191,28 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  /** q81: streaming AUDIO near-dup — the wav-denergy codec plugged into
+    * the SAME generational signature chassis as q60 (the chassis is
+    * codec-parametric; the codec is pinned in the state's _CONFIG): each
+    * micro-batch of raw WAV bytes is decoded + delta-energy-fingerprinted
+    * once, probed against the persisted union, appended as a generation;
+    * the drained pair table equals m8's one-shot (the shared golden
+    * oracle). The audio modality thereby runs the full mutation matrix:
+    * one-shot (m8), incremental (d36), streamed (q81), tombstone delete
+    * (d37) and facade purge (Deletes "audio").
+    */
+  def runAudioDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q81_state_").toString)
+    val media = (s: SparkSession, _: String) =>
+      s.read.format("binaryFile").load(graft.ops.Audio.wavFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    drainMerges(spark, dir, files, "q81", media)((b, _) =>
+      graft.ops.IncrementalMedia.merge(b.sparkSession, state, b, codec = "wav-denergy"))
+    graft.ops.IncrementalMedia.pairs(spark, state)
+  }
+
   /** q61: streaming CLASSIFIER TRAINING — online learning as
     * aggregation: each document micro-batch is featurized and its Naive
     * Bayes count partials appended write-only
@@ -428,6 +450,47 @@ object DocumentsStream {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q66_state_").toString)
     drainMerges(spark, dir, files, "q66", Tables.events)((b, id) =>
       graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalView.serve(spark, state)
+  }
+
+  /** q80: streaming CORRECTIONS — q79's retraction semantics under the
+    * q77 two-feed chassis, completing the mutation matrix (ingest /
+    * delete / retract, each batch AND streamed). Events stream in as
+    * q66's keyed merges; then a CORRECTION feed streams in, each row
+    * carrying a misfiled event AS ORIGINALLY INGESTED plus its corrected
+    * event type (null = the event was spurious and is cancelled
+    * outright). Each correction micro-batch becomes two keyed write-only
+    * generations — a retraction of the originals and a merge of the
+    * fixes — so per-trigger cost stays O(|batch|) and re-delivery of
+    * either half is a no-op. The drained serve equals the direct rollup
+    * over the corrected event set for ANY split of either feed:
+    * retractions are signed partials, and the fold's sum is
+    * split-invariant because counts and sums are an abelian group.
+    */
+  def runViewCorrectionAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q80_state_").toString)
+    drainMerges(spark, dir, files, "q80i", Tables.events)((b, id) =>
+      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(s"b$id")))
+    val corrections = (ss: SparkSession, d: String) => {
+      val ev = Tables.events(ss, d)
+      ev.where(col("event_type") === "click" && col("event_id") % 10 === 3)
+        .withColumn("fixed_event_type", lit("view"))
+        .unionByName(
+          ev.where(col("event_type") === "error" && col("event_id") % 17 === 5)
+            .withColumn("fixed_event_type", lit(null).cast("string")))
+    }
+    drainMerges(spark, dir, 2, "q80c", table = corrections) { (b, id) =>
+      val s = b.sparkSession
+      graft.ops.IncrementalView.retract(s, state,
+        b.drop("fixed_event_type"), Some(s"r$id"))
+      graft.ops.IncrementalView.merge(s, state,
+        b.where(col("fixed_event_type").isNotNull)
+          .withColumn("event_type", col("fixed_event_type"))
+          .drop("fixed_event_type"),
+        Some(s"f$id"))
+    }
     graft.ops.IncrementalView.serve(spark, state)
   }
 }

@@ -313,6 +313,18 @@ class DocumentsStreamSpec extends SparkSpec {
       "mid-stream compaction between cluster-delete batches broke the drain")
   }
 
+  test("q80: streamed correction feed serves the corrected rollup, split-invariant vs q79") {
+    // the stream splits the ingest over defaultStreamFiles triggers and the
+    // corrections over 2; q79's batch path uses a 2/1 split. Equal serves
+    // across DIFFERENT splits is the abelian split-invariance claim.
+    val served = DocumentsStream.runViewCorrectionAvailableNow(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = SparkEntry.queries("q79_view_retraction")(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(served == want,
+      "streamed corrections diverged from the batch retraction path")
+  }
+
   test("q57 re-delivery window: duplicated exact-ingest batch is a no-op, counts stay exact") {
     val src = graft.util.TmpDirs.scratch("graft_q57_redel_src_").toString
     val ckpt = graft.util.TmpDirs.scratch("graft_q57_redel_ckpt_").toString
