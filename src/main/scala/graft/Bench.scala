@@ -7,11 +7,12 @@ import scala.util.control.NonFatal
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * emits ONE bare JSON line
-  * `{"value":N,"qu":"ds","queries":{...}}` — `value` is total SECONDS;
-  * per-query values are integer deciseconds (declared by `qu`); the file
-  * line (BENCH_LOCAL.json) keeps the full
+  * `{"value":N,"qu":"ds","q":"q1:8 q2:12 …"}` — `value` is total SECONDS;
+  * `q` packs the per-query values as one string of space-separated
+  * `shortkey:value` tokens, integer deciseconds (declared by `qu`); the
+  * file line (BENCH_LOCAL.json) keeps the full
   * `{"metric","value","unit","passes","queries","min","max","errors","sf"}`
-  * shape in full-precision seconds.
+  * shape with FULL query names in full-precision seconds.
   *
   * Harness notes (round-1/3/4/5 postmortems):
   *   - a warm-up pass runs first so the first timed query does not absorb
@@ -204,11 +205,20 @@ object Bench {
     // BENCH_LOCAL.json at HEAD carries full precision in seconds with the
     // full field set. Values here are still per-query MINS (contention
     // cannot inflate).
+    // byte diet, round 14 part two (the board passed 190 and the +20
+    // canary tripped): the per-query payload is ONE JSON STRING of
+    // space-separated `shortkey:value` tokens — strict JSON still (the
+    // driver json-parses the line), but the two per-key quotes of the
+    // old object form come back (~2 chars × board ≈ 420 at the canary
+    // size). Keys are identifier-shaped by DriverContractSpec's pin, so
+    // the tokenization is unambiguous; the FILE line keeps the plain
+    // `"queries":{full_name: seconds}` object — that is the
+    // cross-round comparison surface, this is only the tail-survivor.
     def render(qunit: String, vfn: Double => String, snip: Int, cap: Int) = {
-      val qs = objJson(stats.map(s => short(s.name) -> vfn(s.min)))
+      val qs = stats.map(s => s"${short(s.name)}:${vfn(s.min)}").mkString(" ")
       val errPart =
         if (errors.isEmpty) "" else s""","errors":${errJson(errors, snip, cap)}"""
-      s"""{"value":${sec2(total)},"qu":"$qunit","queries":$qs$errPart}"""
+      s"""{"value":${sec2(total)},"qu":"$qunit","q":"${esc(qs)}"$errPart}"""
     }
     // the driver keeps only the LAST 2000 chars of stdout: degrade first
     // the error payload, then (a rail that never fires on a healthy
@@ -225,7 +235,7 @@ object Bench {
       // digest, point at the file line for per-query data
       val errPart =
         if (errors.isEmpty) "" else s""","errors":${errJson(errors, 12, 5)}"""
-      s"""{"value":${sec2(total)},"qu":"s","queries":{},""" +
+      s"""{"value":${sec2(total)},"qu":"s","q":"",""" +
         s""""note":"per-query in BENCH_LOCAL.json (line overflow)"$errPart}"""
     }
   }

@@ -50,13 +50,13 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.QStat("d7_clusters", 8.0, 7.5, 50.0),
       Bench.QStat("t3_quality_scores", 1.0, -1.0, 1.0))
     val line = Bench.compactLine(stats, Map.empty, 3, "sf")
-    // per-query values are integer DECISECONDS, self-declared by qunit —
-    // same 0.1 s resolution as the pre-r14 1-dp seconds, ~1.5 chars
-    // shorter per query; the failure sentinel stays -1 regardless of unit
+    // per-query values are integer DECISECONDS, self-declared by qunit,
+    // packed as one `shortkey:value` token string (round-14 diet part
+    // two); the failure sentinel stays -1 regardless of unit
     assert(line.contains(""""qu":"ds""""), s"unit declaration missing: $line")
-    assert(line.contains(""""q1":15"""), line)
-    assert(line.contains(""""d7":75"""), line)
-    assert(line.contains(""""t3":-1"""), line)
+    assert(line.contains("q1:15"), line)
+    assert(line.contains("d7:75"), line)
+    assert(line.contains("t3:-1"), line)
     // the top-level total stays SECONDS (failures excluded from the sum)
     assert(line.contains(""""value":9"""), s"total must sum mins in seconds: $line")
     // the empty errors object is elided (byte diet) — the json stays valid
@@ -70,20 +70,22 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("a pathological all-slow board still fits via the whole-second rail") {
-    // every query at 30 s — absurd for a healthy board (that bench run
-    // takes five hours), but the line must stay parseable: the
+    // every query at 150 s — absurd for a healthy board (that bench run
+    // takes a day), but the line must stay parseable: the
     // value-degradation rail drops per-query resolution to whole seconds
-    val slow = syntheticStats(20).map(s => s.copy(min = 30.0))
+    // (the round-14 token-string diet absorbed the old 30 s case in
+    // deciseconds outright — the rail now engages one severity later)
+    val slow = syntheticStats(20).map(s => s.copy(min = 1500.0))
     val line = Bench.compactLine(slow, Map.empty, 3, "/root/testdata/sf0.1")
     assert(line.length < 1950, s"pathological line is ${line.length} chars")
     assert(line.contains(""""qu":"s""""),
       s"the whole-second rail must declare itself: ${line.take(120)}")
-    // beyond even that (every query 100 s+), the unconditional floor
+    // beyond even that (every query a day+), the unconditional floor
     // keeps the total and points at the file line
-    val absurd = syntheticStats(20).map(s => s.copy(min = 999.9))
+    val absurd = syntheticStats(20).map(s => s.copy(min = 99999.9))
     val floor = Bench.compactLine(absurd, Map.empty, 3, "/root/testdata/sf0.1")
     assert(floor.length < 1950, s"floor line is ${floor.length} chars")
-    assert(floor.contains(""""queries":{}""") && floor.contains("BENCH_LOCAL"), floor)
+    assert(floor.contains("\"q\":\"\"") && floor.contains("BENCH_LOCAL"), floor)
   }
 
   test("stdout errors object is capped with an (omitted) count") {
