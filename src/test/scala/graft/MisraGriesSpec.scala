@@ -89,6 +89,27 @@ class MisraGriesSpec extends SparkSpec {
     assert(merged.get("x") == 5L && merged.get("z") == 1L && !merged.containsKey("y"))
   }
 
+  test("b4 plan shape: sketch aggregates map-side; recount joins broadcast, top-N is TakeOrdered") {
+    import spark.implicits._
+    val toks = (0 until 50).flatMap(i => Seq.fill(i + 1)(s"t$i")).toDF("token")
+    // the sketch phase: partial ObjectHashAggregate per partition, final
+    // merge — the map-side combine IS the scale claim (each mapper ships
+    // <= capacity entries, never its distinct-token set)
+    val sketchPlan = toks.agg(mg("token", 64))
+      .queryExecution.executedPlan.toString
+    assert(sketchPlan.contains("ObjectHashAggregate"), s"no object agg in:\n$sketchPlan")
+    assert("ObjectHashAggregate".r.findAllIn(sketchPlan).size >= 2,
+      s"sketch must aggregate in partial+final phases (map-side combine):\n$sketchPlan")
+    // the recount phase: candidate set joins BROADCAST (model-sized),
+    // top-N runs as TakeOrderedAndProject (no full sort)
+    val served = TextAnalysis.heavyHittersOf(toks, topN = 5, capacity = 64)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast candidate join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"recount must not sort-merge:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+    assert(served.collect().length == 5)
+  }
+
   test("misra_gries is registered for SQL with analysis-time arg checks") {
     import spark.implicits._
     Seq("a", "a", "b").toDF("t").createOrReplaceTempView("mg_in")
