@@ -304,6 +304,30 @@ object SparkEntry {
     // in-plan via the MG bound. Same answer as t5, scale-proof plan.
     "b4_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextAnalysis.heavyHitters(s, d)),
+    // Incremental heavy hitters: per-doc token-count generations
+    // (tokenize once per doc ever), b4's weighted sketch + exact recount
+    // over the folded slim state — split-ingest == one-shot t5/b4.
+    "b5_topk_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_b5_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalTopK.merge(s, state, docs.where(col("doc_id") % 2 === 0), Some("k0"))
+      graft.ops.IncrementalTopK.merge(s, state, docs.where(col("doc_id") % 2 === 1), Some("k1"))
+      graft.ops.IncrementalTopK.topK(s, state)
+    }),
+    // Its streaming drain: micro-batch b5 merges == the same oracle.
+    "q82_stream_topk" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runTopKAvailableNow(s, d)),
+    // Tombstone delete on the top-k state (c15's row-level rule): the
+    // served top-20 over survivors == the one-shot over survivors.
+    "b6_topk_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val state = graft.util.TmpDirs.scratch("graft_b6_state_").toString
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.IncrementalTopK.merge(s, state, docs, Some("k0"))
+      graft.ops.Deletes.tombstone(s, state, "topk",
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      graft.ops.IncrementalTopK.topK(s, state)
+    }),
     "c1_chunking" -> ((s: SparkSession, d: String) => Corpus.chunk(s, d)),
     "c2_hash_sample" -> ((s: SparkSession, d: String) => Corpus.hashSample(s, d)),
     "c3_contamination" -> ((s: SparkSession, d: String) => Corpus.contamination(s, d)),
@@ -1164,6 +1188,9 @@ object SparkEntry {
       // audio split-ingest and its streaming drain == m8's golden pairs
       ("d36_audio_incremental" -> m("m8_wav_near_dup")) +
       ("q81_stream_audio_dedup" -> m("m8_wav_near_dup")) +
+      // top-k split-ingest and its streaming drain == t5's exact top-20
+      ("b5_topk_incremental" -> m("t5_token_freq")) +
+      ("q82_stream_topk" -> m("t5_token_freq")) +
       // audio tombstone delete: tonea.wav's pairs leave the serve
       ("d37_audio_delete" ->
         """SELECT name1, name2, hamming FROM (VALUES
@@ -2574,11 +2601,18 @@ object SparkEntry {
 
     // Heavy hitters: the sketch+recount is provably exact (it raises
     // in-plan otherwise), so the oracle is the direct exact top-20 —
-    // t5's text, deliberately shared.
+    // t5's text, deliberately shared (b5/q82 share it too, via m(...)).
     "b4_heavy_hitters" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // Top-k after a doc-level delete: the direct top-20 over survivors.
+    "b6_topk_delete" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents WHERE doc_id % 7 <> 3)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     // Token-window chunking: same geometry constants as Corpus.chunk.

@@ -35,18 +35,23 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGries(
     child: Expression,
     capacity: Int,
+    weight: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
 
   require(capacity > 0, "misra_gries: capacity must be positive")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = child +: weight.toSeq
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"misra_gries requires a string argument, got ${child.dataType.sql}")
+    else if (weight.exists(w => !Seq[DataType](IntegerType, LongType, ShortType)
+        .contains(w.dataType)))
+      TypeCheckResult.TypeCheckFailure(
+        s"misra_gries weight must be integral, got ${weight.get.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
@@ -59,22 +64,56 @@ case class MisraGries(
       input: InternalRow): java.util.HashMap[String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(key)
-      if (cur != null) buf.put(key, cur + 1L)
-      else if (buf.size < capacity) buf.put(key, 1L)
-      else {
-        // the shared decrement: every tracked count -1, zeros evicted —
-        // O(capacity) but amortized O(1) (each decrement pays for one
-        // prior increment)
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      val w = weight match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case n: Number => n.longValue()
+        }
+      }
+      if (w > 0) {
+        val key = v.asInstanceOf[UTF8String].toString
+        val cur = buf.get(key)
+        if (cur != null) buf.put(key, cur + w)
+        else if (buf.size < capacity) buf.put(key, w)
+        else if (weight.isEmpty) {
+          // classic MG shared decrement: every tracked count -1, zeros
+          // evicted — O(capacity) but amortized O(1) (each decrement pays
+          // for one prior increment)
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        } else {
+          // weighted update = merge with a singleton summary: insert, then
+          // the (capacity+1)-th-largest reduction restores the bound
+          // (every reduction retires offset × (capacity+1) total weight,
+          // so accumulated error stays ≤ N/(capacity+1))
+          buf.put(key, w)
+          reduceToCapacity(buf)
         }
       }
     }
     buf
+  }
+
+  /** Subtract the (capacity+1)-th largest count from all entries and drop
+    * the non-positive — the mergeable-summaries reduction (only called
+    * when the buffer exceeds capacity).
+    */
+  private def reduceToCapacity(buf: java.util.HashMap[String, Long]): Unit = {
+    val counts = new Array[Long](buf.size)
+    var i = 0
+    val vit = buf.values().iterator()
+    while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(counts)
+    val offset = counts(buf.size - capacity - 1) // (capacity+1)-th largest
+    val eit = buf.entrySet().iterator()
+    while (eit.hasNext) {
+      val e = eit.next()
+      if (e.getValue <= offset) eit.remove() else e.setValue(e.getValue - offset)
+    }
   }
 
   override def merge(buf: java.util.HashMap[String, Long],
@@ -85,21 +124,9 @@ case class MisraGries(
       val cur = buf.get(e.getKey)
       buf.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
     }
-    if (buf.size > capacity) {
-      // subtract the (capacity+1)-th largest count from all, drop <= 0:
-      // the summed error plus this offset stays within the merged bound
-      val counts = new Array[Long](buf.size)
-      var i = 0
-      val vit = buf.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val offset = counts(buf.size - capacity - 1) // (capacity+1)-th largest
-      val eit = buf.entrySet().iterator()
-      while (eit.hasNext) {
-        val e = eit.next()
-        if (e.getValue <= offset) eit.remove() else e.setValue(e.getValue - offset)
-      }
-    }
+    // subtract the (capacity+1)-th largest count from all, drop <= 0:
+    // the summed error plus this offset stays within the merged bound
+    if (buf.size > capacity) reduceToCapacity(buf)
     buf
   }
 
@@ -150,19 +177,26 @@ case class MisraGries(
   override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
-    copy(child = newChildren.head)
+    copy(child = newChildren.head,
+      weight = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
 
 object MisraGries {
-  /** Registration triple for SparkSessionExtensions.injectFunction. */
+  /** Registration triple for SparkSessionExtensions.injectFunction:
+    * `misra_gries(col, capacity)` counts rows; `misra_gries(col, weight,
+    * capacity)` counts pre-aggregated weights (the incremental-state form,
+    * where the input is already a (token, n) partial table).
+    */
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (cs: Seq[Expression]) => {
-        if (cs.length != 2) throw new IllegalArgumentException(
-          s"misra_gries expects exactly 2 arguments (column, capacity), got ${cs.length}")
-        if (!cs(1).foldable) throw new IllegalArgumentException(
+        if (cs.length != 2 && cs.length != 3) throw new IllegalArgumentException(
+          s"misra_gries expects (column, capacity) or (column, weight, capacity), got ${cs.length} args")
+        if (!cs.last.foldable) throw new IllegalArgumentException(
           "misra_gries: capacity must be a constant")
-        MisraGries(cs.head, cs(1).eval().asInstanceOf[Number].intValue())
+        val cap = cs.last.eval().asInstanceOf[Number].intValue()
+        MisraGries(cs.head, cap,
+          weight = if (cs.length == 3) Some(cs(1)) else None)
       })
 }

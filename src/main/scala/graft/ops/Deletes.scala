@@ -2,13 +2,13 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-call right-to-be-forgotten facade over the fourteen stateful
+/** One-call right-to-be-forgotten facade over the fifteen stateful
   * modalities' tombstone deletes. Every modality shares the same
   * semantics — write a tombstone generation, shadow at read, purge at
   * compact, revive on re-ingest — but each has its own entry point and id
   * column; this dispatcher normalizes both, so a GDPR sweep over a
   * multi-modality corpus is ONE loop over (stateDir, modality) pairs
-  * instead of fourteen call sites.
+  * instead of fifteen call sites.
   *
   * `ids` must be a single-column DataFrame; the column is renamed to
   * whatever the target modality stores (doc_id / vec_id / name), so the
@@ -33,7 +33,8 @@ object Deletes {
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
     "classifier" -> (("doc_id", IncrementalClassifier.delete _)),
-    "card" -> (("doc_id", IncrementalCard.delete _)))
+    "card" -> (("doc_id", IncrementalCard.delete _)),
+    "topk" -> (("doc_id", IncrementalTopK.delete _)))
 
   /** Tombstone `ids` in the state dir of one `modality`. Returns the new
     * tombstone generation. Unknown modalities fail fast with the known
@@ -78,7 +79,8 @@ object Deletes {
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
     "classifier" -> (IncrementalClassifier.compact _),
-    "card" -> (IncrementalCard.compact _))
+    "card" -> (IncrementalCard.compact _),
+    "topk" -> (IncrementalTopK.compact _))
 
   /** Tombstone AND physically erase: a tombstone alone only shadows —
     * the deleted bytes leave disk at the modality's compact (every

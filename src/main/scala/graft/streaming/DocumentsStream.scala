@@ -191,6 +191,22 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  /** q82: streaming HEAVY HITTERS — b5's merge under the chassis: each
+    * document micro-batch is tokenized once and its per-doc token counts
+    * appended as a write-only generation (batch-keyed, so re-delivery is
+    * exactly-once — a duplicated count generation would double every
+    * affected token); the drained serve runs b4's sketch + exact recount
+    * over the slim folded state, never the corpus, and equals t5's
+    * one-shot top-20 (the shared exact oracle).
+    */
+  def runTopKAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q82_state_").toString)
+    drainMerges(spark, dir, files, "q82")((b, id) =>
+      graft.ops.IncrementalTopK.merge(b.sparkSession, state, b, Some(s"b$id")))
+    graft.ops.IncrementalTopK.topK(spark, state)
+  }
+
   /** q81: streaming AUDIO near-dup — the wav-denergy codec plugged into
     * the SAME generational signature chassis as q60 (the chassis is
     * codec-parametric; the codec is pinned in the state's _CONFIG): each
