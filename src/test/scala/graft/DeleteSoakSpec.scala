@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IncrementalCard, IncrementalExact, TextAnalysis}
+import graft.ops.{IncrementalCard, IncrementalExact, IncrementalTopK, TextAnalysis}
 
 /** Randomized (seed-pinned) SOAK over the delete protocol: a scripted
   * interleaving of merge / tombstone / re-ingest / no-op-delete /
@@ -41,6 +41,14 @@ class DeleteSoakSpec extends SparkSpec {
   private def oneShotCard(live: Seq[Long]) =
     sortedRows(TextAnalysis.cardOf(TextAnalysis.cardDocStats(toDf(live))))
 
+  // the soak corpus has ~17 distinct tokens, all high-frequency, so a
+  // 64-capacity sketch tracks exactly and a top-5 is always provable
+  private def oneShotTopK(live: Seq[Long]) = sortedRows(
+    toDf(live)
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(5))
+
   // extra soak seeds opt-in (e.g. GRAFT_SOAK_SEEDS=1,2,3 for a longer
   // hunt); the default single seed keeps the suite fast while the walk
   // machinery stays exercised on every run. The step-mix RICHNESS guard
@@ -52,7 +60,7 @@ class DeleteSoakSpec extends SparkSpec {
       .map(_.split(',').toSeq.map(s => (s.trim.toInt, false)))
       .getOrElse(Seq((default, true)))
 
-  test("soak: random merge/delete/re-ingest/compact interleavings stay exact on both modalities") {
+  test("soak: random merge/delete/re-ingest/compact interleavings stay exact on the subtractive modalities") {
     soakSeeds(42).foreach { case (s, strict) => subtractiveWalk(s, strict) }
   }
 
@@ -60,6 +68,7 @@ class DeleteSoakSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val exactState = graft.util.TmpDirs.scratch(s"graft_soak_exact_${seed}_").toString
     val cardState = graft.util.TmpDirs.scratch(s"graft_soak_card_${seed}_").toString
+    val topkState = graft.util.TmpDirs.scratch(s"graft_soak_topk_${seed}_").toString
 
     var nextId = 0L
     var live = Seq.empty[Long]     // ids currently ingested and not deleted
@@ -71,6 +80,7 @@ class DeleteSoakSpec extends SparkSpec {
     def mergeBoth(ids: Seq[Long]): Unit = {
       IncrementalExact.merge(spark, exactState, toDf(ids), Some(s"b$batch"))
       IncrementalCard.merge(spark, cardState, toDf(ids), Some(s"b$batch"))
+      IncrementalTopK.merge(spark, topkState, toDf(ids), Some(s"b$batch"))
       batch += 1
     }
     def deleteBoth(ids: Seq[Long]): Unit = {
@@ -78,6 +88,7 @@ class DeleteSoakSpec extends SparkSpec {
       val df = ids.toDF("doc_id")
       IncrementalExact.delete(spark, exactState, df)
       IncrementalCard.delete(spark, cardState, df)
+      IncrementalTopK.delete(spark, topkState, df)
     }
 
     // seed state: two disjoint batches
@@ -92,6 +103,7 @@ class DeleteSoakSpec extends SparkSpec {
       if (step % 5 == 4) {
         IncrementalExact.compact(spark, exactState)
         IncrementalCard.compact(spark, cardState)
+        IncrementalTopK.compact(spark, topkState)
       } else rnd.nextInt(6) match {
         case 0 => // fresh-ingest a new batch
           val n = 4 + rnd.nextInt(8)
@@ -115,6 +127,10 @@ class DeleteSoakSpec extends SparkSpec {
         s"exact modality diverged at soak seed $seed step $step (live=${live.sorted})")
       assert(sortedRows(IncrementalCard.serve(spark, cardState)) == oneShotCard(live),
         s"card modality diverged at soak seed $seed step $step (live=${live.sorted})")
+      if (live.nonEmpty)
+        assert(sortedRows(IncrementalTopK.topK(spark, topkState, topN = 5, capacity = 64)) ==
+          oneShotTopK(live),
+          s"topk modality diverged at soak seed $seed step $step (live=${live.sorted})")
     }
     // the walk must actually have exercised deletion and revival (with
     // seed 42 it does both several times — every delete also happened to
