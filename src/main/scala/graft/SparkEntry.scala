@@ -786,6 +786,15 @@ object SparkEntry {
     // Hamming candidates -> exact bit_count verify (golden-VALUES oracle).
     "m8_wav_near_dup" -> ((s: SparkSession, d: String) =>
       graft.ops.Audio.wavNearDup(s, d)),
+    // Video modality, real codec: YUV4MPEG2 raw-video decode over
+    // checked-in fixtures, exact integer luma stats (golden-VALUES
+    // oracle from the independent reference in tools/gen_y4m_fixtures.py).
+    "m9_y4m_decode" -> graft.ops.Video.y4mDecode _,
+    // Video perceptual near-dup: 4 evenly-sampled luma frames -> per-frame
+    // dHash -> frame-axis blocked-Hamming candidates -> exact summed
+    // bit_count verify (re-wrap and luma lift land at 0; golden-VALUES).
+    "m10_video_near_dup" -> ((s: SparkSession, d: String) =>
+      graft.ops.Video.videoNearDup(s, d)),
     // The orbit row of the incremental media matrix: originals ingested
     // first, transformed copies in a second merge — every golden pair is
     // discovered cross-batch (or new-new) at its newer member's merge.
@@ -3055,6 +3064,36 @@ object SparkEntry {
         |  ('tonea.wav', 'tonea_gain.wav', CAST(0 AS INT)),
         |  ('tonea_click.wav', 'tonea_gain.wav', CAST(1 AS INT)),
         |  ('toneb.wav', 'toneb_stereo.wav', CAST(0 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
+
+    // Video decode: golden VALUES from tools/gen_y4m_fixtures.py's
+    // independent reference decoder (exact luma sums; corrupt.y4m is
+    // truncated mid-frame and must reject whole).
+    "m9_y4m_decode" ->
+      """SELECT name, width, height, n_frames, sum_luma
+        |FROM (VALUES
+        |  ('corrupt.y4m', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT)),
+        |  ('vida.y4m', CAST(48 AS INT), CAST(32 AS INT), CAST(12 AS INT), CAST(2355144 AS BIGINT)),
+        |  ('vida_bright.y4m', CAST(48 AS INT), CAST(32 AS INT), CAST(12 AS INT), CAST(2499905 AS BIGINT)),
+        |  ('vida_recode.y4m', CAST(48 AS INT), CAST(32 AS INT), CAST(12 AS INT), CAST(2355144 AS BIGINT)),
+        |  ('vida_retouch.y4m', CAST(48 AS INT), CAST(32 AS INT), CAST(12 AS INT), CAST(2355806 AS BIGINT)),
+        |  ('vidb.y4m', CAST(48 AS INT), CAST(32 AS INT), CAST(12 AS INT), CAST(2349987 AS BIGINT))
+        |) AS t(name, width, height, n_frames, sum_luma)
+        |ORDER BY name""".stripMargin,
+
+    // Video near-dup: golden VALUES from the reference 4-frame signature
+    // (vida_recode = re-wrapped container, distance 0; vida_bright =
+    // uniform luma lift, 0; vida_retouch = one sampled frame retouched,
+    // 2; vidb unrelated at ~100 — correctly absent).
+    "m10_video_near_dup" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('vida.y4m', 'vida_bright.y4m', CAST(0 AS INT)),
+        |  ('vida.y4m', 'vida_recode.y4m', CAST(0 AS INT)),
+        |  ('vida.y4m', 'vida_retouch.y4m', CAST(2 AS INT)),
+        |  ('vida_bright.y4m', 'vida_recode.y4m', CAST(0 AS INT)),
+        |  ('vida_bright.y4m', 'vida_retouch.y4m', CAST(2 AS INT)),
+        |  ('vida_recode.y4m', 'vida_retouch.y4m', CAST(2 AS INT))
         |) AS t(name1, name2, hamming)
         |ORDER BY name1, name2""".stripMargin,
 

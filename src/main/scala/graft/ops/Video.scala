@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-video decode stats (m9): None columns = the payload failed to
+  * decode (truncated mid-frame / malformed header / unsupported chroma —
+  * rejected whole, the m4/m7 rule on the video modality).
+  */
+case class Y4mStats(name: String, width: Option[Int], height: Option[Int],
+  n_frames: Option[Int], sum_luma: Option[Long])
+
+/** The video column of the multimodal matrix: Y4M (YUV4MPEG2) as the
+  * pure-JVM REAL codec — the video analog of [[Multimodal.decodePpm]]
+  * and [[Audio.decodeWav]]. Y4M is the raw-video interchange format
+  * (an ASCII parameter line, then per frame an ASCII FRAME line plus raw
+  * planar YUV bytes), i.e. exactly what a decode-once staging step in a
+  * large video pipeline emits; compressed containers (MP4/WebM) swap
+  * into the same per-partition codec-init point.
+  *
+  * m9 decodes the checked-in fixtures to exact integer stats. m10
+  * reduces each video to a 4-frame perceptual signature — the dHash of
+  * 4 evenly-sampled luma frames (the m5 kernel with r=g=b=Y) — and
+  * finds near-dups with the blocked-Hamming geometry extended by a
+  * frame axis: candidates share an exact 16-bit block of the SAME
+  * sampled frame. Pigeonhole recall: total distance ≤ 6 over 4 frames
+  * forces some frame at Hamming ≤ 1, and that frame shares a block. A
+  * re-wrapped copy (same frames, different container parameters) and a
+  * uniform luma lift are distance 0; a single-frame retouch costs only
+  * that frame's bits — the re-encoded/re-graded copies exact hashing
+  * (m3's sha256) misses on video.
+  *
+  * Scale shape: frame bytes never shuffle — videos decode split-parallel
+  * where they land and only (name, 4×64-bit) rows move; the candidate
+  * join carries a 16-rows-per-video block index (4 frames × 4 blocks),
+  * corpus-independent like d17/m5/m8.
+  *
+  * Fixture reference: tools/gen_y4m_fixtures.py (independent Python
+  * decode + signature; the golden-VALUES oracles come from it).
+  */
+object Video {
+
+  /** Decoded raw video: dimensions, frame rate, and the luma plane of
+    * every frame (chroma is validated present but not retained — every
+    * downstream consumer here is luma-based).
+    */
+  case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+    lumaFrames: Array[Array[Byte]])
+
+  /** REAL video decoder: the YUV4MPEG2 container — `YUV4MPEG2 W.. H..
+    * F..:.. [Ip A..] [C420*]` header line, then per frame `FRAME[ params]`
+    * + w·h luma + 2·(w/2)·(h/2) chroma bytes (C420 subsampling, the
+    * format's default; anything else rejects). Truncated frames, missing
+    * required parameters, or a malformed FRAME line reject the payload
+    * whole.
+    */
+  def decodeY4m(payload: Array[Byte]): Option[Y4mVideo] = {
+    val n = payload.length
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < n && payload(i) != '\n') i += 1
+      i
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd >= n) return None
+    val header = new String(payload, 0, hEnd, java.nio.charset.StandardCharsets.US_ASCII)
+    val parts = header.split(' ')
+    if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var chroma = "420jpeg"
+    parts.drop(1).foreach { p =>
+      if (p.nonEmpty) p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => p.drop(1).split(':') match {
+          case Array(a, b) =>
+            fn = a.toIntOption.getOrElse(-1); fd = b.toIntOption.getOrElse(-1)
+          case _ =>
+        }
+        case 'C' => chroma = p.drop(1)
+        case _ => // Ip/A../X.. parameters: valid, irrelevant here
+      }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !chroma.startsWith("420") ||
+      w.toLong * h > (100 << 20)) return None
+    val frameSize = w * h + 2 * ((w / 2) * (h / 2))
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = hEnd + 1
+    while (i < n) {
+      val fEnd = lineEnd(i)
+      if (fEnd >= n) return None
+      val fLine = new String(payload, i, fEnd - i, java.nio.charset.StandardCharsets.US_ASCII)
+      if (fLine != "FRAME" && !fLine.startsWith("FRAME ")) return None
+      val body = fEnd + 1
+      if (body + frameSize > n) return None // truncated frame: reject whole
+      frames += java.util.Arrays.copyOfRange(payload, body, body + w * h)
+      i = body + frameSize
+    }
+    if (frames.isEmpty) None
+    else Some(Y4mVideo(w, h, fn, fd, frames.toArray))
+  }
+
+  /** The dHash of one luma frame: the m5 kernel verbatim on a gray
+    * raster (r=g=b=Y — the 299/587/114 weights collapse to 1000·Y, so
+    * cell ordering is the luma box-average's).
+    */
+  private[graft] def frameHash(w: Int, h: Int, luma: Array[Byte]): Long = {
+    val px = new Array[Byte](luma.length * 3)
+    var i = 0
+    while (i < luma.length) {
+      px(3 * i) = luma(i); px(3 * i + 1) = luma(i); px(3 * i + 2) = luma(i)
+      i += 1
+    }
+    Multimodal.dHash64(PpmImage(w, h, 255, px))
+  }
+
+  /** The 4-frame perceptual signature: dHash of frames floor(j·n/4),
+    * j = 0..3 — evenly sampled, so a re-wrapped copy with identical
+    * frames samples identically.
+    */
+  private[graft] def signature(v: Y4mVideo): Array[Long] = {
+    val nf = v.lumaFrames.length
+    Array.tabulate(4)(j => frameHash(v.width, v.height, v.lumaFrames(j * nf / 4)))
+  }
+
+  /** Checked-in Y4M fixtures (tools/gen_y4m_fixtures.py): a gradient
+    * video, its re-wrapped copy (extra container/frame parameters, same
+    * frames), a uniform luma lift, a single-sampled-frame retouch, an
+    * unrelated video, and a mid-frame truncation. Engine-shipped on the
+    * classpath, extracted once per JVM ([[Multimodal.ppmFixtureDir]]).
+    */
+  private val y4mFixtureNames = Seq("corrupt.y4m", "vida.y4m", "vida_bright.y4m",
+    "vida_recode.y4m", "vida_retouch.y4m", "vidb.y4m")
+
+  lazy val y4mFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_y4m_fixtures_")
+    y4mFixtureNames.foreach { nm =>
+      val in = getClass.getResourceAsStream(s"/y4m/$nm")
+      require(in != null, s"classpath resource /y4m/$nm missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(nm)) finally in.close()
+    }
+    dir.toString
+  }
+
+  /** m9: decode real video bytes partition-parallel, reduce each to
+    * exact integer stats. Frame blobs never shuffle.
+    */
+  def y4mDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(y4mFixtureDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        // per-partition codec init point (an MP4 demuxer would be
+        // constructed here, once, not per record)
+        files.map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          decodeY4m(bytes) match {
+            case Some(v) =>
+              var sum = 0L
+              v.lumaFrames.foreach { f =>
+                var i = 0
+                while (i < f.length) { sum += f(i) & 0xff; i += 1 }
+              }
+              Y4mStats(name, Some(v.width), Some(v.height),
+                Some(v.lumaFrames.length), Some(sum))
+            case None => Y4mStats(name, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("name"))
+  }
+
+  /** Decoded (name, frame_no, sig) rows of the 4-frame signatures —
+    * corrupt payloads drop by the whole-asset reject.
+    */
+  private[graft] def videoSigs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(y4mFixtureDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        decodeY4m(bytes).toSeq.flatMap { v =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          signature(v).zipWithIndex.map { case (sig, j) => (name, j, sig) }
+        }
+      })
+      .toDF("name", "frame_no", "sig")
+  }
+
+  /** m10: perceptual near-dup on the video modality — candidates share
+    * an exact 16-bit block of the SAME sampled frame (total recall for
+    * total distance ≤ 6 by the pigeonhole above), verified by the exact
+    * per-frame bit_count sum.
+    */
+  def videoNearDup(spark: SparkSession, dir: String, maxTotal: Int = 6): DataFrame = {
+    val sigs = videoSigs(spark)
+    val blocks = sigs.select(col("name"), col("frame_no"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("blk"))
+      .select(col("name"), col("frame_no"), col("sig"),
+        col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+    val candidates = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.frame_no") === col("b.frame_no") &&
+          col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name1"), col("b.name").as("name2"))
+      .dropDuplicates("name1", "name2")
+    // exact verify: per-frame XOR bit counts summed across the 4 sampled
+    // frames — frame rows re-joined per candidate pair (16 tiny rows each)
+    val perFrame = candidates
+      .join(sigs.select(col("name").as("name1"), col("frame_no"),
+        col("sig").as("sig1")), Seq("name1"))
+      .join(sigs.select(col("name").as("name2"), col("frame_no"),
+        col("sig").as("sig2")), Seq("name2", "frame_no"))
+      .select(col("name1"), col("name2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("int").as("d"))
+    perFrame.groupBy(col("name1"), col("name2"))
+      .agg(sum(col("d")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxTotal)
+      .orderBy(col("name1"), col("name2"))
+  }
+}
