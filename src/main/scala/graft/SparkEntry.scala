@@ -856,6 +856,37 @@ object SparkEntry {
     // Its streaming drain: micro-batch d36 merges == the same oracle.
     "q81_stream_audio_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runAudioDedupAvailableNow(s, d)),
+    // The VIDEO column of the incremental matrix: the y4m-framehash
+    // codec in the multi-row-signature chassis (4 rows per asset,
+    // summed-Hamming verify) — originals first, copies second; == m10's
+    // one-shot pair table (shared golden oracle).
+    "d38_video_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d38_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Video.y4mFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(!col("name").contains("_")), maxHamming = 6, codec = "y4m-framehash")
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name").contains("_")), maxHamming = 6, codec = "y4m-framehash")
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
+    // Its streaming drain: micro-batch d38 merges == the same oracle.
+    "q83_stream_video_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runVideoDedupAvailableNow(s, d)),
+    // Tombstone delete on the video modality (codec-agnostic chassis):
+    // delete vida.y4m, its pairs leave the serve.
+    "d39_video_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val state = graft.util.TmpDirs.scratch("graft_d39_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Video.y4mFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media,
+        maxHamming = 6, codec = "y4m-framehash")
+      graft.ops.Deletes.tombstone(s, state, "video", Seq("vida.y4m").toDF("name"))
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
     // Tombstone delete on the audio modality (d33's string-keyed
     // protocol, unchanged — the chassis is codec-agnostic downstream of
     // the signature): delete tonea.wav, its pairs leave the serve.
@@ -1200,6 +1231,17 @@ object SparkEntry {
       // top-k split-ingest and its streaming drain == t5's exact top-20
       ("b5_topk_incremental" -> m("t5_token_freq")) +
       ("q82_stream_topk" -> m("t5_token_freq")) +
+      // video split-ingest and its streaming drain == m10's golden pairs
+      ("d38_video_incremental" -> m("m10_video_near_dup")) +
+      ("q83_stream_video_dedup" -> m("m10_video_near_dup")) +
+      // video tombstone delete: vida.y4m's pairs leave the serve
+      ("d39_video_delete" ->
+        """SELECT name1, name2, hamming FROM (VALUES
+          |  ('vida_bright.y4m', 'vida_recode.y4m', CAST(0 AS INT)),
+          |  ('vida_bright.y4m', 'vida_retouch.y4m', CAST(2 AS INT)),
+          |  ('vida_recode.y4m', 'vida_retouch.y4m', CAST(2 AS INT))
+          |) AS t(name1, name2, hamming)
+          |ORDER BY name1, name2""".stripMargin) +
       // audio tombstone delete: tonea.wav's pairs leave the serve
       ("d37_audio_delete" ->
         """SELECT name1, name2, hamming FROM (VALUES

@@ -2,13 +2,13 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-call right-to-be-forgotten facade over the fifteen stateful
+/** One-call right-to-be-forgotten facade over the sixteen stateful
   * modalities' tombstone deletes. Every modality shares the same
   * semantics — write a tombstone generation, shadow at read, purge at
   * compact, revive on re-ingest — but each has its own entry point and id
   * column; this dispatcher normalizes both, so a GDPR sweep over a
   * multi-modality corpus is ONE loop over (stateDir, modality) pairs
-  * instead of fifteen call sites.
+  * instead of sixteen call sites.
   *
   * `ids` must be a single-column DataFrame; the column is renamed to
   * whatever the target modality stores (doc_id / vec_id / name), so the
@@ -30,6 +30,7 @@ object Deletes {
     // the audio modality rides the codec-parametric media chassis: the
     // delete/compact path is codec-agnostic, so the alias is the contract
     "audio" -> (("name", IncrementalMedia.delete _)),
+    "video" -> (("name", IncrementalMedia.delete _)),
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
     "classifier" -> (("doc_id", IncrementalClassifier.delete _)),
@@ -76,6 +77,7 @@ object Deletes {
     "ivfpq" -> (IncrementalIvfPq.compact _),
     "media" -> (IncrementalMedia.compact _),
     "audio" -> (IncrementalMedia.compact _),
+    "video" -> (IncrementalMedia.compact _),
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
     "classifier" -> (IncrementalClassifier.compact _),

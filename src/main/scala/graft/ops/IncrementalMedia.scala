@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * 100 TB asset store never re-decodes old media. State per generation
   * (the d20 two-table skeleton, commit on `pairs`):
   *
-  *   - `vN/sigs`: batch N's (name, sig) — each asset decoded and reduced
+  *   - `vN/sigs`: batch N's (name, frame_no, sig) rows — each asset decoded and reduced
   *     to its 64-bit [[Multimodal.dHash64]] exactly once, at its own
   *     ingest; payload blobs never enter the state;
   *   - `vN/pairs`: the NEW-involving verified near-dup pairs of the
@@ -38,16 +38,25 @@ object IncrementalMedia {
 
   /** Pluggable per-asset signature codecs: the chassis (generations,
     * block-index probe, tombstones, compaction) is MODALITY-GENERIC —
-    * everything downstream of the signature sees only (name, 64-bit sig)
-    * rows — so a new perceptual modality is one registry entry. The codec
-    * is pinned in the state dir's _CONFIG: a state built under one codec
-    * refuses merges under another (signatures are not comparable across
-    * codecs).
+    * everything downstream of the signature sees only (name, frame_no,
+    * 64-bit sig) rows — so a new perceptual modality is one registry
+    * entry. A codec returns the asset's signature ROWS: one for the
+    * single-signature modalities (frame_no 0), one per sampled frame for
+    * video — the pair distance is the SUM of per-frame Hammings, which
+    * collapses to the plain Hamming in the single-row case, so the video
+    * axis costs the scalar modalities nothing. The codec is pinned in
+    * the state dir's _CONFIG: a state built under one codec refuses
+    * merges under another (signatures are not comparable across codecs).
     */
-  val codecs: Map[String, Array[Byte] => Option[Long]] = Map(
-    "ppm-dhash" -> (bytes => Multimodal.decodePpm(bytes).map(Multimodal.dHash64)),
+  val codecs: Map[String, Array[Byte] => Seq[(Int, Long)]] = Map(
+    "ppm-dhash" -> (bytes =>
+      Multimodal.decodePpm(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "wav-denergy" -> (bytes =>
-      Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))))
+      Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))
+        .map(sig => (0, sig)).toSeq),
+    "y4m-framehash" -> (bytes =>
+      Video.decodeY4m(bytes).toSeq.flatMap(v =>
+        Video.signature(v).zipWithIndex.map { case (sig, j) => (j, sig) })))
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -58,31 +67,46 @@ object IncrementalMedia {
   private def sigsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sigs"
   private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
-  /** The 4×16-bit exact-block index of a signature table (d17 geometry). */
+  /** The 4×16-bit exact-block index of a signature table (d17 geometry,
+    * per signature row — the frame axis rides along).
+    */
   private def blocksOf(sigs: DataFrame): DataFrame =
-    sigs.select(col("name"), col("sig"),
+    sigs.select(col("name"), col("frame_no"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
         .as("blk"))
-      .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+      .select(col("name"), col("frame_no"), col("sig"),
+        col("blk.bno").as("bno"), col("blk.bv").as("bv"))
 
   /** The new-involving verified pairs of one merge: the batch's blocks
-    * against the full persisted union, both orientations admitted then
-    * normalized to name1 < name2; new-new pairs arrive twice and dedup
-    * away. Lazy — [[merge]] executes it.
+    * against the full persisted union (same sampled frame, same exact
+    * block — pigeonhole recall whenever floor(maxHamming / n_frames) ≤ 3,
+    * which covers both the scalar maxHamming=3 and the video
+    * maxHamming=6 defaults), both orientations admitted then normalized
+    * to name1 < name2; new-new pairs arrive twice and dedup away. The
+    * verify is the SUM of per-frame bit_counts, re-joined from both
+    * members' signature rows. Lazy — [[merge]] executes it.
     */
   private[graft] def candidatePairs(newSigs: DataFrame, allSigs: DataFrame,
-      maxHamming: Int): DataFrame =
-    blocksOf(newSigs).as("a")
+      maxHamming: Int): DataFrame = {
+    val cands = blocksOf(newSigs).as("a")
       .join(blocksOf(allSigs).as("b"),
-        col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+        col("a.frame_no") === col("b.frame_no") &&
+          col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
           col("a.name") =!= col("b.name"))
       .select(
         least(col("a.name"), col("b.name")).as("name1"),
-        greatest(col("a.name"), col("b.name")).as("name2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+        greatest(col("a.name"), col("b.name")).as("name2"))
       .dropDuplicates("name1", "name2")
+    cands
+      .join(allSigs.select(col("name").as("name1"), col("frame_no"),
+        col("sig").as("sig1")), Seq("name1"))
+      .join(allSigs.select(col("name").as("name2"), col("frame_no"),
+        col("sig").as("sig2")), Seq("name2", "frame_no"))
+      .groupBy(col("name1"), col("name2"))
+      .agg(sum(bit_count(col("sig1").bitwiseXOR(col("sig2")))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Ingest one media batch — a (name, content) DataFrame of raw asset
     * bytes, names disjoint from prior ingests: decode + dHash the batch
@@ -106,9 +130,9 @@ object IncrementalMedia {
     newMedia.select(col("name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (name, bytes) =>
-        sigOf(bytes).map(sig => (name, sig))
+        sigOf(bytes).map { case (j, sig) => (name, j, sig) }
       })
-      .toDF("name", "sig")
+      .toDF("name", "frame_no", "sig")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
@@ -198,7 +222,7 @@ object IncrementalMedia {
      else LabelState.purgeByGen(tombs,
        versions.map(v => (v, spark.read.parquet(sigsPath(stateDir, v)))),
        Seq("name")))
-      .dropDuplicates("name")
+      .dropDuplicates("name", "frame_no")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)

@@ -191,6 +191,29 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  /** q83: streaming VIDEO near-dup — the y4m-framehash codec in the same
+    * multi-row signature chassis as q60/q81 (4 signature rows per asset,
+    * one per sampled frame; the pair distance is the per-frame Hamming
+    * sum): each micro-batch of raw Y4M bytes is decoded + signed once,
+    * frame-blocks probed against the persisted union, appended as a
+    * generation; the drained pair table equals m10's one-shot (the
+    * shared golden oracle). Video thereby joins the mutation matrix:
+    * one-shot (m10), incremental (d38), streamed (q83), tombstone delete
+    * (d39) and facade purge (Deletes "video").
+    */
+  def runVideoDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q83_state_").toString)
+    val media = (s: SparkSession, _: String) =>
+      s.read.format("binaryFile").load(graft.ops.Video.y4mFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    drainMerges(spark, dir, files, "q83", media)((b, _) =>
+      graft.ops.IncrementalMedia.merge(b.sparkSession, state, b,
+        maxHamming = 6, codec = "y4m-framehash"))
+    graft.ops.IncrementalMedia.pairs(spark, state)
+  }
+
   /** q82: streaming HEAVY HITTERS — b5's merge under the chassis: each
     * document micro-batch is tokenized once and its per-doc token counts
     * appended as a write-only generation (batch-keyed, so re-delivery is

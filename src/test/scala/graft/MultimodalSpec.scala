@@ -121,7 +121,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got(state) == want)
     // decode happens at ingest only: sigs state never stores payloads
     val sigCols = spark.read.parquet(s"$state/v$v/sigs").columns.toSeq
-    assert(sigCols == Seq("name", "sig"), s"sigs generation carries extra columns: $sigCols")
+    assert(sigCols == Seq("name", "frame_no", "sig"),
+      s"sigs generation carries extra columns: $sigCols")
 
     // d33: tombstone a member — its incident pairs drop; survivors keep
     import spark.implicits._

@@ -105,6 +105,62 @@ class VideoSpec extends SparkSpec {
     assert(decoded > 0 && decoded < 300, "fuzz must exercise both outcomes")
   }
 
+  private def fixtureMedia = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile").load(Video.y4mFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+  }
+
+  private def goldenPairs = Seq(
+    ("vida.y4m", "vida_bright.y4m", 0),
+    ("vida.y4m", "vida_recode.y4m", 0),
+    ("vida.y4m", "vida_retouch.y4m", 2),
+    ("vida_bright.y4m", "vida_recode.y4m", 0),
+    ("vida_bright.y4m", "vida_retouch.y4m", 2),
+    ("vida_recode.y4m", "vida_retouch.y4m", 2))
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+
+  test("d38: video split-ingest == m10's one-shot through the multi-row-sig chassis") {
+    import org.apache.spark.sql.functions.col
+    val state = graft.util.TmpDirs.scratch("graft_d38_spec_").toString
+    val media = fixtureMedia
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(!col("name").contains("_")), maxHamming = 6, codec = "y4m-framehash")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(col("name").contains("_")), maxHamming = 6, codec = "y4m-framehash")
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) == goldenPairs)
+    // the state stores 4 signature rows per decodable asset, never frames
+    val live = graft.ops.IncrementalMedia.completeVersions(spark, state)
+    val sigRows = spark.read.parquet(live.map(v => s"$state/v$v/sigs"): _*)
+    assert(sigRows.count() == 5 * 4, "expected 4 signature rows per decoded video")
+  }
+
+  test("d39: video tombstone shadows, facade purge erases, re-ingest revives") {
+    import spark.implicits._
+    val state = graft.util.TmpDirs.scratch("graft_d39_spec_").toString
+    val media = fixtureMedia
+    graft.ops.IncrementalMedia.merge(spark, state, media,
+      maxHamming = 6, codec = "y4m-framehash")
+    graft.ops.Deletes.tombstone(spark, state, "video", Seq("vida.y4m").toDF("name"))
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) ==
+      goldenPairs.filterNot(p => p._1 == "vida.y4m" || p._2 == "vida.y4m"))
+    graft.ops.Deletes.purge(spark, state, "video", Seq("vida.y4m").toDF("name"))
+    val live = graft.ops.IncrementalMedia.completeVersions(spark, state)
+    val sigNames = spark.read.parquet(live.map(v => s"$state/v$v/sigs"): _*)
+      .select("name").as[String].collect().toSet
+    assert(!sigNames.contains("vida.y4m"), "purge must erase all 4 signature rows")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where($"name" === "vida.y4m"), maxHamming = 6, codec = "y4m-framehash")
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) == goldenPairs)
+  }
+
+  test("q83: streamed video merges drain to m10's one-shot pairs") {
+    val out = graft.streaming.DocumentsStream.runVideoDedupAvailableNow(spark, sf0001)
+    assert(collectPairs(out) == goldenPairs)
+  }
+
   test("m10 vs exact hashing: sha256 misses every planted video copy") {
     import org.apache.spark.sql.functions._
     val dups = spark.read.format("binaryFile").load(Video.y4mFixtureDir)
