@@ -764,37 +764,42 @@ object SparkEntry {
     }),
     "m3_media_dedup" -> ((s: SparkSession, d: String) => graft.ops.Multimodal.mediaDedup(s, d)),
     // Real codec path: P6 PPM decode over checked-in binary fixtures,
-    // reduced to exact integer stats (golden-VALUES oracle).
-    "m4_ppm_decode" -> graft.ops.Multimodal.ppmDecode _,
+    // reduced to exact integer stats (golden-VALUES oracle). The media
+    // ops take a real mediaDir; the board entries bind the fixture
+    // default because their golden oracles enumerate the fixture sets.
+    "m4_ppm_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Multimodal.ppmDecode(s)),
     // Perceptual media near-dup: decode -> 64-bit dHash -> d17 blocked
     // Hamming candidates -> exact bit_count verify (golden-VALUES oracle
     // derived from an independent reference dHash implementation).
-    "m5_ppm_near_dup" -> ((s: SparkSession, d: String) =>
-      graft.ops.Multimodal.ppmNearDup(s, d)),
+    "m5_ppm_near_dup" -> ((s: SparkSession, _: String) =>
+      graft.ops.Multimodal.ppmNearDup(s)),
     // Rotation/mirror-robust perceptual near-dup: dihedral-orbit dHash
     // signatures, identity-probe vs orbit block index, min-Hamming
     // verify (golden-VALUES oracle from the independent reference
     // implementation in tools/gen_ppmrot_fixtures.py).
-    "m6_rot_robust_dedup" -> ((s: SparkSession, d: String) =>
-      graft.ops.Multimodal.ppmRotNearDup(s, d)),
+    "m6_rot_robust_dedup" -> ((s: SparkSession, _: String) =>
+      graft.ops.Multimodal.ppmRotNearDup(s)),
     // Audio modality, real codec: RIFF/PCM WAV decode over checked-in
     // fixtures, reduced to exact integer stats (golden-VALUES oracle from
     // the independent reference in tools/gen_wav_fixtures.py).
-    "m7_wav_decode" -> graft.ops.Audio.wavDecode _,
+    "m7_wav_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Audio.wavDecode(s)),
     // Audio perceptual near-dup: mono mix -> 64-bit delta-energy
     // fingerprint (gain- and stereo-spread-invariant) -> m5's blocked
     // Hamming candidates -> exact bit_count verify (golden-VALUES oracle).
-    "m8_wav_near_dup" -> ((s: SparkSession, d: String) =>
-      graft.ops.Audio.wavNearDup(s, d)),
+    "m8_wav_near_dup" -> ((s: SparkSession, _: String) =>
+      graft.ops.Audio.wavNearDup(s)),
     // Video modality, real codec: YUV4MPEG2 raw-video decode over
     // checked-in fixtures, exact integer luma stats (golden-VALUES
     // oracle from the independent reference in tools/gen_y4m_fixtures.py).
-    "m9_y4m_decode" -> graft.ops.Video.y4mDecode _,
+    "m9_y4m_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Video.y4mDecode(s)),
     // Video perceptual near-dup: 4 evenly-sampled luma frames -> per-frame
     // dHash -> frame-axis blocked-Hamming candidates -> exact summed
     // bit_count verify (re-wrap and luma lift land at 0; golden-VALUES).
-    "m10_video_near_dup" -> ((s: SparkSession, d: String) =>
-      graft.ops.Video.videoNearDup(s, d)),
+    "m10_video_near_dup" -> ((s: SparkSession, _: String) =>
+      graft.ops.Video.videoNearDup(s)),
     // The orbit row of the incremental media matrix: originals ingested
     // first, transformed copies in a second merge — every golden pair is
     // discovered cross-batch (or new-new) at its newer member's merge.

@@ -100,8 +100,12 @@ object Audio {
     val e = new Array[Long](W)
     var w = 0
     while (w < W) {
-      val x0 = w * n / W
-      val x1 = math.max(x0 + 1, (w + 1) * n / W)
+      // window boundaries in Long: w*n overflows Int past ~33.5M samples
+      // (a 12-minute mono clip), which would index negative and crash the
+      // task instead of fingerprinting — the energies are Long-safe but
+      // the boundary arithmetic must be too
+      val x0 = (w.toLong * n / W).toInt
+      val x1 = math.max(x0 + 1, ((w + 1).toLong * n / W).toInt)
       var tot = 0L
       var i = x0
       while (i < x1) { val s = mono(i).toLong; tot += s * s; i += 1 }
@@ -138,10 +142,14 @@ object Audio {
 
   /** m7: decode real audio bytes partition-parallel, reduce each to
     * exact integer stats. Blobs never shuffle — only the stats rows move.
+    *
+    * `mediaDir` is any directory of WAV assets; it defaults to the
+    * checked-in golden fixtures (the board's m7 entry binds that default —
+    * its oracle enumerates the fixture set).
     */
-  def wavDecode(spark: SparkSession, dir: String): DataFrame = {
+  def wavDecode(spark: SparkSession, mediaDir: String = wavFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(wavFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -173,9 +181,10 @@ object Audio {
   /** Decoded (name, fingerprint) rows — corrupt or sub-65-sample assets
     * drop by the whole-asset reject.
     */
-  private[graft] def wavSigs(spark: SparkSession): DataFrame = {
+  private[graft] def wavSigs(spark: SparkSession,
+      mediaDir: String = wavFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(wavFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -191,8 +200,9 @@ object Audio {
     * 16-bit-signature-block candidate geometry over [[fingerprint]]s,
     * exact bit_count verify, pairs within Hamming <= `maxHamming`.
     */
-  def wavNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = wavSigs(spark)
+  def wavNearDup(spark: SparkSession, mediaDir: String = wavFixtureDir,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = wavSigs(spark, mediaDir)
     val blocks = sigs.select(col("name"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))

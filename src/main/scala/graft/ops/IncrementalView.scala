@@ -45,6 +45,9 @@ object IncrementalView {
 
   private val commitTable = "partials"
 
+  /** Reserved marker namespace for [[retract]] keys — see the note there. */
+  private val retractPrefix = "retract."
+
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
 
@@ -70,6 +73,10 @@ object IncrementalView {
       batchKey: Option[String] = None): Int = {
     val live = latestVersion(spark, stateDir)
     batchKey.foreach { k =>
+      require(!k.startsWith(retractPrefix),
+        s"IncrementalView.merge: batch key '$k' collides with the reserved " +
+          s"retraction namespace ('$retractPrefix*') — a merge marker must " +
+          "never satisfy a retraction's exactly-once check (or vice versa)")
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
         return live.get // already ingested: re-delivery is a no-op
     }
@@ -104,13 +111,20 @@ object IncrementalView {
       batchKey: Option[String] = None): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalView.retract: no state at $stateDir")
-    batchKey.foreach { k =>
+    // markers are namespaced per OPERATION: merge() and retract() share the
+    // generation marker store, so a retraction whose caller-supplied key
+    // happened to equal an earlier merge's key would silently no-op as
+    // "already applied" and DROP the correction. The reserved prefix makes
+    // the two exactly-once ledgers disjoint (merge() refuses keys in this
+    // namespace), so a cross-op key reuse can never satisfy the wrong check.
+    val nsKey = batchKey.map(retractPrefix + _)
+    nsKey.foreach { k =>
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
         return live.last // already retracted: re-delivery is a no-op
     }
     val next = live.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    nsKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(badEvents)
       .select(col("day"), col("event_type"), (-col("n")).as("n"),

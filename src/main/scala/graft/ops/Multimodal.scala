@@ -149,10 +149,14 @@ object Multimodal {
     * the golden oracle is reproducible to the bit). The blobs never
     * shuffle: files are read split-parallel by the binaryFile source,
     * decoded in place, and only the tiny stats rows move.
+    *
+    * `mediaDir` is any directory of PPM assets; it defaults to the
+    * checked-in golden fixtures (the board's m4 entry binds that default —
+    * its oracle enumerates the fixture set).
     */
-  def ppmDecode(spark: SparkSession, dir: String): DataFrame = {
+  def ppmDecode(spark: SparkSession, mediaDir: String = ppmFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(ppmFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -214,8 +218,10 @@ object Multimodal {
     val gw = 9; val gh = 8
     val w = img.width; val h = img.height
     def cell(x: Int, y: Int): Long = {
-      val x0 = x * w / gw; val x1 = math.max(x0 + 1, (x + 1) * w / gw)
-      val y0 = y * h / gh; val y1 = math.max(y0 + 1, (y + 1) * h / gh)
+      // bounds in Long: x*w overflows Int for rasters wider than ~239M px
+      // (degenerate but payload-representable), same fix as Audio windows
+      val x0 = (x.toLong * w / gw).toInt; val x1 = math.max(x0 + 1, ((x + 1).toLong * w / gw).toInt)
+      val y0 = (y.toLong * h / gh).toInt; val y1 = math.max(y0 + 1, ((y + 1).toLong * h / gh).toInt)
       var tot = 0L; var cnt = 0L
       var yy = y0
       while (yy < y1) {
@@ -248,9 +254,10 @@ object Multimodal {
   /** Decoded (name, dHash) signatures of the m5 fixture set — corrupt
     * payloads are dropped by the same whole-asset reject as m4.
     */
-  private[graft] def ppmNearSigs(spark: SparkSession): DataFrame = {
+  private[graft] def ppmNearSigs(spark: SparkSession,
+      mediaDir: String = ppmNearFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(ppmNearFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -280,8 +287,9 @@ object Multimodal {
     * standard re-encoded/resized-duplicate sweep: exact dedup (m3) first,
     * then this over the survivors.
     */
-  def ppmNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = ppmNearSigs(spark)
+  def ppmNearDup(spark: SparkSession, mediaDir: String = ppmNearFixtureDir,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = ppmNearSigs(spark, mediaDir)
     val blocks = sigs.select(col("name"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
@@ -371,9 +379,10 @@ object Multimodal {
     * (image, transform) — t = 0 is the identity — with the transform's
     * [[dHash64]]. Blobs decode in place; only 8 longs per image move.
     */
-  private[graft] def ppmRotSigs(spark: SparkSession): DataFrame = {
+  private[graft] def ppmRotSigs(spark: SparkSession,
+      mediaDir: String = ppmRotFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(ppmRotFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -406,8 +415,9 @@ object Multimodal {
     * sha256) and alongside m5, adding re-oriented copies for 8× the
     * signature rows and no new shuffle structure.
     */
-  def ppmRotNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = ppmRotSigs(spark)
+  def ppmRotNearDup(spark: SparkSession, mediaDir: String = ppmRotFixtureDir,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = ppmRotSigs(spark, mediaDir)
     def blocks(df: DataFrame): DataFrame =
       df.select(col("name"), col("sig"),
         explode(array((0 until 4).map(b => struct(lit(b).as("bno"),

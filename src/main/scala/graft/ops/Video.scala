@@ -92,7 +92,10 @@ object Video {
       val fLine = new String(payload, i, fEnd - i, java.nio.charset.StandardCharsets.US_ASCII)
       if (fLine != "FRAME" && !fLine.startsWith("FRAME ")) return None
       val body = fEnd + 1
-      if (body + frameSize > n) return None // truncated frame: reject whole
+      // compare in Long: for payloads near 2 GiB the Int sum can wrap
+      // negative and skip the truncation check, turning the documented
+      // whole-asset reject into a copyOfRange crash
+      if (body.toLong + frameSize > n) return None // truncated frame: reject whole
       frames += java.util.Arrays.copyOfRange(payload, body, body + w * h)
       i = body + frameSize
     }
@@ -120,7 +123,7 @@ object Video {
     */
   private[graft] def signature(v: Y4mVideo): Array[Long] = {
     val nf = v.lumaFrames.length
-    Array.tabulate(4)(j => frameHash(v.width, v.height, v.lumaFrames(j * nf / 4)))
+    Array.tabulate(4)(j => frameHash(v.width, v.height, v.lumaFrames((j.toLong * nf / 4).toInt)))
   }
 
   /** Checked-in Y4M fixtures (tools/gen_y4m_fixtures.py): a gradient
@@ -144,10 +147,14 @@ object Video {
 
   /** m9: decode real video bytes partition-parallel, reduce each to
     * exact integer stats. Frame blobs never shuffle.
+    *
+    * `mediaDir` is any directory of Y4M assets; it defaults to the
+    * checked-in golden fixtures (the board's m9 entry binds that default —
+    * its oracle enumerates the fixture set).
     */
-  def y4mDecode(spark: SparkSession, dir: String): DataFrame = {
+  def y4mDecode(spark: SparkSession, mediaDir: String = y4mFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(y4mFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
@@ -175,9 +182,10 @@ object Video {
   /** Decoded (name, frame_no, sig) rows of the 4-frame signatures —
     * corrupt payloads drop by the whole-asset reject.
     */
-  private[graft] def videoSigs(spark: SparkSession): DataFrame = {
+  private[graft] def videoSigs(spark: SparkSession,
+      mediaDir: String = y4mFixtureDir): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(y4mFixtureDir)
+    spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
@@ -194,8 +202,9 @@ object Video {
     * total distance ≤ 6 by the pigeonhole above), verified by the exact
     * per-frame bit_count sum.
     */
-  def videoNearDup(spark: SparkSession, dir: String, maxTotal: Int = 6): DataFrame = {
-    val sigs = videoSigs(spark)
+  def videoNearDup(spark: SparkSession, mediaDir: String = y4mFixtureDir,
+      maxTotal: Int = 6): DataFrame = {
+    val sigs = videoSigs(spark, mediaDir)
     val blocks = sigs.select(col("name"), col("frame_no"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))

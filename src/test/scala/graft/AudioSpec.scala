@@ -75,7 +75,7 @@ class AudioSpec extends SparkSpec {
   }
 
   test("m7 decodes the checked-in fixtures; corrupt file yields a NULL row") {
-    val rows = Audio.wavDecode(spark, sf0001).collect()
+    val rows = Audio.wavDecode(spark).collect()
     assert(rows.length == 6)
     val byName = rows.map(r => r.getString(0) -> r).toMap
     assert(byName("corrupt.wav").isNullAt(1), "truncated fixture must reject whole")
@@ -89,7 +89,7 @@ class AudioSpec extends SparkSpec {
   }
 
   test("m8: near-dup finds the gain, click, and stereo copies at the golden distances") {
-    val pairs = Audio.wavNearDup(spark, sf0001).collect()
+    val pairs = Audio.wavNearDup(spark).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     assert(pairs == Seq(
       ("tonea.wav", "tonea_click.wav", 1),

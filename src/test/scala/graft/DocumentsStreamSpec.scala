@@ -84,7 +84,7 @@ class DocumentsStreamSpec extends SparkSpec {
     // (empty round-robin partitions write none) — require MULTIPLE
     // micro-batch merges, not an exact count
     assert(graft.ops.IncrementalMedia.latestVersion(spark, state).exists(_ >= 1))
-    val want = graft.ops.Multimodal.ppmNearDup(spark, sf0001)
+    val want = graft.ops.Multimodal.ppmNearDup(spark)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     assert(out == want)
   }

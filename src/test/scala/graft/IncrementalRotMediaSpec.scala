@@ -18,7 +18,7 @@ class IncrementalRotMediaSpec extends SparkSpec {
     df.select("name1", "name2", "hamming")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
 
-  private lazy val oneShot = sorted(Multimodal.ppmRotNearDup(spark, sf0001))
+  private lazy val oneShot = sorted(Multimodal.ppmRotNearDup(spark))
 
   test("split-ingest == one-shot m6 pairs, originals-first and alphabetical splits") {
     // originals first: every golden pair resolves cross-batch or new-new

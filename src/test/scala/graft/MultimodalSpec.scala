@@ -74,7 +74,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("m4 decodes the checked-in fixtures; corrupt file yields a NULL row") {
-    val rows = Multimodal.ppmDecode(spark, sf0001).collect()
+    val rows = Multimodal.ppmDecode(spark).collect()
     assert(rows.map(_.getString(0)).toSeq ==
       Seq("corrupt.ppm", "img0.ppm", "img1.ppm", "img2.ppm"))
     assert(rows.head.isNullAt(1) && rows.head.isNullAt(4))
@@ -83,7 +83,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("m5: perceptual near-dup finds the planted re-encoded and retouched copies") {
-    val pairs = Multimodal.ppmNearDup(spark, sf0001)
+    val pairs = Multimodal.ppmNearDup(spark)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     assert(pairs == Seq(
       ("imga.ppm", "imga_bright.ppm", 3),
@@ -100,7 +100,7 @@ class MultimodalSpec extends SparkSpec {
       .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
     def got(state: String) = graft.ops.IncrementalMedia.pairs(spark, state)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
-    val want = Multimodal.ppmNearDup(spark, sf0001)
+    val want = Multimodal.ppmNearDup(spark)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     assert(want.nonEmpty)
     // split chosen so a planted pair crosses the batch boundary (imga and
@@ -197,7 +197,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("m6: rotation-robust near-dup equals the naive all-pairs orbit distance on the fixtures") {
-    val got = Multimodal.ppmRotNearDup(spark, sf0001).collect()
+    val got = Multimodal.ppmRotNearDup(spark).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     // naive reference: decode every fixture locally, all-pairs min Hamming
     // of identity-vs-orbit in both directions, threshold 3 — no block

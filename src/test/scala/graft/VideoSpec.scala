@@ -62,7 +62,7 @@ class VideoSpec extends SparkSpec {
   }
 
   test("m9 decodes the checked-in fixtures; corrupt file yields a NULL row") {
-    val rows = Video.y4mDecode(spark, sf0001).collect()
+    val rows = Video.y4mDecode(spark).collect()
     assert(rows.length == 6)
     val byName = rows.map(r => r.getString(0) -> r).toMap
     assert(byName("corrupt.y4m").isNullAt(1), "truncated fixture must reject whole")
@@ -75,7 +75,7 @@ class VideoSpec extends SparkSpec {
   }
 
   test("m10: near-dup finds the re-wrap, lift, and retouch copies at golden distances") {
-    val pairs = Video.videoNearDup(spark, sf0001).collect()
+    val pairs = Video.videoNearDup(spark).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
     assert(pairs == Seq(
       ("vida.y4m", "vida_bright.y4m", 0),
