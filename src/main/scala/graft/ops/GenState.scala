@@ -391,6 +391,107 @@ object GenState {
           "dirs are single-writer")
   }
 
+  // ---- multi-writer optimistic allocation ----------------------------------
+  //
+  // [[claimGeneration]] targets a SPECIFIC version and treats an existing
+  // claim on an incomplete generation as a crash leftover to redo wholesale
+  // — the right recovery rule for a single writer, but fatal for N PARALLEL
+  // ingest jobs: each would "recover" its live siblings' in-flight
+  // generations, so N concurrent merges produced N−1 aborts. [[claimFresh]]
+  // is the multi-writer allocator: it NEVER steals and NEVER deletes. The
+  // candidate number comes from ALL vN dirs on disk — complete, in-flight,
+  // or abandoned — so it cannot collide with a live sibling or a crash
+  // leftover; a lost claim race just re-lists and takes the next slot, so N
+  // concurrent writers serialize into N consecutive fresh generations.
+  //
+  // What changes vs the single-writer rule: a writer that CRASHES mid-merge
+  // now leaves its claimed incomplete vN dir behind instead of being redone
+  // in place (no later merge will touch a claimed number it doesn't own).
+  // The leftover is inert — completeVersions ignores it, reads never see it
+  // — and it is swept physically by the next COMPACTION, which remains a
+  // quiesced single-writer maintenance operation by contract (under quiesce,
+  // any incomplete dir is abandoned by definition; see [[abandonedVersions]]).
+  // The batch itself recovers exactly as before: the retry re-merges under
+  // its batch key into a fresh generation.
+  //
+  // This allocator is correct ONLY for modalities whose generation content
+  // is independent of the concurrently-live state — the write-only partial
+  // aggregate families (d18 exact, q65 views), where any interleaving of
+  // commits folds to the same answer. The probe-at-merge families (media,
+  // MinHash, SimHash, substring, semantic...) compute each generation's
+  // pairs against the live union AT MERGE TIME: two concurrent merges would
+  // each miss the sibling batch's cross pairs, so they keep the
+  // single-writer claim and its clean-abort contract.
+
+  /** Every vN directory on disk — complete, in-flight, or abandoned. */
+  private def allVersionDirs(f: FileSystem, stateDir: String): Seq[Int] = {
+    val root = new Path(stateDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
+      .sorted
+  }
+
+  /** Claim the next FREE generation number for this writer without ever
+    * stealing (see the block comment above). Returns (version, token); the
+    * token fences every later per-generation write exactly as
+    * [[claimGeneration]]'s does. Throws only when `maxAttempts` successive
+    * claim races are lost — pathological contention, not a protocol state.
+    */
+  def claimFresh(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels", maxAttempts: Int = 64): (Int, String) = {
+    val f = fs(spark, stateDir)
+    var attempt = 0
+    var candidate = allVersionDirs(f, stateDir).lastOption.map(_ + 1).getOrElse(0)
+    while (attempt < maxAttempts) {
+      val p = claimPath(stateDir, candidate)
+      val token = java.util.UUID.randomUUID().toString
+      // publish + read-back, as in claimGeneration: the local-FS exclusive
+      // create is best-effort, so only a read-back seeing this writer's own
+      // token proves the claim held
+      if (claimBackend.tryClaim(f, p, token) &&
+          claimBackend.readClaim(f, p).contains(token))
+        return (candidate, token)
+      attempt += 1
+      // lost the race: someone else owns this number now — never contest
+      // it, take the slot after whatever is on disk
+      candidate = math.max(candidate + 1,
+        allVersionDirs(f, stateDir).lastOption.map(_ + 1).getOrElse(0))
+    }
+    throw new IllegalStateException(
+      s"GenState: lost $maxAttempts consecutive claim races at $stateDir — " +
+        "pathological writer contention; raise maxAttempts or reduce " +
+        "parallel ingest fan-in")
+  }
+
+  /** Walk back a [[claimFresh]] claim that wrote NOTHING but the claim
+    * itself (e.g. a post-claim idempotency re-check found the batch key
+    * already ingested by a concurrent sibling). Refuses to touch a
+    * committed generation.
+    */
+  def abandonFresh(spark: SparkSession, stateDir: String, v: Int,
+      commitTable: String = "labels"): Unit = {
+    val f = fs(spark, stateDir)
+    require(!f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")),
+      s"GenState.abandonFresh: v$v at $stateDir is committed — refusing")
+    f.delete(new Path(s"$stateDir/v$v"), true)
+    claimBackend.releaseClaim(f, claimPath(stateDir, v))
+  }
+
+  /** Incomplete vN dirs other than `except` — the crash leftovers a
+    * QUIESCED compaction may sweep (under quiesce, no incomplete dir can be
+    * a live writer's). Never call from a concurrent-ingest context.
+    */
+  def abandonedVersions(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels", except: Int = -1): Seq[Int] = {
+    val f = fs(spark, stateDir)
+    val complete = rawComplete(f, stateDir, commitTable).toSet
+    allVersionDirs(f, stateDir).filterNot(complete).filterNot(_ == except)
+  }
+
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,
     * require()d identical on every later merge into the same state dir.
     */

@@ -79,14 +79,23 @@ object IncrementalExact {
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
-    val live = latestVersion(spark, stateDir)
     batchKey.foreach { k =>
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.get // already ingested: re-delivery is a no-op
+        return latestVersion(spark, stateDir).get // already ingested: re-delivery is a no-op
     }
-    val next = live.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    // MULTI-WRITER allocation: the partial aggregate is write-only and
+    // independent of the live state, so N parallel ingest jobs serialize
+    // into N fresh generations (GenState.claimFresh) instead of N−1 aborts
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    batchKey.foreach { k =>
+      // post-claim re-check: a concurrent sibling delivering the SAME batch
+      // key may have committed between the fast-path check and this claim
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
+        GenState.abandonFresh(spark, stateDir, next, commitTable)
+        return latestVersion(spark, stateDir).get
+      }
+      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    }
     // per-doc SIDECAR first (doc_id, h — the subtractable record deletes
     // re-aggregate from; O(batch), two slim columns), then the partial
     // aggregate of the SAME cached projection (content hashed exactly
@@ -133,9 +142,17 @@ object IncrementalExact {
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
         return live.last
     }
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    // fresh allocation like merge — a delete concurrent with parallel
+    // ingest lands at its own number; shadowing stays generation-ordered
+    // (the tombstone deletes only from generations older than itself)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    batchKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
+        GenState.abandonFresh(spark, stateDir, next, commitTable)
+        return completeVersions(spark, stateDir).last
+      }
+      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("doc_id")).dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(tombsPath(stateDir, next))
@@ -272,7 +289,10 @@ object IncrementalExact {
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // compaction is quiesced single-writer by contract, so any incomplete
+    // vN other than our own is an abandoned claimFresh leftover — sweep it
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

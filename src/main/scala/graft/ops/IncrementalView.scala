@@ -71,18 +71,27 @@ object IncrementalView {
     */
   def merge(spark: SparkSession, stateDir: String, newEvents: DataFrame,
       batchKey: Option[String] = None): Int = {
-    val live = latestVersion(spark, stateDir)
     batchKey.foreach { k =>
       require(!k.startsWith(retractPrefix),
         s"IncrementalView.merge: batch key '$k' collides with the reserved " +
           s"retraction namespace ('$retractPrefix*') — a merge marker must " +
           "never satisfy a retraction's exactly-once check (or vice versa)")
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.get // already ingested: re-delivery is a no-op
+        return latestVersion(spark, stateDir).get // already ingested: re-delivery is a no-op
     }
-    val next = live.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    // MULTI-WRITER allocation (GenState.claimFresh): partials are signed
+    // commutative deltas, so any interleaving of parallel ingests folds to
+    // the same served view — N concurrent jobs serialize into N generations
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    batchKey.foreach { k =>
+      // post-claim re-check: a concurrent sibling delivering the SAME key
+      // may have committed between the fast-path check and this claim
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
+        GenState.abandonFresh(spark, stateDir, next, commitTable)
+        return latestVersion(spark, stateDir).get
+      }
+      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(newEvents).write.mode("overwrite").parquet(partialsPath(stateDir, next))
     next
@@ -122,9 +131,14 @@ object IncrementalView {
       if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
         return live.last // already retracted: re-delivery is a no-op
     }
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    nsKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    nsKey.foreach { k =>
+      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
+        GenState.abandonFresh(spark, stateDir, next, commitTable)
+        return completeVersions(spark, stateDir).last
+      }
+      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(badEvents)
       .select(col("day"), col("event_type"), (-col("n")).as("n"),
@@ -264,14 +278,18 @@ object IncrementalView {
     /** Ingest one RAW daily-feed window ([[changeFeedRaw]] output). */
     def merge(spark: SparkSession, stateDir: String, rawFeed: DataFrame,
         batchKey: Option[String] = None): Int = {
-      val live = GenState.latestVersion(spark, stateDir, "partials")
       batchKey.foreach { k =>
         if (GenState.ingestedKeys(spark, stateDir, "partials").contains(k))
-          return live.get
+          return GenState.latestVersion(spark, stateDir, "partials").get
       }
-      val next = live.map(_ + 1).getOrElse(0)
-      val claim = GenState.claimGeneration(spark, stateDir, next, "partials")
-      batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, "partials"))
+      val (next, claim) = GenState.claimFresh(spark, stateDir, "partials")
+      batchKey.foreach { k =>
+        if (GenState.ingestedKeys(spark, stateDir, "partials").contains(k)) {
+          GenState.abandonFresh(spark, stateDir, next, "partials")
+          return GenState.latestVersion(spark, stateDir, "partials").get
+        }
+        GenState.writeIngestMarker(spark, stateDir, next, k, claim, "partials")
+      }
       GenState.assertWritable(spark, stateDir, next, claim, "partials")
       rawFeed
         .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
@@ -316,7 +334,9 @@ object IncrementalView {
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

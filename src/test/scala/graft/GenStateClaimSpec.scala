@@ -45,48 +45,64 @@ class GenStateClaimSpec extends SparkSpec {
     assert(ex.getMessage.contains("already committed"))
   }
 
-  test("two-writer end to end: the winner's generation is never mixed with the loser's") {
+  test("a sibling merge never steals a live claim: both writers serialize into distinct generations") {
     val state = graft.util.TmpDirs.scratch("graft_claim_e2e_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
-    // writer A stalls right after claiming v0
-    val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
-    // writer B runs a COMPLETE merge of b1 — steals A's claim, rebuilds
-    // v0 wholesale, commits
-    assert(IncrementalExact.merge(spark, state, b1) == 0)
-    // A wakes: pre-commit check aborts it, so v0 stays exactly B's batch
-    intercept[IllegalStateException] {
-      GenState.assertClaimed(spark, state, 0, tokenA)
-    }
+    // writer A stalls right after claiming its fresh generation (v0)
+    val (vA, tokenA) = GenState.claimFresh(spark, state, "hashes")
+    assert(vA == 0)
+    // writer B runs a COMPLETE merge of b1 — the multi-writer allocator
+    // must NOT treat A's in-flight v0 as a crash leftover: B lands at v1
+    assert(IncrementalExact.merge(spark, state, b1) == 1)
+    // A's claim survived B's merge — A may still finish its own generation
+    GenState.assertClaimed(spark, state, vA, tokenA)
     val served = IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     assert(served == b1.count(),
-      "committed generation does not hold exactly the winning writer's batch")
+      "the committed generation must hold exactly the completed writer's batch")
   }
 
-  test("crash recovery is unchanged: an incomplete claimed generation is redone wholesale") {
+  test("crash recovery under fresh allocation: the retry lands at a fresh generation; compact sweeps the leftover") {
     val state = graft.util.TmpDirs.scratch("graft_claim_crash_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
     IncrementalExact.merge(spark, state, b1, Some("b0"))
     // simulate a crash mid-merge of b2: claim + marker written, commit not
-    val tok = GenState.claimGeneration(spark, state, 1, "hashes")
-    GenState.writeIngestMarker(spark, state, 1, "b1", tok, "hashes")
+    val (vDead, tok) = GenState.claimFresh(spark, state, "hashes")
+    assert(vDead == 1)
+    GenState.writeIngestMarker(spark, state, vDead, "b1", tok, "hashes")
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(0))
-    // the retry (same batch, same key) must redo v1 and commit it
-    assert(IncrementalExact.merge(spark, state, b2, Some("b1")) == 1)
-    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0, 1))
+    // the retry (same batch, same key) skips the abandoned number — no
+    // later writer can know v1's claimant is dead rather than stalled —
+    // and ingests into a FRESH generation
+    assert(IncrementalExact.merge(spark, state, b2, Some("b1")) == 2)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0, 2))
     val total = IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     assert(total == docs.count())
+    // the abandoned dir is inert but on disk — QUIESCED compaction is the
+    // sweep point (under quiesce any incomplete dir is abandoned)
+    val fs = GenState.fs(spark, state)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/v1")))
+    IncrementalExact.compact(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v1")),
+      "compaction must sweep abandoned claim leftovers")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
   }
 
-  test("loser waking MID-TABLE-WRITES after the thief committed: every guarded write refuses") {
+  test("loser waking MID-TABLE-WRITES after a steal committed: every guarded write refuses") {
+    // the steal protocol still guards the TARGETED claim path (compaction,
+    // probe-at-merge modalities) — drive it directly
     val state = graft.util.TmpDirs.scratch("graft_claim_midwrite_").toString
-    val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     // writer A stalls after claiming v0 — BEFORE any of its table writes
     val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
-    // writer B steals, rebuilds v0 wholesale, COMMITS
-    assert(IncrementalExact.merge(spark, state, b1, Some("bB")) == 0)
+    // writer B steals the incomplete claimed v0 (the crash-leftover rule),
+    // records its marker, and COMMITS
+    val tokenB = GenState.claimGeneration(spark, state, 0, "hashes")
+    GenState.writeIngestMarker(spark, state, 0, "bB", tokenB, "hashes")
+    GenState.assertWritable(spark, state, 0, tokenB, "hashes")
+    spark.range(1).write.parquet(s"$state/v0/hashes")
     // A wakes believing it still owns v0 and tries to resume its writes.
     // Every per-generation write is fenced by assertWritable — the
     // commit-exists check fires FIRST, so A cannot overwrite any of B's
@@ -102,14 +118,65 @@ class GenStateClaimSpec extends SparkSpec {
     }
     assert(GenState.ingestedKeys(spark, state, "hashes") == Set("bB"),
       "a stalled loser's refused marker write must not clear the committed markers")
-    // the committed generation still holds exactly B's batch
-    val served = IncrementalExact.dedup(spark, state)
-      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
-    assert(served == b1.count())
-    // and a re-delivery of B's batch key stays a no-op
-    assert(IncrementalExact.merge(spark, state, b1, Some("bB")) == 0)
-    assert(served == IncrementalExact.dedup(spark, state)
-      .agg(sum(col("n_copies"))).collect()(0).getLong(0))
+  }
+
+  test("two genuinely concurrent merges both commit; state equals sequential ingest of both batches") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_conc_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    def writer(batch: org.apache.spark.sql.DataFrame, key: String) = new Thread(() => {
+      start.await()
+      results.add(
+        try Right(IncrementalExact.merge(spark, state, batch, Some(key)))
+        catch { case t: Throwable => Left(t) })
+    })
+    val ts = Seq(writer(b1, "c1"), writer(b2, "c2"))
+    ts.foreach(_.start())
+    start.countDown()
+    ts.foreach(_.join(120000))
+    val out = results.toArray(Array.empty[Either[Throwable, Int]]).toSeq
+    assert(out.size == 2 && out.forall(_.isRight),
+      s"both concurrent merges must commit, got: $out")
+    val gens = out.collect { case Right(v) => v }
+    assert(gens.toSet.size == 2, s"writers must land in distinct generations, got $gens")
+    assert(GenState.completeVersions(spark, state, "hashes").size == 2)
+    // data parity with sequential ingest of the same two batches
+    val seqState = graft.util.TmpDirs.scratch("graft_claim_conc_seq_").toString
+    IncrementalExact.merge(spark, seqState, b1, Some("c1"))
+    IncrementalExact.merge(spark, seqState, b2, Some("c2"))
+    val got = IncrementalExact.dedup(spark, state).collect().map(_.toString).sorted
+    val want = IncrementalExact.dedup(spark, seqState).collect().map(_.toString).sorted
+    assert(got.sameElements(want),
+      "concurrent state must serve exactly the sequential-ingest answer")
+    // and the exactly-once markers carried both keys
+    assert(GenState.ingestedKeys(spark, state, "hashes") == Set("c1", "c2"))
+  }
+
+  test("concurrent view ingests serialize; the served view equals sequential maintenance") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_view_conc_").toString
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val h1 = ev.where(pmod(col("event_id"), lit(2)) === 0)
+    val h2 = ev.where(pmod(col("event_id"), lit(2)) === 1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(batch: org.apache.spark.sql.DataFrame, key: String) = new Thread(() => {
+      start.await()
+      try graft.ops.IncrementalView.merge(spark, state, batch, Some(key))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(writer(h1, "w1"), writer(h2, "w2"))
+    ts.foreach(_.start())
+    start.countDown()
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent view merges must both commit: ${errs.toArray.toSeq}")
+    val seqState = graft.util.TmpDirs.scratch("graft_claim_view_seq_").toString
+    graft.ops.IncrementalView.merge(spark, seqState, h1, Some("w1"))
+    graft.ops.IncrementalView.merge(spark, seqState, h2, Some("w2"))
+    val got = graft.ops.IncrementalView.serve(spark, state).collect().map(_.toString)
+    val want = graft.ops.IncrementalView.serve(spark, seqState).collect().map(_.toString)
+    assert(got.sameElements(want))
   }
 
   test("a claimant committing MID-STEAL aborts the thief — a committed generation is never deleted") {
