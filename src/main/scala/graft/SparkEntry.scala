@@ -905,6 +905,44 @@ object SparkEntry {
       graft.ops.Deletes.tombstone(s, state, "audio", Seq("tonea.wav").toDF("name"))
       graft.ops.IncrementalMedia.pairs(s, state)
     }),
+    // Standard-format images via javax.imageio (the JDK codec registry —
+    // PNG here; JPEG/GIF/BMP dispatch through the same entry point):
+    // decode to exact integer stats. PNG is lossless, so the golden
+    // VALUES oracle comes from the independent pure-Python encoder +
+    // reference in tools/gen_png_fixtures.py.
+    "m11_png_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.pngDecode(s)),
+    // PNG perceptual near-dup: the m5 dHash/blocked-Hamming chassis over
+    // ImageIO-decoded rasters (re-encoded copy at 0, brightness-lifted
+    // two-pixel retouch at 2, unrelated at 25-27 — correctly absent).
+    "m12_png_near_dup" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.pngNearDup(s)),
+    // The PNG column of the incremental matrix: the png-dhash codec in
+    // the codec-parametric chassis — originals first, copies second,
+    // every golden pair found cross-batch; == m12's one-shot pair table.
+    "d40_png_incremental" -> ((s: SparkSession, d: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d40_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Png.pngFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(!col("name").contains("_")), codec = "png-dhash")
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name").contains("_")), codec = "png-dhash")
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
+    // Tombstone delete on the PNG modality (codec-agnostic chassis):
+    // delete imga.png, its pairs leave the serve; bright-recode survives.
+    "d41_png_delete" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val state = graft.util.TmpDirs.scratch("graft_d41_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Png.pngFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media, codec = "png-dhash")
+      graft.ops.Deletes.tombstone(s, state, "png", Seq("imga.png").toDF("name"))
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -1236,6 +1274,14 @@ object SparkEntry {
       // top-k split-ingest and its streaming drain == t5's exact top-20
       ("b5_topk_incremental" -> m("t5_token_freq")) +
       ("q82_stream_topk" -> m("t5_token_freq")) +
+      // PNG split-ingest == m12's golden pairs (codec-parametric chassis)
+      ("d40_png_incremental" -> m("m12_png_near_dup")) +
+      // PNG tombstone delete: imga.png's pairs leave the serve
+      ("d41_png_delete" ->
+        """SELECT name1, name2, hamming FROM (VALUES
+          |  ('imga_bright.png', 'imga_recode.png', CAST(2 AS INT))
+          |) AS t(name1, name2, hamming)
+          |ORDER BY name1, name2""".stripMargin) +
       // video split-ingest and its streaming drain == m10's golden pairs
       ("d38_video_incremental" -> m("m10_video_near_dup")) +
       ("q83_stream_video_dedup" -> m("m10_video_near_dup")) +
@@ -3141,6 +3187,33 @@ object SparkEntry {
         |  ('vida_bright.y4m', 'vida_recode.y4m', CAST(0 AS INT)),
         |  ('vida_bright.y4m', 'vida_retouch.y4m', CAST(2 AS INT)),
         |  ('vida_recode.y4m', 'vida_retouch.y4m', CAST(2 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
+
+    // PNG decode: golden VALUES from tools/gen_png_fixtures.py's
+    // independent pure-Python encoder + stats reference (PNG is lossless,
+    // so the ImageIO decode must agree to the bit; corrupt.png is
+    // truncated mid-IDAT and must reject whole).
+    "m11_png_decode" ->
+      """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b
+        |FROM (VALUES
+        |  ('corrupt.png', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('imga.png', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imga_bright.png', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(25455 AS BIGINT), CAST(26065 AS BIGINT), CAST(25759 AS BIGINT)),
+        |  ('imga_recode.png', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imgb.png', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
+        |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
+        |ORDER BY name""".stripMargin,
+
+    // PNG near-dup: golden VALUES from the generator's reference dHash
+    // (imga_recode = identical raster, different bytes, Hamming 0;
+    // imga_bright = +8 lift with two retouched pixels, Hamming 2; imgb
+    // unrelated at 25-27 — correctly absent).
+    "m12_png_near_dup" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('imga.png', 'imga_bright.png', CAST(2 AS INT)),
+        |  ('imga.png', 'imga_recode.png', CAST(0 AS INT)),
+        |  ('imga_bright.png', 'imga_recode.png', CAST(2 AS INT))
         |) AS t(name1, name2, hamming)
         |ORDER BY name1, name2""".stripMargin,
 

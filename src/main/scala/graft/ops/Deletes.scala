@@ -31,6 +31,7 @@ object Deletes {
     // delete/compact path is codec-agnostic, so the alias is the contract
     "audio" -> (("name", IncrementalMedia.delete _)),
     "video" -> (("name", IncrementalMedia.delete _)),
+    "png" -> (("name", IncrementalMedia.delete _)),
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
     "classifier" -> (("doc_id", IncrementalClassifier.delete _)),
@@ -78,6 +79,7 @@ object Deletes {
     "media" -> (IncrementalMedia.compact _),
     "audio" -> (IncrementalMedia.compact _),
     "video" -> (IncrementalMedia.compact _),
+    "png" -> (IncrementalMedia.compact _),
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
     "classifier" -> (IncrementalClassifier.compact _),

@@ -51,6 +51,8 @@ object IncrementalMedia {
   val codecs: Map[String, Array[Byte] => Seq[(Int, Long)]] = Map(
     "ppm-dhash" -> (bytes =>
       Multimodal.decodePpm(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
+    "png-dhash" -> (bytes =>
+      Png.decodePng(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "wav-denergy" -> (bytes =>
       Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))
         .map(sig => (0, sig)).toSeq),

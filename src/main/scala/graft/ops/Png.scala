@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standard-format images (m11): PNG — and by the same entry point JPEG /
+  * GIF / BMP — decoded through `javax.imageio`, the JDK's built-in image
+  * codec registry (java.desktop module: zero new dependency, pure-JVM,
+  * headless-safe). This closes the gap the PPM modality left open: real
+  * corpora store PNG/JPEG, not P6 rasters. Everything downstream is the
+  * EXISTING perceptual chassis — [[Multimodal.dHash64]] over the decoded
+  * raster, the d17 blocked-Hamming candidate geometry, and the
+  * codec-parametric [[IncrementalMedia]] state machine (the "png-dhash"
+  * registry entry) — so the full mutation matrix (incremental ingest,
+  * streaming drain, tombstone delete, purge-at-compact) costs this format
+  * nothing new.
+  *
+  * Decode contract (the m4/m7/m9 rule): a payload that fails to decode —
+  * bad signature, no registered reader, truncated pixel data — is rejected
+  * WHOLE, never half-read. `ImageIO.read` returns null for unrecognized
+  * bytes and throws on mid-stream corruption; both collapse to None.
+  * PNG is lossless, so the golden oracle (an independent pure-Python
+  * encoder + stats/dHash reference, tools/gen_png_fixtures.py) must agree
+  * with the JVM decode to the bit. JPEG would decode through the same
+  * reader registry but is NOT golden-oracle-able (lossy, decoder-dependent
+  * rounding) — fixtures pin PNG.
+  *
+  * Scale shape, unchanged from m4/m5: blobs never shuffle (binaryFile
+  * splits decode where they land; only (name, 64-bit sig) rows move);
+  * ImageIO's disk cache is disabled once per JVM below — executor-local
+  * tmp-file churn per decode would be an I/O tax at corpus scale.
+  */
+object Png {
+
+  // per-JVM codec init (the "once per partition, not per record" point the
+  // other modalities document): never spill decode buffers to tmp files
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL standard-format decoder: whatever reader the ImageIO registry
+    * matches to the payload's signature (PNG here; JPEG/GIF/BMP ride the
+    * same registry). Decoded to the engine's interleaved-RGB raster
+    * ([[PpmImage]]) so every existing kernel (dHash, dihedral orbit)
+    * applies untouched. None on any failure — corrupt assets reject whole.
+    */
+  def decodePng(payload: Array[Byte]): Option[PpmImage] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (100L << 20)) return None
+      // one bulk sRGB grab, not per-pixel getRGB calls; PNG without color
+      // -management chunks round-trips 8-bit samples exactly
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) {
+        val v = rgb(i)
+        px(3 * i) = ((v >> 16) & 0xff).toByte
+        px(3 * i + 1) = ((v >> 8) & 0xff).toByte
+        px(3 * i + 2) = (v & 0xff).toByte
+        i += 1
+      }
+      Some(PpmImage(w, h, 255, px))
+    } catch {
+      // a truncated IDAT / malformed chunk throws from inside the reader;
+      // the contract is a whole-asset reject, not a task failure
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Checked-in PNG fixtures (tools/gen_png_fixtures.py): an image, its
+    * re-encoded copy (tEXt chunk + different deflate level — different
+    * bytes, identical raster), a brightness-lifted two-pixel retouch, an
+    * unrelated image, and a mid-IDAT truncation. Engine-shipped on the
+    * classpath, extracted once per JVM ([[Multimodal.ppmFixtureDir]]).
+    */
+  private val pngFixtureNames = Seq("corrupt.png", "imga.png", "imga_bright.png",
+    "imga_recode.png", "imgb.png")
+
+  lazy val pngFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_png_fixtures_")
+    pngFixtureNames.foreach { nm =>
+      val in = getClass.getResourceAsStream(s"/png/$nm")
+      require(in != null, s"classpath resource /png/$nm missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(nm)) finally in.close()
+    }
+    dir.toString
+  }
+
+  /** m11: decode standard-format image bytes partition-parallel, reduce
+    * each to exact integer stats (the m4 shape — PNG is lossless, so the
+    * per-channel sums are bit-reproducible against the independent
+    * reference encoder).
+    *
+    * `mediaDir` is any directory of image assets; it defaults to the
+    * checked-in golden fixtures (the board's m11 entry binds that default —
+    * its oracle enumerates the fixture set).
+    */
+  def pngDecode(spark: SparkSession, mediaDir: String = pngFixtureDir): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          decodePng(bytes) match {
+            case Some(img) =>
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < img.pixels.length) {
+                sums(i % 3) += img.pixels(i) & 0xff
+                i += 1
+              }
+              PpmStats(name, Some(img.width), Some(img.height),
+                Some(img.width.toLong * img.height),
+                Some(sums(0)), Some(sums(1)), Some(sums(2)))
+            case None => PpmStats(name, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("name"))
+  }
+
+  /** Decoded (name, dHash) signatures — corrupt payloads drop whole. */
+  private[graft] def pngSigs(spark: SparkSession,
+      mediaDir: String = pngFixtureDir): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        decodePng(bytes).map(img =>
+          (path.substring(path.lastIndexOf('/') + 1), Multimodal.dHash64(img)))
+      })
+      .toDF("name", "sig")
+  }
+
+  /** m12: perceptual near-dup over standard-format images — m5's blocked
+    * 16-bit-signature-block candidate geometry (pigeonhole recall for
+    * Hamming <= 3, zero probe fan-out), exact bit_count verify. The
+    * re-encoded copy lands at 0, the brightness-lifted retouch at its
+    * retouch bits — the copies exact hashing (m3) misses.
+    */
+  def pngNearDup(spark: SparkSession, mediaDir: String = pngFixtureDir,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = pngSigs(spark, mediaDir)
+    val blocks = sigs.select(col("name"), col("sig"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))
+        .as("blk"))
+      .select(col("name"), col("sig"), col("blk.bno").as("bno"), col("blk.bv").as("bv"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bv") === col("b.bv") &&
+          col("a.name") < col("b.name"))
+      .select(col("a.name").as("name1"), col("b.name").as("name2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
+      .dropDuplicates("name1", "name2")
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("name1"), col("name2"))
+  }
+}

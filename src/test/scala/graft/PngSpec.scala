@@ -1,0 +1,159 @@
+package graft
+
+import graft.ops.{Multimodal, Png}
+
+/** The standard-format image column (javax.imageio): decode round-trips,
+  * whole-asset rejects, the m11/m12 fixture pins against the independent
+  * pure-Python encoder + reference (tools/gen_png_fixtures.py), and the
+  * d40/d41 state matrix through the codec-parametric chassis.
+  */
+class PngSpec extends SparkSpec {
+
+  /** A PNG encoded BY THE JVM (ImageIO.write) from a raw raster — the
+    * independent direction from the fixtures (Python-encoded, JVM-decoded).
+    */
+  private def jvmPng(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG decode round-trips 8-bit RGB samples exactly (lossless contract)") {
+    val got = Png.decodePng(jvmPng(13, 7, (x, y) => ((x * 19) % 256, (y * 37) % 256, (x * y) % 256))).get
+    assert(got.width == 13 && got.height == 7)
+    for (y <- 0 until 7; x <- 0 until 13) {
+      val i = (y * 13 + x) * 3
+      assert((got.pixels(i) & 0xff) == (x * 19) % 256)
+      assert((got.pixels(i + 1) & 0xff) == (y * 37) % 256)
+      assert((got.pixels(i + 2) & 0xff) == (x * y) % 256)
+    }
+  }
+
+  test("decoder rejects malformed payloads whole, never throws") {
+    val good = jvmPng(16, 12, (x, y) => (x * 7 % 256, y * 11 % 256, 40))
+    assert(Png.decodePng(good).isDefined)
+    assert(Png.decodePng(Array[Byte]()).isEmpty)
+    assert(Png.decodePng("not a png at all".getBytes).isEmpty)
+    // every truncation point either decodes whole or rejects whole
+    val rnd = new java.util.Random(11)
+    (0 until 150).foreach { _ =>
+      Png.decodePng(java.util.Arrays.copyOf(good, rnd.nextInt(good.length)))
+      val junk = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(junk)
+      Png.decodePng(junk)
+    }
+    // bit-flip fuzz: Some or None, never a task-killing throw
+    (0 until 200).foreach { _ =>
+      val b = good.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = (rnd.nextInt(256) - 128).toByte
+      }
+      Png.decodePng(b)
+    }
+  }
+
+  test("m11 decodes the checked-in fixtures to the Python reference's exact stats") {
+    val rows = Png.pngDecode(spark).collect()
+    assert(rows.length == 5)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("corrupt.png").isNullAt(1), "truncated IDAT must reject whole")
+    val a = byName("imga.png")
+    // golden values from tools/gen_png_fixtures.py
+    assert(a.getInt(1) == 16 && a.getInt(2) == 12 && a.getLong(3) == 192L &&
+      a.getLong(4) == 23840L && a.getLong(5) == 24672L && a.getLong(6) == 24224L)
+    assert(byName("imga_recode.png").getLong(4) == 23840L,
+      "the re-encoded copy must decode to the identical raster")
+    assert(byName("imga_bright.png").getLong(4) == 25455L)
+    assert(byName("imgb.png").getLong(4) == 24544L)
+  }
+
+  private val goldenPairs = Seq(
+    ("imga.png", "imga_bright.png", 2),
+    ("imga.png", "imga_recode.png", 0),
+    ("imga_bright.png", "imga_recode.png", 2))
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+
+  test("m12: near-dup finds the re-encode and retouch at the reference's distances") {
+    assert(collectPairs(Png.pngNearDup(spark)) == goldenPairs)
+  }
+
+  test("the JVM decode agrees with the independent dHash reference bit-for-bit") {
+    import spark.implicits._
+    // signatures of the fixture set, straight from the Python generator
+    val sigs = Png.pngSigs(spark).as[(String, Long)].collect().toMap
+    assert(sigs("imga.png") == -3876391848780649068L)
+    assert(sigs("imga_bright.png") == 5346980188074125716L)
+    assert(sigs("imga_recode.png") == -3876391848780649068L)
+    assert(sigs("imgb.png") == -6605429111798369002L)
+    assert(!sigs.contains("corrupt.png"))
+  }
+
+  private def fixtureMedia = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile").load(Png.pngFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+  }
+
+  test("d40: PNG split-ingest == m12's one-shot through the codec-parametric chassis") {
+    import org.apache.spark.sql.functions.col
+    val state = graft.util.TmpDirs.scratch("graft_d40_spec_").toString
+    val media = fixtureMedia
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(!col("name").contains("_")), codec = "png-dhash")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(col("name").contains("_")), codec = "png-dhash")
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) == goldenPairs)
+    // a ppm-dhash state dir refuses a png merge (signatures not comparable)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalMedia.merge(spark, state, media, codec = "ppm-dhash")
+    }
+    assert(ex.getMessage.contains("refusing a merge"))
+  }
+
+  test("d41: PNG tombstone shadows, facade purge erases, re-ingest revives") {
+    import spark.implicits._
+    val state = graft.util.TmpDirs.scratch("graft_d41_spec_").toString
+    val media = fixtureMedia
+    graft.ops.IncrementalMedia.merge(spark, state, media, codec = "png-dhash")
+    graft.ops.Deletes.tombstone(spark, state, "png", Seq("imga.png").toDF("name"))
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) ==
+      goldenPairs.filterNot(p => p._1 == "imga.png" || p._2 == "imga.png"))
+    graft.ops.Deletes.purge(spark, state, "png", Seq("imga.png").toDF("name"))
+    val live = graft.ops.IncrementalMedia.completeVersions(spark, state)
+    val sigNames = spark.read.parquet(live.map(v => s"$state/v$v/sigs"): _*)
+      .select("name").as[String].collect().toSet
+    assert(!sigNames.contains("imga.png"), "purge must erase the signature row")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where($"name" === "imga.png"), codec = "png-dhash")
+    assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) == goldenPairs)
+  }
+
+  test("m12 vs exact hashing: sha256 misses every planted PNG copy") {
+    import org.apache.spark.sql.functions._
+    val dups = spark.read.format("binaryFile").load(Png.pngFixtureDir)
+      .select(sha2(col("content"), 256).as("h"))
+      .groupBy("h").count().where(col("count") > 1).count()
+    assert(dups == 0, "no two fixtures share bytes — exact dedup finds nothing")
+  }
+
+  test("a JVM-encoded PNG and a dimension-equal PPM of the same raster hash identically") {
+    // the dHash kernel must be FORMAT-INDEPENDENT: the same raster through
+    // the PPM path and the ImageIO path lands on the same signature
+    def raster(x: Int, y: Int) = ((x * 31 + y * 7) % 256, (x * 13) % 256, (y * 17) % 256)
+    val viaPng = Png.decodePng(jvmPng(20, 16, raster)).get
+    val ppmBody = new java.io.ByteArrayOutputStream()
+    ppmBody.write(s"P6\n20 16\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until 16; x <- 0 until 20) {
+      val (r, g, b) = raster(x, y)
+      ppmBody.write(r); ppmBody.write(g); ppmBody.write(b)
+    }
+    val viaPpm = Multimodal.decodePpm(ppmBody.toByteArray).get
+    assert(Multimodal.dHash64(viaPng) == Multimodal.dHash64(viaPpm))
+  }
+}
