@@ -347,6 +347,18 @@ object SparkEntry {
           Corpus.contaminationAgainst(s, reg, train.where(pmod(col("doc_id"), lit(5)) === 0)))
         .orderBy(col("doc_id"))
     }),
+    // c16: the Bloom-screened registry gate — only an 8-bit-per-shingle
+    // filter is broadcast; the exact set joins Bloom SURVIVORS only (the
+    // over-broadcast-size registry path). No false negatives + exact
+    // verify behind the screen => value-identical to c3 (shared oracle).
+    "c16_bloom_decontamination" -> ((s: SparkSession, d: String) => {
+      val reg = graft.util.TmpDirs.scratch("graft_c16_registry_").toString
+      Corpus.buildContaminationRegistry(s, d, reg)
+      Corpus.buildRegistryBloom(s, reg)
+      val train = graft.sources.Tables.documents(s, d)
+        .where(col("source") =!= Corpus.benchmarkSource)
+      Corpus.contaminationBloomScreened(s, reg, train).orderBy(col("doc_id"))
+    }),
     // c10: the APPENDABLE registry — benchmark suites land as generational
     // shingle-set appends (set union is associative, so append-then-screen
     // == rebuild-then-screen exactly); batches screened against the union.
@@ -1168,6 +1180,9 @@ object SparkEntry {
           |GROUP BY 1 ORDER BY keeper""".stripMargin) +
       // per-batch registry screening unioned == one-shot contamination
       ("c9_contamination_registry" -> m("c3_contamination")) +
+      // Bloom pre-screen + exact verify on survivors == one-shot
+      // contamination (false positives verified away, no false negatives)
+      ("c16_bloom_decontamination" -> m("c3_contamination")) +
       // suite-split generational appends screened == one-shot contamination
       ("c10_registry_append" -> m("c3_contamination")) +
       // streaming per-batch screens unioned == one-shot contamination

@@ -359,6 +359,75 @@ object Corpus {
         round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
   }
 
+  /** c16: the BLOOM-SCREENED registry gate — what [[contaminationAgainst]]
+    * becomes when the registry outgrows broadcast size. c3/c9/c10 ship the
+    * exact distinct-shingle set to every task (right for benchmark-suite
+    * scale, impossible for a multi-gigabyte registry); here the only thing
+    * broadcast is a Bloom filter over the registry's xxhash64'd shingles —
+    * 8 bits per shingle (~2% FPP) instead of the full strings, an order of
+    * magnitude smaller — and the EXACT set participates only in a join
+    * against the Bloom SURVIVORS. No false negatives (a Bloom filter never
+    * misses a member), and false positives are verified away by the exact
+    * join, so the output is VALUE-IDENTICAL to [[contaminationAgainst]] —
+    * c3's oracle gates it.
+    *
+    * Scale shape: the corpus side streams through a codegen'd constant
+    * probe map-side (the filter literal deserializes once per task); only
+    * the surviving sliver — true contamination plus the FPP fraction —
+    * reaches the exact join, which AQE plans as broadcast when the
+    * registry is small and as a shuffle join when it is not. Either way
+    * the exact set is no longer a per-task residency requirement. The
+    * filter artifact persists next to the c9 registry (`_BLOOM`), built
+    * once per registry build, model-artifact-sized driver traffic (the
+    * one collect, same budget as the ≤256-row IVF model loads).
+    */
+  def buildRegistryBloom(spark: SparkSession, registryDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val reg = spark.read.parquet(registryDir)
+      val n = math.max(reg.count(), 1L)
+      val bytes = reg
+        .agg(graft.exprs.BloomScreen.bloomAgg(xxhash64(col("shingle")), n, n * 8))
+        .collect()(0).getAs[Array[Byte]](0)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  private def readRegistryBloom(spark: SparkSession, registryDir: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _BLOOM artifact at $registryDir — run buildRegistryBloom")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
+  /** Screen one ingest batch through the Bloom gate: map-side probe, exact
+    * join on the survivors only (no broadcast hint on the exact set — AQE
+    * picks). Same output shape and values as [[contaminationAgainst]].
+    */
+  def contaminationBloomScreened(spark: SparkSession, registryDir: String,
+      batch: DataFrame): DataFrame = {
+    val bloom = readRegistryBloom(spark, registryDir)
+    val benchSh = spark.read.parquet(registryDir)
+    val trainSh = batch
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .repartition(col("doc_id"))
+    val own = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+    val survivors = trainSh
+      .where(graft.exprs.BloomScreen.mightContain(bloom, xxhash64(col("shingle"))))
+    val shared = survivors.join(benchSh, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    own.join(shared, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_own"),
+        round(col("n_shared").cast("double") / col("n_own"), 6).as("ratio"))
+  }
+
   /** Fold every live registry generation into one ([[GenState]]'s
     * compaction protocol); the folded set is the same distinct union the
     * screen reads, so screening is invariant across compactions.

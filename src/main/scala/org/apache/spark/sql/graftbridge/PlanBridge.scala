@@ -12,4 +12,16 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ↔ Expression bridging (Spark 4's Column wraps a ColumnNode, so
+    * direct construction from a Catalyst Expression goes through the
+    * `private[sql]` ExpressionUtils). Used to drive Spark's own
+    * internally-registered expressions (BloomFilterAggregate /
+    * BloomFilterMightContain) from the Column API.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

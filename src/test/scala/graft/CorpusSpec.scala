@@ -210,6 +210,45 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
   }
 
+  test("c16: Bloom-screened gate == exact screening; the exact set joins Bloom survivors only") {
+    import org.apache.spark.sql.functions._
+    val reg = graft.util.TmpDirs.scratch("graft_c16_spec_reg_").toString
+    Corpus.buildContaminationRegistry(spark, sf0001, reg)
+    Corpus.buildRegistryBloom(spark, reg)
+    val train = graft.sources.Tables.documents(spark, sf0001)
+      .where(col("source") =!= Corpus.benchmarkSource)
+    // VALUE-IDENTICAL to the exact broadcast screen: false positives are
+    // verified away by the exact join, false negatives cannot exist
+    val got = Corpus.contaminationBloomScreened(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val want = Corpus.contaminationAgainst(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got == want && want.nonEmpty)
+    // plan pin: the might_contain probe FILTERS the corpus side BELOW the
+    // exact-set join — the registry strings meet only Bloom survivors.
+    // Walk the optimized plan: every Join whose subtree reads the registry
+    // must carry the bloom filter on its other input's subtree.
+    val plan = Corpus.contaminationBloomScreened(spark, reg, train)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    def subtree(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = p.toString
+    val regJoins = joins.filter(j =>
+      subtree(j.left).contains("might_contain") || subtree(j.right).contains("might_contain"))
+    assert(regJoins.nonEmpty, s"no join has a Bloom-screened input:\n$plan")
+    // and the probe is a pre-join FILTER, not a post-join condition
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("might_contain") => f }
+    assert(filters.nonEmpty, s"might_contain did not survive as a filter:\n$plan")
+    // the build is idempotent (artifact cached beside the c9 registry)
+    val f = graft.ops.GenState.fs(spark, reg)
+    val m = new org.apache.hadoop.fs.Path(reg, "_BLOOM")
+    val before = f.getFileStatus(m).getModificationTime
+    Corpus.buildRegistryBloom(spark, reg)
+    assert(f.getFileStatus(m).getModificationTime == before)
+  }
+
   test("c13 temperature sampling: matches an independent re-derivation; rarest lang keeps all") {
     val got = Corpus.temperatureSample(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
