@@ -2,13 +2,13 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-call right-to-be-forgotten facade over the sixteen stateful
-  * modalities' tombstone deletes. Every modality shares the same
+/** One-call right-to-be-forgotten facade over the seventeen stateful
+  * modality entries' tombstone deletes. Every modality shares the same
   * semantics — write a tombstone generation, shadow at read, purge at
   * compact, revive on re-ingest — but each has its own entry point and id
   * column; this dispatcher normalizes both, so a GDPR sweep over a
   * multi-modality corpus is ONE loop over (stateDir, modality) pairs
-  * instead of sixteen call sites.
+  * instead of seventeen call sites.
   *
   * `ids` must be a single-column DataFrame; the column is renamed to
   * whatever the target modality stores (doc_id / vec_id / name), so the
