@@ -943,6 +943,10 @@ object SparkEntry {
         media.where(col("name").contains("_")), codec = "png-dhash")
       graft.ops.IncrementalMedia.pairs(s, state)
     }),
+    // Streaming drain of the PNG modality: micro-batch d40 merges through
+    // the q60 chassis == m12's one-shot pair table (shared oracle).
+    "q84_stream_png_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DocumentsStream.runPngDedupAvailableNow(s, d)),
     // Tombstone delete on the PNG modality (codec-agnostic chassis):
     // delete imga.png, its pairs leave the serve; bright-recode survives.
     "d41_png_delete" -> ((s: SparkSession, d: String) => {
@@ -1289,8 +1293,9 @@ object SparkEntry {
       // top-k split-ingest and its streaming drain == t5's exact top-20
       ("b5_topk_incremental" -> m("t5_token_freq")) +
       ("q82_stream_topk" -> m("t5_token_freq")) +
-      // PNG split-ingest == m12's golden pairs (codec-parametric chassis)
+      // PNG split-ingest and its streaming drain == m12's golden pairs
       ("d40_png_incremental" -> m("m12_png_near_dup")) +
+      ("q84_stream_png_dedup" -> m("m12_png_near_dup")) +
       // PNG tombstone delete: imga.png's pairs leave the serve
       ("d41_png_delete" ->
         """SELECT name1, name2, hamming FROM (VALUES

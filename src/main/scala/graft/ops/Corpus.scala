@@ -322,9 +322,9 @@ object Corpus {
 
   def appendContaminationRegistry(spark: SparkSession, registryDir: String,
       suiteDocs: DataFrame): Int = {
-    val next = GenState.latestVersion(spark, registryDir, registryTable)
-      .map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
+    // multi-writer: a registry is a distinct-union SET, so concurrent suite
+    // appends commute — fresh allocation serializes them (GenState.claimFresh)
+    val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
     GenState.assertWritable(spark, registryDir, next, claim, registryTable)
     suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
@@ -442,7 +442,9 @@ object Corpus {
     GenState.assertWritable(spark, registryDir, next, claim, registryTable)
     spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
       .write.mode("overwrite").parquet(registryPath(registryDir, next))
-    GenState.deleteVersions(spark, registryDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, registryDir, registryTable, next)
+    GenState.deleteVersions(spark, registryDir, versions ++ leftovers ++ abandoned)
     next
   }
 

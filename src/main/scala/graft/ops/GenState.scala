@@ -481,6 +481,31 @@ object GenState {
     claimBackend.releaseClaim(f, claimPath(stateDir, v))
   }
 
+  /** The shared multi-writer allocation prologue of the write-only
+    * modalities' merges/deletes: fast-path idempotency check →
+    * [[claimFresh]] → post-claim re-check (a concurrent sibling may have
+    * committed the SAME batch key between the fast path and the claim —
+    * abandon and no-op) → marker write. Returns Left(latest complete
+    * generation) when the batch key is already ingested, Right((version,
+    * token)) when the caller owns a fresh claimed generation.
+    */
+  def allocateFresh(spark: SparkSession, stateDir: String,
+      batchKey: Option[String], commitTable: String = "labels"): Either[Int, (Int, String)] = {
+    batchKey.foreach { k =>
+      if (ingestedKeys(spark, stateDir, commitTable).contains(k))
+        return Left(latestVersion(spark, stateDir, commitTable).get)
+    }
+    val (next, claim) = claimFresh(spark, stateDir, commitTable)
+    batchKey.foreach { k =>
+      if (ingestedKeys(spark, stateDir, commitTable).contains(k)) {
+        abandonFresh(spark, stateDir, next, commitTable)
+        return Left(latestVersion(spark, stateDir, commitTable).get)
+      }
+      writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    }
+    Right((next, claim))
+  }
+
   /** Incomplete vN dirs other than `except` — the crash leftovers a
     * QUIESCED compaction may sweep (under quiesce, no incomplete dir can be
     * a live writer's). Never call from a concurrent-ingest context.

@@ -53,14 +53,13 @@ object IncrementalCard {
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
-    val live = latestVersion(spark, stateDir)
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.get // re-delivery is a no-op
+    // multi-writer: the generation is write-only (independent of the live
+    // state), so fresh allocation serializes N parallel ingest jobs
+    // (GenState.claimFresh); the keyed exactly-once no-op rides inside
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // already ingested: re-delivery is a no-op
+      case Right(nc) => nc
     }
-    val next = live.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     // persist across the four writes below: the stats projection is one
     // compiled tokenize+score pass over the batch TEXT — uncached, each
     // write would redo it, quadrupling per-trigger ingest cost
@@ -125,8 +124,7 @@ object IncrementalCard {
       s"IncrementalCard.delete: state at $stateDir predates per-doc sidecar " +
         "retention — distinct-key multiplicity is not recoverable from the " +
         "distinct tables")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
@@ -285,7 +283,9 @@ object IncrementalCard {
             sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
           .write.mode("overwrite").parquet(partialsPath(stateDir, next))
       } finally survivors.unpersist()
-      GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+      // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
       return next
     }
     if (haveSidecars) {
@@ -312,7 +312,9 @@ object IncrementalCard {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum"))
       .write.mode("overwrite").parquet(partialsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

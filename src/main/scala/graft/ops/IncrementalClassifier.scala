@@ -56,14 +56,13 @@ object IncrementalClassifier {
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
-    val live = latestVersion(spark, stateDir)
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.get // already ingested: re-delivery is a no-op
+    // multi-writer: the generation is write-only (independent of the live
+    // state), so fresh allocation serializes N parallel ingest jobs
+    // (GenState.claimFresh); the keyed exactly-once no-op rides inside
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // already ingested: re-delivery is a no-op
+      case Right(nc) => nc
     }
-    val next = live.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     // persist across the two writes: featurize is the expensive text pass
     val feats = TextAnalysis.qualityFeatures(newDocs).persist()
     try {
@@ -100,8 +99,7 @@ object IncrementalClassifier {
       s"IncrementalClassifier.delete: state at $stateDir predates per-doc " +
         "sidecar retention — deleted docs' count contributions are not " +
         "recoverable from aggregated partials")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
@@ -198,7 +196,9 @@ object IncrementalClassifier {
     }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

@@ -79,22 +79,13 @@ object IncrementalExact {
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return latestVersion(spark, stateDir).get // already ingested: re-delivery is a no-op
-    }
     // MULTI-WRITER allocation: the partial aggregate is write-only and
     // independent of the live state, so N parallel ingest jobs serialize
-    // into N fresh generations (GenState.claimFresh) instead of N−1 aborts
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    batchKey.foreach { k =>
-      // post-claim re-check: a concurrent sibling delivering the SAME batch
-      // key may have committed between the fast-path check and this claim
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
-        GenState.abandonFresh(spark, stateDir, next, commitTable)
-        return latestVersion(spark, stateDir).get
-      }
-      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    // into N fresh generations (GenState.claimFresh) instead of N−1 aborts;
+    // allocateFresh carries the keyed exactly-once no-op path
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // already ingested: re-delivery is a no-op
+      case Right(nc) => nc
     }
     // per-doc SIDECAR first (doc_id, h — the subtractable record deletes
     // re-aggregate from; O(batch), two slim columns), then the partial
@@ -138,20 +129,12 @@ object IncrementalExact {
       s"IncrementalExact.delete: generation v$v at $stateDir has no per-doc " +
         "sidecar (pre-sidecar layout) — deletes need the sidecar to " +
         "re-aggregate from; rebuild the state dir first"))
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.last
-    }
     // fresh allocation like merge — a delete concurrent with parallel
     // ingest lands at its own number; shadowing stays generation-ordered
     // (the tombstone deletes only from generations older than itself)
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
-        GenState.abandonFresh(spark, stateDir, next, commitTable)
-        return completeVersions(spark, stateDir).last
-      }
-      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v
+      case Right(nc) => nc
     }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("doc_id")).dropDuplicates("doc_id")

@@ -70,8 +70,10 @@ object IncrementalIvf {
       newVecs: DataFrame): Int = {
     val spec = graft.exprs.IvfProbe.render(loadModel(spark, modelDir))
     GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(spec)))
-    val next = latestVersion(spark, stateDir).map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // multi-writer: assignment is against the FROZEN model, so the
+    // generation is independent of live state — fresh allocation lets N
+    // parallel ingest jobs serialize instead of stealing each other
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     // same assignment as s6/s7: top-1 probe, NaN (zero-norm) → cell −1
     val best = element_at(
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
@@ -97,8 +99,7 @@ object IncrementalIvf {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalIvf.delete: no state at $stateDir")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
@@ -168,7 +169,9 @@ object IncrementalIvf {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     livePostings(spark, stateDir)
       .write.mode("overwrite").parquet(postingsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

@@ -122,14 +122,13 @@ object IncrementalIvfPq {
     val refs = loadRefVectors(spark, modelDir)
     val cb = codebooksOf(refs)
     GenState.checkConfig(spark, stateDir, Map("model" -> fingerprint(refs)))
-    val live = latestVersion(spark, stateDir)
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.get // already ingested: re-delivery is a no-op
+    // multi-writer: encoding is against the FROZEN model artifact, so the
+    // generation is independent of live state — fresh allocation serializes
+    // N parallel ingest jobs (keyed exactly-once rides in allocateFresh)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // already ingested: re-delivery is a no-op
+      case Right(nc) => nc
     }
-    val next = live.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     newVecs
       .select(col("vec_id"), col("embedding").as("e"))
@@ -154,8 +153,7 @@ object IncrementalIvfPq {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalIvfPq.delete: no state at $stateDir")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
@@ -227,7 +225,9 @@ object IncrementalIvfPq {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     liveCodes(spark, stateDir)
       .write.mode("overwrite").parquet(codesPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
+    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
+    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
     next
   }
 

@@ -76,21 +76,13 @@ object IncrementalView {
         s"IncrementalView.merge: batch key '$k' collides with the reserved " +
           s"retraction namespace ('$retractPrefix*') — a merge marker must " +
           "never satisfy a retraction's exactly-once check (or vice versa)")
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return latestVersion(spark, stateDir).get // already ingested: re-delivery is a no-op
     }
-    // MULTI-WRITER allocation (GenState.claimFresh): partials are signed
+    // MULTI-WRITER allocation (GenState.allocateFresh): partials are signed
     // commutative deltas, so any interleaving of parallel ingests folds to
     // the same served view — N concurrent jobs serialize into N generations
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    batchKey.foreach { k =>
-      // post-claim re-check: a concurrent sibling delivering the SAME key
-      // may have committed between the fast-path check and this claim
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
-        GenState.abandonFresh(spark, stateDir, next, commitTable)
-        return latestVersion(spark, stateDir).get
-      }
-      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // already ingested: re-delivery is a no-op
+      case Right(nc) => nc
     }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(newEvents).write.mode("overwrite").parquet(partialsPath(stateDir, next))
@@ -127,17 +119,9 @@ object IncrementalView {
     // the two exactly-once ledgers disjoint (merge() refuses keys in this
     // namespace), so a cross-op key reuse can never satisfy the wrong check.
     val nsKey = batchKey.map(retractPrefix + _)
-    nsKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.last // already retracted: re-delivery is a no-op
-    }
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    nsKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k)) {
-        GenState.abandonFresh(spark, stateDir, next, commitTable)
-        return completeVersions(spark, stateDir).last
-      }
-      GenState.writeIngestMarker(spark, stateDir, next, k, claim, commitTable)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, nsKey, commitTable) match {
+      case Left(v) => return v // already retracted: re-delivery is a no-op
+      case Right(nc) => nc
     }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     partialOf(badEvents)
@@ -278,17 +262,9 @@ object IncrementalView {
     /** Ingest one RAW daily-feed window ([[changeFeedRaw]] output). */
     def merge(spark: SparkSession, stateDir: String, rawFeed: DataFrame,
         batchKey: Option[String] = None): Int = {
-      batchKey.foreach { k =>
-        if (GenState.ingestedKeys(spark, stateDir, "partials").contains(k))
-          return GenState.latestVersion(spark, stateDir, "partials").get
-      }
-      val (next, claim) = GenState.claimFresh(spark, stateDir, "partials")
-      batchKey.foreach { k =>
-        if (GenState.ingestedKeys(spark, stateDir, "partials").contains(k)) {
-          GenState.abandonFresh(spark, stateDir, next, "partials")
-          return GenState.latestVersion(spark, stateDir, "partials").get
-        }
-        GenState.writeIngestMarker(spark, stateDir, next, k, claim, "partials")
+      val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, "partials") match {
+        case Left(v) => return v
+        case Right(nc) => nc
       }
       GenState.assertWritable(spark, stateDir, next, claim, "partials")
       rawFeed

@@ -214,6 +214,27 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  /** q84: streaming STANDARD-FORMAT image near-dup — the png-dhash codec
+    * (javax.imageio decode, m11) in the q60 chassis: each micro-batch of
+    * raw PNG bytes is decoded + dHashed once, blocks probed against the
+    * persisted union, appended as a generation; the drained pair table
+    * equals m12's one-shot (the shared golden oracle). PNG thereby
+    * completes the same mutation matrix as every other media modality:
+    * one-shot (m12), incremental (d40), streamed (q84), tombstone delete
+    * (d41) and facade purge (Deletes "png").
+    */
+  def runPngDedupAvailableNow(spark: SparkSession, dir: String,
+      stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val state = stateDir.getOrElse(TmpDirs.scratch("graft_q84_state_").toString)
+    val media = (s: SparkSession, _: String) =>
+      s.read.format("binaryFile").load(graft.ops.Png.pngFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    drainMerges(spark, dir, files, "q84", media)((b, _) =>
+      graft.ops.IncrementalMedia.merge(b.sparkSession, state, b, codec = "png-dhash"))
+    graft.ops.IncrementalMedia.pairs(spark, state)
+  }
+
   /** q82: streaming HEAVY HITTERS — b5's merge under the chassis: each
     * document micro-batch is tokenized once and its per-doc token counts
     * appended as a write-only generation (batch-keyed, so re-delivery is

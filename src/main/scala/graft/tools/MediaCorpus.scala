@@ -80,6 +80,46 @@ object MediaCorpus {
     bb.array()
   }
 
+  /** Minimal standard PNG (signature, IHDR/IDAT/IEND, filter-0 scanlines,
+    * Deflater + CRC32) — the JVM twin of tools/gen_png_fixtures.py, so the
+    * png corpus exercises the ImageIO DECODE path the m11 ops actually
+    * run. `level`/`text` give the byte-different re-encode variant.
+    */
+  private def pngBytes(w: Int, h: Int, px: Array[Byte], level: Int,
+      text: Option[String]): Array[Byte] = {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length); bb.put(t); bb.put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val raw = new Array[Byte](h * (1 + w * 3)) // filter byte 0 per scanline
+    var y = 0
+    while (y < h) {
+      System.arraycopy(px, y * w * 3, raw, y * (1 + w * 3) + 1, w * 3)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(level)
+    defl.setInput(raw); defl.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte); ihdr.put(2.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    out.write(chunk("IHDR", ihdr.array()))
+    text.foreach(t => out.write(chunk("tEXt", ("Comment\u0000" + t).getBytes("US-ASCII"))))
+    out.write(chunk("IDAT", idat.toByteArray))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
   private def y4mBytes(w: Int, h: Int, lumas: Seq[Array[Byte]],
       extraHeader: String, frameParam: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -186,6 +226,32 @@ object MediaCorpus {
     }
   }
 
+  /** The png corpus reuses the ppm rasters (same kernel downstream) but
+    * round-trips through the REAL ImageIO decode — its scale row prices
+    * the standard-format codec term the P6 path skips.
+    */
+  private def buildPng(seed: Long, i: Int): (Seq[(String, Array[Byte])], Option[Planted]) = {
+    val name = f"pic$i%06d.png"
+    val px = ppmRaster(seed, i)
+    val base = Seq(name -> pngBytes(ppmW, ppmH, px, 9, None))
+    if (i < flatFamilyMax || i % 5 != 0) (base, None)
+    else {
+      val (suffix, vpx, level, text) = (i / 5) % 3 match {
+        case 0 => ("recode", px, 1, Some("re-encoded copy, identical raster"))
+        case 1 => ("bright", px.map(b => ((b & 0xff) + 16).toByte), 9, None)
+        case _ =>
+          val q = px.clone()
+          val r = rng(seed, i, 4)
+          q(r() % q.length) = 0; q(r() % q.length) = -1
+          ("retouch", q, 9, None)
+      }
+      val vname = f"pic$i%06d_$suffix.png"
+      val d = ham(dhashOf(px), dhashOf(vpx))
+      (base :+ (vname -> pngBytes(ppmW, ppmH, vpx, level, text)),
+        if (d <= 3) Some(Planted(name, vname, d)) else None)
+    }
+  }
+
   private def buildWav(seed: Long, i: Int): (Seq[(String, Array[Byte])], Option[Planted]) = {
     val name = f"snd$i%06d.wav"
     val mono = wavMono(seed, i)
@@ -245,7 +311,7 @@ object MediaCorpus {
   // ---- corpus generation ---------------------------------------------------
 
   val modalities: Map[String, (Long, Int) => (Seq[(String, Array[Byte])], Option[Planted])] =
-    Map("ppm" -> buildPpm, "wav" -> buildWav, "y4m" -> buildY4m)
+    Map("ppm" -> buildPpm, "png" -> buildPng, "wav" -> buildWav, "y4m" -> buildY4m)
 
   /** Generate (or reuse) an N-base-asset corpus of `modality` under `dir`;
     * returns the planted-pair manifest. Generation fans out over Spark

@@ -154,6 +154,57 @@ class GenStateClaimSpec extends SparkSpec {
     assert(GenState.ingestedKeys(spark, state, "hashes") == Set("c1", "c2"))
   }
 
+  test("concurrent registry appends and top-k merges serialize (write-only families share the allocator)") {
+    // registry: set-union appends commute — two concurrent suite appends
+    // must both commit and screen identically to sequential appends
+    val bench = docs.where(col("source") === graft.ops.Corpus.benchmarkSource)
+    val reg = graft.util.TmpDirs.scratch("graft_claim_reg_conc_").toString
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(half: Int) = new Thread(() => {
+      start.await()
+      try graft.ops.Corpus.appendContaminationRegistry(spark, reg,
+        bench.where(pmod(col("doc_id"), lit(2)) === half))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(appender(0), appender(1))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent registry appends must both commit: ${errs.toArray.toSeq}")
+    val seqReg = graft.util.TmpDirs.scratch("graft_claim_reg_seq_").toString
+    graft.ops.Corpus.appendContaminationRegistry(spark, seqReg,
+      bench.where(pmod(col("doc_id"), lit(2)) === 0))
+    graft.ops.Corpus.appendContaminationRegistry(spark, seqReg,
+      bench.where(pmod(col("doc_id"), lit(2)) === 1))
+    val train = docs.where(col("source") =!= graft.ops.Corpus.benchmarkSource)
+    val got = graft.ops.Corpus.contaminationAgainstRegistry(spark, reg, train)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.ops.Corpus.contaminationAgainstRegistry(spark, seqReg, train)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+
+    // top-k: per-doc count generations are write-only — two concurrent
+    // keyed merges both commit and serve the sequential answer
+    val tk = graft.util.TmpDirs.scratch("graft_claim_topk_conc_").toString
+    val start2 = new java.util.concurrent.CountDownLatch(1)
+    def topkWriter(half: Int) = new Thread(() => {
+      start2.await()
+      try graft.ops.IncrementalTopK.merge(spark, tk,
+        docs.where(pmod(col("doc_id"), lit(2)) === half), Some(s"t$half"))
+      catch { case t: Throwable => errs.add(t) }
+    })
+    val ts2 = Seq(topkWriter(0), topkWriter(1))
+    ts2.foreach(_.start()); start2.countDown(); ts2.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent top-k merges must both commit: ${errs.toArray.toSeq}")
+    val tkSeq = graft.util.TmpDirs.scratch("graft_claim_topk_seq_").toString
+    graft.ops.IncrementalTopK.merge(spark, tkSeq,
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("t0"))
+    graft.ops.IncrementalTopK.merge(spark, tkSeq,
+      docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("t1"))
+    val g2 = graft.ops.IncrementalTopK.topK(spark, tk).collect().map(_.toString).toSeq
+    val w2 = graft.ops.IncrementalTopK.topK(spark, tkSeq).collect().map(_.toString).toSeq
+    assert(g2 == w2 && w2.nonEmpty)
+  }
+
   test("concurrent view ingests serialize; the served view equals sequential maintenance") {
     val state = graft.util.TmpDirs.scratch("graft_claim_view_conc_").toString
     val ev = graft.sources.Tables.events(spark, sf0001)

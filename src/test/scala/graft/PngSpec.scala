@@ -134,6 +134,33 @@ class PngSpec extends SparkSpec {
     assert(collectPairs(graft.ops.IncrementalMedia.pairs(spark, state)) == goldenPairs)
   }
 
+  test("q84: streamed PNG merges drain to m12's one-shot pairs") {
+    val out = graft.streaming.DocumentsStream.runPngDedupAvailableNow(spark, sf0001)
+    assert(collectPairs(out) == goldenPairs)
+  }
+
+  test("JPEG decodes through the same ImageIO entry point, perceptually close to its source") {
+    // JPEG is lossy (decoder-dependent rounding ⇒ not golden-oracle-able),
+    // but it must DECODE through the same registry dispatch and land
+    // perceptually near the raster it encoded — the real-corpus format.
+    // A smooth gradient keeps block artifacts far from the dHash bits.
+    def raster(x: Int, y: Int) = (40 + x * 4, 60 + y * 6, 80 + ((x + y) % 64))
+    val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val (r, g, b) = raster(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer in this JVM")
+    val viaJpeg = Png.decodePng(bos.toByteArray)
+    assert(viaJpeg.isDefined, "JPEG payload must decode through the registry")
+    assert(viaJpeg.get.width == 32 && viaJpeg.get.height == 24)
+    val lossless = Png.decodePng(jvmPng(32, 24, raster)).get
+    val dist = java.lang.Long.bitCount(
+      Multimodal.dHash64(viaJpeg.get) ^ Multimodal.dHash64(lossless))
+    assert(dist <= 3, s"JPEG round-trip drifted $dist dHash bits from the source raster")
+  }
+
   test("m12 vs exact hashing: sha256 misses every planted PNG copy") {
     import org.apache.spark.sql.functions._
     val dups = spark.read.format("binaryFile").load(Png.pngFixtureDir)
