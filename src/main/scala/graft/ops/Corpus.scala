@@ -387,9 +387,35 @@ object Corpus {
     if (!fs.exists(p)) {
       val reg = spark.read.parquet(registryDir)
       val n = math.max(reg.count(), 1L)
-      val bytes = reg
-        .agg(graft.exprs.BloomScreen.bloomAgg(xxhash64(col("shingle")), n, n * 8))
-        .collect()(0).getAs[Array[Byte]](0)
+      val bits = n * 8
+      // Spark's BloomFilterAggregate SILENTLY clamps its size to the
+      // runtime-filter conf limits (maxNumBits default 64M bits, maxNumItems
+      // 4M) — at exactly the over-broadcast registry scale this gate exists
+      // for, a clamped filter degrades toward coin-flip FPP and the
+      // "surviving sliver" becomes the whole corpus (still correct — the
+      // exact join verifies — but the scaling claim evaporates). Raise the
+      // limits for the build so the requested size is honored, then restore.
+      val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val oldBits = spark.conf.getOption(kBits)
+      val oldItems = spark.conf.getOption(kItems)
+      val bytes =
+        try {
+          spark.conf.set(kBits, math.max(bits, 67108864L).toString)
+          spark.conf.set(kItems, math.max(n, 4000000L).toString)
+          reg.agg(graft.exprs.BloomScreen.bloomAgg(xxhash64(col("shingle")), n, bits))
+            .collect()(0).getAs[Array[Byte]](0)
+        } finally {
+          oldBits.fold(spark.conf.unset(kBits))(spark.conf.set(kBits, _))
+          oldItems.fold(spark.conf.unset(kItems))(spark.conf.set(kItems, _))
+        }
+      // loud, not silent: a clamped build would break the documented FPP
+      val built = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      require(built.bitSize() >= bits,
+        s"buildRegistryBloom: requested $bits bits but the aggregate " +
+          s"produced ${built.bitSize()} — a conf clamp survived; the c16 " +
+          "FPP contract would silently degrade")
       val out = fs.create(p, true)
       try out.write(bytes) finally out.close()
     }

@@ -52,7 +52,9 @@ object GenState {
   }
 
   /** LIVE complete generations: committed, minus any version a complete
-    * generation's `_COMPACTED` manifest records as folded. Not necessarily
+    * generation's `_COMPACTED` manifest records as folded, minus
+    * DUPLICATE-KEY re-deliveries ([[dupKeyShadowed]] — the read-side close
+    * of the multi-writer same-batch-key window). Not necessarily
     * contiguous (compaction leaves gaps).
     */
   def completeVersions(spark: SparkSession, stateDir: String,
@@ -60,7 +62,53 @@ object GenState {
     val f = fs(spark, stateDir)
     val complete = rawComplete(f, stateDir, commitTable)
     val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
-    complete.filterNot(folded)
+    val live = complete.filterNot(folded)
+    val dups = dupKeyShadowed(f, stateDir, live)
+    live.filterNot(dups)
+  }
+
+  /** Complete generations shadowed as DUPLICATE-KEY re-deliveries. Under
+    * multi-writer fresh allocation, two GENUINELY CONCURRENT deliveries of
+    * the SAME batch key can both commit: [[allocateFresh]]'s post-claim
+    * re-check narrows the window but cannot close it without leases (the
+    * storage gives no fencing). The read side closes it EXACTLY instead:
+    * walking live generations ascending, a generation carrying ≥1 ingest
+    * marker ALL of whose keys were already recorded by older live
+    * generations contributes nothing a correct exactly-once history would
+    * contain — it is a re-delivered duplicate, excluded from every serve /
+    * fold / time travel / change feed, and swept physically at compaction
+    * ([[writeCompactManifest]] records the shadowed set alongside the
+    * folded sources so the exclusion is crash-durable, and the standard
+    * folded-leftover sweep removes the bytes). Compacted generations are
+    * safe by construction: they sit numerically before later ingests and
+    * carry their folded history's marker union, so their keys are
+    * first-seen. Cost: one marker listing per live generation per
+    * [[completeVersions]] call — metadata-only, bounded by the compaction
+    * policy's live-generation cap.
+    */
+  private def dupKeyShadowed(f: FileSystem, stateDir: String,
+      live: Seq[Int]): Set[Int] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val shadowed = Set.newBuilder[Int]
+    live.foreach { v =>
+      val keys = markerNames(f, stateDir, v)
+      if (keys.nonEmpty && keys.forall(seen.contains)) shadowed += v
+      else seen ++= keys
+    }
+    shadowed.result()
+  }
+
+  /** The currently-shadowed duplicate-key generations (public face of
+    * [[dupKeyShadowed]] for compaction sweeps and diagnostics).
+    */
+  def dupKeyVersions(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Seq[Int] = {
+    val f = fs(spark, stateDir)
+    val complete = rawComplete(f, stateDir, commitTable)
+    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
+    val live = complete.filterNot(folded)
+    val dups = dupKeyShadowed(f, stateDir, live)
+    live.filter(dups)
   }
 
   def latestVersion(spark: SparkSession, stateDir: String,
@@ -97,8 +145,15 @@ object GenState {
   def writeCompactManifest(spark: SparkSession, stateDir: String, next: Int,
       folded: Seq[Int], token: String, commitTable: String = "labels"): Unit = {
     assertWritable(spark, stateDir, next, token, commitTable)
+    // duplicate-key generations fold into the manifest alongside the
+    // sources: the compacted generation inherits the shadowed keys' marker
+    // union from its sources, so once it commits a formerly-shadowed dup
+    // would sit NUMERICALLY BEFORE it and win the ascending first-seen walk
+    // — manifest-listing the dups keeps the exclusion crash-durable and
+    // hands their bytes to the standard folded-leftover sweep
+    val dups = dupKeyVersions(spark, stateDir, commitTable)
     writeUtf8(fs(spark, stateDir), manifestPath(stateDir, next),
-      folded.mkString("\n"))
+      (folded ++ dups).distinct.sorted.mkString("\n"))
   }
 
   def deleteVersions(spark: SparkSession, stateDir: String, vs: Seq[Int]): Unit = {
@@ -144,14 +199,18 @@ object GenState {
       s"ingest batch key must be [A-Za-z0-9._-]+, got '$key'")
 
   /** Batch keys recorded by COMPLETE generations (markers in incomplete
-    * generations are abandoned work and do not count).
+    * generations are abandoned work and do not count). Reads the
+    * manifest-filtered complete set WITHOUT the duplicate-key shadow walk:
+    * a shadowed generation's keys are by definition already carried by an
+    * older live generation, so the key SET is identical either way and the
+    * per-generation marker listing is paid once, not twice.
     */
   def ingestedKeys(spark: SparkSession, stateDir: String,
       commitTable: String = "labels"): Set[String] = {
     val f = fs(spark, stateDir)
-    completeVersions(spark, stateDir, commitTable).flatMap { v =>
-      markerNames(f, stateDir, v)
-    }.toSet
+    val complete = rawComplete(f, stateDir, commitTable)
+    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
+    complete.filterNot(folded).flatMap(markerNames(f, stateDir, _)).toSet
   }
 
   private def markerNames(f: FileSystem, stateDir: String, v: Int): Seq[String] = {
@@ -449,15 +508,20 @@ object GenState {
     while (attempt < maxAttempts) {
       val p = claimPath(stateDir, candidate)
       val token = java.util.UUID.randomUUID().toString
-      // publish + read-back, as in claimGeneration: the local-FS exclusive
-      // create is best-effort, so only a read-back seeing this writer's own
-      // token proves the claim held
-      if (claimBackend.tryClaim(f, p, token) &&
+      // defensive commit check: a committed generation always leaves a vN
+      // dir, so the all-dirs candidate cannot normally collide with one —
+      // but an external ClaimBackend (CAS row) publishes claims OUTSIDE the
+      // dir tree, so verify before contending rather than trust the listing.
+      // Then publish + read-back, as in claimGeneration: the local-FS
+      // exclusive create is best-effort, so only a read-back seeing this
+      // writer's own token proves the claim held.
+      if (!f.exists(new Path(s"$stateDir/v$candidate/$commitTable/_SUCCESS")) &&
+          claimBackend.tryClaim(f, p, token) &&
           claimBackend.readClaim(f, p).contains(token))
         return (candidate, token)
       attempt += 1
-      // lost the race: someone else owns this number now — never contest
-      // it, take the slot after whatever is on disk
+      // lost the race (or a stale listing): someone else owns this number —
+      // never contest it, take the slot after whatever is on disk
       candidate = math.max(candidate + 1,
         allVersionDirs(f, stateDir).lastOption.map(_ + 1).getOrElse(0))
     }
@@ -506,15 +570,18 @@ object GenState {
     Right((next, claim))
   }
 
-  /** Incomplete vN dirs other than `except` — the crash leftovers a
-    * QUIESCED compaction may sweep (under quiesce, no incomplete dir can be
-    * a live writer's). Never call from a concurrent-ingest context.
+  /** Every vN dir that is NOT a live complete generation, other than
+    * `except` — the sweep set of a QUIESCED compaction: crash-leftover
+    * incomplete dirs (under quiesce, no incomplete dir can be a live
+    * writer's), manifest-folded sources awaiting deletion, and
+    * duplicate-key shadowed re-deliveries. Never call from a
+    * concurrent-ingest context.
     */
   def abandonedVersions(spark: SparkSession, stateDir: String,
       commitTable: String = "labels", except: Int = -1): Seq[Int] = {
     val f = fs(spark, stateDir)
-    val complete = rawComplete(f, stateDir, commitTable).toSet
-    allVersionDirs(f, stateDir).filterNot(complete).filterNot(_ == except)
+    val live = completeVersions(spark, stateDir, commitTable).toSet
+    allVersionDirs(f, stateDir).filterNot(live).filterNot(_ == except)
   }
 
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,

@@ -37,6 +37,9 @@ object IncrementalExact {
 
   private val commitTable = "hashes"
 
+  /** Reserved marker namespace for [[delete]] keys — see the note there. */
+  private val deletePrefix = "delete."
+
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
 
@@ -79,6 +82,12 @@ object IncrementalExact {
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
       batchKey: Option[String] = None): Int = {
+    batchKey.foreach { k =>
+      require(!k.startsWith(deletePrefix),
+        s"IncrementalExact.merge: batch key '$k' collides with the reserved " +
+          s"delete namespace ('$deletePrefix*') — a merge marker must never " +
+          "satisfy a delete's exactly-once check (or vice versa)")
+    }
     // MULTI-WRITER allocation: the partial aggregate is write-only and
     // independent of the live state, so N parallel ingest jobs serialize
     // into N fresh generations (GenState.claimFresh) instead of N−1 aborts;
@@ -129,10 +138,17 @@ object IncrementalExact {
       s"IncrementalExact.delete: generation v$v at $stateDir has no per-doc " +
         "sidecar (pre-sidecar layout) — deletes need the sidecar to " +
         "re-aggregate from; rebuild the state dir first"))
+    // markers are namespaced per OPERATION (the IncrementalView.retract
+    // rule): a delete whose caller-supplied key happened to equal an
+    // earlier merge's key would silently no-op as "already applied" and
+    // DROP the tombstone — a right-to-be-forgotten request vanishing
+    // without an error. The reserved prefix makes the two exactly-once
+    // ledgers disjoint (merge refuses keys in this namespace).
+    val nsKey = batchKey.map(deletePrefix + _)
     // fresh allocation like merge — a delete concurrent with parallel
     // ingest lands at its own number; shadowing stays generation-ordered
     // (the tombstone deletes only from generations older than itself)
-    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, nsKey, commitTable) match {
       case Left(v) => return v
       case Right(nc) => nc
     }

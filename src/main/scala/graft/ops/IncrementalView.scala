@@ -45,7 +45,14 @@ object IncrementalView {
 
   private val commitTable = "partials"
 
-  /** Reserved marker namespace for [[retract]] keys — see the note there. */
+  /** Reserved marker namespace for [[retract]] keys — see the note there.
+    * FORMAT NOTE: state dirs whose retractions were recorded before this
+    * namespace existed store raw keys; a re-delivered retraction against
+    * such a dir would not match its old marker. Rebuild (or compact-and-
+    * verify) pre-namespace state dirs rather than relying on retraction
+    * re-delivery across the upgrade. (Checking the raw key as a fallback
+    * would re-open the cross-op collision this namespace closes.)
+    */
   private val retractPrefix = "retract."
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =

@@ -320,6 +320,16 @@ object MediaCorpus {
     */
   def generate(spark: SparkSession, dir: String, modality: String, nBase: Int,
       seed: Long = 77L): Seq[Planted] = {
+    // executor tasks write assets with java.nio LOCAL-filesystem calls and
+    // the driver reads them back — only coherent when every task shares the
+    // driver's disk. This is a measurement tool, not an engine op; refuse
+    // loudly on a distributed master or a non-local scheme instead of
+    // producing a half-written corpus under a _READY marker.
+    require(spark.sparkContext.isLocal,
+      "MediaCorpus.generate: local-mode only (tasks write the corpus with " +
+        "local-filesystem calls the driver then reads)")
+    require(!dir.contains("://"),
+      s"MediaCorpus.generate: plain local paths only, got '$dir'")
     val build = modalities.getOrElse(modality, throw new IllegalArgumentException(
       s"MediaCorpus.generate: unknown modality '$modality' — known: ${modalities.keys.toSeq.sorted.mkString(", ")}"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -154,6 +154,43 @@ class GenStateClaimSpec extends SparkSpec {
     assert(GenState.ingestedKeys(spark, state, "hashes") == Set("c1", "c2"))
   }
 
+  test("a same-key double-commit is shadowed at every read and swept at compact") {
+    // the one window allocateFresh cannot close without leases: two
+    // GENUINELY simultaneous deliveries of the same batch key both pass the
+    // post-claim re-check and both commit. The read side must then serve
+    // exactly-once anyway: the younger duplicate is excluded everywhere.
+    val state = graft.util.TmpDirs.scratch("graft_claim_dupkey_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    assert(IncrementalExact.merge(spark, state, b1, Some("k0")) == 0)
+    // forge the racing sibling: a COMPLETE generation carrying the same
+    // key marker and the same batch content (what the loser would commit)
+    val (vDup, tok) = GenState.claimFresh(spark, state, "hashes")
+    GenState.writeIngestMarker(spark, state, vDup, "k0", tok, "hashes")
+    spark.read.parquet(s"$state/v0/docs").write.parquet(s"$state/v$vDup/docs")
+    spark.read.parquet(s"$state/v0/hashes").write.parquet(s"$state/v$vDup/hashes")
+    // shadowed: the duplicate is complete on disk but invisible to reads
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0),
+      "the younger duplicate-key generation must be shadowed")
+    val served = IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(served == b1.count(), "the duplicate must not double-count")
+    // a later DISTINCT-key ingest lands beyond the duplicate and serves
+    assert(IncrementalExact.merge(spark, state, b2, Some("k1")) == vDup + 1)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0, vDup + 1))
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+    // and the keyed no-op still fires off the surviving marker
+    assert(IncrementalExact.merge(spark, state, b1, Some("k0")) == vDup + 1)
+    // compaction records the duplicate in the manifest and sweeps its bytes
+    IncrementalExact.compact(spark, state)
+    val fs = GenState.fs(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v$vDup")),
+      "compaction must sweep the shadowed duplicate physically")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+  }
+
   test("concurrent registry appends and top-k merges serialize (write-only families share the allocator)") {
     // registry: set-union appends commute — two concurrent suite appends
     // must both commit and screen identically to sequential appends
