@@ -947,6 +947,12 @@ object SparkEntry {
     // the q60 chassis == m12's one-shot pair table (shared oracle).
     "q84_stream_png_dedup" -> ((s: SparkSession, d: String) =>
       graft.streaming.DocumentsStream.runPngDedupAvailableNow(s, d)),
+    // m13: deterministic thumbnail resize — ImageIO decode + integer
+    // box-average downscale to 9x7, exact stats + sha256 of the resized
+    // raster bytes (the oracle pins every output pixel; golden VALUES
+    // from the independent Python box_resize in tools/gen_png_fixtures.py).
+    "m13_resize" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.pngResize(s)),
     // Tombstone delete on the PNG modality (codec-agnostic chassis):
     // delete imga.png, its pairs leave the serve; bright-recode survives.
     "d41_png_delete" -> ((s: SparkSession, d: String) => {
@@ -3236,6 +3242,21 @@ object SparkEntry {
         |  ('imga_bright.png', 'imga_recode.png', CAST(2 AS INT))
         |) AS t(name1, name2, hamming)
         |ORDER BY name1, name2""".stripMargin,
+
+    // Resize: golden VALUES from the generator's independent box_resize
+    // (floor-average integer cells — the resized raster is pinned to the
+    // BYTE by its sha256; the recoded copy resizes to the identical bytes,
+    // corrupt rejects whole).
+    "m13_resize" ->
+      """SELECT name, out_w, out_h, sum_r, sum_g, sum_b, raster_sha256
+        |FROM (VALUES
+        |  ('corrupt.png', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  ('imga.png', CAST(9 AS INT), CAST(7 AS INT), CAST(7744 AS BIGINT), CAST(8093 AS BIGINT), CAST(8054 AS BIGINT), '48457222e02640adf557625f2e8bec6da7d670db094b22b88edc9af0973e5220'),
+        |  ('imga_bright.png', CAST(9 AS INT), CAST(7 AS INT), CAST(8266 AS BIGINT), CAST(8562 AS BIGINT), CAST(8557 AS BIGINT), 'b9ec9a79c17944a6d73ce9a9715491c982ca99dcdf8b95b906b25a399d5ed1f5'),
+        |  ('imga_recode.png', CAST(9 AS INT), CAST(7 AS INT), CAST(7744 AS BIGINT), CAST(8093 AS BIGINT), CAST(8054 AS BIGINT), '48457222e02640adf557625f2e8bec6da7d670db094b22b88edc9af0973e5220'),
+        |  ('imgb.png', CAST(9 AS INT), CAST(7 AS INT), CAST(8299 AS BIGINT), CAST(7916 AS BIGINT), CAST(7961 AS BIGINT), '6d21e5c019703943d57572b20e4891b8a77acfe864e6ce2b16deb55e495e388f')
+        |) AS t(name, out_w, out_h, sum_r, sum_g, sum_b, raster_sha256)
+        |ORDER BY name""".stripMargin,
 
     // Perceptual near-dup: golden VALUES from the fixture generator's
     // reference dHash (imga_recode = identical raster re-encoded, Hamming

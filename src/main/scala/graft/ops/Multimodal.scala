@@ -306,6 +306,55 @@ object Multimodal {
       .orderBy(col("name1"), col("name2"))
   }
 
+  /** BOX-AVERAGE resize to `ow`×`oh` — the deterministic integer
+    * downscale every thumbnail/feature pipeline needs before a model sees
+    * pixels (and the kernel [[dHash64]] already uses internally for its
+    * 9×8 grid, factored out to a user-facing raster-in/raster-out op).
+    * Output pixel (x, y, c) is the floor average of its source cell;
+    * cell bounds by the same Long-safe integer division as dHash, lower
+    * bound forced non-empty, so ANY size pair maps deterministically —
+    * the same raster resizes to the same bytes on every JVM, which is
+    * what makes the golden oracle possible (floating-point resamplers
+    * cannot be oracle-checked across engines). `ow == w && oh == h` is
+    * the identity (every cell is one pixel).
+    */
+  def boxResize(img: PpmImage, ow: Int, oh: Int): PpmImage = {
+    require(ow > 0 && oh > 0, s"boxResize: bad target ${ow}x$oh")
+    val w = img.width; val h = img.height
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val y0 = (y.toLong * h / oh).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * h / oh).toInt)
+      var x = 0
+      while (x < ow) {
+        val x0 = (x.toLong * w / ow).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * w / ow).toInt)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val i = (yy * w + xx) * 3
+            sr += img.pixels(i) & 0xff
+            sg += img.pixels(i + 1) & 0xff
+            sb += img.pixels(i + 2) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        val cnt = (y1 - y0).toLong * (x1 - x0)
+        val o = (y * ow + x) * 3
+        out(o) = (sr / cnt).toByte
+        out(o + 1) = (sg / cnt).toByte
+        out(o + 2) = (sb / cnt).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(ow, oh, img.maxval, out)
+  }
+
   /** Horizontal mirror of a raster (x → w-1-x). */
   def flipH(img: PpmImage): PpmImage = {
     val w = img.width; val h = img.height

@@ -124,6 +124,49 @@ object Png {
       .orderBy(col("name"))
   }
 
+  /** m13: decode standard-format images and BOX-RESIZE each to a fixed
+    * thumbnail ([[Multimodal.boxResize]] — deterministic integer
+    * downscale), emitting exact integer stats of the RESIZED raster plus
+    * the sha256 of its interleaved-RGB bytes. The hash makes the oracle
+    * pin every output pixel, not just the sums: resize is the one media
+    * transform whose OUTPUT feeds models directly, so bit-reproducibility
+    * across engines is the contract (the reason the kernel is an integer
+    * box average and not a float resampler). Blobs never shuffle — decode
+    * + resize happen where the asset lands; only the slim stats rows move.
+    *
+    * Odd default target (9×7 against 16×12 fixtures) exercises the
+    * non-divisible cell grid on both axes.
+    */
+  def pngResize(spark: SparkSession, mediaDir: String = pngFixtureDir,
+      outW: Int = 9, outH: Int = 7): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        files.map { case (path, bytes) =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          decodePng(bytes).map(Multimodal.boxResize(_, outW, outH)) match {
+            case Some(t) =>
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < t.pixels.length) {
+                sums(i % 3) += t.pixels(i) & 0xff
+                i += 1
+              }
+              md.reset()
+              val hex = md.digest(t.pixels).map("%02x".format(_)).mkString
+              (name, Some(t.width), Some(t.height),
+                Some(sums(0)), Some(sums(1)), Some(sums(2)), Some(hex))
+            case None => (name, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("name", "out_w", "out_h", "sum_r", "sum_g", "sum_b", "raster_sha256")
+      .orderBy(col("name"))
+  }
+
   /** Decoded (name, dHash) signatures — corrupt payloads drop whole. */
   private[graft] def pngSigs(spark: SparkSession,
       mediaDir: String = pngFixtureDir): DataFrame = {

@@ -161,6 +161,35 @@ class PngSpec extends SparkSpec {
     assert(dist <= 3, s"JPEG round-trip drifted $dist dHash bits from the source raster")
   }
 
+  test("m13: box resize is the identity at source size, deterministic, and golden at 9x7") {
+    def raster(x: Int, y: Int) = ((x * 23) % 240, (y * 31) % 240, (x + y) % 240)
+    val img = Png.decodePng(jvmPng(16, 12, raster)).get
+    // identity: every cell is exactly one pixel
+    val same = Multimodal.boxResize(img, 16, 12)
+    assert(same.pixels.toSeq == img.pixels.toSeq)
+    // 1x1 is the global floor average
+    val one = Multimodal.boxResize(img, 1, 1)
+    val sums = img.pixels.grouped(3).foldLeft(Array(0L, 0L, 0L)) { (a, p) =>
+      a(0) += p(0) & 0xff; a(1) += p(1) & 0xff; a(2) += p(2) & 0xff; a
+    }
+    assert((one.pixels(0) & 0xff) == (sums(0) / (16 * 12)).toInt)
+    // upscale is defined too (non-empty cells repeat pixels): total mass
+    // per output cell stays the source pixel value
+    val up = Multimodal.boxResize(img, 32, 24)
+    assert(up.width == 32 && up.height == 24)
+    assert((up.pixels(0) & 0xff) == (img.pixels(0) & 0xff))
+    // fixture goldens against the independent Python box_resize
+    val rows = Png.pngResize(spark).collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("corrupt.png").isNullAt(1))
+    assert(byName("imga.png").getLong(3) == 7744L &&
+      byName("imga.png").getString(6) ==
+        "48457222e02640adf557625f2e8bec6da7d670db094b22b88edc9af0973e5220")
+    assert(byName("imga_recode.png").getString(6) == byName("imga.png").getString(6),
+      "a re-encoded copy must resize to the identical bytes")
+    assert(byName("imga_bright.png").getString(6) != byName("imga.png").getString(6))
+  }
+
   test("m12 vs exact hashing: sha256 misses every planted PNG copy") {
     import org.apache.spark.sql.functions._
     val dups = spark.read.format("binaryFile").load(Png.pngFixtureDir)

@@ -79,6 +79,26 @@ def stats(px):
     return s
 
 
+def box_resize(w, h, px, ow, oh):
+    """Independent reference of graft.ops.Multimodal.boxResize: floor
+    average per channel over the same integer cell grid."""
+    out = []
+    for y in range(oh):
+        y0, y1 = y * h // oh, max(y * h // oh + 1, (y + 1) * h // oh)
+        row = []
+        for x in range(ow):
+            x0, x1 = x * w // ow, max(x * w // ow + 1, (x + 1) * w // ow)
+            s = [0, 0, 0]
+            for yy in range(y0, y1):
+                for xx in range(x0, x1):
+                    for c in range(3):
+                        s[c] += px[yy][xx][c]
+            n = (y1 - y0) * (x1 - x0)
+            row.append(tuple(v // n for v in s))
+        out.append(row)
+    return out
+
+
 def dhash(w, h, px):
     def cell(x, y, gw, gh):
         x0, x1 = x * w // gw, max(x * w // gw + 1, (x + 1) * w // gw)
@@ -122,6 +142,14 @@ def main():
         w, h, px = imgs[k]
         s = stats(px)
         print(k, w, h, w * h, s[0], s[1], s[2])
+    import hashlib
+    print("resize goldens (9x7 box average: name sum_r sum_g sum_b sha256):")
+    for k in sorted(imgs):
+        w, h, px = imgs[k]
+        t = box_resize(w, h, px, 9, 7)
+        s = stats(t)
+        raw = bytes(c for row in t for p in row for c in p)
+        print(k, s[0], s[1], s[2], hashlib.sha256(raw).hexdigest())
     sigs = {k: dhash(*imgs[k]) for k in imgs}
     print("signatures:")
     for k in sorted(sigs):
