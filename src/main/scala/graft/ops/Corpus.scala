@@ -462,8 +462,10 @@ object Corpus {
     val versions = GenState.completeVersions(spark, registryDir, registryTable)
     require(versions.nonEmpty, s"compactRegistry: no registry at $registryDir")
     val leftovers = GenState.foldedLeftovers(spark, registryDir, registryTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, registryDir, next, registryTable)
+    // fresh allocation for the same reason as the state-family compacts:
+    // a duplicate-key shadowed generation at versions.last + 1 would abort
+    // the targeted claim; the sweep below removes non-live dirs anyway
+    val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
     GenState.writeCompactManifest(spark, registryDir, next, versions, claim, registryTable)
     GenState.assertWritable(spark, registryDir, next, claim, registryTable)
     spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()

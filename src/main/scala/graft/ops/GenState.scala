@@ -58,13 +58,19 @@ object GenState {
     * contiguous (compaction leaves gaps).
     */
   def completeVersions(spark: SparkSession, stateDir: String,
-      commitTable: String = "labels"): Seq[Int] = {
-    val f = fs(spark, stateDir)
+      commitTable: String = "labels"): Seq[Int] =
+    liveAndShadowed(fs(spark, stateDir), stateDir, commitTable)._1
+
+  /** The shared derivation behind [[completeVersions]] / [[dupKeyVersions]]:
+    * (live, duplicate-key shadowed) — one manifest filter, one shadow walk.
+    */
+  private def liveAndShadowed(f: FileSystem, stateDir: String,
+      commitTable: String): (Seq[Int], Seq[Int]) = {
     val complete = rawComplete(f, stateDir, commitTable)
     val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
-    val live = complete.filterNot(folded)
-    val dups = dupKeyShadowed(f, stateDir, live)
-    live.filterNot(dups)
+    val notFolded = complete.filterNot(folded)
+    val dups = dupKeyShadowed(f, stateDir, notFolded)
+    (notFolded.filterNot(dups), notFolded.filter(dups))
   }
 
   /** Complete generations shadowed as DUPLICATE-KEY re-deliveries. Under
@@ -102,14 +108,8 @@ object GenState {
     * [[dupKeyShadowed]] for compaction sweeps and diagnostics).
     */
   def dupKeyVersions(spark: SparkSession, stateDir: String,
-      commitTable: String = "labels"): Seq[Int] = {
-    val f = fs(spark, stateDir)
-    val complete = rawComplete(f, stateDir, commitTable)
-    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
-    val live = complete.filterNot(folded)
-    val dups = dupKeyShadowed(f, stateDir, live)
-    live.filter(dups)
-  }
+      commitTable: String = "labels"): Seq[Int] =
+    liveAndShadowed(fs(spark, stateDir), stateDir, commitTable)._2
 
   def latestVersion(spark: SparkSession, stateDir: String,
       commitTable: String = "labels"): Option[Int] =

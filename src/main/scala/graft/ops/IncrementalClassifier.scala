@@ -176,8 +176,13 @@ object IncrementalClassifier {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalClassifier.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // FRESH allocation, not the targeted claim: `versions` excludes
+    // duplicate-key shadowed generations, so versions.last + 1 can collide
+    // with a committed (shadowed) dir and the targeted claim would abort
+    // every compact until an unrelated ingest landed past it; a fresh
+    // number never collides, and the sweep below removes every non-live
+    // dir regardless of where it sits
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val folded = modelCounts(spark, stateDir)
     val f = GenState.fs(spark, stateDir)
     val haveSidecars = versions.forall(v => f.exists(

@@ -37,7 +37,16 @@ object IncrementalExact {
 
   private val commitTable = "hashes"
 
-  /** Reserved marker namespace for [[delete]] keys — see the note there. */
+  /** Reserved marker namespace for [[delete]] keys — see the note there.
+    * FORMAT NOTE: state dirs whose deletes were recorded before this
+    * namespace existed store raw keys; a re-delivered delete against such
+    * a dir would not match its old marker and would write a FRESH
+    * tombstone — which shadows all older generations, including
+    * legitimate post-delete re-ingests. Rebuild (or compact-and-verify)
+    * pre-namespace state dirs rather than relying on delete re-delivery
+    * across the upgrade. (Checking the raw key as a fallback would
+    * re-open the cross-op collision this namespace closes.)
+    */
   private val deletePrefix = "delete."
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
@@ -259,8 +268,13 @@ object IncrementalExact {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalExact.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // FRESH allocation, not the targeted claim: `versions` excludes
+    // duplicate-key shadowed generations, so versions.last + 1 can collide
+    // with a committed (shadowed) dir and the targeted claim would abort
+    // every compact until an unrelated ingest landed past it; a fresh
+    // number never collides, and the sweep below removes every non-live
+    // dir regardless of where it sits
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val sidecars = versions.forall(v => hasTable(spark, docsPath(stateDir, v)))
     val folded =
       if (!sidecars)

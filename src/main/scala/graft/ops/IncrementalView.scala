@@ -308,8 +308,13 @@ object IncrementalView {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalView.compact: no state at $stateDir")
     val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // FRESH allocation, not the targeted claim: `versions` excludes
+    // duplicate-key shadowed generations, so versions.last + 1 can collide
+    // with a committed (shadowed) dir and the targeted claim would abort
+    // every compact until an unrelated ingest landed past it; a fresh
+    // number never collides, and the sweep below removes every non-live
+    // dir regardless of where it sits
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))

@@ -175,18 +175,21 @@ class GenStateClaimSpec extends SparkSpec {
     val served = IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     assert(served == b1.count(), "the duplicate must not double-count")
-    // a later DISTINCT-key ingest lands beyond the duplicate and serves
-    assert(IncrementalExact.merge(spark, state, b2, Some("k1")) == vDup + 1)
-    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0, vDup + 1))
-    assert(IncrementalExact.dedup(spark, state)
-      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
-    // and the keyed no-op still fires off the surviving marker
-    assert(IncrementalExact.merge(spark, state, b1, Some("k0")) == vDup + 1)
-    // compaction records the duplicate in the manifest and sweeps its bytes
-    IncrementalExact.compact(spark, state)
+    // REGRESSION: compact while the shadowed dup is the NEWEST on-disk
+    // generation — a targeted versions.last+1 claim would collide with the
+    // committed dup dir and abort every compact; the fresh allocation must
+    // land past it, manifest the dup, and sweep its bytes
+    val vCompact = IncrementalExact.compact(spark, state)
+    assert(vCompact > vDup, "compaction must allocate past the shadowed dup")
     val fs = GenState.fs(spark, state)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v$vDup")),
       "compaction must sweep the shadowed duplicate physically")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == served)
+    // the exactly-once marker survived the fold: a re-delivery still no-ops
+    assert(IncrementalExact.merge(spark, state, b1, Some("k0")) == vCompact)
+    // a later DISTINCT-key ingest lands beyond the compacted state and serves
+    IncrementalExact.merge(spark, state, b2, Some("k1"))
     assert(IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
   }
