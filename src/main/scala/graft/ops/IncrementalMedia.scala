@@ -52,7 +52,7 @@ object IncrementalMedia {
     "ppm-dhash" -> (bytes =>
       Multimodal.decodePpm(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "png-dhash" -> (bytes =>
-      Png.decodePng(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
+      Png.decodeImage(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "wav-denergy" -> (bytes =>
       Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))
         .map(sig => (0, sig)).toSeq),

@@ -27,44 +27,74 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape, unchanged from m4/m5: blobs never shuffle (binaryFile
   * splits decode where they land; only (name, 64-bit sig) rows move);
-  * ImageIO's disk cache is disabled once per JVM below — executor-local
-  * tmp-file churn per decode would be an I/O tax at corpus scale.
+  * decode streams are memory-cached per call — executor-local tmp-file
+  * churn per decode would be an I/O tax at corpus scale, and the JVM-global
+  * `ImageIO.setUseCache` default is left untouched.
   */
 object Png {
 
-  // per-JVM codec init (the "once per partition, not per record" point the
-  // other modalities document): never spill decode buffers to tmp files
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Raster-size cap: an asset whose DECLARED dimensions exceed this is
+    * rejected whole. Checked from the header BEFORE any pixel allocation
+    * (see [[decodeImage]]) — the cap exists precisely for payloads whose
+    * headers lie big.
+    */
+  private val maxPixels = 100L << 20
 
   /** REAL standard-format decoder: whatever reader the ImageIO registry
-    * matches to the payload's signature (PNG here; JPEG/GIF/BMP ride the
-    * same registry). Decoded to the engine's interleaved-RGB raster
+    * matches to the payload's signature (PNG, JPEG, GIF, BMP — the JDK's
+    * built-in set). Decoded to the engine's interleaved-RGB raster
     * ([[PpmImage]]) so every existing kernel (dHash, dihedral orbit)
     * applies untouched. None on any failure — corrupt assets reject whole.
+    *
+    * Two hardening points this decode path carries that a bare
+    * `ImageIO.read(stream)` does not:
+    *
+    *   - **the dimension check runs on the HEADER, before the decode**:
+    *     `reader.getWidth/getHeight(0)` parse only header metadata, so a
+    *     decompression bomb declaring a huge raster (a 50k×50k IHDR over a
+    *     few hundred compressed bytes) is rejected before the reader
+    *     allocates anything — `reader.read(0)` would otherwise try to
+    *     materialize the full BufferedImage and die with OutOfMemoryError,
+    *     which NonFatal deliberately does NOT catch, turning the documented
+    *     whole-asset reject into an executor death;
+    *   - **stream-scoped memory caching** (`MemoryCacheImageInputStream`):
+    *     no per-decode tmp-file churn on the executor AND no mutation of
+    *     the process-global `ImageIO.setUseCache` default, which user code
+    *     co-resident in the JVM may rely on.
     */
-  def decodePng(payload: Array[Byte]): Option[PpmImage] = {
+  def decodeImage(payload: Array[Byte]): Option[PpmImage] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0 || w.toLong * h > (100L << 20)) return None
-      // one bulk sRGB grab, not per-pixel getRGB calls; PNG without color
-      // -management chunks round-trips 8-bit samples exactly
-      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
-      val px = new Array[Byte](w * h * 3)
-      var i = 0
-      while (i < rgb.length) {
-        val v = rgb(i)
-        px(3 * i) = ((v >> 16) & 0xff).toByte
-        px(3 * i + 1) = ((v >> 8) & 0xff).toByte
-        px(3 * i + 2) = (v & 0xff).toByte
-        i += 1
-      }
-      Some(PpmImage(w, h, 255, px))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None // no registered codec claims the signature
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+          val img = reader.read(0)
+          if (img == null) return None
+          // one bulk sRGB grab, not per-pixel getRGB calls; PNG without color
+          // -management chunks round-trips 8-bit samples exactly
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < rgb.length) {
+            val v = rgb(i)
+            px(3 * i) = ((v >> 16) & 0xff).toByte
+            px(3 * i + 1) = ((v >> 8) & 0xff).toByte
+            px(3 * i + 2) = (v & 0xff).toByte
+            i += 1
+          }
+          Some(PpmImage(w, h, 255, px))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch {
-      // a truncated IDAT / malformed chunk throws from inside the reader;
-      // the contract is a whole-asset reject, not a task failure
+      // a truncated IDAT / malformed chunk / lying header throws from inside
+      // the reader; the contract is a whole-asset reject, not a task failure
       case scala.util.control.NonFatal(_) => None
     }
   }
@@ -105,7 +135,7 @@ object Png {
       .mapPartitions { files =>
         files.map { case (path, bytes) =>
           val name = path.substring(path.lastIndexOf('/') + 1)
-          decodePng(bytes) match {
+          decodeImage(bytes) match {
             case Some(img) =>
               val sums = new Array[Long](3)
               var i = 0
@@ -147,7 +177,7 @@ object Png {
         val md = java.security.MessageDigest.getInstance("SHA-256")
         files.map { case (path, bytes) =>
           val name = path.substring(path.lastIndexOf('/') + 1)
-          decodePng(bytes).map(Multimodal.boxResize(_, outW, outH)) match {
+          decodeImage(bytes).map(Multimodal.boxResize(_, outW, outH)) match {
             case Some(t) =>
               val sums = new Array[Long](3)
               var i = 0
@@ -175,7 +205,7 @@ object Png {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (path, bytes) =>
-        decodePng(bytes).map(img =>
+        decodeImage(bytes).map(img =>
           (path.substring(path.lastIndexOf('/') + 1), Multimodal.dHash64(img)))
       })
       .toDF("name", "sig")

@@ -24,7 +24,7 @@ class PngSpec extends SparkSpec {
   }
 
   test("PNG decode round-trips 8-bit RGB samples exactly (lossless contract)") {
-    val got = Png.decodePng(jvmPng(13, 7, (x, y) => ((x * 19) % 256, (y * 37) % 256, (x * y) % 256))).get
+    val got = Png.decodeImage(jvmPng(13, 7, (x, y) => ((x * 19) % 256, (y * 37) % 256, (x * y) % 256))).get
     assert(got.width == 13 && got.height == 7)
     for (y <- 0 until 7; x <- 0 until 13) {
       val i = (y * 13 + x) * 3
@@ -36,15 +36,15 @@ class PngSpec extends SparkSpec {
 
   test("decoder rejects malformed payloads whole, never throws") {
     val good = jvmPng(16, 12, (x, y) => (x * 7 % 256, y * 11 % 256, 40))
-    assert(Png.decodePng(good).isDefined)
-    assert(Png.decodePng(Array[Byte]()).isEmpty)
-    assert(Png.decodePng("not a png at all".getBytes).isEmpty)
+    assert(Png.decodeImage(good).isDefined)
+    assert(Png.decodeImage(Array[Byte]()).isEmpty)
+    assert(Png.decodeImage("not a png at all".getBytes).isEmpty)
     // every truncation point either decodes whole or rejects whole
     val rnd = new java.util.Random(11)
     (0 until 150).foreach { _ =>
-      Png.decodePng(java.util.Arrays.copyOf(good, rnd.nextInt(good.length)))
+      Png.decodeImage(java.util.Arrays.copyOf(good, rnd.nextInt(good.length)))
       val junk = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(junk)
-      Png.decodePng(junk)
+      Png.decodeImage(junk)
     }
     // bit-flip fuzz: Some or None, never a task-killing throw
     (0 until 200).foreach { _ =>
@@ -52,8 +52,33 @@ class PngSpec extends SparkSpec {
       (0 until 1 + rnd.nextInt(4)).foreach { _ =>
         b(rnd.nextInt(b.length)) = (rnd.nextInt(256) - 128).toByte
       }
-      Png.decodePng(b)
+      Png.decodeImage(b)
     }
+  }
+
+  test("a decompression bomb (huge declared dimensions) rejects whole, before allocation") {
+    // a syntactically valid PNG whose IHDR declares a 50000×50000 raster
+    // over a few hundred compressed bytes: the decoder must reject from the
+    // HEADER dimensions — reader.read would try to allocate the ~10 GB
+    // BufferedImage first and die with OutOfMemoryError (not NonFatal)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(50000).putInt(50000)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val d = new java.util.zip.Deflater()
+    d.setInput(new Array[Byte](4096)); d.finish()
+    val buf = new Array[Byte](8192)
+    val idat = java.util.Arrays.copyOf(buf, d.deflate(buf))
+    d.end()
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+    assert(bomb.length < 600, "the bomb must be small on the wire")
+    assert(Png.decodeImage(bomb).isEmpty)
   }
 
   test("m11 decodes the checked-in fixtures to the Python reference's exact stats") {
@@ -152,10 +177,10 @@ class PngSpec extends SparkSpec {
     }
     val bos = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer in this JVM")
-    val viaJpeg = Png.decodePng(bos.toByteArray)
+    val viaJpeg = Png.decodeImage(bos.toByteArray)
     assert(viaJpeg.isDefined, "JPEG payload must decode through the registry")
     assert(viaJpeg.get.width == 32 && viaJpeg.get.height == 24)
-    val lossless = Png.decodePng(jvmPng(32, 24, raster)).get
+    val lossless = Png.decodeImage(jvmPng(32, 24, raster)).get
     val dist = java.lang.Long.bitCount(
       Multimodal.dHash64(viaJpeg.get) ^ Multimodal.dHash64(lossless))
     assert(dist <= 3, s"JPEG round-trip drifted $dist dHash bits from the source raster")
@@ -163,7 +188,7 @@ class PngSpec extends SparkSpec {
 
   test("m13: box resize is the identity at source size, deterministic, and golden at 9x7") {
     def raster(x: Int, y: Int) = ((x * 23) % 240, (y * 31) % 240, (x + y) % 240)
-    val img = Png.decodePng(jvmPng(16, 12, raster)).get
+    val img = Png.decodeImage(jvmPng(16, 12, raster)).get
     // identity: every cell is exactly one pixel
     val same = Multimodal.boxResize(img, 16, 12)
     assert(same.pixels.toSeq == img.pixels.toSeq)
@@ -202,7 +227,7 @@ class PngSpec extends SparkSpec {
     // the dHash kernel must be FORMAT-INDEPENDENT: the same raster through
     // the PPM path and the ImageIO path lands on the same signature
     def raster(x: Int, y: Int) = ((x * 31 + y * 7) % 256, (x * 13) % 256, (y * 17) % 256)
-    val viaPng = Png.decodePng(jvmPng(20, 16, raster)).get
+    val viaPng = Png.decodeImage(jvmPng(20, 16, raster)).get
     val ppmBody = new java.io.ByteArrayOutputStream()
     ppmBody.write(s"P6\n20 16\n255\n".getBytes("US-ASCII"))
     for (y <- 0 until 16; x <- 0 until 20) {
