@@ -965,6 +965,30 @@ object SparkEntry {
       graft.ops.Deletes.tombstone(s, state, "png", Seq("imga.png").toDF("name"))
       graft.ops.IncrementalMedia.pairs(s, state)
     }),
+    // m14: JPEG through the same ImageIO registry dispatch — the format
+    // real corpora lead with. Lossy (decoder-dependent rounding), so the
+    // oracle pins decode INVARIANTS, not pixel sums: accepted?, header
+    // dimensions; the header-truncated fixture rejects whole.
+    "m14_jpeg_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.jpegDecode(s)),
+    // The JPEG column of the incremental matrix (jpeg-dhash codec in the
+    // codec-parametric chassis): the same-raster re-quality encode is the
+    // only pair within Hamming 3 (margins verified at fixture generation,
+    // 1 vs 55+ — graft.tools.GenJpegFixtures). Names only in the output:
+    // the exact Hamming is decoder-rounded, not contract.
+    "d42_jpeg_incremental" -> ((s: SparkSession, _: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d42_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Png.jpgFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(!col("name").contains("_")), codec = "jpeg-dhash")
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name").contains("_")), codec = "jpeg-dhash")
+      graft.ops.IncrementalMedia.pairs(s, state)
+        .select(col("name1"), col("name2"))
+        .orderBy(col("name1"), col("name2"))
+    }),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -3257,6 +3281,29 @@ object SparkEntry {
         |  ('imgb.png', CAST(9 AS INT), CAST(7 AS INT), CAST(8299 AS BIGINT), CAST(7916 AS BIGINT), CAST(7961 AS BIGINT), '6d21e5c019703943d57572b20e4891b8a77acfe864e6ce2b16deb55e495e388f')
         |) AS t(name, out_w, out_h, sum_r, sum_g, sum_b, raster_sha256)
         |ORDER BY name""".stripMargin,
+
+    // JPEG decode: lossy-safe INVARIANT oracle (accepted?, header dims) —
+    // pixel values are decoder-rounded, so exact sums would pin one JDK's
+    // IDCT rather than the contract. corrupt.jpg is a header truncation
+    // (the JDK JPEG reader tolerates scan-data tail truncation).
+    "m14_jpeg_decode" ->
+      """SELECT name, ok, w, h FROM (VALUES
+        |  ('corrupt.jpg', CAST(FALSE AS BOOLEAN), CAST(NULL AS INT), CAST(NULL AS INT)),
+        |  ('imga.jpg', CAST(TRUE AS BOOLEAN), CAST(72 AS INT), CAST(56 AS INT)),
+        |  ('imga_requality.jpg', CAST(TRUE AS BOOLEAN), CAST(72 AS INT), CAST(56 AS INT)),
+        |  ('imgb.jpg', CAST(TRUE AS BOOLEAN), CAST(72 AS INT), CAST(56 AS INT))
+        |) AS t(name, ok, w, h)
+        |ORDER BY name""".stripMargin,
+
+    // JPEG near-dup geometry through the incremental chassis: only the
+    // re-quality encode of the same raster pairs with its source (names
+    // only — the exact Hamming is decoder-dependent; generation-time
+    // margins were 1 vs 55+ against threshold 3).
+    "d42_jpeg_incremental" ->
+      """SELECT name1, name2 FROM (VALUES
+        |  ('imga.jpg', 'imga_requality.jpg')
+        |) AS t(name1, name2)
+        |ORDER BY name1, name2""".stripMargin,
 
     // Perceptual near-dup: golden VALUES from the fixture generator's
     // reference dHash (imga_recode = identical raster re-encoded, Hamming

@@ -53,6 +53,12 @@ object IncrementalMedia {
       Multimodal.decodePpm(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "png-dhash" -> (bytes =>
       Png.decodeImage(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
+    // same registry-dispatched decode as png-dhash; the distinct codec NAME
+    // is the _CONFIG pin — JPEG is lossy, so signatures hashed from a JPEG
+    // corpus are decoder-rounded and a state dir must not silently mix the
+    // regimes a recall audit would need to reason about separately
+    "jpeg-dhash" -> (bytes =>
+      Png.decodeImage(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "wav-denergy" -> (bytes =>
       Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))
         .map(sig => (0, sig)).toSeq),

@@ -118,6 +118,52 @@ object Png {
     dir.toString
   }
 
+  /** Checked-in JPEG fixtures (graft.tools.GenJpegFixtures): two encodes of
+    * the same smooth source raster at different qualities (byte-different,
+    * perceptually identical), an unrelated image, and a header truncation.
+    * JPEG is lossy with decoder-dependent rounding, so these carry no golden
+    * raster — the m14/d42 oracles pin INVARIANTS (decode accepts, header
+    * dimensions, near-dup geometry), verified with wide margins at fixture
+    * generation time.
+    */
+  private val jpgFixtureNames = Seq("corrupt.jpg", "imga.jpg",
+    "imga_requality.jpg", "imgb.jpg")
+
+  lazy val jpgFixtureDir: String = {
+    val dir = graft.util.TmpDirs.scratch("graft_jpg_fixtures_")
+    jpgFixtureNames.foreach { nm =>
+      val in = getClass.getResourceAsStream(s"/jpg/$nm")
+      require(in != null, s"classpath resource /jpg/$nm missing from the graft jar")
+      try java.nio.file.Files.copy(in, dir.resolve(nm)) finally in.close()
+    }
+    dir.toString
+  }
+
+  /** m14: decode JPEG assets partition-parallel, emitting the lossy-safe
+    * decode INVARIANTS per asset — accepted?, header width/height — rather
+    * than m11's exact channel sums (pixel values are decoder-rounded, so an
+    * exact-stats oracle would pin one JDK's IDCT, not the contract). The
+    * whole-asset reject rule is pinned by the header-truncated fixture; note
+    * the JDK's JPEG reader TOLERATES scan-data (tail) truncation — it decodes
+    * the delivered MCUs and fills the rest — so the reject contract is about
+    * undecodable payloads, not byte-complete ones.
+    */
+  def jpegDecode(spark: SparkSession, mediaDir: String = jpgFixtureDir): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        decodeImage(bytes) match {
+          case Some(img) => (name, true, Some(img.width), Some(img.height))
+          case None => (name, false, None, None)
+        }
+      })
+      .toDF("name", "ok", "w", "h")
+      .orderBy(col("name"))
+  }
+
   /** m11: decode standard-format image bytes partition-parallel, reduce
     * each to exact integer stats (the m4 shape — PNG is lossless, so the
     * per-channel sums are bit-reproducible against the independent

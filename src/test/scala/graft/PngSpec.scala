@@ -164,6 +164,35 @@ class PngSpec extends SparkSpec {
     assert(collectPairs(out) == goldenPairs)
   }
 
+  test("m14: JPEG fixtures decode by invariant — accepts, header dims, header-truncation rejects") {
+    val rows = Png.jpegDecode(spark).collect()
+    assert(rows.map(r => (r.getString(0), r.getBoolean(1))).toSeq == Seq(
+      ("corrupt.jpg", false), ("imga.jpg", true),
+      ("imga_requality.jpg", true), ("imgb.jpg", true)))
+    assert(rows.filter(_.getBoolean(1)).forall(r => r.getInt(2) == 72 && r.getInt(3) == 56))
+    assert(rows.find(_.getString(0) == "corrupt.jpg").get.isNullAt(2))
+  }
+
+  test("d42: jpeg-dhash split-ingest pairs exactly the re-quality encode with its source") {
+    import org.apache.spark.sql.functions._
+    val state = graft.util.TmpDirs.scratch("graft_d42_spec_").toString
+    val media = spark.read.format("binaryFile").load(Png.jpgFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(!col("name").contains("_")), codec = "jpeg-dhash")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(col("name").contains("_")), codec = "jpeg-dhash")
+    val pairs = graft.ops.IncrementalMedia.pairs(spark, state)
+      .select("name1", "name2").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == Seq(("imga.jpg", "imga_requality.jpg")))
+    // a jpeg-dhash state refuses a png-dhash merge: lossy-decoded signature
+    // regimes must not silently mix (the _CONFIG codec pin)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.IncrementalMedia.merge(spark, state, media, codec = "png-dhash")
+    }
+    assert(ex.getMessage.contains("refusing a merge"))
+  }
+
   test("JPEG decodes through the same ImageIO entry point, perceptually close to its source") {
     // JPEG is lossy (decoder-dependent rounding ⇒ not golden-oracle-able),
     // but it must DECODE through the same registry dispatch and land
