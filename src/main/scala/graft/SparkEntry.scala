@@ -923,12 +923,12 @@ object SparkEntry {
     // VALUES oracle comes from the independent pure-Python encoder +
     // reference in tools/gen_png_fixtures.py.
     "m11_png_decode" -> ((s: SparkSession, _: String) =>
-      graft.ops.Png.pngDecode(s)),
+      graft.ops.Png.imageDecode(s)),
     // PNG perceptual near-dup: the m5 dHash/blocked-Hamming chassis over
     // ImageIO-decoded rasters (re-encoded copy at 0, brightness-lifted
     // two-pixel retouch at 2, unrelated at 25-27 — correctly absent).
     "m12_png_near_dup" -> ((s: SparkSession, _: String) =>
-      graft.ops.Png.pngNearDup(s)),
+      graft.ops.Png.imageNearDup(s)),
     // The PNG column of the incremental matrix: the png-dhash codec in
     // the codec-parametric chassis — originals first, copies second,
     // every golden pair found cross-batch; == m12's one-shot pair table.
@@ -952,7 +952,7 @@ object SparkEntry {
     // raster bytes (the oracle pins every output pixel; golden VALUES
     // from the independent Python box_resize in tools/gen_png_fixtures.py).
     "m13_resize" -> ((s: SparkSession, _: String) =>
-      graft.ops.Png.pngResize(s)),
+      graft.ops.Png.imageResize(s)),
     // Tombstone delete on the PNG modality (codec-agnostic chassis):
     // delete imga.png, its pairs leave the serve; bright-recode survives.
     "d41_png_delete" -> ((s: SparkSession, d: String) => {
@@ -989,6 +989,14 @@ object SparkEntry {
         .select(col("name1"), col("name2"))
         .orderBy(col("name1"), col("name2"))
     }),
+    // m15/m16: BMP and GIF through the same registry — both lossless for
+    // these fixtures (the rasters palettize exactly), so the goldens are
+    // the m11 stats of the SAME rasters re-containered: one raster through
+    // three container formats must decode bit-identically.
+    "m15_bmp_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.imageDecode(s, graft.ops.Png.bmpFixtureDir)),
+    "m16_gif_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.imageDecode(s, graft.ops.Png.gifFixtureDir)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -3304,6 +3312,26 @@ object SparkEntry {
         |  ('imga.jpg', 'imga_requality.jpg')
         |) AS t(name1, name2)
         |ORDER BY name1, name2""".stripMargin,
+
+    // BMP / GIF decode: both lossless for these fixtures, so the goldens
+    // are the m11 rasters' exact stats re-containered (independent
+    // pure-Python encoders in tools/gen_bmp_gif_fixtures.py); corrupt.*
+    // are header truncations rejecting whole.
+    "m15_bmp_decode" ->
+      """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b FROM (VALUES
+        |  ('corrupt.bmp', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('imga.bmp', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imgb.bmp', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
+        |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
+        |ORDER BY name""".stripMargin,
+
+    "m16_gif_decode" ->
+      """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b FROM (VALUES
+        |  ('corrupt.gif', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('imga.gif', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imgb.gif', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
+        |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
+        |ORDER BY name""".stripMargin,
 
     // Perceptual near-dup: golden VALUES from the fixture generator's
     // reference dHash (imga_recode = identical raster re-encoded, Hamming

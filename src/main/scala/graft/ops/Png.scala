@@ -3,27 +3,31 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Standard-format images (m11): PNG — and by the same entry point JPEG /
-  * GIF / BMP — decoded through `javax.imageio`, the JDK's built-in image
-  * codec registry (java.desktop module: zero new dependency, pure-JVM,
-  * headless-safe). This closes the gap the PPM modality left open: real
-  * corpora store PNG/JPEG, not P6 rasters. Everything downstream is the
-  * EXISTING perceptual chassis — [[Multimodal.dHash64]] over the decoded
-  * raster, the d17 blocked-Hamming candidate geometry, and the
-  * codec-parametric [[IncrementalMedia]] state machine (the "png-dhash"
-  * registry entry) — so the full mutation matrix (incremental ingest,
-  * streaming drain, tombstone delete, purge-at-compact) costs this format
-  * nothing new.
+/** Standard-format images: PNG (m11), JPEG (m14), BMP (m15), GIF (m16) —
+  * all decoded through `javax.imageio`, the JDK's built-in image codec
+  * registry (java.desktop module: zero new dependency, pure-JVM,
+  * headless-safe), each format exercised by its own fixture set and oracle.
+  * This closes the gap the PPM modality left open: real corpora store
+  * PNG/JPEG, not P6 rasters. Everything downstream is the EXISTING
+  * perceptual chassis — [[Multimodal.dHash64]] over the decoded raster, the
+  * d17 blocked-Hamming candidate geometry, and the codec-parametric
+  * [[IncrementalMedia]] state machine (the "png-dhash"/"jpeg-dhash"
+  * registry entries) — so the full mutation matrix (incremental ingest,
+  * streaming drain, tombstone delete, purge-at-compact) costs a new format
+  * nothing.
   *
   * Decode contract (the m4/m7/m9 rule): a payload that fails to decode —
-  * bad signature, no registered reader, truncated pixel data — is rejected
-  * WHOLE, never half-read. `ImageIO.read` returns null for unrecognized
-  * bytes and throws on mid-stream corruption; both collapse to None.
-  * PNG is lossless, so the golden oracle (an independent pure-Python
-  * encoder + stats/dHash reference, tools/gen_png_fixtures.py) must agree
-  * with the JVM decode to the bit. JPEG would decode through the same
-  * reader registry but is NOT golden-oracle-able (lossy, decoder-dependent
-  * rounding) — fixtures pin PNG.
+  * bad signature, no registered reader, truncated pixel data, lying header
+  * dimensions — is rejected WHOLE, never half-read.
+  *
+  * Oracle regimes by format: PNG, BMP, and GIF are LOSSLESS here (the GIF
+  * fixture rasters palettize exactly), so their goldens come from
+  * independent pure-Python encoders (tools/gen_png_fixtures.py,
+  * tools/gen_bmp_gif_fixtures.py) and the JVM decode must agree to the
+  * bit. JPEG is lossy with decoder-dependent rounding — NOT
+  * golden-oracle-able — so m14/d42 pin decode INVARIANTS (accepts, header
+  * dimensions, near-dup geometry) whose margins are verified at fixture
+  * generation (graft.tools.GenJpegFixtures).
   *
   * Scale shape, unchanged from m4/m5: blobs never shuffle (binaryFile
   * splits decode where they land; only (name, 64-bit sig) rows move);
@@ -99,24 +103,40 @@ object Png {
     }
   }
 
-  /** Checked-in PNG fixtures (tools/gen_png_fixtures.py): an image, its
-    * re-encoded copy (tEXt chunk + different deflate level — different
-    * bytes, identical raster), a brightness-lifted two-pixel retouch, an
-    * unrelated image, and a mid-IDAT truncation. Engine-shipped on the
-    * classpath, extracted once per JVM ([[Multimodal.ppmFixtureDir]]).
+  /** Engine-shipped classpath fixtures, extracted once per JVM (the
+    * [[Multimodal.ppmFixtureDir]] pattern).
     */
-  private val pngFixtureNames = Seq("corrupt.png", "imga.png", "imga_bright.png",
-    "imga_recode.png", "imgb.png")
-
-  lazy val pngFixtureDir: String = {
-    val dir = graft.util.TmpDirs.scratch("graft_png_fixtures_")
-    pngFixtureNames.foreach { nm =>
-      val in = getClass.getResourceAsStream(s"/png/$nm")
-      require(in != null, s"classpath resource /png/$nm missing from the graft jar")
+  private def extractFixtures(sub: String, names: Seq[String]): String = {
+    val dir = graft.util.TmpDirs.scratch(s"graft_${sub}_fixtures_")
+    names.foreach { nm =>
+      val in = getClass.getResourceAsStream(s"/$sub/$nm")
+      require(in != null, s"classpath resource /$sub/$nm missing from the graft jar")
       try java.nio.file.Files.copy(in, dir.resolve(nm)) finally in.close()
     }
     dir.toString
   }
+
+  /** Checked-in PNG fixtures (tools/gen_png_fixtures.py): an image, its
+    * re-encoded copy (tEXt chunk + different deflate level — different
+    * bytes, identical raster), a brightness-lifted two-pixel retouch, an
+    * unrelated image, and a mid-IDAT truncation.
+    */
+  lazy val pngFixtureDir: String = extractFixtures("png",
+    Seq("corrupt.png", "imga.png", "imga_bright.png", "imga_recode.png", "imgb.png"))
+
+  /** Checked-in BMP and GIF fixtures (tools/gen_bmp_gif_fixtures.py): the
+    * PNG fixtures' rasters re-containered. Both formats are lossless here
+    * (BMP is raw 24-bit; the rasters palettize exactly at ≤192 distinct
+    * colors), so the m15/m16 golden stats EQUAL m11's for the same image —
+    * pinning that one raster through three container formats decodes
+    * identically. corrupt.* are header truncations: unambiguous
+    * whole-asset rejects.
+    */
+  lazy val bmpFixtureDir: String = extractFixtures("bmp",
+    Seq("corrupt.bmp", "imga.bmp", "imgb.bmp"))
+
+  lazy val gifFixtureDir: String = extractFixtures("gif",
+    Seq("corrupt.gif", "imga.gif", "imgb.gif"))
 
   /** Checked-in JPEG fixtures (graft.tools.GenJpegFixtures): two encodes of
     * the same smooth source raster at different qualities (byte-different,
@@ -129,15 +149,7 @@ object Png {
   private val jpgFixtureNames = Seq("corrupt.jpg", "imga.jpg",
     "imga_requality.jpg", "imgb.jpg")
 
-  lazy val jpgFixtureDir: String = {
-    val dir = graft.util.TmpDirs.scratch("graft_jpg_fixtures_")
-    jpgFixtureNames.foreach { nm =>
-      val in = getClass.getResourceAsStream(s"/jpg/$nm")
-      require(in != null, s"classpath resource /jpg/$nm missing from the graft jar")
-      try java.nio.file.Files.copy(in, dir.resolve(nm)) finally in.close()
-    }
-    dir.toString
-  }
+  lazy val jpgFixtureDir: String = extractFixtures("jpg", jpgFixtureNames)
 
   /** m14: decode JPEG assets partition-parallel, emitting the lossy-safe
     * decode INVARIANTS per asset — accepted?, header width/height — rather
@@ -173,7 +185,7 @@ object Png {
     * checked-in golden fixtures (the board's m11 entry binds that default —
     * its oracle enumerates the fixture set).
     */
-  def pngDecode(spark: SparkSession, mediaDir: String = pngFixtureDir): DataFrame = {
+  def imageDecode(spark: SparkSession, mediaDir: String = pngFixtureDir): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(mediaDir)
       .select(col("path"), col("content"))
@@ -213,7 +225,7 @@ object Png {
     * Odd default target (9×7 against 16×12 fixtures) exercises the
     * non-divisible cell grid on both axes.
     */
-  def pngResize(spark: SparkSession, mediaDir: String = pngFixtureDir,
+  def imageResize(spark: SparkSession, mediaDir: String = pngFixtureDir,
       outW: Int = 9, outH: Int = 7): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(mediaDir)
@@ -244,7 +256,7 @@ object Png {
   }
 
   /** Decoded (name, dHash) signatures — corrupt payloads drop whole. */
-  private[graft] def pngSigs(spark: SparkSession,
+  private[graft] def imageSigs(spark: SparkSession,
       mediaDir: String = pngFixtureDir): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(mediaDir)
@@ -263,9 +275,9 @@ object Png {
     * re-encoded copy lands at 0, the brightness-lifted retouch at its
     * retouch bits — the copies exact hashing (m3) misses.
     */
-  def pngNearDup(spark: SparkSession, mediaDir: String = pngFixtureDir,
+  def imageNearDup(spark: SparkSession, mediaDir: String = pngFixtureDir,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = pngSigs(spark, mediaDir)
+    val sigs = imageSigs(spark, mediaDir)
     val blocks = sigs.select(col("name"), col("sig"),
       explode(array((0 until 4).map(b => struct(lit(b).as("bno"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bv"))): _*))

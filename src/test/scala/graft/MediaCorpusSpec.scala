@@ -20,7 +20,7 @@ class MediaCorpusSpec extends SparkSpec {
 
   private val mods = Seq(
     Mod("ppm", (s, d) => graft.ops.Multimodal.ppmNearDup(s, d), "ppm-dhash", 3),
-    Mod("png", (s, d) => graft.ops.Png.pngNearDup(s, d), "png-dhash", 3),
+    Mod("png", (s, d) => graft.ops.Png.imageNearDup(s, d), "png-dhash", 3),
     Mod("wav", (s, d) => graft.ops.Audio.wavNearDup(s, d), "wav-denergy", 3),
     Mod("y4m", (s, d) => graft.ops.Video.videoNearDup(s, d), "y4m-framehash", 6))
 

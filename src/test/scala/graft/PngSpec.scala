@@ -82,7 +82,7 @@ class PngSpec extends SparkSpec {
   }
 
   test("m11 decodes the checked-in fixtures to the Python reference's exact stats") {
-    val rows = Png.pngDecode(spark).collect()
+    val rows = Png.imageDecode(spark).collect()
     assert(rows.length == 5)
     val byName = rows.map(r => r.getString(0) -> r).toMap
     assert(byName("corrupt.png").isNullAt(1), "truncated IDAT must reject whole")
@@ -105,13 +105,13 @@ class PngSpec extends SparkSpec {
     df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
 
   test("m12: near-dup finds the re-encode and retouch at the reference's distances") {
-    assert(collectPairs(Png.pngNearDup(spark)) == goldenPairs)
+    assert(collectPairs(Png.imageNearDup(spark)) == goldenPairs)
   }
 
   test("the JVM decode agrees with the independent dHash reference bit-for-bit") {
     import spark.implicits._
     // signatures of the fixture set, straight from the Python generator
-    val sigs = Png.pngSigs(spark).as[(String, Long)].collect().toMap
+    val sigs = Png.imageSigs(spark).as[(String, Long)].collect().toMap
     assert(sigs("imga.png") == -3876391848780649068L)
     assert(sigs("imga_bright.png") == 5346980188074125716L)
     assert(sigs("imga_recode.png") == -3876391848780649068L)
@@ -162,6 +162,30 @@ class PngSpec extends SparkSpec {
   test("q84: streamed PNG merges drain to m12's one-shot pairs") {
     val out = graft.streaming.DocumentsStream.runPngDedupAvailableNow(spark, sf0001)
     assert(collectPairs(out) == goldenPairs)
+  }
+
+  test("m15/m16: BMP and GIF decode to the PNG rasters' exact stats; header truncations reject") {
+    for ((dir, ext) <- Seq((Png.bmpFixtureDir, "bmp"), (Png.gifFixtureDir, "gif"))) {
+      val rows = Png.imageDecode(spark, dir).collect()
+      assert(rows.length == 3, s"$ext fixture count")
+      val byName = rows.map(r => r.getString(0) -> r).toMap
+      assert(byName(s"corrupt.$ext").isNullAt(1), s"header-truncated $ext must reject whole")
+      val a = byName(s"imga.$ext")
+      assert(a.getInt(1) == 16 && a.getInt(2) == 12 && a.getLong(3) == 192L &&
+        a.getLong(4) == 23840L && a.getLong(5) == 24672L && a.getLong(6) == 24224L,
+        s"imga.$ext must decode to the m11 raster's stats")
+      assert(byName(s"imgb.$ext").getLong(4) == 24544L)
+    }
+  }
+
+  test("one raster through PNG, BMP, and GIF containers decodes to identical pixels") {
+    def bytesOf(dir: String, name: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name))
+    val viaPng = Png.decodeImage(bytesOf(Png.pngFixtureDir, "imga.png")).get
+    val viaBmp = Png.decodeImage(bytesOf(Png.bmpFixtureDir, "imga.bmp")).get
+    val viaGif = Png.decodeImage(bytesOf(Png.gifFixtureDir, "imga.gif")).get
+    assert(viaPng.pixels.toSeq == viaBmp.pixels.toSeq, "BMP raster differs from PNG")
+    assert(viaPng.pixels.toSeq == viaGif.pixels.toSeq, "GIF raster differs from PNG")
   }
 
   test("m14: JPEG fixtures decode by invariant — accepts, header dims, header-truncation rejects") {
@@ -233,7 +257,7 @@ class PngSpec extends SparkSpec {
     assert(up.width == 32 && up.height == 24)
     assert((up.pixels(0) & 0xff) == (img.pixels(0) & 0xff))
     // fixture goldens against the independent Python box_resize
-    val rows = Png.pngResize(spark).collect()
+    val rows = Png.imageResize(spark).collect()
     val byName = rows.map(r => r.getString(0) -> r).toMap
     assert(byName("corrupt.png").isNullAt(1))
     assert(byName("imga.png").getLong(3) == 7744L &&
