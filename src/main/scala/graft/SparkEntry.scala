@@ -684,6 +684,19 @@ object SparkEntry {
       graft.engine.Sinks.csvRoundTrip(Relational.q14EventsDaily(s, d),
           graft.util.TmpDirs.scratch("graft_q50_roundtrip_").toString)
         .orderBy(col("day"), col("event_type"))),
+    // S6 ORC twin of q39: the Hive-lineage columnar format through the
+    // native vectorized ORC writer/reader, hash-checked against q14's
+    // oracle — closes the sink-format matrix's columnar half.
+    "q85_orc_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.engine.Sinks.orcRoundTrip(Relational.q14EventsDaily(s, d),
+          graft.util.TmpDirs.scratch("graft_q85_roundtrip_").toString)
+        .orderBy(col("day"), col("event_type"))),
+    // S6 Avro twin: the row-major message-bus interchange format (Spark 4
+    // bundles the connector); dates travel as Avro logical types — exact.
+    "q86_avro_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.engine.Sinks.avroRoundTrip(Relational.q14EventsDaily(s, d),
+          graft.util.TmpDirs.scratch("graft_q86_roundtrip_").toString)
+        .orderBy(col("day"), col("event_type"))),
     // Approximate aggregates (HLL++, quantile sketch): the sketch values
     // are not DuckDB-reproducible, so the query emits exact twins plus
     // |approx − exact| ≤ tol booleans and the oracle asserts literal TRUEs
@@ -1369,6 +1382,10 @@ object SparkEntry {
       // the bucketed rolling window must reproduce the single-key window
       ("q51_rolling_bucketed" -> m("q48_rolling_range")) +
       ("q50_csv_roundtrip" -> m("q14_events_daily")) +
+      // ORC and Avro twins of the same round trip — all four file-sink
+      // formats reproduce the identical batch aggregate
+      ("q85_orc_roundtrip" -> m("q14_events_daily")) +
+      ("q86_avro_roundtrip" -> m("q14_events_daily")) +
       ("q41_stream_foreachbatch" -> m("q14_events_daily")) +
       // incremental view maintenance serves exactly the q14 rollup
       ("q65_incremental_view" -> m("q14_events_daily")) +

@@ -63,4 +63,41 @@ object Sinks {
     csv(df, path)
     df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
   }
+
+  /** S6 variant: ORC — the other columnar lake format real deployments mix
+    * with parquet (Hive-lineage tables). Same splittable parallel scan,
+    * predicate pushdown, and column pruning class as parquet under Spark's
+    * native vectorized ORC reader.
+    */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** ORC sink→source round trip under the writer's schema; the q85 gate
+    * hash-compares the round-tripped rows against the batch oracle. ORC
+    * stores types natively (no text encoding), so the trip is exact for
+    * every Spark SQL type the engine emits.
+    */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    orc(df, path)
+    df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
+  /** S6 variant: Avro — the row-major interchange format of streaming /
+    * message-bus pipelines (splittable container files). Spark 4 bundles
+    * the connector classes in spark-sql, but this distribution does not
+    * list them in the `DataSourceRegister` service file, so the `"avro"`
+    * shortname fails lookup — the fully-qualified provider is the stable
+    * spelling (works whether or not the shortname is registered).
+    */
+  def avro(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("org.apache.spark.sql.avro.AvroFileFormat").save(path)
+
+  /** Avro sink→source round trip under the writer's schema; the q86 gate
+    * hash-compares against the batch oracle. Dates/timestamps travel as
+    * Avro logical types, decimals as fixed/bytes — exact, not text.
+    */
+  def avroRoundTrip(df: DataFrame, path: String): DataFrame = {
+    avro(df, path)
+    df.sparkSession.read.schema(df.schema).format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+  }
 }
