@@ -363,6 +363,42 @@ object GenState {
 
   private def claimPath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_CLAIM")
 
+  // ---- held-lease heartbeat: loud single-writer contract ------------------
+  //
+  // The targeted claim's recovery rule — an incomplete claimed generation is
+  // a crash leftover, redone wholesale — is right for crashes but used to
+  // make CONTRACT VIOLATIONS silent: a second writer launched against a
+  // single-writer family (media/MinHash/SimHash/substring/semantic) stole
+  // the live merge's claim and the FIRST writer aborted with a generic
+  // token-mismatch message, indistinguishable from crash recovery. The
+  // lease distinguishes the two: every claim carries a `_LEASE` file naming
+  // the writer (host:pid), renewed at each guarded write; a claimant that
+  // finds a FRESH lease (younger than [[leaseTtlMs]]) fails fast with the
+  // contract-violation message naming the live holder, while a stale lease
+  // is a crash leftover and steals exactly as before. Diagnostics only —
+  // correctness still rests on the claim read-back + per-write re-check
+  // (a writer stalled past the TTL is stolen from and aborts at its next
+  // guarded write, same as always).
+
+  /** How old a lease may be and still prove a LIVE holder. Renewal happens
+    * at every guarded write, so the TTL must exceed the longest expected
+    * single Spark job between two guarded writes of a merge. Volatile: a
+    * deployment with hour-long ingest jobs raises it once at startup.
+    */
+  @volatile var leaseTtlMs: Long = 15 * 60 * 1000L
+
+  private def leasePath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_LEASE")
+
+  private def writerId: String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}:${ProcessHandle.current().pid()}"
+
+  /** Best-effort (the lease is diagnostics, not a correctness fence — an
+    * unrenewable lease must not fail a merge the claim protocol allows).
+    */
+  private def renewLease(f: FileSystem, stateDir: String, v: Int): Unit =
+    try writeUtf8(f, leasePath(stateDir, v), writerId)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** Claim generation `v` for this writer (step 1 above). Returns the
     * writer token to present to [[assertWritable]] before every later
     * per-generation write. Throws IllegalStateException — with nothing
@@ -385,11 +421,27 @@ object GenState {
           "claimant while this steal was in flight — refusing to destroy a " +
           "committed generation; state dirs are single-writer (clean abort)")
     if (claimBackend.readClaim(f, p).isDefined) {
-      // incomplete AND claimed: a crash leftover being redone wholesale
-      // (the documented recovery rule). Delete and re-claim — if the
-      // "leftover" was in fact a live writer, the read-back below lets at
-      // most one of the two claimants proceed. The entry commit check above
-      // is check-then-act, so a stalled-but-LIVE claimant may commit in the
+      // claimed and incomplete: either a crash leftover (redo wholesale —
+      // the documented recovery rule) or a LIVE concurrent merge violating
+      // the single-writer contract. The lease tells them apart: fresh ⇒
+      // fail fast and LOUD, naming the holder, before destroying its work.
+      val lp = leasePath(stateDir, v)
+      if (f.exists(lp)) {
+        val age = System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
+        if (age < leaseTtlMs)
+          throw new IllegalStateException(
+            s"GenState: generation v$v at $stateDir is held by a LIVE writer " +
+              s"(${readUtf8(f, lp)}; lease renewed ${age} ms ago, ttl ${leaseTtlMs} ms) — " +
+              "this state family is single-writer by contract, so a concurrent " +
+              "merge is in flight, not a crash leftover. Clean abort, nothing " +
+              "written; retry after the holder commits (if the holder is known " +
+              "dead, wait out the ttl or lower GenState.leaseTtlMs)")
+      }
+      // stale or absent lease: a crash leftover being redone wholesale.
+      // Delete and re-claim — if the "leftover" was in fact a live writer
+      // stalled past the ttl, the read-back below lets at most one of the
+      // two claimants proceed. The entry commit check above is
+      // check-then-act, so a stalled-but-LIVE claimant may commit in the
       // window between it and this delete; re-check immediately before the
       // destructive step (and again before re-claiming) so the thief never
       // deletes a COMMITTED generation — narrowing the race to the same
@@ -413,6 +465,7 @@ object GenState {
         s"GenState: the claim on v$v at $stateDir did not survive its own " +
           "publish (a concurrent claimant's redo-wholesale delete raced it) " +
           "— clean abort, nothing committed; state dirs are single-writer")
+    renewLease(f, stateDir, v)
     token
   }
 
@@ -448,6 +501,10 @@ object GenState {
         s"GenState: the claim on v$v at $stateDir was taken over by another " +
           "writer mid-merge (token mismatch) — aborting before commit; state " +
           "dirs are single-writer")
+    // heartbeat: every guarded write proves the holder alive, so a second
+    // writer arriving mid-merge gets the loud contract-violation abort
+    // instead of silently stealing live work
+    renewLease(f, stateDir, v)
   }
 
   // ---- multi-writer optimistic allocation ----------------------------------
@@ -517,8 +574,10 @@ object GenState {
       // writer's own token proves the claim held.
       if (!f.exists(new Path(s"$stateDir/v$candidate/$commitTable/_SUCCESS")) &&
           claimBackend.tryClaim(f, p, token) &&
-          claimBackend.readClaim(f, p).contains(token))
+          claimBackend.readClaim(f, p).contains(token)) {
+        renewLease(f, stateDir, candidate)
         return (candidate, token)
+      }
       attempt += 1
       // lost the race (or a stale listing): someone else owns this number —
       // never contest it, take the slot after whatever is on disk

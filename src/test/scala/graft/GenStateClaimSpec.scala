@@ -17,12 +17,43 @@ class GenStateClaimSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables.documents(spark, sf0001)
 
-  test("claim race: the second claimant steals, the stalled first aborts before commit") {
+  /** Backdate the held lease past the TTL — simulating a crashed holder
+    * (one that stopped heartbeating) without waiting out leaseTtlMs.
+    */
+  private def expireLease(state: String, v: Int): Unit = {
+    val f = GenState.fs(spark, state)
+    val p = new org.apache.hadoop.fs.Path(s"$state/v$v/_LEASE")
+    if (f.exists(p))
+      f.setTimes(p, System.currentTimeMillis() - GenState.leaseTtlMs - 60000, -1)
+  }
+
+  test("a live holder's lease makes contention LOUD: the second writer fails fast, naming the holder") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_lease_").toString
+    // writer A is mid-merge: claimed v0, lease fresh (renewed at the claim
+    // and at every guarded write)
+    val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
+    // writer B launched against the same single-writer family: the fresh
+    // lease proves A is LIVE, so B must NOT steal — it aborts with the
+    // contract-violation message naming the holder, and A's work survives
+    val ex = intercept[IllegalStateException] {
+      GenState.claimGeneration(spark, state, 0, "hashes")
+    }
+    assert(ex.getMessage.contains("held by a LIVE writer"), ex.getMessage)
+    assert(ex.getMessage.contains("single-writer by contract"), ex.getMessage)
+    // the message names the holder (host:pid from the lease file)
+    assert(ex.getMessage.matches("(?s).*\\(\\S+:\\d+;.*"), ex.getMessage)
+    // A is untouched: its claim still verifies and its merge may proceed
+    GenState.assertClaimed(spark, state, 0, tokenA)
+  }
+
+  test("claim race: the second claimant steals a STALE claim, the stalled first aborts before commit") {
     val state = graft.util.TmpDirs.scratch("graft_claim_race_").toString
     // writer A mid-merge: claimed v0, tables not yet committed
     val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
-    // writer B arrives: v0 is incomplete+claimed — indistinguishable from
-    // a crash leftover, so B redoes it wholesale (deletes + re-claims)
+    // A crashes (stops heartbeating): its lease ages past the ttl
+    expireLease(state, 0)
+    // writer B arrives: v0 is incomplete+claimed with a STALE lease — a
+    // crash leftover, so B redoes it wholesale (deletes + re-claims)
     val tokenB = GenState.claimGeneration(spark, state, 0, "hashes")
     assert(tokenA != tokenB)
     // A wakes at its pre-commit check: its claim is gone — clean abort
@@ -95,8 +126,10 @@ class GenStateClaimSpec extends SparkSpec {
     // the steal protocol still guards the TARGETED claim path (compaction,
     // probe-at-merge modalities) — drive it directly
     val state = graft.util.TmpDirs.scratch("graft_claim_midwrite_").toString
-    // writer A stalls after claiming v0 — BEFORE any of its table writes
+    // writer A stalls after claiming v0 — BEFORE any of its table writes —
+    // and past the lease ttl (its heartbeat stops)
     val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
+    expireLease(state, 0)
     // writer B steals the incomplete claimed v0 (the crash-leftover rule),
     // records its marker, and COMMITS
     val tokenB = GenState.claimGeneration(spark, state, 0, "hashes")
@@ -273,9 +306,10 @@ class GenStateClaimSpec extends SparkSpec {
   test("a claimant committing MID-STEAL aborts the thief — a committed generation is never deleted") {
     val state = graft.util.TmpDirs.scratch("graft_claim_midsteal_").toString
     IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0))
-    // A claims v1 and stalls (incomplete + claimed: the redo-wholesale
-    // steal precondition)
+    // A claims v1 and stalls past the lease ttl (incomplete + claimed +
+    // stale lease: the redo-wholesale steal precondition)
     GenState.claimGeneration(spark, state, 1, "hashes")
+    expireLease(state, 1)
     val fs = GenState.fs(spark, state)
     val marker = new org.apache.hadoop.fs.Path(s"$state/v1/hashes/_SUCCESS")
     // a backend whose claim READ side-effects the claimant's commit —
@@ -369,9 +403,11 @@ class GenStateClaimSpec extends SparkSpec {
       assert(IncrementalExact.merge(spark, state, b1, Some("b0")) == 0)
       assert(cas.size() == 1, "the merge must have claimed via the CAS backend")
       // the steal protocol runs identically through the external store:
-      // A claims v1 and stalls; B treats the incomplete claimed v1 as a
-      // crash leftover, releases A's claim via the backend, re-claims
+      // A claims v1 and stalls past the ttl; B treats the incomplete
+      // claimed v1 with its stale lease as a crash leftover, releases A's
+      // claim via the backend, re-claims
       val tokenA = GenState.claimGeneration(spark, state, 1, "hashes")
+      expireLease(state, 1)
       val tokenB = GenState.claimGeneration(spark, state, 1, "hashes")
       assert(tokenA != tokenB)
       // the stalled loser aborts at its next guarded write; the thief may write
