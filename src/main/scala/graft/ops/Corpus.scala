@@ -380,11 +380,46 @@ object Corpus {
     * filter artifact persists next to the c9 registry (`_BLOOM`), built
     * once per registry build, model-artifact-sized driver traffic (the
     * one collect, same budget as the ≤256-row IVF model loads).
+    *
+    * STALENESS: the artifact is only valid for the exact registry bytes it
+    * was built from — a rebuilt/changed registry under a stale filter
+    * would produce false NEGATIVES (missed contamination), silently
+    * breaking the no-false-negative contract. So the build persists a
+    * metadata fingerprint of the registry's parquet files (`_BLOOM_FP`:
+    * names + lengths + mtimes, no data scan — parquet part names carry
+    * job UUIDs, so any rewrite changes it), rebuilds whenever it
+    * mismatches, and [[readRegistryBloom]] refuses a filter whose
+    * fingerprint no longer matches the registry on disk.
     */
+  private def registryFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      registryDir: String): String = {
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(registryDir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
   def buildRegistryBloom(spark: SparkSession, registryDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM")
+    val fpPath = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM_FP")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    val fp = registryFingerprint(fs, registryDir)
+    val fresh = fs.exists(p) && fs.exists(fpPath) &&
+      new String(readSmallFile(fs, fpPath), "UTF-8") == fp
+    if (!fresh) {
       val reg = spark.read.parquet(registryDir)
       val n = math.max(reg.count(), 1L)
       val bits = n * 8
@@ -418,19 +453,28 @@ object Corpus {
           "FPP contract would silently degrade")
       val out = fs.create(p, true)
       try out.write(bytes) finally out.close()
+      // fingerprint LAST: it is the freshness commit marker — a crash
+      // between the two writes leaves a mismatching/missing fingerprint,
+      // which reads refuse and the next build repairs
+      val fpOut = fs.create(fpPath, true)
+      try fpOut.write(fp.getBytes("UTF-8")) finally fpOut.close()
     }
   }
 
   private def readRegistryBloom(spark: SparkSession, registryDir: String): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM")
+    val fpPath = new org.apache.hadoop.fs.Path(registryDir, "_BLOOM_FP")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no _BLOOM artifact at $registryDir — run buildRegistryBloom")
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(buf)
-      buf
-    } finally in.close()
+    val want = registryFingerprint(fs, registryDir)
+    val have =
+      if (fs.exists(fpPath)) new String(readSmallFile(fs, fpPath), "UTF-8") else "<missing>"
+    require(have == want,
+      s"_BLOOM at $registryDir is STALE: the registry's parquet files changed " +
+        "since the filter was built (fingerprint mismatch) — a stale filter " +
+        "would produce false NEGATIVES (missed contamination); re-run " +
+        "buildRegistryBloom, which detects the mismatch and rebuilds")
+    readSmallFile(fs, p)
   }
 
   /** Screen one ingest batch through the Bloom gate: map-side probe, exact

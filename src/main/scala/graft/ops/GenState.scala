@@ -92,14 +92,36 @@ object GenState {
     * [[completeVersions]] call — metadata-only, bounded by the compaction
     * policy's live-generation cap.
     */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // once-per-JVM-per-generation memo for the shadow warning: a shadowed
+  // generation persists until compaction sweeps it, and completeVersions
+  // runs on every read — unmemoized, the warning would spam every serve
+  private val warnedShadows = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def dupKeyShadowed(f: FileSystem, stateDir: String,
       live: Seq[Int]): Set[Int] = {
     val seen = scala.collection.mutable.Set.empty[String]
     val shadowed = Set.newBuilder[Int]
     live.foreach { v =>
       val keys = markerNames(f, stateDir, v)
-      if (keys.nonEmpty && keys.forall(seen.contains)) shadowed += v
-      else seen ++= keys
+      if (keys.nonEmpty && keys.forall(seen.contains)) {
+        shadowed += v
+        // LOUD, not silent: shadowing is exactly right for a true
+        // re-delivery, but a caller that (mis)used one batch key for two
+        // DIFFERENT batches is having the second batch's committed data
+        // dropped from every serve — without this line, detectable only
+        // via the dupKeyVersions diagnostic nobody is prompted to call
+        if (warnedShadows.add(s"$stateDir#v$v"))
+          log.warn(s"GenState: generation v$v at $stateDir is shadowed as a " +
+            s"duplicate-key re-delivery (every ingest marker [${keys.mkString(", ")}] " +
+            "was already recorded by an older live generation) and will be " +
+            "excluded from every serve until compaction sweeps it. This is " +
+            "correct for re-delivered batches; if that key was REUSED for " +
+            "different content, that content is being dropped — batch keys " +
+            "must be 1:1 with batch content (see allocateFresh). Diagnose " +
+            "with GenState.dupKeyVersions.")
+      } else seen ++= keys
     }
     shadowed.result()
   }
@@ -611,6 +633,16 @@ object GenState {
     * abandon and no-op) → marker write. Returns Left(latest complete
     * generation) when the batch key is already ingested, Right((version,
     * token)) when the caller owns a fresh claimed generation.
+    *
+    * KEY DISCIPLINE (the public contract every merge entry point inherits):
+    * a batch key must be 1:1 with batch CONTENT — the same key always
+    * names the same rows. Keys are how exactly-once survives re-delivery:
+    * a key seen before makes the whole merge a no-op, and a generation
+    * that commits concurrently under an already-recorded key is shadowed
+    * at read time. Reusing one key for DIFFERENT content therefore drops
+    * the second batch silently-but-for-a-log-warning; generate keys from
+    * the batch identity (stream batchId, source filename, ingest date),
+    * never from a counter that can collide across restarts.
     */
   def allocateFresh(spark: SparkSession, stateDir: String,
       batchKey: Option[String], commitTable: String = "labels"): Either[Int, (Int, String)] = {

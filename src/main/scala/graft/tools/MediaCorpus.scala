@@ -341,6 +341,17 @@ object MediaCorpus {
           Planted(a, b, d.toInt)
         }
     }
+    // destructive-regeneration guard: only delete content this tool
+    // recognizably created. A non-empty dir carrying NEITHER marker is
+    // someone else's data (a typo'd path, a user corpus) — refuse rather
+    // than destroy; a dir with _PLANTED but no _READY is this tool's own
+    // torn write being redone.
+    if (fs.exists(new Path(dir)) && fs.listStatus(new Path(dir)).nonEmpty &&
+        !fs.exists(new Path(s"$dir/_PLANTED")))
+      throw new IllegalStateException(
+        s"MediaCorpus.generate: '$dir' exists, is non-empty, and carries " +
+          "neither _READY nor _PLANTED — refusing to delete content this " +
+          "tool did not create; point at an empty/new dir or remove it yourself")
     fs.delete(new Path(dir), true)
     Files.createDirectories(Paths.get(dir))
     import spark.implicits._

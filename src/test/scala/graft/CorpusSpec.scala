@@ -247,6 +247,20 @@ class CorpusSpec extends SparkSpec {
     val before = f.getFileStatus(m).getModificationTime
     Corpus.buildRegistryBloom(spark, reg)
     assert(f.getFileStatus(m).getModificationTime == before)
+    // staleness: if the registry's parquet files change under a cached
+    // filter, reads must REFUSE (a stale filter silently produces false
+    // negatives — missed contamination) and the next build must repair
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(reg)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")).head.getPath
+    f.setTimes(part, System.currentTimeMillis() + 123456, -1)
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.contaminationBloomScreened(spark, reg, train).collect()
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    Corpus.buildRegistryBloom(spark, reg) // detects the mismatch, rebuilds
+    assert(Corpus.contaminationBloomScreened(spark, reg, train)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == want)
   }
 
   test("c13 temperature sampling: matches an independent re-derivation; rarest lang keeps all") {

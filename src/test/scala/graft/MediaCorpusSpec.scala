@@ -73,4 +73,25 @@ class MediaCorpusSpec extends SparkSpec {
     assert(first == again)
     assert(first.forall(p => p.dist <= 3))
   }
+
+  test("generate refuses to delete a non-empty dir it did not create") {
+    val dir = graft.util.TmpDirs.scratch("graft_mediacorpus_guard_")
+    val precious = dir.resolve("users_data.txt")
+    java.nio.file.Files.write(precious, "not a corpus".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      MediaCorpus.generate(spark, dir.toString, "ppm", 4, seed = 41L)
+    }
+    assert(ex.getMessage.contains("refusing to delete"), ex.getMessage)
+    assert(java.nio.file.Files.exists(precious), "the guard must not have deleted anything")
+    // a torn write (corpus files + _PLANTED, no _READY) IS this tool's own
+    // leftover: regeneration proceeds
+    java.nio.file.Files.delete(precious)
+    java.nio.file.Files.write(dir.resolve("_PLANTED"), Array.empty[Byte])
+    java.nio.file.Files.write(dir.resolve("half.ppm"), Array.empty[Byte])
+    MediaCorpus.generate(spark, dir.toString, "ppm", 4, seed = 41L)
+    assert(java.nio.file.Files.exists(dir.resolve("_READY")),
+      "regeneration over the tool's own torn write must proceed")
+    assert(!java.nio.file.Files.exists(dir.resolve("half.ppm")),
+      "the torn write's leftovers are swept by the regeneration")
+  }
 }
