@@ -40,29 +40,28 @@ object ConnectedComponents {
     * attrs pruned by the checkpointed projection). `Union.rewriteConstraints`
     * then does a strict AttributeMap lookup over child outputs and dies
     * with `key not found: <attr>`. Both iterative algorithms union a
-    * checkpointed table every round, so every action inside the loops runs
-    * with constraint propagation off (it only ADDS inferred filters — pure
-    * optimization, no semantics), restored afterwards. The returned label
-    * tables are plain checkpointed scans with no Union, so downstream
-    * consumers are unaffected.
+    * checkpointed table every round, so every plan inside the loops must
+    * run with constraint propagation off (it only ADDS inferred filters —
+    * pure optimization, no semantics).
     *
-    * The toggle mutates SESSION-scoped conf, so CC loops serialize on one
-    * lock: two interleaved save/restores would otherwise strand the conf
-    * at `false` for the session (A saves true, B saves false, A restores
-    * true, B restores false). Unrelated queries planned on the same
-    * session during a loop still see propagation off — a perf-only,
-    * never-correctness effect, documented rather than prevented (scoping
-    * the conf needs a session clone, and a DataFrame cannot be re-bound
-    * to one from the public API).
+    * SCOPED, not session-global: the loop runs under a CLONED session
+    * (own SQLConf, shared SparkContext — [[graftbridge.PlanBridge
+    * .cloneSession]]) with propagation disabled there, and the input edge
+    * plan is re-bound onto the clone. The caller's session is never
+    * mutated, so unrelated queries planned concurrently keep their
+    * optimization, no lock, no save/restore to strand. The returned label
+    * table stays bound to the clone — correct on purpose: its lineage is
+    * exactly the checkpoint-union shape the crash bites, so downstream
+    * actions on it must keep propagation off, while plans the caller
+    * builds on its own session are untouched.
     */
-  private val confLock = new Object
-  private def withoutConstraintPropagation[T](spark: SparkSession)(f: => T): T =
-    confLock.synchronized {
-      val key = "spark.sql.constraintPropagation.enabled"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try f finally spark.conf.set(key, prev)
-    }
+  private def withoutConstraintPropagation(edges: DataFrame): DataFrame = {
+    val scoped = org.apache.spark.sql.graftbridge.PlanBridge
+      .cloneSession(edges.sparkSession)
+    scoped.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    org.apache.spark.sql.graftbridge.PlanBridge
+      .ofRows(scoped, edges.queryExecution.logical)
+  }
 
   /** In-memory (with disk spill) checkpoint — right for local mode. */
   val local: Ckpt = _.localCheckpoint(true)
@@ -147,9 +146,8 @@ object ConnectedComponents {
     * scalar aggregate per round, no row-level diff join).
     */
   def labelPropagation(edges: DataFrame, maxIters: Int,
-      ckpt: Ckpt = local): Option[(DataFrame, Int)] =
-      withoutConstraintPropagation(edges.sparkSession) {
-    val pairs = edges.toDF("src", "dst")
+      ckpt: Ckpt = local): Option[(DataFrame, Int)] = {
+    val pairs = withoutConstraintPropagation(edges).toDF("src", "dst")
     val sym = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst")
       .repartition(col("src"))
@@ -226,9 +224,9 @@ object ConnectedComponents {
     * partial clustering.
     */
   def starContraction(edges: DataFrame, maxIters: Int = 50,
-      ckpt: Ckpt = local): (DataFrame, Int) =
-      withoutConstraintPropagation(edges.sparkSession) {
-    val nodes = ckpt(edges.toDF("src", "dst")
+      ckpt: Ckpt = local): (DataFrame, Int) = {
+    val scopedEdges = withoutConstraintPropagation(edges)
+    val nodes = ckpt(scopedEdges.toDF("src", "dst")
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct())
 
     // canonical orientation (big, small), no self-loops, deduplicated
@@ -272,7 +270,7 @@ object ConnectedComponents {
       (r.getLong(0), r.getLong(1))
     }
 
-    var cur = ckpt(orient(edges.toDF("u", "v")))
+    var cur = ckpt(orient(scopedEdges.toDF("u", "v")))
     var prevSum = checksum(cur)
     var iter = 0
     var converged = false

@@ -420,30 +420,27 @@ object Corpus {
     val fresh = fs.exists(p) && fs.exists(fpPath) &&
       new String(readSmallFile(fs, fpPath), "UTF-8") == fp
     if (!fresh) {
-      val reg = spark.read.parquet(registryDir)
-      val n = math.max(reg.count(), 1L)
-      val bits = n * 8
       // Spark's BloomFilterAggregate SILENTLY clamps its size to the
       // runtime-filter conf limits (maxNumBits default 64M bits, maxNumItems
       // 4M) — at exactly the over-broadcast registry scale this gate exists
       // for, a clamped filter degrades toward coin-flip FPP and the
       // "surviving sliver" becomes the whole corpus (still correct — the
-      // exact join verifies — but the scaling claim evaporates). Raise the
-      // limits for the build so the requested size is honored, then restore.
-      val kBits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val kItems = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val oldBits = spark.conf.getOption(kBits)
-      val oldItems = spark.conf.getOption(kItems)
+      // exact join verifies — but the scaling claim evaporates). The build
+      // runs on a CLONED session (own SQLConf, shared SparkContext) with
+      // the limits raised THERE, so the requested size is honored and the
+      // caller's session — including queries planned concurrently with
+      // this build — never sees the flip.
+      val scoped = org.apache.spark.sql.graftbridge.PlanBridge.cloneSession(spark)
+      val reg = scoped.read.parquet(registryDir)
+      val n = math.max(reg.count(), 1L)
+      val bits = n * 8
+      scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        math.max(bits, 67108864L).toString)
+      scoped.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        math.max(n, 4000000L).toString)
       val bytes =
-        try {
-          spark.conf.set(kBits, math.max(bits, 67108864L).toString)
-          spark.conf.set(kItems, math.max(n, 4000000L).toString)
-          reg.agg(graft.exprs.BloomScreen.bloomAgg(xxhash64(col("shingle")), n, bits))
-            .collect()(0).getAs[Array[Byte]](0)
-        } finally {
-          oldBits.fold(spark.conf.unset(kBits))(spark.conf.set(kBits, _))
-          oldItems.fold(spark.conf.unset(kItems))(spark.conf.set(kItems, _))
-        }
+        reg.agg(graft.exprs.BloomScreen.bloomAgg(xxhash64(col("shingle")), n, bits))
+          .collect()(0).getAs[Array[Byte]](0)
       // loud, not silent: a clamped build would break the documented FPP
       val built = org.apache.spark.util.sketch.BloomFilter
         .readFrom(new java.io.ByteArrayInputStream(bytes))

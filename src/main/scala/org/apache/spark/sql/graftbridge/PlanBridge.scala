@@ -24,4 +24,14 @@ object PlanBridge {
 
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Bridge to the `private[sql]` session clone: an isolated copy of the
+    * session (own SQLConf, shared SparkContext/state). Lets an operator
+    * scope a conf flip — constraint propagation off for a checkpoint loop,
+    * a raised Bloom build limit — to its OWN plans instead of mutating the
+    * caller's session, where concurrently-planned unrelated queries would
+    * see the flip.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }
