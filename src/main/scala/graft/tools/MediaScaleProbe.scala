@@ -15,8 +15,10 @@ import graft.ops.IncrementalMedia
   * kernel-measured planted pair is found), and print the sf-ratio table
   * rows for SCALE.md.
   *
-  * Usage: runMain graft.tools.MediaScaleProbe [nSmall nLarge]
-  *   (defaults 1000 10000; corpora cache under /tmp/graft_media_<mod>_<n>)
+  * Usage: runMain graft.tools.MediaScaleProbe [nSmall nLarge [modalities]]
+  *   (defaults 1000 10000 ppm,png,wav,y4m; corpora cache under
+  *   /tmp/graft_media_<mod>_<n>; the modality filter exists so the
+  *   100k-decade run can probe just the cheapest codec)
   */
 object MediaScaleProbe {
 
@@ -37,12 +39,14 @@ object MediaScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sizes = if (args.length >= 2) Seq(args(0).toInt, args(1).toInt) else Seq(1000, 10000)
+    val mods = if (args.length >= 3) args(2).split(',').toSet
+      else oneShots.map(_._1).toSet
     val spark = GraftSession.create("media-scale-probe")
     import spark.implicits._
 
     println(s"| modality | n assets | pairs | one-shot s | ingest s | serve s | delete+serve s |")
     println("|---|---|---|---|---|---|---|")
-    val rows = for ((mod, os) <- oneShots; n <- sizes) yield {
+    val rows = for ((mod, os) <- oneShots if mods(mod); n <- sizes) yield {
       val dir = s"/tmp/graft_media_${mod}_$n"
       val planted = MediaCorpus.generate(spark, dir, mod, n, seed = 77L)
       require(planted.nonEmpty, s"$mod corpus planted no pairs — generator drift")
