@@ -552,14 +552,18 @@ object GenState {
   // The batch itself recovers exactly as before: the retry re-merges under
   // its batch key into a fresh generation.
   //
-  // This allocator is correct ONLY for modalities whose generation content
-  // is independent of the concurrently-live state — the write-only partial
-  // aggregate families (d18 exact, q65 views), where any interleaving of
-  // commits folds to the same answer. The probe-at-merge families (media,
-  // MinHash, SimHash, substring, semantic...) compute each generation's
-  // pairs against the live union AT MERGE TIME: two concurrent merges would
-  // each miss the sibling batch's cross pairs, so they keep the
-  // single-writer claim and its clean-abort contract.
+  // This allocator is directly correct for modalities whose generation
+  // content is independent of the concurrently-live state — the write-only
+  // partial aggregate families (d18 exact, q65 views), where any
+  // interleaving of commits folds to the same answer. A probe-at-merge
+  // family (its merge computes pairs against the live union AT MERGE TIME,
+  // so two concurrent merges each miss the sibling batch's cross pairs) can
+  // ALSO use it by pairing the allocation with the probe-manifest
+  // reconciliation below ([[writeProbed]]/[[readProbed]]) — the media
+  // chassis does (IncrementalMedia, round 16). The remaining probe families
+  // (MinHash, SimHash, substring, semantic — whose merges feed label/anchor
+  // state that is not a pure per-pair fact) keep the single-writer claim
+  // and its loud-lease contract.
 
   /** Every vN directory on disk — complete, in-flight, or abandoned. */
   private def allVersionDirs(f: FileSystem, stateDir: String): Seq[Int] = {
@@ -673,6 +677,60 @@ object GenState {
     val f = fs(spark, stateDir)
     val live = completeVersions(spark, stateDir, commitTable).toSet
     allVersionDirs(f, stateDir).filterNot(live).filterNot(_ == except)
+  }
+
+  // ---- probe manifests (multi-writer pair-graph reconciliation) -----------
+  //
+  // A probe-at-merge modality computes each generation's pairs against the
+  // live union it SAW at merge time. Under fresh allocation two concurrent
+  // merges each miss the sibling batch's cross pairs — the reason those
+  // families historically kept the single-writer targeted claim. The probe
+  // manifest closes that gap instead: every generation records WHICH
+  // generations its merge probed (`_PROBED`, written before the commit so a
+  // complete generation always carries it), and the read/compact side
+  // RECONCILES — for any two live generations where neither probed the
+  // other, the missing cross pairs are recomputed from their frozen
+  // signature tables. Sequential histories reconcile nothing (every merge
+  // probes all live predecessors); genuinely-concurrent commits pay one
+  // bounded batch×batch probe, made durable at the next compact.
+
+  /** Record on (not-yet-complete) generation `v` the generations whose
+    * state its merge probed (including itself). Claim-guarded; call before
+    * the commit write.
+    */
+  def writeProbed(spark: SparkSession, stateDir: String, v: Int,
+      probed: Seq[Int], token: String, commitTable: String = "labels"): Unit = {
+    assertWritable(spark, stateDir, v, token, commitTable)
+    writeUtf8(fs(spark, stateDir), new Path(s"$stateDir/v$v/_PROBED"),
+      probed.distinct.sorted.mkString("\n"))
+  }
+
+  /** The probe manifest of generation `v`, or None for a generation written
+    * before the manifest existed — whose single-writer history guarantees
+    * it probed everything numbered below it.
+    */
+  def readProbed(spark: SparkSession, stateDir: String, v: Int): Option[Set[Int]] = {
+    val f = fs(spark, stateDir)
+    val p = new Path(s"$stateDir/v$v/_PROBED")
+    if (!f.exists(p)) None
+    else Some(readUtf8(f, p).split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+  }
+
+  /** The pinned merge parameters of a state dir (see [[checkConfig]]) —
+    * empty before the first merge. Read-side consumers (e.g. pair
+    * reconciliation, which must verify at the SAME threshold every merge
+    * pinned) get the regime from here instead of trusting a caller.
+    */
+  def readConfig(spark: SparkSession, stateDir: String): Map[String, String] = {
+    val f = fs(spark, stateDir)
+    val p = new Path(s"$stateDir/_CONFIG")
+    if (!f.exists(p)) Map.empty
+    else readUtf8(f, p).split('\n').toSeq.map(_.trim).filter(_.contains("="))
+      .map { line =>
+        val i = line.indexOf('=')
+        line.take(i) -> line.drop(i + 1)
+      }.toMap
   }
 
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,

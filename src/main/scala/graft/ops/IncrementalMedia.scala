@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   * (blobs stay where they land; only 16-byte (name, sig) rows move) plus
   * an equi-join against a 4-rows-per-asset block index; read
   * amplification is O(live generations), folded by [[compact]].
+  *
+  * MULTI-WRITER (round 16): unlike the other probe-at-merge families —
+  * which keep the single-writer targeted claim — this chassis allocates
+  * generations fresh ([[GenState.allocateFresh]]) and reconciles the one
+  * thing concurrency can lose (two merges that never probed each other
+  * miss their cross pairs) from per-generation `_PROBED` manifests at
+  * read and compact time. See [[merge]]/[[pairs]]/[[compact]]; the
+  * concurrent-commit scenarios are pinned in MediaMultiWriterSpec.
   */
 object IncrementalMedia {
 
@@ -120,17 +128,37 @@ object IncrementalMedia {
     * bytes, names disjoint from prior ingests: decode + dHash the batch
     * once, probe the persisted signature union, append one generation.
     * Undecodable assets are dropped whole (the m4 reject rule).
+    *
+    * MULTI-WRITER since round 16 (the first probe-at-merge family to
+    * shed the single-writer contract): generation numbers come from
+    * [[GenState.allocateFresh]] — never stolen, so N parallel ingest jobs
+    * serialize into N fresh generations — and the merge records WHICH
+    * generations it probed in a `_PROBED` manifest. Two genuinely
+    * concurrent merges each miss the sibling batch's cross pairs at
+    * commit time; [[pairs]] and [[compact]] detect the gap from the
+    * manifests (neither probed the other) and RECONCILE it by probing the
+    * two frozen signature tables against each other — a bounded
+    * batch×batch block join that sequential histories never pay.
+    * `batchKey` rides the standard exactly-once ledger: a re-delivered
+    * key is a no-op (the pair-dedup safety net for unkeyed re-delivery
+    * stays, as before).
     */
   def merge(spark: SparkSession, stateDir: String, newMedia: DataFrame,
-      maxHamming: Int = 3, codec: String = "ppm-dhash"): Int = {
+      maxHamming: Int = 3, codec: String = "ppm-dhash",
+      batchKey: Option[String] = None): Int = {
     import spark.implicits._
     val sigOf = codecs.getOrElse(codec, throw new IllegalArgumentException(
       s"IncrementalMedia.merge: unknown codec '$codec' — known: ${codecs.keys.toSeq.sorted.mkString(", ")}"))
     GenState.checkConfig(spark, stateDir,
       Map("maxHamming" -> maxHamming.toString, "codec" -> codec))
-    val live = completeVersions(spark, stateDir)
-    val next = live.lastOption.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    // the probe snapshot: every generation complete AFTER the claim — a
+    // sibling committing later is reconciled at read/compact time
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
 
     // decode exactly once, at ingest; the generation dir is the
     // materialized copy every later probe reads (merge hot-path contract)
@@ -175,8 +203,14 @@ object IncrementalMedia {
   def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.delete: no state at $stateDir")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // fresh allocation like merge: a tombstone generation's content is
+    // independent of live state, so concurrent deletes/merges serialize by
+    // generation number (the logical clock shadowing already orders by)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    // a tombstone generation has no pairs to reconcile (empty sigs) — mark
+    // everything live as probed so reads never schedule a no-op recon job
+    GenState.writeProbed(spark, stateDir, next,
+      completeVersions(spark, stateDir).filterNot(_ == next) :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
@@ -189,17 +223,54 @@ object IncrementalMedia {
     next
   }
 
+  /** Each live generation's probe manifest; a pre-manifest generation's
+    * single-writer history guarantees it probed everything below it.
+    */
+  private def probedOf(spark: SparkSession, stateDir: String,
+      live: Seq[Int]): Map[Int, Set[Int]] =
+    live.map(v => v -> GenState.readProbed(spark, stateDir, v)
+      .getOrElse(live.filter(_ < v).toSet + v)).toMap
+
+  /** The generation pairs neither of which probed the other — genuinely
+    * concurrent commits whose cross pairs no stored generation carries.
+    * Empty for every sequential history.
+    */
+  private def unreconciled(live: Seq[Int],
+      probed: Map[Int, Set[Int]]): Seq[(Int, Int)] =
+    for {
+      i <- live.indices
+      j <- i + 1 until live.size
+      a = live(i); b = live(j)
+      if !probed(b).contains(a) && !probed(a).contains(b)
+    } yield (a, b)
+
+  /** The verification threshold every merge pinned (read from `_CONFIG` —
+    * reconciliation must verify at the SAME regime, never a caller's).
+    */
+  private def pinnedMaxHamming(spark: SparkSession, stateDir: String): Int =
+    GenState.readConfig(spark, stateDir).getOrElse("maxHamming", "3").toInt
+
   /** The m5-shaped pair table over the current state: union the pair
-    * generations (re-delivered or doubly-found pairs dedup here), minus
-    * every tombstoned-incident pair (d33 shadowing).
+    * generations (re-delivered or doubly-found pairs dedup here), PLUS
+    * the reconciled cross pairs of any genuinely-concurrent commits (see
+    * [[unreconciled]] — a bounded batch×batch block probe of the two
+    * frozen signature tables, zero for sequential histories), minus every
+    * tombstoned-incident pair (d33 shadowing).
     */
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
+    val maxHamming = pinnedMaxHamming(spark, stateDir)
+    val recon = unreconciled(live, probedOf(spark, stateDir, live)).map { case (a, b) =>
+      candidatePairs(
+        spark.read.parquet(sigsPath(stateDir, a)),
+        spark.read.parquet(sigsPath(stateDir, a), sigsPath(stateDir, b)), maxHamming)
+    }
     // no forced broadcast on the delete-derived frame: AQE broadcasts
     // when the tombstone set is small, shuffle-joins a bulk delete
     val teff = effectiveTombstones(spark, stateDir, live)
-    val base = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val base = (stored +: recon).reduce(_ unionByName _)
     base
       .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
       .join(teff.select(col("node").as("name2")), Seq("name2"), "left_anti")
@@ -209,14 +280,20 @@ object IncrementalMedia {
   }
 
   /** Fold both tables of every live generation into one (GenState
-    * manifest protocol, crash-idempotent; rows are immutable facts).
+    * manifest protocol, crash-idempotent; rows are immutable facts),
+    * making any outstanding concurrent-commit reconciliation DURABLE: the
+    * folded pair table includes the cross pairs of every [[unreconciled]]
+    * generation pair (computed from the PURGED per-generation sigs, so
+    * deleted names never resurface through reconciliation), and the
+    * compacted generation's `_PROBED` is itself — one generation, nothing
+    * left to reconcile. Quiesced single-writer maintenance, as everywhere;
+    * fresh allocation + a full non-live sweep (the multi-writer merges
+    * can leave abandoned claimed dirs behind on crash).
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalMedia.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     // tombstones applied PHYSICALLY, per-GENERATION
     // ([[LabelState.purgeByGen]], string-keyed): pre-delete sigs/pairs
     // leave disk even for re-ingested names — a delete-then-re-ingest
@@ -225,6 +302,11 @@ object IncrementalMedia {
     val hasTombs = versions.exists(v =>
       f2.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def purgedSigs(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(sigsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
      else LabelState.purgeByGen(tombs,
@@ -232,16 +314,25 @@ object IncrementalMedia {
        Seq("name")))
       .dropDuplicates("name", "frame_no")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    val maxHamming = pinnedMaxHamming(spark, stateDir)
+    val recon = unreconciled(versions, probedOf(spark, stateDir, versions))
+      .map { case (a, b) =>
+        candidatePairs(purgedSigs(a), purgedSigs(a).unionByName(purgedSigs(b)),
+          maxHamming)
+      }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
-     else LabelState.purgePairsByGen(tombs,
-       effectiveTombstones(spark, stateDir, versions),
-       versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
-       Seq("name1", "name2")))
+    val stored =
+      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+       else LabelState.purgePairsByGen(tombs,
+         effectiveTombstones(spark, stateDir, versions),
+         versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+         Seq("name1", "name2")))
+    (stored +: recon).reduce(_ unionByName _)
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
     next
   }
 
