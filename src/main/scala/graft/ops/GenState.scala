@@ -717,6 +717,27 @@ object GenState {
       .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
   }
 
+  /** Each live generation's probe manifest; a pre-manifest generation's
+    * single-writer history guarantees it probed everything below it.
+    */
+  def probedOf(spark: SparkSession, stateDir: String,
+      live: Seq[Int]): Map[Int, Set[Int]] =
+    live.map(v => readProbed(spark, stateDir, v)
+      .fold(v -> (live.filter(_ < v).toSet + v))(p => v -> p)).toMap
+
+  /** The generation pairs neither of which probed the other — genuinely
+    * concurrent commits whose cross pairs no stored generation carries.
+    * Empty for every sequential history.
+    */
+  def unreconciledPairs(live: Seq[Int],
+      probed: Map[Int, Set[Int]]): Seq[(Int, Int)] =
+    for {
+      i <- live.indices
+      j <- i + 1 until live.size
+      a = live(i); b = live(j)
+      if !probed(b).contains(a) && !probed(a).contains(b)
+    } yield (a, b)
+
   /** The pinned merge parameters of a state dir (see [[checkConfig]]) —
     * empty before the first merge. Read-side consumers (e.g. pair
     * reconciliation, which must verify at the SAME threshold every merge

@@ -223,27 +223,6 @@ object IncrementalMedia {
     next
   }
 
-  /** Each live generation's probe manifest; a pre-manifest generation's
-    * single-writer history guarantees it probed everything below it.
-    */
-  private def probedOf(spark: SparkSession, stateDir: String,
-      live: Seq[Int]): Map[Int, Set[Int]] =
-    live.map(v => v -> GenState.readProbed(spark, stateDir, v)
-      .getOrElse(live.filter(_ < v).toSet + v)).toMap
-
-  /** The generation pairs neither of which probed the other — genuinely
-    * concurrent commits whose cross pairs no stored generation carries.
-    * Empty for every sequential history.
-    */
-  private def unreconciled(live: Seq[Int],
-      probed: Map[Int, Set[Int]]): Seq[(Int, Int)] =
-    for {
-      i <- live.indices
-      j <- i + 1 until live.size
-      a = live(i); b = live(j)
-      if !probed(b).contains(a) && !probed(a).contains(b)
-    } yield (a, b)
-
   /** The verification threshold every merge pinned (read from `_CONFIG` —
     * reconciliation must verify at the SAME regime, never a caller's).
     */
@@ -253,7 +232,7 @@ object IncrementalMedia {
   /** The m5-shaped pair table over the current state: union the pair
     * generations (re-delivered or doubly-found pairs dedup here), PLUS
     * the reconciled cross pairs of any genuinely-concurrent commits (see
-    * [[unreconciled]] — a bounded batch×batch block probe of the two
+    * [[GenState.unreconciledPairs]] — a bounded batch×batch block probe of the two
     * frozen signature tables, zero for sequential histories), minus every
     * tombstoned-incident pair (d33 shadowing).
     */
@@ -261,7 +240,7 @@ object IncrementalMedia {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
     val maxHamming = pinnedMaxHamming(spark, stateDir)
-    val recon = unreconciled(live, probedOf(spark, stateDir, live)).map { case (a, b) =>
+    val recon = GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
       candidatePairs(
         spark.read.parquet(sigsPath(stateDir, a)),
         spark.read.parquet(sigsPath(stateDir, a), sigsPath(stateDir, b)), maxHamming)
@@ -282,7 +261,7 @@ object IncrementalMedia {
   /** Fold both tables of every live generation into one (GenState
     * manifest protocol, crash-idempotent; rows are immutable facts),
     * making any outstanding concurrent-commit reconciliation DURABLE: the
-    * folded pair table includes the cross pairs of every [[unreconciled]]
+    * folded pair table includes the cross pairs of every [[GenState.unreconciledPairs]]
     * generation pair (computed from the PURGED per-generation sigs, so
     * deleted names never resurface through reconciliation), and the
     * compacted generation's `_PROBED` is itself — one generation, nothing
@@ -315,7 +294,7 @@ object IncrementalMedia {
       .dropDuplicates("name", "frame_no")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     val maxHamming = pinnedMaxHamming(spark, stateDir)
-    val recon = unreconciled(versions, probedOf(spark, stateDir, versions))
+    val recon = GenState.unreconciledPairs(versions, GenState.probedOf(spark, stateDir, versions))
       .map { case (a, b) =>
         candidatePairs(purgedSigs(a), purgedSigs(a).unionByName(purgedSigs(b)),
           maxHamming)

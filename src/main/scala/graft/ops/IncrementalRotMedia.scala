@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * batch plus an equi-join of the batch's blocks against the persisted
   * block index — the d21 geometry at a fixed 8× signature-row factor,
   * still corpus-independent fan-out, still blob-free state.
+  *
+  * MULTI-WRITER (round 16): same protocol as [[IncrementalMedia]] —
+  * fresh allocation, `_PROBED` manifests, cross-pair reconciliation at
+  * read/compact for genuinely-concurrent commits (pinned in
+  * MediaMultiWriterSpec's orbit scenario).
   */
 object IncrementalRotMedia {
 
@@ -76,14 +81,24 @@ object IncrementalRotMedia {
     * disjoint from prior ingests: decode + orbit-hash once, probe the
     * persisted union, append one generation. Undecodable assets are
     * dropped whole (the m4 reject rule).
+    *
+    * MULTI-WRITER like [[IncrementalMedia.merge]] (round 16): fresh
+    * allocation + a `_PROBED` manifest; [[pairs]]/[[compact]] reconcile
+    * the cross pairs of genuinely-concurrent commits. Completeness holds
+    * for the reconciled pairs too: [[mergePairs]] over the two frozen
+    * orbit tables computes BOTH direction-combos of every cross pair, so
+    * the per-pair min equals the one-shot m6 min.
     */
   def merge(spark: SparkSession, stateDir: String, newMedia: DataFrame,
-      maxHamming: Int = 3): Int = {
+      maxHamming: Int = 3, batchKey: Option[String] = None): Int = {
     import spark.implicits._
     GenState.checkConfig(spark, stateDir, Map("maxHamming" -> maxHamming.toString))
-    val live = completeVersions(spark, stateDir)
-    val next = live.lastOption.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey, commitTable) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
 
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     newMedia.select(col("name"), col("content"))
@@ -128,8 +143,10 @@ object IncrementalRotMedia {
   def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalRotMedia.delete: no state at $stateDir")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    // empty sigs ⇒ nothing to reconcile: mark everything live as probed
+    GenState.writeProbed(spark, stateDir, next,
+      completeVersions(spark, stateDir).filterNot(_ == next) :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
@@ -152,8 +169,17 @@ object IncrementalRotMedia {
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalRotMedia.pairs: no state at $stateDir")
+    val maxHamming = GenState.readConfig(spark, stateDir)
+      .getOrElse("maxHamming", "3").toInt
+    val recon = GenState.unreconciledPairs(live,
+      GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
+      mergePairs(
+        spark.read.parquet(sigsPath(stateDir, a)),
+        spark.read.parquet(sigsPath(stateDir, a), sigsPath(stateDir, b)), maxHamming)
+    }
     val teff = effectiveTombstones(spark, stateDir, live)
-    val base = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val base = (stored +: recon).reduce(_ unionByName _)
     base
       .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
       .join(teff.select(col("node").as("name2")), Seq("name2"), "left_anti")
@@ -173,13 +199,16 @@ object IncrementalRotMedia {
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalRotMedia.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val f = GenState.fs(spark, stateDir)
     val hasTombs = versions.exists(v =>
       f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def purgedSigs(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(sigsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
      else LabelState.purgeByGen(tombs,
@@ -187,17 +216,28 @@ object IncrementalRotMedia {
        Seq("name")))
       .dropDuplicates("name", "t")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    // reconciled cross pairs of concurrent commits, from PURGED sigs so
+    // deleted names never resurface through reconciliation — durable here
+    val maxHamming = GenState.readConfig(spark, stateDir)
+      .getOrElse("maxHamming", "3").toInt
+    val recon = GenState.unreconciledPairs(versions,
+      GenState.probedOf(spark, stateDir, versions)).map { case (a, b) =>
+      mergePairs(purgedSigs(a), purgedSigs(a).unionByName(purgedSigs(b)), maxHamming)
+    }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
-     else LabelState.purgePairsByGen(tombs,
-       effectiveTombstones(spark, stateDir, versions),
-       versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
-       Seq("name1", "name2")))
+    val stored =
+      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+       else LabelState.purgePairsByGen(tombs,
+         effectiveTombstones(spark, stateDir, versions),
+         versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+         Seq("name1", "name2")))
+    (stored +: recon).reduce(_ unionByName _)
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
     next
   }
 

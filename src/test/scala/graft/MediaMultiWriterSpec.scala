@@ -127,6 +127,34 @@ class MediaMultiWriterSpec extends SparkSpec {
     assert(collectPairs(IncrementalMedia.pairs(spark, state)) == goldenPairs)
   }
 
+  test("orbit chassis: doctored-concurrent commits reconcile to the one-shot m6 pairs") {
+    import graft.ops.{IncrementalRotMedia, Multimodal}
+    val rotMedia = spark.read.format("binaryFile")
+      .load(Multimodal.ppmRotFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("name1", "name2", "hamming")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val oneShot = sorted(Multimodal.ppmRotNearDup(spark))
+    val state = graft.util.TmpDirs.scratch("graft_mw_rot_").toString
+    IncrementalRotMedia.merge(spark, state, rotMedia.where(!col("name").contains("_")))
+    IncrementalRotMedia.merge(spark, state, rotMedia.where(col("name").contains("_")))
+    // doctor gen 1 into what a concurrent merge would have written:
+    // within-batch-only pairs (both direction-combos of the orbit distance
+    // are computable from the batch's own sigs) and a self-only manifest
+    val copySigs = spark.read.parquet(s"$state/v1/sigs")
+    IncrementalRotMedia.mergePairs(copySigs, copySigs, 3)
+      .write.mode("overwrite").parquet(s"$state/v1/pairs")
+    val f = GenState.fs(spark, state)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$state/v1/_PROBED"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    // read reconciles; compact makes it durable
+    assert(sorted(IncrementalRotMedia.pairs(spark, state)) == oneShot)
+    val v = IncrementalRotMedia.compact(spark, state)
+    assert(IncrementalRotMedia.completeVersions(spark, state) == Seq(v))
+    assert(sorted(IncrementalRotMedia.pairs(spark, state)) == oneShot)
+  }
+
   test("re-delivered batch keys are exactly-once under fresh allocation") {
     val state = graft.util.TmpDirs.scratch("graft_mw_keys_").toString
     val media = fixtureMedia
