@@ -406,6 +406,13 @@ object GenState {
     * at every guarded write, so the TTL must exceed the longest expected
     * single Spark job between two guarded writes of a merge. Volatile: a
     * deployment with hour-long ingest jobs raises it once at startup.
+    *
+    * Clock caveat: age compares the CLAIMANT's wall clock against the
+    * STORAGE's mtime authority, so cross-clock skew shifts the window —
+    * a claimant lagging the storage clock by d sees crashed leftovers as
+    * live for an extra d. Size the TTL to absorb the deployment's worst
+    * expected skew on top of the job-gap bound; the lease is diagnostics,
+    * so skew can only delay recovery, never corrupt.
     */
   @volatile var leaseTtlMs: Long = 15 * 60 * 1000L
 
@@ -448,12 +455,20 @@ object GenState {
       // the single-writer contract. The lease tells them apart: fresh ⇒
       // fail fast and LOUD, naming the holder, before destroying its work.
       val lp = leasePath(stateDir, v)
-      if (f.exists(lp)) {
-        val age = System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
+      // the lease read races a concurrent claimant's redo-wholesale delete
+      // of the whole vN dir: a path vanishing mid-read means no live
+      // holder, which is the steal path — not an I/O failure to surface
+      val lease =
+        try {
+          if (!f.exists(lp)) None
+          else Some((System.currentTimeMillis() -
+            f.getFileStatus(lp).getModificationTime, readUtf8(f, lp)))
+        } catch { case _: java.io.FileNotFoundException => None }
+      lease.foreach { case (age, holder) =>
         if (age < leaseTtlMs)
           throw new IllegalStateException(
             s"GenState: generation v$v at $stateDir is held by a LIVE writer " +
-              s"(${readUtf8(f, lp)}; lease renewed ${age} ms ago, ttl ${leaseTtlMs} ms) — " +
+              s"($holder; lease renewed ${age} ms ago, ttl ${leaseTtlMs} ms) — " +
               "this state family is single-writer by contract, so a concurrent " +
               "merge is in flight, not a crash leftover. Clean abort, nothing " +
               "written; retry after the holder commits (if the holder is known " +
@@ -669,14 +684,31 @@ object GenState {
     * `except` — the sweep set of a QUIESCED compaction: crash-leftover
     * incomplete dirs (under quiesce, no incomplete dir can be a live
     * writer's), manifest-folded sources awaiting deletion, and
-    * duplicate-key shadowed re-deliveries. Never call from a
-    * concurrent-ingest context.
+    * duplicate-key shadowed re-deliveries. Compaction is single-writer
+    * maintenance by contract; as DEFENSE IN DEPTH for a violated quiesce
+    * (a compact racing a live multi-writer merge), an INCOMPLETE dir
+    * whose lease is still fresh is excluded — deleting it mid-write
+    * would otherwise let the merge's in-flight table job recreate the
+    * dir and commit a torn generation (pairs with no sigs). The live
+    * merge then completes normally and the next compact folds it.
     */
   def abandonedVersions(spark: SparkSession, stateDir: String,
       commitTable: String = "labels", except: Int = -1): Seq[Int] = {
     val f = fs(spark, stateDir)
     val live = completeVersions(spark, stateDir, commitTable).toSet
     allVersionDirs(f, stateDir).filterNot(live).filterNot(_ == except)
+      .filterNot { v =>
+        // only INCOMPLETE dirs get the lease guard: a complete non-live
+        // dir (folded source, shadowed dup) has a finished writer and
+        // must sweep even though its lease was renewed at its commit
+        val incomplete =
+          !f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
+        val lp = leasePath(stateDir, v)
+        incomplete && (
+          try f.exists(lp) && System.currentTimeMillis() -
+            f.getFileStatus(lp).getModificationTime < leaseTtlMs
+          catch { case _: java.io.FileNotFoundException => false })
+      }
   }
 
   // ---- probe manifests (multi-writer pair-graph reconciliation) -----------

@@ -209,8 +209,8 @@ object IncrementalMedia {
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     // a tombstone generation has no pairs to reconcile (empty sigs) — mark
     // everything live as probed so reads never schedule a no-op recon job
-    GenState.writeProbed(spark, stateDir, next,
-      completeVersions(spark, stateDir).filterNot(_ == next) :+ next, claim, commitTable)
+    // (`next` is fresh, so the pre-claim listing is still the live set)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
@@ -226,7 +226,7 @@ object IncrementalMedia {
   /** The verification threshold every merge pinned (read from `_CONFIG` —
     * reconciliation must verify at the SAME regime, never a caller's).
     */
-  private def pinnedMaxHamming(spark: SparkSession, stateDir: String): Int =
+  private[ops] def pinnedMaxHamming(spark: SparkSession, stateDir: String): Int =
     GenState.readConfig(spark, stateDir).getOrElse("maxHamming", "3").toInt
 
   /** The m5-shaped pair table over the current state: union the pair
@@ -241,9 +241,9 @@ object IncrementalMedia {
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
     val maxHamming = pinnedMaxHamming(spark, stateDir)
     val recon = GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
-      candidatePairs(
-        spark.read.parquet(sigsPath(stateDir, a)),
-        spark.read.parquet(sigsPath(stateDir, a), sigsPath(stateDir, b)), maxHamming)
+      val sa = spark.read.parquet(sigsPath(stateDir, a))
+      candidatePairs(sa,
+        sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))), maxHamming)
     }
     // no forced broadcast on the delete-derived frame: AQE broadcasts
     // when the tombstone set is small, shuffle-joins a bulk delete
@@ -286,6 +286,9 @@ object IncrementalMedia {
       else LabelState.purgeByGen(tombs,
         Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
+    // batch-key exactly-once must survive maintenance: carry the folded
+    // generations' ingest markers onto the compacted one
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
      else LabelState.purgeByGen(tombs,
@@ -296,8 +299,8 @@ object IncrementalMedia {
     val maxHamming = pinnedMaxHamming(spark, stateDir)
     val recon = GenState.unreconciledPairs(versions, GenState.probedOf(spark, stateDir, versions))
       .map { case (a, b) =>
-        candidatePairs(purgedSigs(a), purgedSigs(a).unionByName(purgedSigs(b)),
-          maxHamming)
+        val pa = purgedSigs(a)
+        candidatePairs(pa, pa.unionByName(purgedSigs(b)), maxHamming)
       }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)

@@ -145,8 +145,8 @@ object IncrementalRotMedia {
     require(live.nonEmpty, s"IncrementalRotMedia.delete: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     // empty sigs ⇒ nothing to reconcile: mark everything live as probed
-    GenState.writeProbed(spark, stateDir, next,
-      completeVersions(spark, stateDir).filterNot(_ == next) :+ next, claim, commitTable)
+    // (`next` is fresh, so the pre-claim listing is still the live set)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
@@ -169,13 +169,12 @@ object IncrementalRotMedia {
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalRotMedia.pairs: no state at $stateDir")
-    val maxHamming = GenState.readConfig(spark, stateDir)
-      .getOrElse("maxHamming", "3").toInt
+    val maxHamming = IncrementalMedia.pinnedMaxHamming(spark, stateDir)
     val recon = GenState.unreconciledPairs(live,
       GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
-      mergePairs(
-        spark.read.parquet(sigsPath(stateDir, a)),
-        spark.read.parquet(sigsPath(stateDir, a), sigsPath(stateDir, b)), maxHamming)
+      val sa = spark.read.parquet(sigsPath(stateDir, a))
+      mergePairs(sa, sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))),
+        maxHamming)
     }
     val teff = effectiveTombstones(spark, stateDir, live)
     val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
@@ -209,6 +208,9 @@ object IncrementalRotMedia {
       else LabelState.purgeByGen(tombs,
         Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
+    // batch-key exactly-once must survive maintenance: carry the folded
+    // generations' ingest markers onto the compacted one
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
      else LabelState.purgeByGen(tombs,
@@ -218,11 +220,11 @@ object IncrementalRotMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     // reconciled cross pairs of concurrent commits, from PURGED sigs so
     // deleted names never resurface through reconciliation — durable here
-    val maxHamming = GenState.readConfig(spark, stateDir)
-      .getOrElse("maxHamming", "3").toInt
+    val maxHamming = IncrementalMedia.pinnedMaxHamming(spark, stateDir)
     val recon = GenState.unreconciledPairs(versions,
       GenState.probedOf(spark, stateDir, versions)).map { case (a, b) =>
-      mergePairs(purgedSigs(a), purgedSigs(a).unionByName(purgedSigs(b)), maxHamming)
+      val pa = purgedSigs(a)
+      mergePairs(pa, pa.unionByName(purgedSigs(b)), maxHamming)
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)

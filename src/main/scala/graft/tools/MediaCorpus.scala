@@ -354,6 +354,11 @@ object MediaCorpus {
           "tool did not create; point at an empty/new dir or remove it yourself")
     fs.delete(new Path(dir), true)
     Files.createDirectories(Paths.get(dir))
+    // ownership marker BEFORE the fan-out: a kill mid-generation leaves a
+    // non-empty dir that must still read as this tool's own torn write
+    // (the guard above), not as someone else's data — the manifest content
+    // is rewritten after the fan-out completes
+    Files.write(plantedPath, Array.empty[Byte])
     import spark.implicits._
     val planted = spark.range(nBase).select(org.apache.spark.sql.functions.col("id").cast("int"))
       .as[Int]

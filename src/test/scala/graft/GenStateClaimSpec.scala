@@ -112,12 +112,19 @@ class GenStateClaimSpec extends SparkSpec {
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     assert(total == docs.count())
     // the abandoned dir is inert but on disk — QUIESCED compaction is the
-    // sweep point (under quiesce any incomplete dir is abandoned)
+    // sweep point (under quiesce any incomplete dir is abandoned). While
+    // its lease is still FRESH the sweep leaves it alone (defense in
+    // depth: it might be a live merge racing a contract-violating
+    // compact); once the lease ages out, the sweep takes it.
     val fs = GenState.fs(spark, state)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/v1")))
     IncrementalExact.compact(spark, state)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/v1")),
+      "a fresh-leased incomplete dir must survive the sweep (it could be a live merge)")
+    expireLease(state, 1)
+    IncrementalExact.compact(spark, state)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v1")),
-      "compaction must sweep abandoned claim leftovers")
+      "compaction must sweep abandoned claim leftovers once the lease is stale")
     assert(IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
   }

@@ -155,7 +155,7 @@ class MediaMultiWriterSpec extends SparkSpec {
     assert(sorted(IncrementalRotMedia.pairs(spark, state)) == oneShot)
   }
 
-  test("re-delivered batch keys are exactly-once under fresh allocation") {
+  test("re-delivered batch keys are exactly-once under fresh allocation, surviving compaction") {
     val state = graft.util.TmpDirs.scratch("graft_mw_keys_").toString
     val media = fixtureMedia
     val v0 = IncrementalMedia.merge(spark, state,
@@ -166,5 +166,14 @@ class MediaMultiWriterSpec extends SparkSpec {
       batchKey = Some("b0"))
     assert(replay == v0, "a re-delivered key must be a no-op")
     assert(IncrementalMedia.completeVersions(spark, state) == Seq(v0))
+    // maintenance must not erase the exactly-once ledger: the compacted
+    // generation carries the folded generations' ingest markers forward
+    val vc = IncrementalMedia.compact(spark, state)
+    assert(GenState.ingestedKeys(spark, state, "pairs") == Set("b0"))
+    val replay2 = IncrementalMedia.merge(spark, state,
+      media.where(!col("name").contains("_")), codec = "png-dhash",
+      batchKey = Some("b0"))
+    assert(replay2 == vc, "a key re-delivered AFTER compaction must still be a no-op")
+    assert(IncrementalMedia.completeVersions(spark, state) == Seq(vc))
   }
 }
