@@ -788,19 +788,44 @@ object GenState {
 
   /** Pin the merge parameters: persisted to `_CONFIG` on first use,
     * require()d identical on every later merge into the same state dir.
+    *
+    * MULTI-WRITER SAFE: `_CONFIG` is the one file CONCURRENT first merges
+    * both touch, so the publish must be atomic — a plain create+write
+    * would let the sibling read a torn/empty file mid-write and wrongly
+    * abort with a parameter mismatch. The writer stages to a unique temp
+    * file and renames into place (atomic on POSIX, HDFS, and ABFS):
+    * readers see the full old or full new content, never a prefix, and a
+    * lost publish race just re-reads and compares — identical parameters
+    * (the only correct concurrent case) pass, mixed parameters still
+    * refuse loudly.
     */
   def checkConfig(spark: SparkSession, stateDir: String,
       params: Map[String, String]): Unit = {
     val f = fs(spark, stateDir)
     val p = new Path(s"$stateDir/_CONFIG")
     val want = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
-    if (f.exists(p)) {
+    def compare(): Unit = {
       val have = readUtf8(f, p).trim
       require(have == want,
         s"dedup state at $stateDir was built with {${have.replace('\n', ' ')}}; " +
           s"refusing a merge with {${want.replace('\n', ' ')}} — mixed parameters " +
           "would produce a clustering matching no one-shot recompute")
-    } else writeUtf8(f, p, want)
+    }
+    if (f.exists(p)) compare()
+    else {
+      f.mkdirs(new Path(stateDir))
+      val tmp = new Path(s"$stateDir/._CONFIG.${java.util.UUID.randomUUID()}")
+      writeUtf8(f, tmp, want)
+      val published =
+        try f.rename(tmp, p)
+        catch { case _: java.io.IOException => false }
+      if (!published) {
+        // a sibling published first (rename-no-replace backends) — clean
+        // up the stage file and compare against the winner
+        if (f.exists(tmp)) f.delete(tmp, false)
+        compare()
+      }
+    }
   }
 
   private def readUtf8(f: FileSystem, p: Path): String = {
