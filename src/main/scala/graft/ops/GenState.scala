@@ -352,11 +352,32 @@ object GenState {
     */
   object FsClaimBackend extends ClaimBackend {
     def tryClaim(f: FileSystem, p: Path, token: String): Boolean = {
+      // LOCAL filesystem: Hadoop's create(overwrite=false) is CHECK-THEN-ACT
+      // (an exists() probe, then a plain open), so two racing claimants can
+      // BOTH pass the probe — the loser then overwrites the winner's token
+      // after the winner's read-back passed, and the winner aborts mid-merge
+      // with a "taken over" error instead of the loser taking the next slot
+      // (caught by the four-writer stress in MediaMultiWriterSpec). Use the
+      // OS's atomic O_EXCL create instead: exactly one creator succeeds.
+      if (f.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          java.nio.file.Files.createDirectories(local.getParent)
+          val out = java.nio.file.Files.newOutputStream(local,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+          return true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+        }
+      }
+      // Remote filesystems: create(overwrite=false) is atomic on HDFS/ABFS.
       // Only the already-exists failure is a lost race; any other
       // IOException is infrastructure (disk, network, permissions) and must
       // surface as the abort CAUSE, not masquerade as a concurrent-writer
       // conflict. Hadoop filesystems signal the race as (their own or
-      // java.nio's) FileAlreadyExistsException; some local-FS paths raise a
+      // java.nio's) FileAlreadyExistsException; some paths raise a
       // bare IOException whose message names the existing file — match both.
       val out =
         try f.create(p, false)

@@ -55,6 +55,49 @@ class MediaMultiWriterSpec extends SparkSpec {
     assert(collectPairs(IncrementalMedia.pairs(spark, state)) == goldenPairs)
   }
 
+  test("four concurrent writers over a generated corpus: recall equals the one-shot") {
+    import graft.tools.MediaCorpus
+    val corpus = "/tmp/graft_mw_corpus_ppm_60"
+    val planted = MediaCorpus.generate(spark, corpus, "ppm", 60, seed = 19L)
+    assert(planted.nonEmpty)
+    val media = spark.read.format("binaryFile").load(corpus)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      .where(!col("name").startsWith("_"))
+    val oneShot = graft.ops.Multimodal.ppmNearDup(spark, corpus)
+      .select("name1", "name2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val state = graft.util.TmpDirs.scratch("graft_mw_four_").toString
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = (0 until 4).map { k =>
+      new Thread(() => {
+        start.await()
+        results.add(
+          try Right(IncrementalMedia.merge(spark, state,
+            media.where(pmod(xxhash64(col("name")), lit(4)) === k)))
+          catch { case e: Throwable => Left(e) })
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    val out = results.toArray(Array.empty[Either[Throwable, Int]]).toSeq
+    assert(out.forall(_.isRight), s"a concurrent merge aborted: $out")
+    assert(out.collect { case Right(v) => v }.toSet.size == 4)
+    val served = IncrementalMedia.pairs(spark, state)
+      .select("name1", "name2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(served == oneShot,
+      s"4-writer serve diverged from the one-shot: missing ${(oneShot -- served).take(5)}, " +
+        s"extra ${(served -- oneShot).take(5)}")
+    assert(planted.forall(p => served.contains((p.name1, p.name2))),
+      "planted recall must hold under concurrent ingest")
+    // compact folds + reconciles durably; the serve is unchanged
+    IncrementalMedia.compact(spark, state)
+    val afterCompact = IncrementalMedia.pairs(spark, state)
+      .select("name1", "name2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(afterCompact == oneShot)
+  }
+
   /** The deterministic image of a concurrent commit: doctor generation 1
     * into exactly what a merge that never saw generation 0 would have
     * written — a self-only probe manifest and within-batch-only pairs.
