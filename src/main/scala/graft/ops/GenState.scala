@@ -313,15 +313,19 @@ object GenState {
   //      table. Marker writes can't be in flight concurrently with a
   //      commit: they refuse outright once the commit `_SUCCESS` exists.
   //
-  // Residual window, stated plainly: the guard is check-then-write, not a
-  // lease, so a writer that stalls INSIDE a single guarded write — after
-  // its assertWritable, before the write lands — and wakes after the thief
-  // has rebuilt and committed can still clobber that one table. Closing
-  // that needs heartbeat leases (or a backend whose writes are themselves
-  // conditional), which a batch protocol does not carry; what the guard
-  // DOES guarantee is that a stalled loser making multiple writes aborts
-  // at the first one after the steal, and that ingest markers on a
-  // committed generation are never cleared.
+  // Residual window and its close: the guard is check-then-write, so a
+  // writer that stalls INSIDE a single guarded write — after its
+  // assertWritable, before the write lands — and wakes after the thief has
+  // rebuilt and committed could clobber that one table IF it wrote the
+  // final path directly. [[fencedParquet]] closes it with write fencing:
+  // every table job writes into a claim-token-suffixed STAGE dir inside
+  // vN, then re-verifies the claim and renames into place. The thief's
+  // redo-wholesale steal deletes the whole vN dir — INCLUDING the stalled
+  // loser's stage — so the loser's late fence check aborts on the stolen
+  // token, and even a rename racing the exact steal instant cannot land
+  // stale data: its source directory is gone. What survives of the old
+  // caveat is only that a non-fenced write (none remain in the
+  // claimGeneration families) would reopen the window.
 
   /** Pluggable atomicity seam for the claim protocol. The default
     * ([[FsClaimBackend]]) relies on atomic `create(overwrite=false)` —
@@ -370,6 +374,11 @@ object GenState {
           return true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => return false
+          // a concurrent claimant's redo-wholesale recursive delete can
+          // remove the vN dir between createDirectories and the open — a
+          // vanishing parent during a claim race is a concurrency signal
+          // (lost race), not infrastructure failure
+          case _: java.nio.file.NoSuchFileException => return false
         }
       }
       // Remote filesystems: create(overwrite=false) is atomic on HDFS/ABFS.
@@ -423,10 +432,19 @@ object GenState {
   // (a writer stalled past the TTL is stolen from and aborts at its next
   // guarded write, same as always).
 
+  /** Default for [[leaseTtlMs]] when a state dir's `_CONFIG` pins none. */
+  val DefaultLeaseTtlMs: Long = 15 * 60 * 1000L
+
   /** How old a lease may be and still prove a LIVE holder. Renewal happens
     * at every guarded write, so the TTL must exceed the longest expected
-    * single Spark job between two guarded writes of a merge. Volatile: a
-    * deployment with hour-long ingest jobs raises it once at startup.
+    * single Spark job between two guarded writes of a merge. PER-STORE,
+    * pinned in `_CONFIG` like every other merge parameter: a deployment
+    * with hour-long ingest jobs adds `"leaseTtlMs" -> "..."` to the params
+    * map its merges pass [[checkConfig]] — the first merge persists it and
+    * a later merge presenting a DIFFERENT ttl is refused exactly like a
+    * mixed threshold (a process-global knob here would let two jobs
+    * disagree about what "stale" means on the same store, the same species
+    * of global the session-conf scoping work eliminated).
     *
     * Clock caveat: age compares the CLAIMANT's wall clock against the
     * STORAGE's mtime authority, so cross-clock skew shifts the window —
@@ -435,7 +453,9 @@ object GenState {
     * expected skew on top of the job-gap bound; the lease is diagnostics,
     * so skew can only delay recovery, never corrupt.
     */
-  @volatile var leaseTtlMs: Long = 15 * 60 * 1000L
+  def leaseTtlMs(spark: SparkSession, stateDir: String): Long =
+    readConfig(spark, stateDir).get("leaseTtlMs")
+      .map(_.toLong).getOrElse(DefaultLeaseTtlMs)
 
   private def leasePath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_LEASE")
 
@@ -485,15 +505,17 @@ object GenState {
           else Some((System.currentTimeMillis() -
             f.getFileStatus(lp).getModificationTime, readUtf8(f, lp)))
         } catch { case _: java.io.FileNotFoundException => None }
+      val ttl = leaseTtlMs(spark, stateDir)
       lease.foreach { case (age, holder) =>
-        if (age < leaseTtlMs)
+        if (age < ttl)
           throw new IllegalStateException(
             s"GenState: generation v$v at $stateDir is held by a LIVE writer " +
-              s"($holder; lease renewed ${age} ms ago, ttl ${leaseTtlMs} ms) — " +
+              s"($holder; lease renewed ${age} ms ago, ttl ${ttl} ms) — " +
               "this state family is single-writer by contract, so a concurrent " +
               "merge is in flight, not a crash leftover. Clean abort, nothing " +
               "written; retry after the holder commits (if the holder is known " +
-              "dead, wait out the ttl or lower GenState.leaseTtlMs)")
+              "dead, wait out the ttl or pin a lower leaseTtlMs in the store's " +
+              "_CONFIG)")
       }
       // stale or absent lease: a crash leftover being redone wholesale.
       // Delete and re-claim — if the "leftover" was in fact a live writer
@@ -563,6 +585,47 @@ object GenState {
     // writer arriving mid-merge gets the loud contract-violation abort
     // instead of silently stealing live work
     renewLease(f, stateDir, v)
+  }
+
+  /** FENCED per-generation table write — the guarded-write primitive of
+    * the steal-capable (claimGeneration) families, closing the
+    * stall-inside-a-guarded-write window the block comment above
+    * describes. The DataFrame job writes into a stage dir INSIDE vN whose
+    * name embeds the claim token's nonce (`.<table>.stage-<nonce>`); only
+    * after the job lands does the writer re-verify its claim (and that no
+    * sibling committed) and rename the stage into the final table path.
+    * A thief's redo-wholesale delete of vN destroys a stalled loser's
+    * stage along with everything else, so the loser either aborts at the
+    * fence (stolen token / committed generation) or fails the rename on a
+    * vanished source — its bytes can never land in the thief's rebuilt
+    * generation. The fence holds for the commit table too: staging makes
+    * the commit itself an atomic directory publish.
+    */
+  def fencedParquet(spark: SparkSession, stateDir: String, v: Int,
+      table: String, token: String, commitTable: String = "labels")(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = s"$stateDir/v$v/.$table.stage-${token.take(8)}"
+    df.write.mode("overwrite").parquet(stage)
+    // the fence: the staged bytes are worthless unless this writer STILL
+    // holds the claim and nobody committed the generation meanwhile. On a
+    // fence failure the loser removes its own stage (best-effort — inside
+    // a stolen-and-committed generation it would otherwise linger as junk
+    // until that generation is eventually folded and swept).
+    val f = fs(spark, stateDir)
+    try assertWritable(spark, stateDir, v, token, commitTable)
+    catch {
+      case e: IllegalStateException =>
+        try f.delete(new Path(stage), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+    val dst = new Path(s"$stateDir/v$v/$table")
+    f.delete(dst, true) // a prior abandoned attempt may have left one
+    if (!f.rename(new Path(stage), dst))
+      throw new IllegalStateException(
+        s"GenState: fenced publish of $table into v$v at $stateDir failed — " +
+          "the stage directory vanished (a concurrent steal deleted the " +
+          "generation mid-publish); clean abort, nothing landed")
   }
 
   // ---- multi-writer optimistic allocation ----------------------------------
@@ -686,6 +749,11 @@ object GenState {
     */
   def allocateFresh(spark: SparkSession, stateDir: String,
       batchKey: Option[String], commitTable: String = "labels"): Either[Int, (Int, String)] = {
+    // validate BEFORE the fast path and the claim: an invalid key (e.g.
+    // containing '/') would otherwise silently never match ingestedKeys,
+    // then throw from writeIngestMarker AFTER claimFresh succeeded —
+    // leaving the freshly-claimed empty vN dir behind as a leftover
+    batchKey.foreach(requireValidKey)
     batchKey.foreach { k =>
       if (ingestedKeys(spark, stateDir, commitTable).contains(k))
         return Left(latestVersion(spark, stateDir, commitTable).get)
@@ -716,19 +784,25 @@ object GenState {
   def abandonedVersions(spark: SparkSession, stateDir: String,
       commitTable: String = "labels", except: Int = -1): Seq[Int] = {
     val f = fs(spark, stateDir)
+    val ttl = leaseTtlMs(spark, stateDir)
+    def fresh(p: Path): Boolean =
+      try f.exists(p) && System.currentTimeMillis() -
+        f.getFileStatus(p).getModificationTime < ttl
+      catch { case _: java.io.FileNotFoundException => false }
     val live = completeVersions(spark, stateDir, commitTable).toSet
     allVersionDirs(f, stateDir).filterNot(live).filterNot(_ == except)
       .filterNot { v =>
         // only INCOMPLETE dirs get the lease guard: a complete non-live
         // dir (folded source, shadowed dup) has a finished writer and
-        // must sweep even though its lease was renewed at its commit
+        // must sweep even though its lease was renewed at its commit.
+        // A fresh _CLAIM counts as proof of life too: claimFresh publishes
+        // the claim BEFORE its first lease renewal, so a quiesce-violating
+        // compact listing in that gap would otherwise sweep a just-claimed
+        // dir out from under its live writer (the torn-generation scenario
+        // this guard exists to prevent)
         val incomplete =
           !f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
-        val lp = leasePath(stateDir, v)
-        incomplete && (
-          try f.exists(lp) && System.currentTimeMillis() -
-            f.getFileStatus(lp).getModificationTime < leaseTtlMs
-          catch { case _: java.io.FileNotFoundException => false })
+        incomplete && (fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)))
       }
   }
 
@@ -811,14 +885,21 @@ object GenState {
     * require()d identical on every later merge into the same state dir.
     *
     * MULTI-WRITER SAFE: `_CONFIG` is the one file CONCURRENT first merges
-    * both touch, so the publish must be atomic — a plain create+write
-    * would let the sibling read a torn/empty file mid-write and wrongly
-    * abort with a parameter mismatch. The writer stages to a unique temp
-    * file and renames into place (atomic on POSIX, HDFS, and ABFS):
-    * readers see the full old or full new content, never a prefix, and a
-    * lost publish race just re-reads and compares — identical parameters
-    * (the only correct concurrent case) pass, mixed parameters still
-    * refuse loudly.
+    * both touch, so the publish must be atomic AND no-replace — a plain
+    * create+write would let the sibling read a torn/empty file mid-write,
+    * and a rename-based publish is no better on the LOCAL filesystem:
+    * Hadoop's RawLocalFileSystem.rename delegates to POSIX rename(2),
+    * which silently REPLACES an existing destination and returns true, so
+    * two concurrent first merges with DIFFERENT parameters would both see
+    * published=true and the loser would overwrite the winner's pin after
+    * the winner proceeded — mixed regimes, the exact outcome this method
+    * exists to refuse. The writer stages the full content to a unique temp
+    * file, then publishes with the backend's atomic no-replace primitive —
+    * link(2) on the local FS (EEXIST when a sibling won), rename on
+    * HDFS/ABFS (no-replace there) — and in EVERY outcome re-reads the
+    * published file and compares: identical parameters (the only correct
+    * concurrent case) pass, mixed parameters refuse loudly whichever
+    * sibling won, and no code path trusts a publish return value alone.
     */
   def checkConfig(spark: SparkSession, stateDir: String,
       params: Map[String, String]): Unit = {
@@ -837,15 +918,23 @@ object GenState {
       f.mkdirs(new Path(stateDir))
       val tmp = new Path(s"$stateDir/._CONFIG.${java.util.UUID.randomUUID()}")
       writeUtf8(f, tmp, want)
-      val published =
+      if (f.getScheme == "file") {
+        // local FS: hard link is the atomic no-replace publish (fails
+        // EEXIST when a sibling already published; readers of p always see
+        // the fully-written staged content, never a prefix)
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } else {
+        // HDFS/ABFS: rename does not replace an existing destination
         try f.rename(tmp, p)
-        catch { case _: java.io.IOException => false }
-      if (!published) {
-        // a sibling published first (rename-no-replace backends) — clean
-        // up the stage file and compare against the winner
-        if (f.exists(tmp)) f.delete(tmp, false)
-        compare()
+        catch { case _: java.io.IOException => () }
       }
+      if (f.exists(tmp)) f.delete(tmp, false)
+      // unconditional read-back: the authoritative pin is what p holds NOW,
+      // not what any publish primitive claims to have done
+      compare()
     }
   }
 

@@ -128,18 +128,17 @@ object IncrementalDedup {
         "stored edges; rebuild the state dir first"))
     val next = live.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(bandsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.emptyDelta(spark)
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    // every table lands via the write fence (stage-in-vN + re-verify +
+    // rename): a stalled loser's late bytes can never clobber a thief's
+    // rebuilt generation — see [[GenState.fencedParquet]]
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+      spark.read.parquet(bandsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.emptyDelta(spark))
     next
   }
 
@@ -186,8 +185,7 @@ object IncrementalDedup {
       else
         Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
           .withColumnRenamed("block", "half"))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    signed.write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(signed)
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
 
     // 2. the full exact-half index = every COMPLETE generation's bands
@@ -216,8 +214,7 @@ object IncrementalDedup {
     // both the EMPTY-BATCH FAST PATH check (a pair-free batch carries the
     // previous labels forward verbatim and skips the CC loop — the common
     // streaming case) and CC read the slim parquet back.
-    GenState.assertWritable(spark, stateDir, next, claim)
-    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     // affected-component-scoped seeded CC → the label DELTA of this batch
     // (a pair-free batch writes an empty delta and changes nothing; an
@@ -227,9 +224,9 @@ object IncrementalDedup {
 
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an
-    // incomplete generation the next merge simply overwrites)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    // incomplete generation the next merge simply overwrites); the fence
+    // makes the commit itself an atomic directory publish
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
   }
 
@@ -266,32 +263,29 @@ object IncrementalDedup {
     // maintenance. Tombstone-free state keeps the single multi-path scan.
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    (if (!hasTombs) spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(bandsPath(stateDir, v)))),
-       Seq("doc_id")))
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+      if (!hasTombs) spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
+      else LabelState.purgeByGen(tombs,
+        versions.map(v => (v, spark.read.parquet(bandsPath(stateDir, v)))),
+        Seq("doc_id")))
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
     if (pairVs == versions) {
-      GenState.assertWritable(spark, stateDir, next, claim)
-      (if (!hasTombs)
-         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-           .select(col("d1").cast("long"), col("d2").cast("long"))
-       else LabelState.purgePairsByGen(tombs,
-         LabelState.effectiveTombstones(spark, stateDir, versions, "bands", "doc_id"),
-         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
-           .select(col("d1").cast("long"), col("d2").cast("long")))),
-         Seq("d1", "d2")))
-        .dropDuplicates("d1", "d2")
-        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        (if (!hasTombs)
+           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+             .select(col("d1").cast("long"), col("d2").cast("long"))
+         else LabelState.purgePairsByGen(tombs,
+           LabelState.effectiveTombstones(spark, stateDir, versions, "bands", "doc_id"),
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+             .select(col("d1").cast("long"), col("d2").cast("long")))),
+           Seq("d1", "d2")))
+          .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id")
-      .withColumn("gen", lit(next))
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id")
+        .withColumn("gen", lit(next)))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
   }

@@ -201,15 +201,19 @@ object IncrementalMedia {
     * [[compact]] purges sigs and pairs physically.
     */
   def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
-    val live = completeVersions(spark, stateDir)
-    require(live.nonEmpty, s"IncrementalMedia.delete: no state at $stateDir")
+    require(completeVersions(spark, stateDir).nonEmpty,
+      s"IncrementalMedia.delete: no state at $stateDir")
     // fresh allocation like merge: a tombstone generation's content is
     // independent of live state, so concurrent deletes/merges serialize by
     // generation number (the logical clock shadowing already orders by)
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     // a tombstone generation has no pairs to reconcile (empty sigs) — mark
-    // everything live as probed so reads never schedule a no-op recon job
-    // (`next` is fresh, so the pre-claim listing is still the live set)
+    // everything live as probed so reads never schedule a no-op recon job.
+    // Listed AFTER the claim (as merge does): a sibling merge committing
+    // between a pre-claim listing and the claim would be omitted from the
+    // manifest, scheduling a pointless recon against the tombstone's empty
+    // sigs on every read until compact
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")

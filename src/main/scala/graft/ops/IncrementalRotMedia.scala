@@ -141,11 +141,13 @@ object IncrementalRotMedia {
     * anti-join); [[compact]] purges sigs and pairs physically.
     */
   def delete(spark: SparkSession, stateDir: String, names: DataFrame): Int = {
-    val live = completeVersions(spark, stateDir)
-    require(live.nonEmpty, s"IncrementalRotMedia.delete: no state at $stateDir")
+    require(completeVersions(spark, stateDir).nonEmpty,
+      s"IncrementalRotMedia.delete: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    // empty sigs ⇒ nothing to reconcile: mark everything live as probed
-    // (`next` is fresh, so the pre-claim listing is still the live set)
+    // empty sigs ⇒ nothing to reconcile: mark everything live as probed —
+    // listed AFTER the claim (as merge does) so a sibling merge committing
+    // just before the claim is not omitted from the manifest
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     names.select(col("name").as("node")).dropDuplicates("node")

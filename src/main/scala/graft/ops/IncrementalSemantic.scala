@@ -57,17 +57,16 @@ object IncrementalSemantic {
     // centroid cosine persisted with the vector (zero-norm vectors have
     // NaN cosines → no cell; they can never pair, drop at ingest)
     val spec = graft.exprs.IvfProbe.render(cents)
-    GenState.assertWritable(spark, stateDir, next, claim)
     val best = element_at(
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
-    newVecs
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
-      .withColumn("cell",
-        when(isnan(best.getField("ccos")), lit(-1L)).otherwise(best.getField("cid")))
-      .withColumn("ccos", round(best.getField("ccos"), 6))
-      .where(col("cell") >= 0)
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      newVecs
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
+        .withColumn("cell",
+          when(isnan(best.getField("ccos")), lit(-1L)).otherwise(best.getField("cid")))
+        .withColumn("ccos", round(best.getField("ccos"), 6))
+        .where(col("cell") >= 0))
 
     // 2. SLIM candidates: new side vs the union on exact CELL equality —
     // scans pruned to (vec_id, cell), no payload in the candidate join
@@ -96,13 +95,11 @@ object IncrementalSemantic {
       .select(col("d1"), col("d2"))
 
     // materialize once (merge hot-path contract), then delta-CC
-    GenState.assertWritable(spark, stateDir, next, claim)
-    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
     val labels = LabelState.deltaLabels(spark, stateDir,
       completeVersions(spark, stateDir), matPairs, next)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
   }
 
@@ -122,18 +119,14 @@ object IncrementalSemantic {
         "table (pre-retention layout) — rebuild the state dir first"))
     val next = live.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(vecsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.emptyDelta(spark)
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+      ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      spark.read.parquet(vecsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.emptyDelta(spark))
     next
   }
 
@@ -152,32 +145,29 @@ object IncrementalSemantic {
     // state keeps the one-scan fold
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    (if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
-       Seq("vec_id")))
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      else LabelState.purgeByGen(tombs,
+        versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
+        Seq("vec_id")))
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
     if (pairVs == versions) {
-      GenState.assertWritable(spark, stateDir, next, claim)
-      (if (!hasTombs)
-         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-           .select(col("d1").cast("long"), col("d2").cast("long"))
-       else LabelState.purgePairsByGen(tombs,
-         LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
-         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
-           .select(col("d1").cast("long"), col("d2").cast("long")))),
-         Seq("d1", "d2")))
-        .dropDuplicates("d1", "d2")
-        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        (if (!hasTombs)
+           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+             .select(col("d1").cast("long"), col("d2").cast("long"))
+         else LabelState.purgePairsByGen(tombs,
+           LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+             .select(col("d1").cast("long"), col("d2").cast("long")))),
+           Seq("d1", "d2")))
+          .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
-      .withColumn("gen", lit(next))
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
+        .withColumn("gen", lit(next)))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
   }

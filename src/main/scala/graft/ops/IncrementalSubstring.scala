@@ -224,8 +224,8 @@ object IncrementalSubstring {
         println(f"TRACE merge/$l: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    t("anchors")(anchorsOf(newDocs).write.mode("overwrite").parquet(anchorsPath(stateDir, next)))
+    t("anchors")(GenState.fencedParquet(spark, stateDir, next, "anchors",
+      claim, commitTable)(anchorsOf(newDocs)))
     val newAnch = spark.read.parquet(anchorsPath(stateDir, next))
 
     // slim per-generation doc projection — the table the tombstone
@@ -233,17 +233,17 @@ object IncrementalSubstring {
     // delete-bearing read never scans the corpus-sized positional anchors
     // index just to ask "was this id re-ingested later?". From newDocs,
     // not newAnch: a short doc with no anchors still counts as re-ingested.
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    t("docs")(newDocs.select(col("doc_id")).dropDuplicates("doc_id")
-      .write.mode("overwrite").parquet(docsPath(stateDir, next)))
+    t("docs")(GenState.fencedParquet(spark, stateDir, next, "docs",
+      claim, commitTable)(
+      newDocs.select(col("doc_id")).dropDuplicates("doc_id")))
 
     // per-generation occurrence PARTIAL (the d18 write-only trick): one slim
     // (anchor, aocc) row per distinct batch anchor, O(batch) to produce.
     // Folding these partials (sum per anchor) equals mergeOccOf over the
     // full positional union — [[mergeOccOf]]'s disjoint-doc_id argument —
     // so the cold filter below never re-aggregates old positional rows.
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    t("occ")(mergeOccOf(newAnch).write.mode("overwrite").parquet(occPath(stateDir, next)))
+    t("occ")(GenState.fencedParquet(spark, stateDir, next, "occ",
+      claim, commitTable)(mergeOccOf(newAnch)))
 
     // marker BEFORE the commit table: whenever the generation is
     // complete, its key is on disk (every crash point → exactly-once)
@@ -254,9 +254,8 @@ object IncrementalSubstring {
     val oldAnch =
       if (live.isEmpty) newAnch.limit(0)
       else spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    t("hits")(candidateHits(newAnch, oldAnch, hot)
-      .write.mode("overwrite").parquet(hitsPath(stateDir, next)))
+    t("hits")(GenState.fencedParquet(spark, stateDir, next, "hits",
+      claim, commitTable)(candidateHits(newAnch, oldAnch, hot)))
     next
   }
 
@@ -284,21 +283,16 @@ object IncrementalSubstring {
     require(live.nonEmpty, s"IncrementalSubstring.delete: no state at $stateDir")
     val next = live.last + 1
     val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(anchorsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id").cast("long").as("doc_id")).limit(0)
-      .write.mode("overwrite").parquet(docsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(occPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(occPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(hitsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
+      spark.read.parquet(anchorsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+      ids.select(col("doc_id").cast("long").as("doc_id")).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "occ", claim, commitTable)(
+      spark.read.parquet(occPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
+      spark.read.parquet(hitsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -386,12 +380,11 @@ object IncrementalSubstring {
     val hasTombs = versions.exists(v => f.exists(
       new org.apache.hadoop.fs.Path(s"${LabelState.tombsPath(stateDir, v)}/_SUCCESS")))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(anchorsPath(stateDir, v)))),
-       Seq("doc_id")))
-      .write.mode("overwrite").parquet(anchorsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
+      if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
+      else LabelState.purgeByGen(tombs,
+        versions.map(v => (v, spark.read.parquet(anchorsPath(stateDir, v)))),
+        Seq("doc_id")))
     // the slim doc projection folds the same way (legacy generations
     // without one backfill from their anchors — compaction IS the
     // migration point, as for occ)
@@ -402,31 +395,28 @@ object IncrementalSubstring {
           else spark.read.parquet(anchorsPath(stateDir, v))
             .select(col("doc_id")).dropDuplicates("doc_id"))
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) docsFrames.map(_._2).reduce(_ unionByName _)
-     else LabelState.purgeByGen(tombs, docsFrames, Seq("doc_id")))
-      .dropDuplicates("doc_id")
-      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+      (if (!hasTombs) docsFrames.map(_._2).reduce(_ unionByName _)
+       else LabelState.purgeByGen(tombs, docsFrames, Seq("doc_id")))
+        .dropDuplicates("doc_id"))
     // occ partials fold WITH re-aggregation (sum is associative): the
     // compacted index returns to one row per distinct anchor. Pre-occ
     // generations backfill from their anchors here ([[foldedOcc]]) —
     // compaction IS the migration point for legacy state dirs.
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    foldedOcc(spark, stateDir, versions)
-      .write.mode("overwrite").parquet(occPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "occ", claim, commitTable)(
+      foldedOcc(spark, stateDir, versions))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op after maintenance
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
-     else LabelState.purgePairsByGen(tombs,
-       LabelState.effectiveTombstones(spark, stateDir, versions,
-         probeTable(spark, stateDir, versions), "doc_id"),
-       versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
-       Seq("d1", "d2")))
-      .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
-      .write.mode("overwrite").parquet(hitsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
+      (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
+       else LabelState.purgePairsByGen(tombs,
+         LabelState.effectiveTombstones(spark, stateDir, versions,
+           probeTable(spark, stateDir, versions), "doc_id"),
+         versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
+         Seq("d1", "d2")))
+        .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor")))
     GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
     next
   }

@@ -17,14 +17,17 @@ class GenStateClaimSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables.documents(spark, sf0001)
 
-  /** Backdate the held lease past the TTL — simulating a crashed holder
-    * (one that stopped heartbeating) without waiting out leaseTtlMs.
+  /** Backdate the held lease (and the claim publish — a fresh _CLAIM also
+    * proves a live claimant to the sweep guard) past the TTL — simulating
+    * a crashed holder without waiting out the store's leaseTtlMs.
     */
   private def expireLease(state: String, v: Int): Unit = {
     val f = GenState.fs(spark, state)
-    val p = new org.apache.hadoop.fs.Path(s"$state/v$v/_LEASE")
-    if (f.exists(p))
-      f.setTimes(p, System.currentTimeMillis() - GenState.leaseTtlMs - 60000, -1)
+    val old = System.currentTimeMillis() - GenState.leaseTtlMs(spark, state) - 60000
+    Seq("_LEASE", "_CLAIM").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$state/v$v/$n")
+      if (f.exists(p)) f.setTimes(p, old, -1)
+    }
   }
 
   test("a live holder's lease makes contention LOUD: the second writer fails fast, naming the holder") {
@@ -383,6 +386,99 @@ class GenStateClaimSpec extends SparkSpec {
     } finally GenState.claimBackend = before
     // nothing was committed by the aborted claimant
     assert(GenState.completeVersions(spark, state, "hashes").isEmpty)
+  }
+
+  test("write fencing: a stalled writer's staged table loses cleanly to a stale-lease steal") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_fence_").toString
+    // writer A claims v0 and stalls INSIDE a guarded write: its table job
+    // has landed in the stage dir, the publish rename has not yet run
+    val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
+    expireLease(state, 0)
+    // writer B steals (stale lease ⇒ crash leftover), rebuilds, COMMITS
+    val tokenB = GenState.claimGeneration(spark, state, 0, "hashes")
+    GenState.fencedParquet(spark, state, 0, "hashes", tokenB, "hashes")(
+      spark.range(7).toDF("id"))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0))
+    // A wakes and resumes its fenced write: the stage job runs (harmless —
+    // it lands in A's own token-suffixed stage dir), but the fence refuses
+    // before the rename, so B's committed table is never clobbered
+    val ex = intercept[IllegalStateException] {
+      GenState.fencedParquet(spark, state, 0, "hashes", tokenA, "hashes")(
+        spark.range(999).toDF("id"))
+    }
+    assert(ex.getMessage.contains("committed by another writer"), ex.getMessage)
+    assert(spark.read.parquet(s"$state/v0/hashes").count() == 7,
+      "the thief's committed table must survive the stalled loser's late write")
+    // and the loser's aborted stage dir was cleaned up
+    val fs = GenState.fs(spark, state)
+    val junk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/v0"))
+      .map(_.getPath.getName).filter(_.contains(".stage-"))
+    assert(junk.isEmpty, s"aborted stage dirs must not linger: ${junk.toSeq}")
+  }
+
+  test("leaseTtlMs rides _CONFIG per store: a pinned short ttl steals immediately; a mixed ttl is refused") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_ttlcfg_").toString
+    // pin a 1 ms ttl the way a merge parameter is pinned
+    GenState.checkConfig(spark, state, Map("leaseTtlMs" -> "1", "k" -> "v"))
+    assert(GenState.leaseTtlMs(spark, state) == 1L)
+    // a claim whose lease is older than the PINNED ttl is a crash leftover
+    // — no LIVE-writer abort, the steal proceeds without any backdating
+    GenState.claimGeneration(spark, state, 0, "hashes")
+    Thread.sleep(50)
+    val tokenB = GenState.claimGeneration(spark, state, 0, "hashes")
+    GenState.assertClaimed(spark, state, 0, tokenB)
+    // a later merge presenting a DIFFERENT ttl is refused like any other
+    // mixed parameter — the knob is per-store state, not a process global
+    val ex = intercept[IllegalArgumentException] {
+      GenState.checkConfig(spark, state, Map("leaseTtlMs" -> "900000", "k" -> "v"))
+    }
+    assert(ex.getMessage.contains("leaseTtlMs"), ex.getMessage)
+    // an unpinned store uses the default
+    val plain = graft.util.TmpDirs.scratch("graft_claim_ttldef_").toString
+    assert(GenState.leaseTtlMs(spark, plain) == GenState.DefaultLeaseTtlMs)
+  }
+
+  test("allocateFresh refuses an invalid batch key BEFORE claiming — no leftover dir") {
+    val state = graft.util.TmpDirs.scratch("graft_claim_badkey_").toString
+    IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 50), Some("ok"))
+    intercept[IllegalArgumentException] {
+      GenState.allocateFresh(spark, state, Some("bad/key"), "hashes")
+    }
+    val fs = GenState.fs(spark, state)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("v0"),
+      s"an invalid key must not leave a claimed empty generation behind, got $dirs")
+  }
+
+  test("_CONFIG publish is atomic no-replace: concurrent DIFFERENT first merges — exactly one wins, the loser refuses") {
+    // POSIX rename(2) silently replaces, so a rename-based publish would
+    // let both writers see success and the loser overwrite the winner's
+    // pin; the link-based publish + unconditional read-back must instead
+    // serialize them: exactly one checkConfig returns, the other throws
+    // the mixed-parameter refusal, and the surviving pin is the winner's.
+    for (round <- 0 until 8) {
+      val state = graft.util.TmpDirs.scratch(s"graft_claim_cfgrace_${round}_").toString
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[(String, Throwable)]()
+      def publisher(tag: String, params: Map[String, String]) = new Thread(() => {
+        start.await()
+        try GenState.checkConfig(spark, state, params)
+        catch { case t: Throwable => errs.add((tag, t)) }
+      })
+      val ts = Seq(publisher("a", Map("threshold" -> "0.8")),
+        publisher("b", Map("threshold" -> "0.7")))
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(60000))
+      val losers = errs.toArray(Array.empty[(String, Throwable)]).toSeq
+      assert(losers.size == 1,
+        s"round $round: exactly one of two different-param publishers must lose, got $losers")
+      assert(losers.head._2.getMessage.contains("mixed parameters"))
+      // the surviving pin is the winner's, and the winner can re-present it
+      val pinned = GenState.readConfig(spark, state)("threshold")
+      val winner = if (losers.head._1 == "a") "0.7" else "0.8"
+      assert(pinned == winner, s"round $round: pin $pinned is not the winner's $winner")
+      GenState.checkConfig(spark, state, Map("threshold" -> pinned))
+    }
   }
 
   test("pluggable ClaimBackend: a conditional-put style backend drives the same steal/abort protocol") {
