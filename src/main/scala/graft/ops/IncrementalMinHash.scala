@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *   - `vN/sets`: batch N's distinct-shingle sets (doc_id, sh) — the
   *     verification payload, persisted so old TEXT is never re-read and
   *     old docs never re-shingled.
+  *   - `vN/pairs`: the NEW-involving verified pairs of the merge.
   *   - `vN/labels`: batch N's label DELTA ([[LabelState]] — the current
   *     labeling is the latest-wins fold); its `_SUCCESS` commits the
   *     generation.
@@ -36,6 +37,27 @@ import org.apache.spark.sql.functions._
   * work scales with the new edge set (old components arrive as
   * pre-contracted stars). Read amplification over generations is handled
   * the LSM way — [[compact]] folds live generations back to one.
+  *
+  * MULTI-WRITER (round 17 — the media `_PROBED` pattern carried to the
+  * flagship text family): generations come from
+  * [[GenState.allocateFresh]] — never stolen, so N parallel ingest jobs
+  * serialize into N fresh generations with the standard keyed
+  * exactly-once ledger — and every merge records WHICH generations it
+  * probed (and whose label fold its delta saw) in a `_PROBED` manifest.
+  * Two genuinely concurrent merges can lose exactly two things: the
+  * cross pairs between their batches (neither probed the other's bands)
+  * and label-fold consistency (each delta was computed blind to the
+  * sibling, so latest-wins can split a shared old component). Reads
+  * repair BOTH from the frozen per-generation state: [[clusters]]
+  * recomputes the missing cross pairs from the two band/set tables at
+  * the pinned threshold and re-labels the affected components through
+  * [[LabelState.deletedAwareLabels]]'s splice (extra edges = the recon
+  * pairs; affected scope = every endpoint the concurrent generations'
+  * stored pairs or the recon pairs touch — the stored-endpoint half
+  * catches the shared-old-component fold split even when no cross pair
+  * exists). Sequential histories reconcile nothing; [[compact]] makes
+  * any outstanding reconciliation durable. The concurrent-commit
+  * scenarios are pinned in MinHashMultiWriterSpec.
   */
 object IncrementalMinHash {
 
@@ -65,37 +87,64 @@ object IncrementalMinHash {
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .dropDuplicates("d1", "d2")
 
+  /** d3's exact rounded-Jaccard verification of slim candidates: shingle
+    * sets joined back BY KEY only for surviving pairs.
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    val jac = inter / (size(col("sh1")) + size(col("sh2")) - inter)
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .where(round(jac, 6) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** The verification threshold every merge pinned (read from `_CONFIG` —
+    * reconciliation must verify at the SAME regime, never a caller's).
+    */
+  private def pinnedThreshold(spark: SparkSession, stateDir: String): Double =
+    GenState.readConfig(spark, stateDir).getOrElse("threshold", "0.8").toDouble
+
   /** Ingest `newDocs` (a (doc_id, text, …) projection whose doc_ids are
     * disjoint from prior ingests); returns the new generation number. The
     * first call is the initial build — same path, empty index, no seeds.
+    * Multi-writer: fresh allocation, `_PROBED` manifest, and the keyed
+    * exactly-once ledger (`batchKey` — a re-delivered key is a no-op; the
+    * pair-dedup safety net for unkeyed re-delivery stays). Every table
+    * lands through the write fence ([[GenState.fencedParquet]]).
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
-      threshold: Double = 0.8): Int = {
+      threshold: Double = 0.8, batchKey: Option[String] = None): Int = {
     // pin the verification regime across ingests (see GenState.checkConfig)
     GenState.checkConfig(spark, stateDir, Map("threshold" -> threshold.toString))
-    val prev = latestVersion(spark, stateDir)
-    val next = prev.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    // the probe snapshot: every generation complete AFTER the claim — both
+    // the candidate index and the label fold below see exactly this set,
+    // and the manifest records it so reads reconcile a concurrent sibling
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
 
     // 1. shingle + sign the new batch ONCE; the generation dirs double as
     // the materialized copies every downstream join reads (no recompute
     // of the signature job across consumers). Bands and sets land before
-    // labels — a crash leaves an uncommitted generation the next merge
-    // overwrites.
+    // labels — a crash leaves an uncommitted generation the next compact
+    // sweeps once its lease ages out.
     val sigs = Dedup.minhashSigsOf(newDocs).repartition(col("doc_id"))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    sigs.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(setsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    Dedup.bandRowsOf(
+    GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
+      sigs.select(col("doc_id"), col("sh")))
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+      Dedup.bandRowsOf(
         spark.read.parquet(setsPath(stateDir, next))
-          .withColumn("sig", call_function("minhash_sig", col("sh"))))
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
+          .withColumn("sig", call_function("minhash_sig", col("sh")))))
 
-    // 2. candidates: new band rows vs the UNION of every complete
-    // generation's bands plus the new one — old docs touched ONLY through
-    // their persisted 3-column band index
-    val live = completeVersions(spark, stateDir)
+    // 2. candidates: new band rows vs the UNION of the probed generations'
+    // bands plus the new one — old docs touched ONLY through their
+    // persisted 3-column band index
     val allBands = spark.read.parquet(
       (live.map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)): _*)
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
@@ -105,82 +154,140 @@ object IncrementalMinHash {
     // shingle sets joined back by key from the persisted set generations
     val sets = spark.read.parquet(
       (live.map(setsPath(stateDir, _)) :+ setsPath(stateDir, next)): _*)
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    val jac = inter / (size(col("sh1")) + size(col("sh2")) - inter)
-    val pairs = cand
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
-      .where(round(jac, 6) >= threshold)
-      .select(col("d1"), col("d2"))
-
     // materialize the candidate+verify join ONCE to the generation dir
     // (crash-abandoned with the rest of vN); emptiness probe and CC read
     // the slim parquet back instead of re-executing the join (see
     // IncrementalEmbedding — the shared merge hot-path contract).
-    GenState.assertWritable(spark, stateDir, next, claim)
-    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      verifyPairs(cand, sets, threshold))
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
-    // 4. affected-component-scoped seeded CC → this batch's label DELTA
-    // (empty for a pair-free batch — the common streaming case; see
-    // [[LabelState]] for the fold/delta contract all three modalities share)
+    // 4. affected-component-scoped seeded CC over the PROBED fold → this
+    // batch's label DELTA (empty for a pair-free batch — the common
+    // streaming case; see [[LabelState]] for the fold/delta contract)
     val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
-    // 5. commit: labels' _SUCCESS marks the generation complete
-    GenState.assertWritable(spark, stateDir, next, claim)
-    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    // 5. commit: labels' _SUCCESS marks the generation complete (fenced —
+    // the commit is an atomic directory publish)
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
+  }
+
+  /** Generation pairs neither of which probed the other, over `live`. */
+  private def unreconciled(spark: SparkSession, stateDir: String,
+      live: Seq[Int]): Seq[(Int, Int)] =
+    GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live))
+
+  /** The cross pairs two genuinely-concurrent generations never probed:
+    * generation `a`'s band rows against `b`'s (doc sets are disjoint, so
+    * this is exactly the missing cross candidate set), verified from the
+    * two frozen shingle tables at the PINNED threshold. `bandsOf`/`setsOf`
+    * let compact pass tombstone-purged projections so deleted docs never
+    * resurface through reconciliation.
+    */
+  private def crossPairs(spark: SparkSession, stateDir: String,
+      a: Int, b: Int, bandsOf: Int => DataFrame,
+      setsOf: Int => DataFrame): DataFrame =
+    verifyPairs(
+      candidatePairs(bandsOf(a), bandsOf(b)),
+      setsOf(a).unionByName(setsOf(b)),
+      pinnedThreshold(spark, stateDir))
+
+  /** The reconciliation inputs for a history with concurrent commits:
+    * (extra edges, affected-node scope) for
+    * [[LabelState.deletedAwareLabels]]. Edges are the recomputed cross
+    * pairs of every unreconciled generation pair; the scope is every
+    * endpoint those edges OR the concurrent generations' STORED pairs
+    * touch — the stored half catches the label-fold split two blind
+    * deltas inflict on a shared old component even when no cross pair
+    * exists between their batches. None for sequential histories.
+    */
+  private def reconInputs(spark: SparkSession, stateDir: String,
+      live: Seq[Int], bandsOf: Int => DataFrame, setsOf: Int => DataFrame)
+      : Option[(DataFrame, DataFrame)] = {
+    val unrec = unreconciled(spark, stateDir, live)
+    if (unrec.isEmpty) return None
+    val recon = unrec.map { case (a, b) =>
+      crossPairs(spark, stateDir, a, b, bandsOf, setsOf)
+    }.reduce(_ unionByName _)
+    val unrecGens = unrec.flatMap(p => Seq(p._1, p._2)).distinct
+    val stored = spark.read.parquet(unrecGens.map(pairsPath(stateDir, _)): _*)
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+    val affected = stored.unionByName(
+        recon.select(col("d1").cast("long"), col("d2").cast("long")))
+      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
+    Some((recon, affected))
   }
 
   /** LSM maintenance, [[IncrementalDedup.compact]]'s shape with TWO index
     * tables: fold every live generation's bands and sets into one new
-    * generation (labels carried forward unchanged), record the folded
-    * sources in the `_COMPACTED` manifest BEFORE the commit, then delete
-    * them plus any crash-window leftovers. Returns the new generation.
+    * generation, record the folded sources in the `_COMPACTED` manifest
+    * BEFORE the commit, then delete them plus any crash-window leftovers.
+    * Quiesced single-writer maintenance with FRESH allocation (the
+    * multi-writer merges can leave abandoned claimed dirs — and shadowed
+    * duplicate-key generations — that a targeted versions.last+1 claim
+    * would collide with); makes any outstanding concurrent-commit
+    * reconciliation DURABLE: the folded pair table includes the recon
+    * cross pairs (computed from PURGED bands/sets so deleted docs never
+    * resurface), the labels snapshot is the fully-reconciled labeling,
+    * and the compacted generation's `_PROBED` is itself — one generation,
+    * nothing left to reconcile. Returns the new generation.
     */
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalMinHash.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
     // tombstones applied PHYSICALLY at the fold, per-GENERATION
     // ([[LabelState.purgeByGen]]): pre-delete rows leave disk even for
     // re-ingested ids — the d29 purge protocol without the re-ingest
     // retention hole. Tombstone-free state keeps the multi-path scans.
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def purged(path: Int => String, v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(path(v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(path(v)))), Seq("doc_id"))
     def foldTable(path: Int => String): DataFrame =
       if (!hasTombs) spark.read.parquet(versions.map(path): _*)
       else LabelState.purgeByGen(tombs,
         versions.map(v => (v, spark.read.parquet(path(v)))), Seq("doc_id"))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    foldTable(bandsPath(stateDir, _))
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    foldTable(setsPath(stateDir, _))
-      .write.mode("overwrite").parquet(setsPath(stateDir, next))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
+    // batch-key exactly-once must survive maintenance: carry the folded
+    // generations' ingest markers onto the compacted one
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+      foldTable(bandsPath(stateDir, _)))
+    GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
+      foldTable(setsPath(stateDir, _)))
+    val recon = reconInputs(spark, stateDir, versions,
+      purged(bandsPath(stateDir, _), _), purged(setsPath(stateDir, _), _))
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    require(recon.isEmpty || pairVs == versions,
+      s"IncrementalMinHash.compact: concurrent commits at $stateDir need every " +
+        "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
-      GenState.assertWritable(spark, stateDir, next, claim)
-      (if (!hasTombs)
-         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-           .select(col("d1").cast("long"), col("d2").cast("long"))
-       else LabelState.purgePairsByGen(tombs,
-         LabelState.effectiveTombstones(spark, stateDir, versions, "sets", "doc_id"),
-         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
-           .select(col("d1").cast("long"), col("d2").cast("long")))),
-         Seq("d1", "d2")))
-        .dropDuplicates("d1", "d2")
-        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+      val stored =
+        (if (!hasTombs)
+           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+             .select(col("d1").cast("long"), col("d2").cast("long"))
+         else LabelState.purgePairsByGen(tombs,
+           LabelState.effectiveTombstones(spark, stateDir, versions, "sets", "doc_id"),
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+             .select(col("d1").cast("long"), col("d2").cast("long")))),
+           Seq("d1", "d2")))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        recon.map(_._1).fold(stored)(r => stored.unionByName(
+            r.select(col("d1").cast("long"), col("d2").cast("long"))))
+          .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.deletedAwareLabels(spark, stateDir, versions, "sets", "doc_id")
-      .withColumn("gen", lit(next))
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "sets", "doc_id",
+          recon.map(_._1), recon.map(_._2))
+        .withColumn("gen", lit(next)))
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
     next
   }
 
@@ -188,43 +295,53 @@ object IncrementalMinHash {
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
     GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
 
-  /** The d7-shaped cluster table from the current state (latest-wins fold
-    * over the live label deltas — see [[LabelState]]).
+  /** The d7-shaped cluster table from the current state: the latest-wins
+    * fold over the live label deltas with tombstones applied — PLUS, for
+    * a history holding genuinely-concurrent commits, the `_PROBED`
+    * reconciliation (recomputed cross pairs + affected-component
+    * re-labeling; see the object doc). Sequential histories pay nothing.
     */
-  def clusters(spark: SparkSession, stateDir: String): DataFrame =
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    val recon = reconInputs(spark, stateDir, live,
+      v => spark.read.parquet(bandsPath(stateDir, v)),
+      v => spark.read.parquet(setsPath(stateDir, v)))
     Dedup.clustersOf(
-      LabelState.deletedAwareLabels(spark, stateDir,
-        completeVersions(spark, stateDir), "sets", "doc_id"))
+      LabelState.deletedAwareLabels(spark, stateDir, live, "sets", "doc_id",
+        recon.map(_._1), recon.map(_._2)))
+  }
 
   /** d31: TOMBSTONE a set of documents — [[IncrementalDedup.delete]]'s
     * d29 protocol on the Jaccard modality (same shadowing semantics, same
     * affected-component re-labeling, same physical purge at [[compact]]).
+    * Fresh allocation like merge: a tombstone generation's content is
+    * independent of live state, so concurrent deletes/merges serialize by
+    * generation number (the logical clock shadowing already orders by).
     */
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
-    val live = completeVersions(spark, stateDir)
-    require(live.nonEmpty, s"IncrementalMinHash.delete: no state at $stateDir")
-    live.foreach(v => require(
+    val pre = completeVersions(spark, stateDir)
+    require(pre.nonEmpty, s"IncrementalMinHash.delete: no state at $stateDir")
+    pre.foreach(v => require(
       GenState.fs(spark, stateDir).exists(
         new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
       s"IncrementalMinHash.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(setsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(setsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(bandsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(bandsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.emptyDelta(spark)
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
+    // empty bands ⇒ nothing to reconcile: mark everything live as probed —
+    // listed AFTER the claim so a sibling merge committing just before the
+    // claim is not omitted from the manifest
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
+      spark.read.parquet(setsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+      spark.read.parquet(bandsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.emptyDelta(spark))
     next
   }
 }

@@ -342,6 +342,21 @@ object LabelState {
     * an empty one; a state dir compacted BEFORE pairs retention cannot
     * serve deletes — the modality's delete() refuses it up front).
     *
+    * MULTI-WRITER RECONCILIATION rides the same splice (round 17, the
+    * media `_PROBED` pattern carried to the label-bearing families): a
+    * caller that detected genuinely-concurrent commits passes the
+    * recomputed cross pairs as `extraEdges` and their closure scope as
+    * `extraAffectedNodes` — every endpoint of the extra edges PLUS every
+    * endpoint of the concurrent generations' stored pairs. The second
+    * half is load-bearing: two concurrent merges that each pulled the
+    * same OLD component into their label deltas fold to a latest-wins
+    * labeling that silently splits the older merge's docs out, even when
+    * no cross pair between the two batches exists — only their STORED
+    * pair endpoints reveal the overlap. Affected components are then
+    * re-labeled from their full stored edge set plus the extra edges,
+    * exactly as tombstone corrections are, and both corrections compose
+    * in one pass (extra edges are tombstone-filtered like stored ones).
+    *
     * Re-ingest contract: shadowing is DOC-level here (an id re-ingested
     * after its tombstone is live with ALL its stored edges), so a
     * re-ingest under the same id must carry IDENTICAL content for the
@@ -357,22 +372,39 @@ object LabelState {
     * back to shuffle joins (degraded-but-working) when not.
     */
   def deletedAwareLabels(spark: SparkSession, stateDir: String,
-      versions: Seq[Int], indexTable: String, idCol: String): DataFrame = {
+      versions: Seq[Int], indexTable: String, idCol: String,
+      extraEdges: Option[DataFrame] = None,
+      extraAffectedNodes: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
     val current = folded(spark, stateDir, versions)
-    if (tombstoneVersions(spark, stateDir, versions).isEmpty) return current
-    val teff = effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
-    val affected = current.join(teff, Seq("node"), "left_semi")
+    val hasTombs = tombstoneVersions(spark, stateDir, versions).nonEmpty
+    if (!hasTombs && extraEdges.isEmpty && extraAffectedNodes.isEmpty) return current
+    val teff =
+      if (hasTombs) effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
+      else Seq.empty[Long].toDF("node")
+    val touch = extraAffectedNodes.fold(teff)(x =>
+      teff.unionByName(x.select(col("node").cast("long"))))
+    val affected = current.join(touch, Seq("node"), "left_semi")
       .select(col("label")).distinct()
     val members = current.join(affected, Seq("label"), "left_semi")
-    // stored pairs of the affected components (both endpoints share the
-    // component, so one endpoint semi-join suffices), minus every
-    // deleted-incident edge — exactly the survivors' pair graph there
+    // stored pairs of the affected components (a stored pair's endpoints
+    // share a folded component whenever the fold is consistent for it,
+    // so one endpoint semi-join suffices; a fold-SPLIT pair — possible
+    // only for a concurrent generation's pairs — has both endpoints in
+    // `touch` by the extraAffectedNodes contract, hence both components
+    // in `affected` and both endpoints in `members`), minus every
+    // deleted-incident edge, plus the caller's reconciliation edges
+    // (tombstone-filtered the same way) — exactly the survivors' true
+    // pair graph over the affected scope
     val pairVs = versions.filter(v => hasTable(spark, pairsPath(stateDir, v)))
-    val liveEdges = (if (pairVs.isEmpty) emptyDelta(spark).select(
+    val storedEdges = (if (pairVs.isEmpty) emptyDelta(spark).select(
         col("node").as("d1"), col("label").as("d2"))
       else spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
         .select(col("d1").cast("long"), col("d2").cast("long")))
       .join(members.select(col("node").as("d1")), Seq("d1"), "left_semi")
+    val liveEdges = extraEdges.fold(storedEdges)(e =>
+        storedEdges.unionByName(
+          e.select(col("d1").cast("long"), col("d2").cast("long"))))
       .join(teff.select(col("node").as("d1")), Seq("d1"), "left_anti")
       .join(teff.select(col("node").as("d2")), Seq("d2"), "left_anti")
       .dropDuplicates("d1", "d2")

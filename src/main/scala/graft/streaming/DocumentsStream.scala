@@ -73,8 +73,11 @@ object DocumentsStream {
   def runMinHashDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q55_state_").toString)
-    drainMerges(spark, dir, files, "q55")((b, _) =>
-      graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b))
+    // keyed by the foreachBatch batch id (the q57 contract): a re-delivered
+    // micro-batch is an exactly-once no-op instead of duplicate index rows
+    drainMerges(spark, dir, files, "q55")((b, id) =>
+      graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b,
+        batchKey = Some(s"b$id")))
     graft.ops.IncrementalMinHash.clusters(spark, state)
   }
 
