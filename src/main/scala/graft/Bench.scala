@@ -241,15 +241,23 @@ object Bench {
   }
 
   /** The full-precision file line: median under "queries" (so cross-round
-    * file comparisons keep one stable key), min/max alongside.
+    * file comparisons keep one stable key), min/max alongside, plus the
+    * per-pass CANARY timings — a fixed data-independent action (a 1M-row
+    * codegen'd sum; CPU + scheduler only, zero I/O) timed at the head of
+    * every pass. Two rounds of broad-based total drift (+7.9% r14→r15,
+    * +5.4% r15→r16) were attributed to box weather only by re-benching
+    * identical code; the canary makes that attribution READABLE FROM THE
+    * ARTIFACT: code cannot move the canary, so canary drift between two
+    * BENCH files bounds the box-state share of any total drift.
     */
   def fullLine(stats: Seq[QStat], errors: Map[String, String],
-      passes: Int, sfDir: String): String = {
+      passes: Int, sfDir: String, canary: Seq[Double] = Nil): String = {
     val qs = objJson(stats.map(s => s.name -> s.med.toString))
     val mins = objJson(stats.map(s => s.name -> s.min.toString))
     val maxs = objJson(stats.map(s => s.name -> s.max.toString))
     val total = stats.collect { case s if s.med >= 0 => s.med }.sum
     s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""canary":${canary.mkString("[", ",", "]")},""" +
       s""""queries":$qs,"min":$mins,"max":$maxs,""" +
       s""""errors":${errJson(errors, 200)},"sf":"${esc(sfDir)}"}"""
   }
@@ -270,6 +278,15 @@ object Bench {
     warm(graft.sources.Tables.events(spark, sfDir).count())
 
     var errors = Map.empty[String, String]
+    // fixed-cost canary, timed at the head of every pass (see [[fullLine]]):
+    // a codegen'd 1M-row sum — data-independent, so only box/JVM state can
+    // move it between rounds
+    val canary = mutable.ArrayBuffer.empty[Double]
+    def runCanary(): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      canary += (System.nanoTime() - t0) / 1e9
+    }
     // NATURAL-sorted (digit runs compare numerically): Map iteration order
     // is hash-arbitrary, which would move queries relative to residual
     // warm-up between rounds and make per-query timings incomparable
@@ -301,6 +318,7 @@ object Bench {
         graft.ops.Dedup.clearCaches()
         graft.engine.Bucketing.clearCaches()
         graft.ops.TextAnalysis.clearCaches()
+        runCanary()
       }
       // a query that already failed is not retried on later passes: a
       // deterministic failure (the common case) would otherwise cost
@@ -328,7 +346,7 @@ object Bench {
     System.out.flush()
     // Durable full-detail copy: the driver's stdout capture keeps only a
     // 2000-char tail, so the full-name full-precision line lives in files.
-    val full = fullLine(stats, errors, passes, sfDir)
+    val full = fullLine(stats, errors, passes, sfDir, canary.toSeq)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), full + "\n"))

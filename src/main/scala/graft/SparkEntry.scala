@@ -697,6 +697,14 @@ object SparkEntry {
       graft.engine.Sinks.avroRoundTrip(Relational.q14EventsDaily(s, d),
           graft.util.TmpDirs.scratch("graft_q86_roundtrip_").toString)
         .orderBy(col("day"), col("event_type"))),
+    // S6 XML twin: the engine's own SOURCE domain (the reference pipeline
+    // is XML ingest) finally gets its sink — one rowTag element per row,
+    // read back under the writer's schema (dates as ISO text, re-parsed
+    // exactly; see Sinks.xmlRoundTrip for the format's null/"" caveat).
+    "q87_xml_roundtrip" -> ((s: SparkSession, d: String) =>
+      graft.engine.Sinks.xmlRoundTrip(Relational.q14EventsDaily(s, d),
+          graft.util.TmpDirs.scratch("graft_q87_roundtrip_").toString)
+        .orderBy(col("day"), col("event_type"))),
     // Approximate aggregates (HLL++, quantile sketch): the sketch values
     // are not DuckDB-reproducible, so the query emits exact twins plus
     // |approx − exact| ≤ tol booleans and the oracle asserts literal TRUEs
@@ -1010,6 +1018,12 @@ object SparkEntry {
       graft.ops.Png.imageDecode(s, graft.ops.Png.bmpFixtureDir)),
     "m16_gif_decode" -> ((s: SparkSession, _: String) =>
       graft.ops.Png.imageDecode(s, graft.ops.Png.gifFixtureDir)),
+    // m17: TIFF through the same registry (the JDK plugin, Java 9+) —
+    // baseline uncompressed RGB is lossless, so the golden is again the
+    // m11 stats of the same rasters: one raster, FOUR containers,
+    // bit-identical decodes.
+    "m17_tiff_decode" -> ((s: SparkSession, _: String) =>
+      graft.ops.Png.imageDecode(s, graft.ops.Png.tiffFixtureDir)),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -1386,6 +1400,9 @@ object SparkEntry {
       // formats reproduce the identical batch aggregate
       ("q85_orc_roundtrip" -> m("q14_events_daily")) +
       ("q86_avro_roundtrip" -> m("q14_events_daily")) +
+      // XML twin — the source domain's sink: all FIVE file-sink formats
+      // plus XML reproduce the identical batch aggregate
+      ("q87_xml_roundtrip" -> m("q14_events_daily")) +
       ("q41_stream_foreachbatch" -> m("q14_events_daily")) +
       // incremental view maintenance serves exactly the q14 rollup
       ("q65_incremental_view" -> m("q14_events_daily")) +
@@ -3347,6 +3364,18 @@ object SparkEntry {
         |  ('corrupt.gif', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
         |  ('imga.gif', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
         |  ('imgb.gif', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
+        |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
+        |ORDER BY name""".stripMargin,
+
+    // TIFF decode: baseline uncompressed RGB — lossless, so the golden is
+    // the same rasters' exact stats once more (independent pure-Python
+    // encoder in tools/gen_tiff_fixtures.py); corrupt.tiff is an IFD
+    // truncation rejecting whole.
+    "m17_tiff_decode" ->
+      """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b FROM (VALUES
+        |  ('corrupt.tiff', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('imga.tiff', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imgb.tiff', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
         |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
         |ORDER BY name""".stripMargin,
 

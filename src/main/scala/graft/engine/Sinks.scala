@@ -100,4 +100,32 @@ object Sinks {
     avro(df, path)
     df.sparkSession.read.schema(df.schema).format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
   }
+
+  /** S6 variant: XML — the engine's own SOURCE domain (SURVEY §2.1 S1:
+    * the reference pipeline reads occupation XML), so the sink matrix owes
+    * it a writer. Spark 4's built-in XML source writes too: one `rowTag`
+    * element per row, splittable on read exactly like the ooh scan.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
+
+  /** XML sink→source round trip under the writer's schema (explicit, as
+    * everywhere — XML inference is an extra full scan); the q87 gate
+    * hash-compares against the batch oracle.
+    *
+    * Type-fidelity caveats the FORMAT imposes (the q50 CSV note's twin):
+    * values travel as element TEXT — dates/timestamps as ISO-8601 strings
+    * re-parsed by the explicit schema (exact), doubles in
+    * shortest-round-trip form (exact) — and like CSV, XML cannot portably
+    * distinguish a null string from an empty one (a null field writes no
+    * element; an empty string writes an empty element that the reader may
+    * also surface as null). Callers with nullable/empty string columns
+    * should use [[jsonRoundTrip]], which preserves the distinction.
+    */
+  def xmlRoundTrip(df: DataFrame, path: String, rowTag: String = "row"): DataFrame = {
+    xml(df, path, rowTag)
+    df.sparkSession.read.schema(df.schema)
+      .format("xml").option("rowTag", rowTag).load(path)
+  }
 }

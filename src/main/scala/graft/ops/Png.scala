@@ -3,10 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Standard-format images: PNG (m11), JPEG (m14), BMP (m15), GIF (m16) —
-  * all decoded through `javax.imageio`, the JDK's built-in image codec
-  * registry (java.desktop module: zero new dependency, pure-JVM,
-  * headless-safe), each format exercised by its own fixture set and oracle.
+/** Standard-format images: PNG (m11), JPEG (m14), BMP (m15), GIF (m16),
+  * TIFF (m17) — all decoded through `javax.imageio`, the JDK's built-in
+  * image codec registry (java.desktop module: zero new dependency,
+  * pure-JVM, headless-safe), each format exercised by its own fixture set
+  * and oracle.
   * This closes the gap the PPM modality left open: real corpora store
   * PNG/JPEG, not P6 rasters. Everything downstream is the EXISTING
   * perceptual chassis — [[Multimodal.dHash64]] over the decoded raster, the
@@ -20,11 +21,11 @@ import org.apache.spark.sql.functions._
   * bad signature, no registered reader, truncated pixel data, lying header
   * dimensions — is rejected WHOLE, never half-read.
   *
-  * Oracle regimes by format: PNG, BMP, and GIF are LOSSLESS here (the GIF
-  * fixture rasters palettize exactly), so their goldens come from
-  * independent pure-Python encoders (tools/gen_png_fixtures.py,
-  * tools/gen_bmp_gif_fixtures.py) and the JVM decode must agree to the
-  * bit. JPEG is lossy with decoder-dependent rounding — NOT
+  * Oracle regimes by format: PNG, BMP, GIF, and TIFF are LOSSLESS here
+  * (the GIF fixture rasters palettize exactly; the TIFF is baseline
+  * uncompressed RGB), so their goldens come from independent pure-Python
+  * encoders (tools/gen_png_fixtures.py, tools/gen_bmp_gif_fixtures.py,
+  * tools/gen_tiff_fixtures.py) and the JVM decode must agree to the bit. JPEG is lossy with decoder-dependent rounding — NOT
   * golden-oracle-able — so m14/d42 pin decode INVARIANTS (accepts, header
   * dimensions, near-dup geometry) whose margins are verified at fixture
   * generation (graft.tools.GenJpegFixtures).
@@ -137,6 +138,17 @@ object Png {
 
   lazy val gifFixtureDir: String = extractFixtures("gif",
     Seq("corrupt.gif", "imga.gif", "imgb.gif"))
+
+  /** Checked-in TIFF fixtures (tools/gen_tiff_fixtures.py): the same
+    * rasters again as baseline UNCOMPRESSED RGB TIFF (the JDK registry's
+    * TIFF plugin has shipped since Java 9) — lossless by construction, so
+    * the m17 goldens equal m11/m15/m16's for the same image: one raster
+    * pinned through FOUR container formats. Scanned-document corpora lead
+    * with TIFF; this closes the zero-dependency registry-format matrix.
+    * corrupt.tiff is an IFD truncation: a whole-asset reject.
+    */
+  lazy val tiffFixtureDir: String = extractFixtures("tiff",
+    Seq("corrupt.tiff", "imga.tiff", "imgb.tiff"))
 
   /** Checked-in JPEG fixtures (graft.tools.GenJpegFixtures): two encodes of
     * the same smooth source raster at different qualities (byte-different,

@@ -69,6 +69,18 @@ class BenchLineSpec extends AnyFunSuite {
       s"file line must keep full-precision seconds: $full")
   }
 
+  test("file line carries the per-pass fixed-cost canary for box-drift attribution") {
+    val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0))
+    // one canary sample per pass, full precision, stdout line untouched
+    val full = Bench.fullLine(stats, Map.empty, 3, "sf", Seq(0.012, 0.01, 0.011))
+    assert(full.contains(""""canary":[0.012,0.01,0.011]"""), full)
+    val compact = Bench.compactLine(stats, Map.empty, 3, "sf")
+    assert(!compact.contains("canary"),
+      "the canary must not spend stdout tail bytes")
+    // absent canary (unit-test callers) renders an empty array, valid JSON
+    assert(Bench.fullLine(stats, Map.empty, 3, "sf").contains(""""canary":[]"""))
+  }
+
   test("a pathological all-slow board still fits via the whole-second rail") {
     // every query at 150 s — absurd for a healthy board (that bench run
     // takes a day), but the line must stay parseable: the

@@ -164,8 +164,9 @@ class PngSpec extends SparkSpec {
     assert(collectPairs(out) == goldenPairs)
   }
 
-  test("m15/m16: BMP and GIF decode to the PNG rasters' exact stats; header truncations reject") {
-    for ((dir, ext) <- Seq((Png.bmpFixtureDir, "bmp"), (Png.gifFixtureDir, "gif"))) {
+  test("m15/m16/m17: BMP, GIF, and TIFF decode to the PNG rasters' exact stats; header truncations reject") {
+    for ((dir, ext) <- Seq((Png.bmpFixtureDir, "bmp"), (Png.gifFixtureDir, "gif"),
+        (Png.tiffFixtureDir, "tiff"))) {
       val rows = Png.imageDecode(spark, dir).collect()
       assert(rows.length == 3, s"$ext fixture count")
       val byName = rows.map(r => r.getString(0) -> r).toMap
@@ -178,14 +179,16 @@ class PngSpec extends SparkSpec {
     }
   }
 
-  test("one raster through PNG, BMP, and GIF containers decodes to identical pixels") {
+  test("one raster through PNG, BMP, GIF, and TIFF containers decodes to identical pixels") {
     def bytesOf(dir: String, name: String) =
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name))
     val viaPng = Png.decodeImage(bytesOf(Png.pngFixtureDir, "imga.png")).get
     val viaBmp = Png.decodeImage(bytesOf(Png.bmpFixtureDir, "imga.bmp")).get
     val viaGif = Png.decodeImage(bytesOf(Png.gifFixtureDir, "imga.gif")).get
+    val viaTiff = Png.decodeImage(bytesOf(Png.tiffFixtureDir, "imga.tiff")).get
     assert(viaPng.pixels.toSeq == viaBmp.pixels.toSeq, "BMP raster differs from PNG")
     assert(viaPng.pixels.toSeq == viaGif.pixels.toSeq, "GIF raster differs from PNG")
+    assert(viaPng.pixels.toSeq == viaTiff.pixels.toSeq, "TIFF raster differs from PNG")
   }
 
   test("m14: JPEG fixtures decode by invariant — accepts, header dims, header-truncation rejects") {
