@@ -90,15 +90,52 @@ object IncrementalDedup {
   private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
   private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
 
+  /** The cross pairs two genuinely-concurrent generations never probed:
+    * generation `a`'s signatures probed against `b`'s band index (doc
+    * sets are disjoint, so this is exactly the missing cross candidate
+    * set), verified by the exact bit_count at the `_CONFIG`-pinned
+    * radius and width. Stored bands carry `sigint`, so for the 32-bit
+    * geometry the probe variants rebuild from the slim band rows (bands
+    * are a pure function of the signature) and for the 64-bit geometry
+    * the index rows probe as themselves — no text is ever re-read.
+    * `bandsOf` lets compact pass tombstone-purged projections.
+    */
+  private def crossPairs(spark: SparkSession, stateDir: String,
+      a: Int, b: Int, bandsOf: Int => DataFrame): DataFrame = {
+    val cfg = GenState.readConfig(spark, stateDir)
+    val maxHamming = cfg.getOrElse("maxHamming", "3").toInt
+    val width = cfg.getOrElse("width", "32").toInt
+    val pa = bandsOf(a)
+    (if (width == 32)
+       batchPairs(pa.select(col("doc_id"), col("sigint")).distinct(),
+         bandsOf(b), maxHamming)
+     else probePairs(pa.withColumn("variant", col("half")),
+       bandsOf(b), maxHamming))
+      .select(col("d1"), col("d2"))
+  }
+
+  /** [[LabelState.reconInputs]] over this family's cross-pair recompute. */
+  private def reconInputs(spark: SparkSession, stateDir: String,
+      live: Seq[Int], bandsOf: Int => DataFrame)
+      : Option[(DataFrame, DataFrame)] =
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+      (a, b) => crossPairs(spark, stateDir, a, b, bandsOf))
+
   /** Current labels — the latest-wins fold over the live label DELTAS,
     * with any tombstones applied (affected components re-labeled over
     * their surviving stored edges — [[LabelState.deletedAwareLabels]];
-    * tombstone-free state short-circuits to the plain fold). Empty 2-col
-    * frame when no generation exists.
+    * tombstone-free state short-circuits to the plain fold), PLUS the
+    * `_PROBED` reconciliation for histories holding genuinely-concurrent
+    * commits (multi-writer since round 17 — the d15 pattern; sequential
+    * histories pay nothing). Empty 2-col frame when no generation exists.
     */
-  def stateLabels(spark: SparkSession, stateDir: String): DataFrame =
-    LabelState.deletedAwareLabels(spark, stateDir,
-      completeVersions(spark, stateDir), "bands", "doc_id")
+  def stateLabels(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    val recon = reconInputs(spark, stateDir, live,
+      v => spark.read.parquet(bandsPath(stateDir, v)))
+    LabelState.deletedAwareLabels(spark, stateDir, live, "bands", "doc_id",
+      recon.map(_._1), recon.map(_._2))
+  }
 
   /** d29: TOMBSTONE a set of documents — right-to-be-forgotten for the
     * CLUSTERING modality, where removing a doc can SPLIT its component
@@ -126,11 +163,14 @@ object IncrementalDedup {
       s"IncrementalDedup.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — component re-labeling replays " +
         "stored edges; rebuild the state dir first"))
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
-    // every table lands via the write fence (stage-in-vN + re-verify +
-    // rename): a stalled loser's late bytes can never clobber a thief's
-    // rebuilt generation — see [[GenState.fencedParquet]]
+    // fresh allocation (multi-writer, round 17): a tombstone generation's
+    // content is independent of live state; empty bands ⇒ nothing to
+    // reconcile, so mark everything live as probed — listed AFTER the
+    // claim so a sibling merge committing just before it is not omitted.
+    // Every table lands via the write fence ([[GenState.fencedParquet]]).
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
+    val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim)
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
@@ -146,6 +186,11 @@ object IncrementalDedup {
     * disjoint from prior ingests) into the state at `stateDir`; returns
     * the new generation number. The first call (no prior state) is the
     * initial build — same code path with an empty index and no seeds.
+    * MULTI-WRITER since round 17 (the d15 pattern — see
+    * [[IncrementalMinHash]]'s object doc for the reconciliation story):
+    * fresh allocation, `_PROBED` manifests, keyed exactly-once via
+    * `batchKey`, cross pairs and the label-fold split repaired at read
+    * ([[stateLabels]]) and made durable at [[compact]].
     *
     * Generation `vN/bands` holds ONLY batch N's bands (append-style): the
     * probe-able full index is the UNION of generation dirs, so per-ingest
@@ -159,7 +204,8 @@ object IncrementalDedup {
     * snapshot — see [[LabelState]].
     */
   def merge(spark: SparkSession, stateDir: String, newDocs: DataFrame,
-      maxHamming: Int = 3, width: Int = 32): Int = {
+      maxHamming: Int = 3, width: Int = 32,
+      batchKey: Option[String] = None): Int = {
     require(width == 32 || width == 64,
       s"IncrementalDedup.merge: width must be 32 or 64, got $width")
     require(if (width == 32) maxHamming <= 3 else maxHamming < Dedup.sim64Blocks,
@@ -170,9 +216,16 @@ object IncrementalDedup {
     // one-shot recompute
     GenState.checkConfig(spark, stateDir,
       Map("maxHamming" -> maxHamming.toString, "width" -> width.toString))
-    val prev = latestVersion(spark, stateDir)
-    val next = prev.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // MULTI-WRITER (round 17, the d15 pattern): fresh allocation with the
+    // keyed exactly-once ledger, and a _PROBED manifest recording the
+    // post-claim snapshot BOTH the candidate probe and the label-delta
+    // fold see — a sibling committing later is reconciled at read/compact
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
 
     // 1. sign the new batch once and persist its bands — the generation's
     // own band dir is also the materialized copy the pair join reads (no
@@ -188,12 +241,11 @@ object IncrementalDedup {
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(signed)
     val newBands = spark.read.parquet(bandsPath(stateDir, next))
 
-    // 2. the full exact-half index = every COMPLETE generation's bands
-    // plus the new batch (old ones read from persisted parquet — old TEXT
-    // is never re-read, old docs never re-signed). Complete generations
-    // are listed, not assumed contiguous: compaction leaves gaps.
-    val allBandPaths = completeVersions(spark, stateDir)
-      .map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
+    // 2. the full exact-half index = every PROBED generation's bands plus
+    // the new batch (old ones read from persisted parquet — old TEXT is
+    // never re-read, old docs never re-signed). The post-claim snapshot,
+    // exactly what the manifest records.
+    val allBandPaths = live.map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
     val fullIndex = spark.read.parquet(allBandPaths: _*)
 
     // 3. new-new + new-old pairs, then seeded CC: previous labeling as
@@ -216,11 +268,11 @@ object IncrementalDedup {
     // streaming case) and CC read the slim parquet back.
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
-    // affected-component-scoped seeded CC → the label DELTA of this batch
-    // (a pair-free batch writes an empty delta and changes nothing; an
-    // untouched old component stays in its older generation verbatim)
-    val labels = LabelState.deltaLabels(spark, stateDir,
-      completeVersions(spark, stateDir), matPairs, next)
+    // affected-component-scoped seeded CC over the PROBED fold → the
+    // label DELTA of this batch (a pair-free batch writes an empty delta
+    // and changes nothing; an untouched old component stays in its older
+    // generation verbatim)
+    val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
     // 4. commit: labels' _SUCCESS marks the generation complete (bands
     // were written first, so a crash between the two writes leaves an
@@ -253,9 +305,11 @@ object IncrementalDedup {
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalDedup.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // fresh allocation (multi-writer merges can leave abandoned claimed
+    // dirs and shadowed duplicate-key generations a targeted
+    // versions.last+1 claim would collide with); quiesced single-writer
+    // maintenance by contract, as everywhere
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
     // per-GENERATION purge ([[LabelState.purgeByGen]]): rows older than
     // their id's newest tombstone leave disk EVEN IF the id was
     // re-ingested — a delete-then-re-ingest must not retain its
@@ -263,15 +317,28 @@ object IncrementalDedup {
     // maintenance. Tombstone-free state keeps the single multi-path scan.
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def purgedBands(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(bandsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(bandsPath(stateDir, v)))), Seq("doc_id"))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
       if (!hasTombs) spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
         versions.map(v => (v, spark.read.parquet(bandsPath(stateDir, v)))),
         Seq("doc_id")))
+    // outstanding concurrent-commit reconciliation becomes DURABLE here:
+    // recon cross pairs from PURGED bands (deleted docs never resurface),
+    // folded into the pair table, and the labels snapshot fully corrected
+    val recon = reconInputs(spark, stateDir, versions, purgedBands)
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    require(recon.isEmpty || pairVs == versions,
+      s"IncrementalDedup.compact: concurrent commits at $stateDir need every " +
+        "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
-      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      val stored =
         (if (!hasTombs)
            spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
@@ -280,13 +347,18 @@ object IncrementalDedup {
            pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        recon.map(_._1).fold(stored)(r => stored.unionByName(
+            r.select(col("d1").cast("long"), col("d2").cast("long"))))
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
-      LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id")
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id",
+          recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
     next
   }
 

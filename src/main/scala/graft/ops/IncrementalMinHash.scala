@@ -173,11 +173,6 @@ object IncrementalMinHash {
     next
   }
 
-  /** Generation pairs neither of which probed the other, over `live`. */
-  private def unreconciled(spark: SparkSession, stateDir: String,
-      live: Seq[Int]): Seq[(Int, Int)] =
-    GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live))
-
   /** The cross pairs two genuinely-concurrent generations never probed:
     * generation `a`'s band rows against `b`'s (doc sets are disjoint, so
     * this is exactly the missing cross candidate set), verified from the
@@ -193,31 +188,12 @@ object IncrementalMinHash {
       setsOf(a).unionByName(setsOf(b)),
       pinnedThreshold(spark, stateDir))
 
-  /** The reconciliation inputs for a history with concurrent commits:
-    * (extra edges, affected-node scope) for
-    * [[LabelState.deletedAwareLabels]]. Edges are the recomputed cross
-    * pairs of every unreconciled generation pair; the scope is every
-    * endpoint those edges OR the concurrent generations' STORED pairs
-    * touch — the stored half catches the label-fold split two blind
-    * deltas inflict on a shared old component even when no cross pair
-    * exists between their batches. None for sequential histories.
-    */
+  /** [[LabelState.reconInputs]] over this family's cross-pair recompute. */
   private def reconInputs(spark: SparkSession, stateDir: String,
       live: Seq[Int], bandsOf: Int => DataFrame, setsOf: Int => DataFrame)
-      : Option[(DataFrame, DataFrame)] = {
-    val unrec = unreconciled(spark, stateDir, live)
-    if (unrec.isEmpty) return None
-    val recon = unrec.map { case (a, b) =>
-      crossPairs(spark, stateDir, a, b, bandsOf, setsOf)
-    }.reduce(_ unionByName _)
-    val unrecGens = unrec.flatMap(p => Seq(p._1, p._2)).distinct
-    val stored = spark.read.parquet(unrecGens.map(pairsPath(stateDir, _)): _*)
-      .select(col("d1").cast("long"), col("d2").cast("long"))
-    val affected = stored.unionByName(
-        recon.select(col("d1").cast("long"), col("d2").cast("long")))
-      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
-    Some((recon, affected))
-  }
+      : Option[(DataFrame, DataFrame)] =
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+      (a, b) => crossPairs(spark, stateDir, a, b, bandsOf, setsOf))
 
   /** LSM maintenance, [[IncrementalDedup.compact]]'s shape with TWO index
     * tables: fold every live generation's bands and sets into one new

@@ -43,15 +43,26 @@ object IncrementalSemantic {
 
   /** Ingest `newVecs` ((vec_id, embedding), vec_ids disjoint from prior
     * ingests) against the frozen centroid model; returns the generation.
+    * MULTI-WRITER since round 17 (the d15 pattern — see
+    * [[IncrementalMinHash]]'s object doc): fresh allocation, `_PROBED`
+    * manifests, keyed exactly-once via `batchKey`; cross pairs and the
+    * label-fold split of concurrent commits are reconciled at read
+    * ([[clusters]]) from the frozen per-generation vecs (cell equality +
+    * cosine at the pinned threshold — the model is never touched) and
+    * made durable at [[compact]].
     */
   def merge(spark: SparkSession, stateDir: String, cents: Seq[Similarity.Centroid],
       newVecs: DataFrame,
-      threshold: Double = Similarity.semDedupThreshold): Int = {
+      threshold: Double = Similarity.semDedupThreshold,
+      batchKey: Option[String] = None): Int = {
     GenState.checkConfig(spark, stateDir,
       Map("threshold" -> threshold.toString, "cells" -> cents.size.toString))
-    val prev = latestVersion(spark, stateDir)
-    val next = prev.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
 
     // 1. assign the new batch ONCE: frozen-model top-1 cell + rounded
     // centroid cosine persisted with the vector (zero-norm vectors have
@@ -68,10 +79,10 @@ object IncrementalSemantic {
         .withColumn("ccos", round(best.getField("ccos"), 6))
         .where(col("cell") >= 0))
 
-    // 2. SLIM candidates: new side vs the union on exact CELL equality —
-    // scans pruned to (vec_id, cell), no payload in the candidate join
-    val allPaths = completeVersions(spark, stateDir)
-      .map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
+    // 2. SLIM candidates: new side vs the PROBED union on exact CELL
+    // equality — scans pruned to (vec_id, cell), no payload in the
+    // candidate join; the snapshot is exactly what the manifest records
+    val allPaths = live.map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
     val slimNew = spark.read.parquet(vecsPath(stateDir, next))
       .select(col("vec_id"), col("cell"))
     val slimAll = spark.read.parquet(allPaths: _*)
@@ -94,14 +105,48 @@ object IncrementalSemantic {
       .where(round(cos, 6) >= threshold)
       .select(col("d1"), col("d2"))
 
-    // materialize once (merge hot-path contract), then delta-CC
+    // materialize once (merge hot-path contract), then delta-CC over the
+    // PROBED fold
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
-    val labels = LabelState.deltaLabels(spark, stateDir,
-      completeVersions(spark, stateDir), matPairs, next)
+    val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
   }
+
+  /** The cross pairs two genuinely-concurrent generations never probed:
+    * generation `a`'s vecs against `b`'s on exact CELL equality (the
+    * assignment is frozen state — the model is never touched), verified
+    * by cosine at the `_CONFIG`-pinned threshold. `vecsOf` lets compact
+    * pass tombstone-purged projections.
+    */
+  private def crossPairs(spark: SparkSession, stateDir: String,
+      a: Int, b: Int, vecsOf: Int => DataFrame): DataFrame = {
+    val threshold = GenState.readConfig(spark, stateDir)
+      .getOrElse("threshold", Similarity.semDedupThreshold.toString).toDouble
+    val cand = vecsOf(a).select(col("vec_id"), col("cell")).as("a")
+      .join(vecsOf(b).select(col("vec_id"), col("cell")).as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+      .dropDuplicates("d1", "d2")
+    val pay = vecsOf(a).unionByName(vecsOf(b))
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val p1 = pay.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
+    val p2 = pay.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
+    val cos = call_function("array_dot", col("e1"), col("e2")) /
+      (col("n1") * col("n2"))
+    cand.join(p1, "d1").join(p2, "d2")
+      .where(round(cos, 6) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** [[LabelState.reconInputs]] over this family's cross-pair recompute. */
+  private def reconInputs(spark: SparkSession, stateDir: String,
+      live: Seq[Int], vecsOf: Int => DataFrame)
+      : Option[(DataFrame, DataFrame)] =
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+      (a, b) => crossPairs(spark, stateDir, a, b, vecsOf))
 
   /** d34: TOMBSTONE a set of vectors — [[IncrementalDedup.delete]]'s d29
     * protocol on the SemDeDup modality (same shadowing, same
@@ -117,8 +162,12 @@ object IncrementalSemantic {
         new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
       s"IncrementalSemantic.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // fresh allocation (multi-writer, round 17): empty vecs ⇒ nothing to
+    // reconcile, so mark everything live as probed — listed AFTER the
+    // claim so a sibling merge committing just before it is not omitted
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
+    val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim)
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
@@ -137,23 +186,36 @@ object IncrementalSemantic {
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalSemantic.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // fresh allocation (multi-writer merges can leave abandoned claimed
+    // dirs and shadowed duplicate-key generations); quiesced single-writer
+    // maintenance by contract, as everywhere
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
     // per-GENERATION purge ([[LabelState.purgeByGen]]): pre-delete
     // vecs/pairs leave disk even for re-ingested ids; tombstone-free
     // state keeps the one-scan fold
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
+    def purgedVecs(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(vecsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(vecsPath(stateDir, v)))), Seq("vec_id"))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
       if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
         versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
         Seq("vec_id")))
+    // outstanding concurrent-commit reconciliation becomes DURABLE here
+    // (recon cross pairs from PURGED vecs — deleted ids never resurface)
+    val recon = reconInputs(spark, stateDir, versions, purgedVecs)
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    require(recon.isEmpty || pairVs == versions,
+      s"IncrementalSemantic.compact: concurrent commits at $stateDir need every " +
+        "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
-      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      val stored =
         (if (!hasTombs)
            spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
@@ -162,13 +224,18 @@ object IncrementalSemantic {
            pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        recon.map(_._1).fold(stored)(r => stored.unionByName(
+            r.select(col("d1").cast("long"), col("d2").cast("long"))))
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
-      LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id",
+          recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
     next
   }
 
@@ -184,8 +251,12 @@ object IncrementalSemantic {
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val versions = completeVersions(spark, stateDir)
+    // `_PROBED` reconciliation for histories with genuinely-concurrent
+    // commits (multi-writer, round 17); sequential histories pay nothing
+    val recon = reconInputs(spark, stateDir, versions,
+      v => spark.read.parquet(vecsPath(stateDir, v)))
     val labels = LabelState.deletedAwareLabels(spark, stateDir, versions,
-        "vecs", "vec_id")
+        "vecs", "vec_id", recon.map(_._1), recon.map(_._2))
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
     val asg = spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
       .select(col("vec_id"), col("cell"), col("ccos"))

@@ -189,6 +189,41 @@ object IncrementalSubstring {
         col("n.anchor").as("anchor"))
   }
 
+  /** The cross hits two genuinely-concurrent generations never probed:
+    * generation `a`'s anchors against `b`'s on exact anchor equality (doc
+    * sets are disjoint, so every pair arrives once; orientation
+    * normalized exactly as [[candidateHits]]), both sides restricted to
+    * anchors cold under `hot` — the caller passes the FINAL-count hot set,
+    * which both bounds the recon fan-out to ≤ cap² per anchor and matches
+    * what the read-side cap would drop anyway (occurrence is monotone, so
+    * hot-now means hot-forever).
+    */
+  private def crossHits(anchA: DataFrame, anchB: DataFrame,
+      hot: DataFrame): DataFrame =
+    anchA.join(hot, Seq("anchor"), "left_anti").as("n")
+      .join(anchB.join(hot, Seq("anchor"), "left_anti").as("o"),
+        col("n.anchor") === col("o.anchor") && col("n.doc_id") =!= col("o.doc_id"))
+      .select(
+        least(col("n.doc_id"), col("o.doc_id")).as("d1"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("d2"),
+        when(col("n.doc_id") < col("o.doc_id"), col("n.pos"))
+          .otherwise(col("o.pos")).as("i"),
+        when(col("n.doc_id") < col("o.doc_id"), col("o.pos"))
+          .otherwise(col("n.pos")).as("j"),
+        col("n.anchor").as("anchor"))
+
+  /** The reconciliation hit frames of a history with concurrent commits:
+    * one [[crossHits]] per unreconciled generation pair, recomputed from
+    * the frozen per-generation anchor indexes. Empty for every sequential
+    * history. No label machinery here — substring spans are per-pair
+    * facts, so the union IS the repair (the d33 shape, not the d15 one).
+    */
+  private def reconHits(spark: SparkSession, stateDir: String,
+      live: Seq[Int], hot: DataFrame,
+      anchorsOfGen: Int => DataFrame): Seq[DataFrame] =
+    GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live))
+      .map { case (a, b) => crossHits(anchorsOfGen(a), anchorsOfGen(b), hot) }
+
   /** Ingest `newDocs` (a (doc_id, text, …) projection, doc_ids disjoint
     * from prior ingests): anchor the batch, probe it against the
     * persisted union, append one generation. Returns its number.
@@ -207,13 +242,23 @@ object IncrementalSubstring {
     GenState.checkConfig(spark, stateDir, Map(
       "anchorTokens" -> Dedup.anchorTokens.toString,
       "anchorMaxOcc" -> Dedup.anchorMaxOcc.toString))
-    val live = completeVersions(spark, stateDir)
-    batchKey.foreach { k =>
-      if (GenState.ingestedKeys(spark, stateDir, commitTable).contains(k))
-        return live.last // already ingested: re-delivery is a no-op
+    // MULTI-WRITER (round 17, the d15 pattern): fresh allocation with the
+    // keyed exactly-once ledger, and a _PROBED manifest recording the
+    // post-claim snapshot both the probe and the merge-side cold filter
+    // see. Concurrency costs exactly two things, both repaired: the cross
+    // hits between concurrent batches ([[stateRuns]] reconciles them from
+    // the frozen anchor generations) — and NOTHING through the cap: the
+    // occ partials are per-batch pure facts whose fold is a commutative
+    // sum, and a cold filter seeing a SUBSET of history can only keep
+    // more candidates than the full view (occurrence is monotone), which
+    // the read-side FINAL-count cap drops exactly.
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey,
+      commitTable) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
     }
-    val next = live.lastOption.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
 
     // anchor the batch once; the generation dir is the materialized copy
     // both probe sides read (anchors land before hits — a crash leaves an
@@ -244,10 +289,6 @@ object IncrementalSubstring {
     // so the cold filter below never re-aggregates old positional rows.
     t("occ")(GenState.fencedParquet(spark, stateDir, next, "occ",
       claim, commitTable)(mergeOccOf(newAnch)))
-
-    // marker BEFORE the commit table: whenever the generation is
-    // complete, its key is on disk (every crash point → exactly-once)
-    batchKey.foreach(GenState.writeIngestMarker(spark, stateDir, next, _, claim, commitTable))
 
     val hot = foldedOcc(spark, stateDir, live :+ next)
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
@@ -281,8 +322,12 @@ object IncrementalSubstring {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalSubstring.delete: no state at $stateDir")
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // fresh allocation (multi-writer, round 17): empty anchors ⇒ nothing
+    // to reconcile, so mark everything live as probed — listed AFTER the
+    // claim so a sibling merge committing just before it is not omitted
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim, commitTable)
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
       ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
@@ -332,9 +377,17 @@ object IncrementalSubstring {
     // effectively-deleted doc — the survivors' hit set exactly, since a
     // hit never routes through a third document. Occurrence (the cap
     // above) deliberately keeps counting deleted docs — see [[delete]].
+    // `_PROBED` reconciliation (multi-writer, round 17): the cross hits
+    // of genuinely-concurrent commits union in here, recomputed from the
+    // frozen anchor generations and filtered by the same FINAL hot set
+    // and tombstones as stored hits; sequential histories add nothing.
     val teff = LabelState.effectiveTombstones(spark, stateDir, live,
       probeTable(spark, stateDir, live), "doc_id")
-    val hits = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
+    val recon = reconHits(spark, stateDir, live, hot,
+      v => spark.read.parquet(anchorsPath(stateDir, v)))
+    val stored = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
+      .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
+    val hits = (stored +: recon).reduce(_ unionByName _)
       .join(hot, Seq("anchor"), "left_anti")
       .join(teff.select(col("node").as("d1")), Seq("d1"), "left_anti")
       .join(teff.select(col("node").as("d2")), Seq("d2"), "left_anti")
@@ -369,9 +422,11 @@ object IncrementalSubstring {
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalSubstring.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next, commitTable)
+    // fresh allocation (multi-writer merges can leave abandoned claimed
+    // dirs and shadowed duplicate-key generations); quiesced single-writer
+    // maintenance by contract, as everywhere
+    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     // tombstones applied PHYSICALLY to anchors/docs/hits per-GENERATION
     // ([[LabelState.purgeByGen]] — pre-delete rows leave disk even for
     // re-ingested ids); occ is APPEND-ONLY and folds the full history —
@@ -409,15 +464,29 @@ object IncrementalSubstring {
     // markers travel with the fold: a re-delivered batch key must stay a
     // no-op after maintenance
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
+    // outstanding concurrent-commit reconciliation becomes DURABLE here:
+    // cross hits recomputed from the PURGED per-generation anchors (deleted
+    // docs never resurface), cold-filtered by the final-count hot set
+    def purgedAnchors(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(anchorsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(anchorsPath(stateDir, v)))), Seq("doc_id"))
+    val hotNow = foldedOcc(spark, stateDir, versions)
+      .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
+    val recon = reconHits(spark, stateDir, versions, hotNow, purgedAnchors)
+    val storedHits =
       (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          LabelState.effectiveTombstones(spark, stateDir, versions,
            probeTable(spark, stateDir, versions), "doc_id"),
          versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
          Seq("d1", "d2")))
-        .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor")))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+        .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
+    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
+      (storedHits +: recon).reduce(_ unionByName _)
+        .dropDuplicates("d1", "d2", "i", "j"))
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
     next
   }
 

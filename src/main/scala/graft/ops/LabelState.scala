@@ -179,6 +179,36 @@ object LabelState {
       versions: Seq[Int], next: Int): DataFrame =
     folded(spark, stateDir, versions).withColumn("gen", lit(next))
 
+  /** Shared multi-writer reconciliation inputs of the label-bearing
+    * pair-graph families (MinHash d15, SimHash d12, semantic d23): the
+    * (extra edges, affected-node scope) pair [[deletedAwareLabels]]
+    * consumes when the live history holds genuinely-concurrent commits.
+    * Edges are the per-family `crossPairs(a, b)` of every unreconciled
+    * generation pair (the cross candidates neither merge probed, verified
+    * at the family's `_CONFIG`-pinned regime); the scope is every endpoint
+    * those edges OR the concurrent generations' STORED pairs touch — the
+    * stored half catches the latest-wins fold split two blind label
+    * deltas inflict on a shared old component even when no cross pair
+    * exists between their batches. None for sequential histories (every
+    * pre-manifest or sequential generation probed all its predecessors).
+    */
+  def reconInputs(spark: SparkSession, stateDir: String, live: Seq[Int],
+      pairsPathOf: Int => String, crossPairs: (Int, Int) => DataFrame)
+      : Option[(DataFrame, DataFrame)] = {
+    val unrec = GenState.unreconciledPairs(live,
+      GenState.probedOf(spark, stateDir, live))
+    if (unrec.isEmpty) return None
+    val recon = unrec.map { case (a, b) =>
+      crossPairs(a, b).select(col("d1").cast("long"), col("d2").cast("long"))
+    }.reduce(_ unionByName _)
+    val unrecGens = unrec.flatMap(p => Seq(p._1, p._2)).distinct
+    val stored = spark.read.parquet(unrecGens.map(pairsPathOf): _*)
+      .select(col("d1").cast("long"), col("d2").cast("long"))
+    val affected = stored.unionByName(recon)
+      .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
+    Some((recon, affected))
+  }
+
   // ---- tombstone deletes for the pair-graph modalities (d29) --------------
   //
   // The aggregate modalities subtract members (d28's sidecar) and the

@@ -58,8 +58,11 @@ object DocumentsStream {
   def runIncrementalDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q54_state_").toString)
-    drainMerges(spark, dir, files, "q54")((b, _) =>
-      IncrementalDedup.merge(b.sparkSession, state, b))
+    // keyed by the foreachBatch batch id (the q57 contract): a re-delivered
+    // micro-batch is an exactly-once no-op instead of duplicate index rows
+    drainMerges(spark, dir, files, "q54")((b, id) =>
+      IncrementalDedup.merge(b.sparkSession, state, b,
+        batchKey = Some(s"b$id")))
     IncrementalDedup.clusters(spark, state)
   }
 
@@ -433,8 +436,10 @@ object DocumentsStream {
       files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q63_state_").toString)
     val cents = graft.ops.Similarity.persistedIvfCentroids(spark, dir, modelDir)
-    drainMerges(spark, dir, files, "q63", Tables.embeddings)((b, _) =>
-      graft.ops.IncrementalSemantic.merge(b.sparkSession, state, cents, b))
+    // keyed by the foreachBatch batch id (the q57 contract)
+    drainMerges(spark, dir, files, "q63", Tables.embeddings)((b, id) =>
+      graft.ops.IncrementalSemantic.merge(b.sparkSession, state, cents, b,
+        batchKey = Some(s"b$id")))
     graft.ops.IncrementalSemantic.clusters(spark, state)
   }
 
