@@ -1024,6 +1024,21 @@ object SparkEntry {
     // bit-identical decodes.
     "m17_tiff_decode" -> ((s: SparkSession, _: String) =>
       graft.ops.Png.imageDecode(s, graft.ops.Png.tiffFixtureDir)),
+    // d43: the TIFF column of the incremental matrix — the tiff-dhash
+    // codec in the codec-parametric chassis, originals first, the
+    // brightness-retouched copy second; the golden pair is found
+    // CROSS-batch (same raster as d40's imga_bright, hamming 2).
+    "d43_tiff_incremental" -> ((s: SparkSession, _: String) => {
+      val state = graft.util.TmpDirs.scratch("graft_d43_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Png.tiffFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(!col("name").contains("_")), codec = "tiff-dhash")
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name").contains("_")), codec = "tiff-dhash")
+      graft.ops.IncrementalMedia.pairs(s, state)
+    }),
     "q48_rolling_range" -> Relational.q48RollingRange _,
     // the two-pass bucketed re-plan of q48 (types x buckets parallelism
     // instead of a 5-way ceiling); must equal q48 exactly
@@ -3375,9 +3390,19 @@ object SparkEntry {
       """SELECT name, width, height, n_pixels, sum_r, sum_g, sum_b FROM (VALUES
         |  ('corrupt.tiff', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
         |  ('imga.tiff', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(23840 AS BIGINT), CAST(24672 AS BIGINT), CAST(24224 AS BIGINT)),
+        |  ('imga_bright.tiff', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(25455 AS BIGINT), CAST(26065 AS BIGINT), CAST(25759 AS BIGINT)),
         |  ('imgb.tiff', CAST(16 AS INT), CAST(12 AS INT), CAST(192 AS BIGINT), CAST(24544 AS BIGINT), CAST(24352 AS BIGINT), CAST(23904 AS BIGINT))
         |) AS t(name, width, height, n_pixels, sum_r, sum_g, sum_b)
         |ORDER BY name""".stripMargin,
+
+    // TIFF split-ingest: the d40 shape on the tiff container — the
+    // brightness retouch shares imga_bright.png's raster, so the golden
+    // pair and hamming carry over from the PNG generator's reference
+    "d43_tiff_incremental" ->
+      """SELECT name1, name2, hamming FROM (VALUES
+        |  ('imga.tiff', 'imga_bright.tiff', CAST(2 AS INT))
+        |) AS t(name1, name2, hamming)
+        |ORDER BY name1, name2""".stripMargin,
 
     // Perceptual near-dup: golden VALUES from the fixture generator's
     // reference dHash (imga_recode = identical raster re-encoded, Hamming

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-call right-to-be-forgotten facade over the seventeen stateful
+/** One-call right-to-be-forgotten facade over the eighteen stateful
   * modality entries' tombstone deletes. Every modality shares the same
   * semantics — write a tombstone generation, shadow at read, purge at
   * compact, revive on re-ingest — but each has its own entry point and id
@@ -32,6 +32,7 @@ object Deletes {
     "audio" -> (("name", IncrementalMedia.delete _)),
     "video" -> (("name", IncrementalMedia.delete _)),
     "png" -> (("name", IncrementalMedia.delete _)),
+    "tiff" -> (("name", IncrementalMedia.delete _)),
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
     "classifier" -> (("doc_id", IncrementalClassifier.delete _)),
@@ -80,6 +81,7 @@ object Deletes {
     "audio" -> (IncrementalMedia.compact _),
     "video" -> (IncrementalMedia.compact _),
     "png" -> (IncrementalMedia.compact _),
+    "tiff" -> (IncrementalMedia.compact _),
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
     "classifier" -> (IncrementalClassifier.compact _),

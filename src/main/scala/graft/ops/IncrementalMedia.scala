@@ -67,6 +67,11 @@ object IncrementalMedia {
     // regimes a recall audit would need to reason about separately
     "jpeg-dhash" -> (bytes =>
       Png.decodeImage(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
+    // same registry dispatch once more; TIFF is lossless (baseline
+    // uncompressed RGB fixtures), so its signatures share PNG's exactness
+    // regime — the distinct name still pins the CONTAINER per state dir
+    "tiff-dhash" -> (bytes =>
+      Png.decodeImage(bytes).map(img => (0, Multimodal.dHash64(img))).toSeq),
     "wav-denergy" -> (bytes =>
       Audio.decodeWav(bytes).flatMap(pcm => Audio.fingerprint(pcm.mono))
         .map(sig => (0, sig)).toSeq),

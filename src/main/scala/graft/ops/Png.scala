@@ -148,7 +148,7 @@ object Png {
     * corrupt.tiff is an IFD truncation: a whole-asset reject.
     */
   lazy val tiffFixtureDir: String = extractFixtures("tiff",
-    Seq("corrupt.tiff", "imga.tiff", "imgb.tiff"))
+    Seq("corrupt.tiff", "imga.tiff", "imga_bright.tiff", "imgb.tiff"))
 
   /** Checked-in JPEG fixtures (graft.tools.GenJpegFixtures): two encodes of
     * the same smooth source raster at different qualities (byte-different,

@@ -120,6 +120,43 @@ object MediaCorpus {
     out.toByteArray
   }
 
+  /** Baseline UNCOMPRESSED chunky-RGB TIFF, little-endian, one strip —
+    * the JVM twin of tools/gen_tiff_fixtures.py (12 ascending IFD tags,
+    * out-of-line BitsPerSample + resolutions, then the strip).
+    */
+  private def tiffBytes(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    val n = 12
+    val ifdSize = 2 + n * 12 + 4
+    val bpsOff = 8 + ifdSize
+    val xresOff = bpsOff + 6
+    val yresOff = xresOff + 8
+    val stripOff = yresOff + 8
+    val bb = java.nio.ByteBuffer.allocate(stripOff + px.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte); bb.put('I'.toByte); bb.putShort(42); bb.putInt(8)
+    bb.putShort(n.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(count)
+      if (typ == 3 && count == 1) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, bpsOff)          // BitsPerSample [8,8,8]
+    entry(259, 3, 1, 1)               // Compression: none
+    entry(262, 3, 1, 2)               // Photometric: RGB
+    entry(273, 4, 1, stripOff)        // StripOffsets
+    entry(277, 3, 1, 3)               // SamplesPerPixel
+    entry(278, 3, 1, h)               // RowsPerStrip: one strip
+    entry(279, 4, 1, px.length)       // StripByteCounts
+    entry(282, 5, 1, xresOff); entry(283, 5, 1, yresOff)
+    entry(296, 3, 1, 2)               // ResolutionUnit: inch
+    bb.putInt(0)                      // next-IFD pointer
+    bb.putShort(8); bb.putShort(8); bb.putShort(8)
+    bb.putInt(72); bb.putInt(1); bb.putInt(72); bb.putInt(1)
+    bb.put(px)
+    bb.array()
+  }
+
   private def y4mBytes(w: Int, h: Int, lumas: Seq[Array[Byte]],
       extraHeader: String, frameParam: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -252,6 +289,33 @@ object MediaCorpus {
     }
   }
 
+  /** The tiff corpus reuses the ppm rasters through the UNCOMPRESSED
+    * container: TIFF has no re-encode degree of freedom, so the copy
+    * variant is a byte-identical second asset (hamming 0 — the exact-copy
+    * case the signature still has to find under a different name).
+    */
+  private def buildTiff(seed: Long, i: Int): (Seq[(String, Array[Byte])], Option[Planted]) = {
+    val name = f"scan$i%06d.tiff"
+    val px = ppmRaster(seed, i)
+    val base = Seq(name -> tiffBytes(ppmW, ppmH, px))
+    if (i < flatFamilyMax || i % 5 != 0) (base, None)
+    else {
+      val (suffix, vpx) = (i / 5) % 3 match {
+        case 0 => ("copy", px)
+        case 1 => ("bright", px.map(b => ((b & 0xff) + 16).toByte))
+        case _ =>
+          val q = px.clone()
+          val r = rng(seed, i, 4)
+          q(r() % q.length) = 0; q(r() % q.length) = -1 // two-pixel retouch
+          ("retouch", q)
+      }
+      val vname = f"scan$i%06d_$suffix.tiff"
+      val d = ham(dhashOf(px), dhashOf(vpx))
+      (base :+ (vname -> tiffBytes(ppmW, ppmH, vpx)),
+        if (d <= 3) Some(Planted(name, vname, d)) else None)
+    }
+  }
+
   private def buildWav(seed: Long, i: Int): (Seq[(String, Array[Byte])], Option[Planted]) = {
     val name = f"snd$i%06d.wav"
     val mono = wavMono(seed, i)
@@ -311,7 +375,8 @@ object MediaCorpus {
   // ---- corpus generation ---------------------------------------------------
 
   val modalities: Map[String, (Long, Int) => (Seq[(String, Array[Byte])], Option[Planted])] =
-    Map("ppm" -> buildPpm, "png" -> buildPng, "wav" -> buildWav, "y4m" -> buildY4m)
+    Map("ppm" -> buildPpm, "png" -> buildPng, "tiff" -> buildTiff,
+      "wav" -> buildWav, "y4m" -> buildY4m)
 
   /** Generate (or reuse) an N-base-asset corpus of `modality` under `dir`;
     * returns the planted-pair manifest. Generation fans out over Spark

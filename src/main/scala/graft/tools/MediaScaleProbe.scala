@@ -28,6 +28,7 @@ object MediaScaleProbe {
   private val oneShots: Seq[(String, OneShot)] = Seq(
     "ppm" -> OneShot((s, d) => graft.ops.Multimodal.ppmNearDup(s, d), "ppm-dhash", 3),
     "png" -> OneShot((s, d) => graft.ops.Png.imageNearDup(s, d), "png-dhash", 3),
+    "tiff" -> OneShot((s, d) => graft.ops.Png.imageNearDup(s, d), "tiff-dhash", 3),
     "wav" -> OneShot((s, d) => graft.ops.Audio.wavNearDup(s, d), "wav-denergy", 3),
     "y4m" -> OneShot((s, d) => graft.ops.Video.videoNearDup(s, d), "y4m-framehash", 6))
 

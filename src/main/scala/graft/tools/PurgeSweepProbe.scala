@@ -8,14 +8,14 @@ import graft.ops._
 
 /** Corpus-scale timing of the GDPR facade — the op a compliance team
   * actually times: build one state store per [[Deletes]] modality (all
-  * seventeen), then run the full right-to-be-forgotten pass (tombstone +
+  * eighteen since the tiff alias), then run the full right-to-be-forgotten pass (tombstone +
   * physical compact, [[Deletes.purge]] per store — exactly the loop body
   * of [[Deletes.purgeSweep]]) and print SCALE.md-ready rows.
   *
   * Two id frames drive the sweep, matching real GDPR semantics ("forget
   * entity k wherever it appears"): one numeric frame for the doc_id /
   * vec_id stores, one name frame (the union of every-100th asset name
-  * from all four media corpora) for the media-chassis stores — a name
+  * from all five media corpora) for the media-chassis stores — a name
   * absent from a given store is a no-op delete there, which is the point
   * of sweeping.
   *
@@ -50,7 +50,7 @@ object PurgeSweepProbe {
         .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
         .where(!col("name").startsWith("_"))
 
-    val mediaDirs = Seq("ppm", "png", "wav", "y4m").map { mod =>
+    val mediaDirs = Seq("ppm", "png", "tiff", "wav", "y4m").map { mod =>
       val dir = s"/tmp/graft_media_${mod}_$nMedia"
       MediaCorpus.generate(spark, dir, mod, nMedia, seed = 77L)
       mod -> dir
@@ -81,6 +81,8 @@ object PurgeSweepProbe {
         IncrementalMedia.merge(s, st, mediaOf(mediaDirs("ppm")), codec = "ppm-dhash"); () }),
       "png" -> ((s, st) => {
         IncrementalMedia.merge(s, st, mediaOf(mediaDirs("png")), codec = "png-dhash"); () }),
+      "tiff" -> ((s, st) => {
+        IncrementalMedia.merge(s, st, mediaOf(mediaDirs("tiff")), codec = "tiff-dhash"); () }),
       "audio" -> ((s, st) => {
         IncrementalMedia.merge(s, st, mediaOf(mediaDirs("wav")), codec = "wav-denergy"); () }),
       "video" -> ((s, st) => {
@@ -134,7 +136,7 @@ object PurgeSweepProbe {
     }
 
     println(f"\npurgeSweep total over ${results.size} stores: $totalPurge%.2f s " +
-      s"(docs=${docs.count()}, vecs=${vecs.count()}, media=4x$nMedia assets)")
+      s"(docs=${docs.count()}, vecs=${vecs.count()}, media=5x$nMedia assets)")
     spark.stop()
   }
 }

@@ -165,10 +165,10 @@ class PngSpec extends SparkSpec {
   }
 
   test("m15/m16/m17: BMP, GIF, and TIFF decode to the PNG rasters' exact stats; header truncations reject") {
-    for ((dir, ext) <- Seq((Png.bmpFixtureDir, "bmp"), (Png.gifFixtureDir, "gif"),
-        (Png.tiffFixtureDir, "tiff"))) {
+    for ((dir, ext, n) <- Seq((Png.bmpFixtureDir, "bmp", 3), (Png.gifFixtureDir, "gif", 3),
+        (Png.tiffFixtureDir, "tiff", 4))) {
       val rows = Png.imageDecode(spark, dir).collect()
-      assert(rows.length == 3, s"$ext fixture count")
+      assert(rows.length == n, s"$ext fixture count")
       val byName = rows.map(r => r.getString(0) -> r).toMap
       assert(byName(s"corrupt.$ext").isNullAt(1), s"header-truncated $ext must reject whole")
       val a = byName(s"imga.$ext")
@@ -218,6 +218,22 @@ class PngSpec extends SparkSpec {
       graft.ops.IncrementalMedia.merge(spark, state, media, codec = "png-dhash")
     }
     assert(ex.getMessage.contains("refusing a merge"))
+  }
+
+  test("d43: tiff-dhash split-ingest pairs the brightness retouch with its source cross-batch") {
+    import org.apache.spark.sql.functions._
+    val state = graft.util.TmpDirs.scratch("graft_d43_spec_").toString
+    val media = spark.read.format("binaryFile").load(Png.tiffFixtureDir)
+      .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(!col("name").contains("_")), codec = "tiff-dhash")
+    graft.ops.IncrementalMedia.merge(spark, state,
+      media.where(col("name").contains("_")), codec = "tiff-dhash")
+    val pairs = graft.ops.IncrementalMedia.pairs(spark, state).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // same raster as imga_bright.png, so the golden pair + hamming carry
+    // over from the PNG generator's reference (cross-batch, like d40)
+    assert(pairs == Seq(("imga.tiff", "imga_bright.tiff", 2)))
   }
 
   test("JPEG decodes through the same ImageIO entry point, perceptually close to its source") {

@@ -97,18 +97,32 @@ def write(name, data):
         f.write(data)
 
 
+def bright(px, d, perturb=()):
+    """The PNG generator's retouch, verbatim: +d clamped, then a couple of
+    overwritten pixels so the dHash moves (shift-invariance) — SAME raster
+    as imga_bright.png, so the d43 golden pair equals d40's."""
+    q = [[tuple(min(255, c + d) for c in p) for p in row] for row in px]
+    for (x, y, v) in perturb:
+        q[y][x] = (v, v, v)
+    return q
+
+
 def main():
     A = noise_img(16, 12, 90210)
     B = noise_img(16, 12, 555001)
+    Ab = bright(A, 8, perturb=((5, 2, 0), (12, 10, 255)))
     imga, imgb = tiff_bytes(16, 12, A), tiff_bytes(16, 12, B)
+    imgab = tiff_bytes(16, 12, Ab)
     write("imga.tiff", imga)
+    write("imga_bright.tiff", imgab)
     write("imgb.tiff", imgb)
     write("corrupt.tiff", imga[:40])   # cut inside the IFD
     print("stats (name w h n_pixels sum_r sum_g sum_b) — shared with png/bmp/gif:")
-    for k, px in (("imga", A), ("imgb", B)):
+    for k, px in (("imga", A), ("imga_bright", Ab), ("imgb", B)):
         s = stats(px)
         print(k, 16, 12, 192, s[0], s[1], s[2])
-    for nm, b in (("imga.tiff", imga), ("imgb.tiff", imgb)):
+    for nm, b in (("imga.tiff", imga), ("imga_bright.tiff", imgab),
+                  ("imgb.tiff", imgb)):
         print(nm, len(b), "bytes")
 
 
