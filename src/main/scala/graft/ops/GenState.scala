@@ -656,13 +656,16 @@ object GenState {
   // partial aggregate families (d18 exact, q65 views), where any
   // interleaving of commits folds to the same answer. A probe-at-merge
   // family (its merge computes pairs against the live union AT MERGE TIME,
-  // so two concurrent merges each miss the sibling batch's cross pairs) can
-  // ALSO use it by pairing the allocation with the probe-manifest
-  // reconciliation below ([[writeProbed]]/[[readProbed]]) — the media
-  // chassis does (IncrementalMedia, round 16). The remaining probe families
-  // (MinHash, SimHash, substring, semantic — whose merges feed label/anchor
-  // state that is not a pure per-pair fact) keep the single-writer claim
-  // and its loud-lease contract.
+  // so two concurrent merges each miss the sibling batch's cross pairs)
+  // ALSO uses it by pairing the allocation with the probe-manifest
+  // reconciliation below ([[writeProbed]]/[[readProbed]]): the media
+  // chassis since round 16, and since round 17 EVERY text family too —
+  // MinHash/SimHash/embedding/semantic repair both the missing cross pairs
+  // and the label-fold split through [[LabelState.reconInputs]] +
+  // [[LabelState.deletedAwareLabels]]'s splice, and substring repairs its
+  // per-pair cross hits directly. The targeted [[claimGeneration]] steal
+  // (and its loud-lease contract) remains available for single-writer
+  // deployments and legacy callers, but no shipped ingest path requires it.
 
   /** Every vN directory on disk — complete, in-flight, or abandoned. */
   private def allVersionDirs(f: FileSystem, stateDir: String): Seq[Int] = {

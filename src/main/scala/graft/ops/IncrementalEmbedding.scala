@@ -73,6 +73,11 @@ object IncrementalEmbedding {
 
   /** Ingest `newVecs` (a (vec_id, embedding) projection with vec_ids
     * disjoint from prior ingests); returns the new generation number.
+    * MULTI-WRITER since round 17 (the d15 pattern — see
+    * [[IncrementalMinHash]]'s object doc): fresh allocation, `_PROBED`
+    * manifests, keyed exactly-once via `batchKey`; cross pairs and the
+    * label-fold split of concurrent commits reconciled at read
+    * ([[clusters]]) and made durable at [[compact]].
     *
     * The occupancy cap ([[Similarity.maxBucketOccupancy]], pinned in
     * `_CONFIG`) is evaluated over the UNION at each merge. While no
@@ -86,28 +91,37 @@ object IncrementalEmbedding {
     */
   def merge(spark: SparkSession, stateDir: String, newVecs: DataFrame,
       threshold: Double = 0.4,
-      cap: Int = Similarity.maxBucketOccupancy): Int = {
+      cap: Int = Similarity.maxBucketOccupancy,
+      batchKey: Option[String] = None): Int = {
     // pin the verification regime across ingests (see GenState.checkConfig)
     GenState.checkConfig(spark, stateDir,
       Map("threshold" -> threshold.toString, "cap" -> cap.toString))
-    val prev = latestVersion(spark, stateDir)
-    val next = prev.map(_ + 1).getOrElse(0)
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // MULTI-WRITER (round 17, the d15 pattern): fresh allocation with the
+    // keyed exactly-once ledger and a _PROBED manifest of the post-claim
+    // snapshot. The occupancy cap composes with concurrency for free: a
+    // blind merge's subset view can only UNDER-count occupancy, keeping
+    // pairs the full view would cap — exactly the documented
+    // pairs-found-while-cold-stay-merged superset semantics, every one of
+    // them exact-cosine-verified.
+    val (next, claim) = GenState.allocateFresh(spark, stateDir, batchKey) match {
+      case Left(v) => return v // re-delivered batch key: no-op
+      case Right(nc) => nc
+    }
+    val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
 
     // 1. index the new batch once (norm + SRP bucket) and persist it —
     // the generation dir doubles as the materialized copy the join reads
-    GenState.assertWritable(spark, stateDir, next, claim)
-    newVecs
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
-      .withColumn("bucket", call_function("srp_bucket", col("e")))
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      newVecs
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
+        .withColumn("bucket", call_function("srp_bucket", col("e"))))
 
-    // 2. SLIM candidates: new side vs the UNION of all generations on
-    // exact bucket equality — both scans pruned to (vec_id, bucket), no
-    // vector payload in the candidate join
-    val allPaths = completeVersions(spark, stateDir)
-      .map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
+    // 2. SLIM candidates: new side vs the PROBED union on exact bucket
+    // equality — both scans pruned to (vec_id, bucket), no vector payload
+    // in the candidate join
+    val allPaths = live.map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
     val slimNew = spark.read.parquet(vecsPath(stateDir, next))
       .select(col("vec_id"), col("bucket"))
     val slimAll = spark.read.parquet(allPaths: _*)
@@ -135,21 +149,68 @@ object IncrementalEmbedding {
     // vN. The emptiness probe and CC both read the slim parquet back, so
     // a duplicate-bearing merge pays the join exactly once (it used to
     // execute again from scratch inside CC after the limit(1) probe).
-    GenState.assertWritable(spark, stateDir, next, claim)
-    pairs.write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
     val matPairs = spark.read.parquet(pairsPath(stateDir, next))
 
-    // 3. affected-component-scoped seeded CC → this batch's label DELTA
-    // (empty for a pair-free batch — the common streaming case; see
-    // [[LabelState]] for the fold/delta contract all three modalities share)
-    val labels = LabelState.deltaLabels(spark, stateDir,
-      completeVersions(spark, stateDir), matPairs, next)
+    // 3. affected-component-scoped seeded CC over the PROBED fold → this
+    // batch's label DELTA (empty for a pair-free batch — the common
+    // streaming case; see [[LabelState]] for the fold/delta contract)
+    val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
 
-    // 4. commit (labels' _SUCCESS marks the generation complete)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    labels.write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    // 4. commit (labels' _SUCCESS marks the generation complete; fenced —
+    // an atomic directory publish)
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
   }
+
+  /** The cross pairs two genuinely-concurrent generations never probed:
+    * generation `a`'s vecs against `b`'s on exact bucket equality,
+    * cold-filtered by occupancy over the FULL live union (a bucket hot in
+    * the final view is one whose recall both the one-shot and the
+    * incremental forfeit by design, and the full-view filter bounds the
+    * recon fan-out to ≤ cap² like every other candidate join), verified
+    * by cosine at the `_CONFIG`-pinned threshold. `vecsOf` lets compact
+    * pass tombstone-purged projections.
+    */
+  private def crossPairs(spark: SparkSession, stateDir: String,
+      a: Int, b: Int, live: Seq[Int], vecsOf: Int => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cfg = GenState.readConfig(spark, stateDir)
+    val threshold = cfg.getOrElse("threshold", "0.4").toDouble
+    val cap = cfg.getOrElse("cap", Similarity.maxBucketOccupancy.toString).toInt
+    val slimAll = live.map(v => vecsOf(v).select(col("vec_id"), col("bucket")))
+      .reduce(_ unionByName _)
+    val cold = slimAll.dropDuplicates("vec_id", "bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= cap).select(col("bucket"))
+    val sa = vecsOf(a).select(col("vec_id"), col("bucket"))
+      .join(broadcast(cold), "bucket")
+    val sb = vecsOf(b).select(col("vec_id"), col("bucket"))
+      .join(broadcast(cold), "bucket")
+    val cand = sa.as("a")
+      .join(sb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("d1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("d2"))
+      .dropDuplicates("d1", "d2")
+    val pay = vecsOf(a).unionByName(vecsOf(b))
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .where(col("nrm") > 0)
+    val p1 = pay.select(col("vec_id").as("d1"), col("e").as("e1"), col("nrm").as("n1"))
+    val p2 = pay.select(col("vec_id").as("d2"), col("e").as("e2"), col("nrm").as("n2"))
+    val cos = call_function("array_dot", col("e1"), col("e2")) /
+      (col("n1") * col("n2"))
+    cand.join(p1, "d1").join(p2, "d2")
+      .where(round(cos, 6) >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** [[LabelState.reconInputs]] over this family's cross-pair recompute. */
+  private def reconInputs(spark: SparkSession, stateDir: String,
+      live: Seq[Int], vecsOf: Int => DataFrame)
+      : Option[(DataFrame, DataFrame)] =
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+      (a, b) => crossPairs(spark, stateDir, a, b, live, vecsOf))
 
   /** LSM maintenance ([[IncrementalDedup.compact]]'s shape): fold every
     * live generation's vecs into one new generation, labels carried
@@ -160,42 +221,57 @@ object IncrementalEmbedding {
   def compact(spark: SparkSession, stateDir: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalEmbedding.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir)
-    val next = versions.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
+    // fresh allocation (multi-writer merges can leave abandoned claimed
+    // dirs and shadowed duplicate-key generations); quiesced single-writer
+    // maintenance by contract, as everywhere
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
     // tombstones applied PHYSICALLY at the fold, per-GENERATION
     // ([[LabelState.purgeByGen]]): pre-delete vecs/pairs leave disk even
     // for re-ingested ids; the labels snapshot is the corrected labeling,
     // no tombstones carried. Tombstone-free state keeps the one-scan fold.
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    (if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
-       Seq("vec_id")))
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
+    def purgedVecs(v: Int): DataFrame =
+      if (!hasTombs) spark.read.parquet(vecsPath(stateDir, v))
+      else LabelState.purgeByGen(tombs,
+        Seq((v, spark.read.parquet(vecsPath(stateDir, v)))), Seq("vec_id"))
+    GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
+    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      else LabelState.purgeByGen(tombs,
+        versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
+        Seq("vec_id")))
+    // outstanding concurrent-commit reconciliation becomes DURABLE here
+    // (recon cross pairs from PURGED vecs — deleted ids never resurface)
+    val recon = reconInputs(spark, stateDir, versions, purgedVecs)
     val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
       new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    require(recon.isEmpty || pairVs == versions,
+      s"IncrementalEmbedding.compact: concurrent commits at $stateDir need every " +
+        "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
-      GenState.assertWritable(spark, stateDir, next, claim)
-      (if (!hasTombs)
-         spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
-           .select(col("d1").cast("long"), col("d2").cast("long"))
-       else LabelState.purgePairsByGen(tombs,
-         LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
-         pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
-           .select(col("d1").cast("long"), col("d2").cast("long")))),
-         Seq("d1", "d2")))
-        .dropDuplicates("d1", "d2")
-        .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+      val stored =
+        (if (!hasTombs)
+           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+             .select(col("d1").cast("long"), col("d2").cast("long"))
+         else LabelState.purgePairsByGen(tombs,
+           LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+             .select(col("d1").cast("long"), col("d2").cast("long")))),
+           Seq("d1", "d2")))
+      GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        recon.map(_._1).fold(stored)(r => stored.unionByName(
+            r.select(col("d1").cast("long"), col("d2").cast("long"))))
+          .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id")
-      .withColumn("gen", lit(next))
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers)
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id",
+          recon.map(_._1), recon.map(_._2))
+        .withColumn("gen", lit(next)))
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
     next
   }
 
@@ -204,13 +280,19 @@ object IncrementalEmbedding {
     GenState.maybeCompact(spark, stateDir, maxLive)(compact(spark, stateDir))
 
   /** The d11-shaped cluster table from the current state (latest-wins
-    * fold over the live label deltas — see [[LabelState]]).
+    * fold over the live label deltas — see [[LabelState]]), with the
+    * `_PROBED` reconciliation for histories holding genuinely-concurrent
+    * commits (multi-writer, round 17; sequential histories pay nothing).
     */
-  def clusters(spark: SparkSession, stateDir: String): DataFrame =
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    val live = completeVersions(spark, stateDir)
+    val recon = reconInputs(spark, stateDir, live,
+      v => spark.read.parquet(vecsPath(stateDir, v)))
     Dedup.clustersOf(
-        LabelState.deletedAwareLabels(spark, stateDir,
-          completeVersions(spark, stateDir), "vecs", "vec_id"))
+        LabelState.deletedAwareLabels(spark, stateDir, live, "vecs", "vec_id",
+          recon.map(_._1), recon.map(_._2)))
       .withColumnRenamed("doc_id", "vec_id")
+  }
 
   /** d30: TOMBSTONE a set of vectors — [[IncrementalDedup.delete]]'s d29
     * protocol on the embedding modality (same shadowing semantics, same
@@ -225,20 +307,20 @@ object IncrementalEmbedding {
         new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
       s"IncrementalEmbedding.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
-    val next = live.last + 1
-    val claim = GenState.claimGeneration(spark, stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim)
-    ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(vecsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(vecsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim)
-    LabelState.emptyDelta(spark)
-      .write.mode("overwrite").parquet(labelsPath(stateDir, next))
+    // fresh allocation (multi-writer, round 17): empty vecs ⇒ nothing to
+    // reconcile, so mark everything live as probed — listed AFTER the
+    // claim so a sibling merge committing just before it is not omitted
+    val (next, claim) = GenState.claimFresh(spark, stateDir)
+    val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
+    GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim)
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+      ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+      spark.read.parquet(vecsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+      LabelState.emptyDelta(spark))
     next
   }
 }

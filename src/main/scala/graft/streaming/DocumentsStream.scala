@@ -453,8 +453,10 @@ object DocumentsStream {
   def runEmbeddingDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q56_state_").toString)
-    drainMerges(spark, dir, files, "q56", Tables.embeddings)((b, _) =>
-      graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b))
+    // keyed by the foreachBatch batch id (the q57 contract)
+    drainMerges(spark, dir, files, "q56", Tables.embeddings)((b, id) =>
+      graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b,
+        batchKey = Some(s"b$id")))
     graft.ops.IncrementalEmbedding.clusters(spark, state)
   }
 

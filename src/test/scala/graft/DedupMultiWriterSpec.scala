@@ -188,6 +188,64 @@ class DedupMultiWriterSpec extends SparkSpec {
     assert(clustersSorted(IncrementalSemantic.clusters(spark, state)) == want)
   }
 
+  // ---- embedding d14 -------------------------------------------------------
+
+  private def embOneShot(tag: String) = {
+    val fresh = graft.util.TmpDirs.scratch(s"graft_dmw_emb_oneshot_${tag}_").toString
+    graft.ops.IncrementalEmbedding.merge(spark, fresh, vecs)
+    clustersSorted(graft.ops.IncrementalEmbedding.clusters(spark, fresh))
+  }
+
+  test("d14: two genuinely concurrent merges both commit; clusters equal the one-shot; compact durable") {
+    import graft.ops.IncrementalEmbedding
+    val state = graft.util.TmpDirs.scratch("graft_dmw_emb_conc_").toString
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    def writer(half: Int) = new Thread(() => {
+      start.await()
+      results.add(
+        try Right(IncrementalEmbedding.merge(spark, state,
+          vecs.where(pmod(col("vec_id"), lit(2)) === half),
+          batchKey = Some(s"e$half")))
+        catch { case t: Throwable => Left(t) })
+    })
+    val ts = Seq(writer(0), writer(1))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(240000))
+    val out = results.toArray(Array.empty[Either[Throwable, Int]]).toSeq
+    assert(out.size == 2 && out.forall(_.isRight),
+      s"both concurrent d14 merges must commit: $out")
+    val want = embOneShot("conc")
+    assert(clustersSorted(IncrementalEmbedding.clusters(spark, state)) == want,
+      "concurrent d14 ingest must serve exactly the one-shot clustering")
+    val v = IncrementalEmbedding.compact(spark, state)
+    assert(IncrementalEmbedding.completeVersions(spark, state) == Seq(v))
+    assert(GenState.readProbed(spark, state, v) == Some(Set(v)))
+    assert(clustersSorted(IncrementalEmbedding.clusters(spark, state)) == want)
+    assert(GenState.ingestedKeys(spark, state) == Set("e0", "e1"))
+  }
+
+  test("d14: reconciliation recovers the cross pairs two concurrent commits both missed") {
+    import graft.ops.IncrementalEmbedding
+    val b1 = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b2 = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+    val state = graft.util.TmpDirs.scratch("graft_dmw_emb_recon_").toString
+    IncrementalEmbedding.merge(spark, state, b1)
+    IncrementalEmbedding.merge(spark, state, b2)
+    val solo = graft.util.TmpDirs.scratch("graft_dmw_emb_solo_").toString
+    IncrementalEmbedding.merge(spark, solo, b2)
+    doctorBlind(state, target = 1, solo = solo, soloGen = 0, sawUpTo = -1,
+      tables = Seq("vecs", "pairs"))
+    val crossStored = spark.read.parquet(s"$state/v0/pairs", s"$state/v1/pairs")
+      .where(pmod(col("d1"), lit(2)) =!= pmod(col("d2"), lit(2))).count()
+    assert(crossStored == 0, "cross pairs must be missing from storage")
+    val want = embOneShot("recon")
+    assert(clustersSorted(IncrementalEmbedding.clusters(spark, state)) == want,
+      "the read must reconcile the missing cross pairs")
+    val v = IncrementalEmbedding.compact(spark, state)
+    assert(GenState.readProbed(spark, state, v) == Some(Set(v)))
+    assert(clustersSorted(IncrementalEmbedding.clusters(spark, state)) == want)
+  }
+
   test("legacy states without probe manifests read as their single-writer histories (both families)") {
     val simState = graft.util.TmpDirs.scratch("graft_dmw_sim_legacy_").toString
     IncrementalDedup.merge(spark, simState, docs.where(pmod(col("doc_id"), lit(2)) === 0))
