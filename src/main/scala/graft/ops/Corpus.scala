@@ -499,23 +499,24 @@ object Corpus {
     * compaction protocol); the folded set is the same distinct union the
     * screen reads, so screening is invariant across compactions.
     */
-  def compactRegistry(spark: SparkSession, registryDir: String): Int = {
-    val versions = GenState.completeVersions(spark, registryDir, registryTable)
-    require(versions.nonEmpty, s"compactRegistry: no registry at $registryDir")
-    val leftovers = GenState.foldedLeftovers(spark, registryDir, registryTable)
-    // fresh allocation for the same reason as the state-family compacts:
-    // a duplicate-key shadowed generation at versions.last + 1 would abort
-    // the targeted claim; the sweep below removes non-live dirs anyway
-    val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
-    GenState.writeCompactManifest(spark, registryDir, next, versions, claim, registryTable)
-    GenState.assertWritable(spark, registryDir, next, claim, registryTable)
-    spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
-      .write.mode("overwrite").parquet(registryPath(registryDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, registryDir, registryTable, next)
-    GenState.deleteVersions(spark, registryDir, versions ++ leftovers ++ abandoned)
-    next
-  }
+  def compactRegistry(spark: SparkSession, registryDir: String): Int =
+    GenState.withMaintenance(spark, registryDir) { maint =>
+      val versions = GenState.completeVersions(spark, registryDir, registryTable)
+      require(versions.nonEmpty, s"compactRegistry: no registry at $registryDir")
+      // fresh allocation for the same reason as the state-family compacts:
+      // a duplicate-key shadowed generation at versions.last + 1 would abort
+      // the targeted claim; the sweep below removes non-live dirs anyway
+      val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
+      GenState.writeCompactManifest(spark, registryDir, next, versions, claim, registryTable)
+      GenState.assertWritable(spark, registryDir, next, claim, registryTable)
+      // the maintenance fence, immediately before the commit write
+      GenState.verifyMaintenance(spark, registryDir, maint)
+      spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
+        .write.mode("overwrite").parquet(registryPath(registryDir, next))
+      // grace-horizon sweep: folded sources leave disk after the store TTL
+      GenState.sweepLeftovers(spark, registryDir, registryTable, except = next)
+      next
+    }
 
   /** Pack capacity (tokens) for [[pack]]. */
   val packTokens = 256

@@ -88,17 +88,50 @@ object Deletes {
     "card" -> (IncrementalCard.compact _),
     "topk" -> (IncrementalTopK.compact _))
 
+  /** modality name → the family's commit table (what [[GenState]] keys
+    * generation liveness and sweeps on) — needed by [[purge]]'s forced
+    * final sweep.
+    */
+  val commitTables: Map[String, String] = Map(
+    "exact" -> IncrementalExact.commitTable,
+    "cluster" -> "labels",
+    "minhash" -> "labels",
+    "substring" -> IncrementalSubstring.commitTable,
+    "embedding" -> "labels",
+    "semantic" -> "labels",
+    "ivf" -> IncrementalIvf.commitTable,
+    "ivfpq" -> IncrementalIvfPq.commitTable,
+    "media" -> IncrementalMedia.commitTable,
+    "audio" -> IncrementalMedia.commitTable,
+    "video" -> IncrementalMedia.commitTable,
+    "png" -> IncrementalMedia.commitTable,
+    "tiff" -> IncrementalMedia.commitTable,
+    "rotmedia" -> IncrementalRotMedia.commitTable,
+    "dsir" -> IncrementalDsir.commitTable,
+    "classifier" -> IncrementalClassifier.commitTable,
+    "card" -> IncrementalCard.commitTable,
+    "topk" -> IncrementalTopK.commitTable)
+
   /** Tombstone AND physically erase: a tombstone alone only shadows —
-    * the deleted bytes leave disk at the modality's compact (every
-    * compact applies tombstones physically and drops them). Regulations
-    * that require actual erasure want this pair, so it is one call: the
-    * returned generation is the compacted one, tombstone-free, holding no
-    * deleted rows.
+    * the deleted bytes leave disk when the modality's compact applies
+    * tombstones physically AND the folded source generations are swept.
+    * Ordinary compacts sweep under the reader-grace horizon (folded
+    * sources linger one store TTL so concurrent snapshots never lose
+    * files mid-scan); erasure regulations want the bytes gone NOW, so
+    * purge forces the final sweep with `graceMs = 0`. That forced sweep
+    * is the ONE quiesce-worthy step left in the engine: run purge when no
+    * reader holds a pre-purge version listing, or accept that such a
+    * reader's job fails (it can never see deleted data — the generations
+    * it would read are already non-live). The returned generation is the
+    * compacted one, tombstone-free, holding no deleted rows.
     */
   def purge(spark: SparkSession, stateDir: String, modality: String,
       ids: DataFrame): Int = {
     tombstone(spark, stateDir, modality, ids)
-    compacts(modality)(spark, stateDir)
+    val gen = compacts(modality)(spark, stateDir)
+    GenState.sweepLeftovers(spark, stateDir, commitTables(modality),
+      except = gen, graceMs = 0L)
+    gen
   }
 
   /** [[sweep]] with physical erasure: one loop tombstones AND compacts

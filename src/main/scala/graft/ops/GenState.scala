@@ -62,15 +62,87 @@ object GenState {
     liveAndShadowed(fs(spark, stateDir), stateDir, commitTable)._1
 
   /** The shared derivation behind [[completeVersions]] / [[dupKeyVersions]]:
-    * (live, duplicate-key shadowed) — one manifest filter, one shadow walk.
+    * (live, duplicate-key shadowed) — one manifest filter, the double-fold
+    * overlap walk, and the duplicate-key shadow walk.
     */
   private def liveAndShadowed(f: FileSystem, stateDir: String,
       commitTable: String): (Seq[Int], Seq[Int]) = {
     val complete = rawComplete(f, stateDir, commitTable)
-    val folded = complete.flatMap(readManifest(f, stateDir, _)).toSet
-    val notFolded = complete.filterNot(folded)
+    val manifests = complete.map(v => v -> readManifest(f, stateDir, v)).toMap
+    val folded = manifests.values.flatten.toSet
+    val prelim = complete.filterNot(folded)
+    val overlap = overlapShadowed(stateDir, prelim, manifests)
+    val notFolded = prelim.filterNot(overlap)
     val dups = dupKeyShadowed(f, stateDir, notFolded)
     (notFolded.filterNot(dups), notFolded.filter(dups))
+  }
+
+  /** The read-side net under concurrent compaction: two would-be-live
+    * generations whose `_COMPACTED` manifests SHARE a source are a lost
+    * maintenance race — both folded the same generation, so serving both
+    * doubles its content (fatal for the count-partial families, silent
+    * index bloat for the pair-graph ones). The [[acquireMaintenance]]
+    * lease plus the commit-time maintenance fence make this unreachable
+    * in normal operation; this walk closes the residual crash window
+    * (a compactor dying between its commit and its post-commit fence
+    * audit) EXACTLY, the way [[dupKeyShadowed]] closes the duplicate-key
+    * one. Resolution: when one manifest is a superset of the other, the
+    * superset generation carries strictly more folded history (it may
+    * additionally hold a merge that committed between the two listings)
+    * — keep it, shadow the subset (equal sets keep the earlier number;
+    * the fold of identical inputs is deterministic, so content ties).
+    * INCOMPARABLE overlapping manifests — each folded a merge the other
+    * missed — admit no safe automatic winner: shadowing either would
+    * drop that merge's content from every serve, so the walk REFUSES
+    * loudly and names both generations (operator repair: delete one
+    * compacted generation and re-run compact; its sources are still on
+    * disk under the sweep grace). Because [[writeCompactManifest]]
+    * records the TRANSITIVE fold history, the overlap survives any
+    * interleaving of later compacts and sweeps — a stale double-fold can
+    * never resurrect after its twin's sources leave disk.
+    */
+  private def overlapShadowed(stateDir: String, prelim: Seq[Int],
+      manifests: Map[Int, Seq[Int]]): Set[Int] = {
+    val carriers = prelim.filter(v => manifests(v).nonEmpty)
+    if (carriers.size < 2) return Set.empty
+    val out = scala.collection.mutable.Set.empty[Int]
+    for {
+      i <- carriers.indices
+      j <- i + 1 until carriers.size
+      a = carriers(i); b = carriers(j)
+      ma = manifests(a).toSet; mb = manifests(b).toSet
+      if (ma & mb).nonEmpty
+    } {
+      if (mb.subsetOf(ma)) out += b
+      else if (ma.subsetOf(mb)) out += a
+      else throw new IllegalStateException(
+        s"GenState: generations v$a and v$b at $stateDir both claim to have " +
+          s"folded ${(ma & mb).toSeq.sorted.map("v" + _).mkString(", ")} but " +
+          "each also folded generations the other missed — a lost concurrent-" +
+          "compaction race with no safe automatic winner (shadowing either " +
+          "would drop a merge's content). Refusing to serve; delete one of " +
+          "the two compacted generations and re-run compact (folded sources " +
+          "are retained under the sweep grace).")
+    }
+    if (out.nonEmpty && warnedShadows.add(s"$stateDir#overlap${out.toSeq.sorted.mkString(",")}"))
+      log.warn(s"GenState: generation(s) ${out.toSeq.sorted.map("v" + _).mkString(", ")} " +
+        s"at $stateDir are shadowed as double-folds (their _COMPACTED manifests " +
+        "are subsets of a surviving compacted generation's) — excluded from " +
+        "every serve and swept after the grace horizon. This is the read-side " +
+        "close of a lost concurrent-compaction race.")
+    out.toSet
+  }
+
+  /** The currently overlap-shadowed double-fold generations (diagnostics
+    * face of [[overlapShadowed]]).
+    */
+  def overlapShadowedVersions(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels"): Seq[Int] = {
+    val f = fs(spark, stateDir)
+    val complete = rawComplete(f, stateDir, commitTable)
+    val manifests = complete.map(v => v -> readManifest(f, stateDir, v)).toMap
+    val folded = manifests.values.flatten.toSet
+    overlapShadowed(stateDir, complete.filterNot(folded), manifests).toSeq.sorted
   }
 
   /** Complete generations shadowed as DUPLICATE-KEY re-deliveries. Under
@@ -174,8 +246,17 @@ object GenState {
     // — manifest-listing the dups keeps the exclusion crash-durable and
     // hands their bytes to the standard folded-leftover sweep
     val dups = dupKeyVersions(spark, stateDir, commitTable)
-    writeUtf8(fs(spark, stateDir), manifestPath(stateDir, next),
-      (folded ++ dups).distinct.sorted.mkString("\n"))
+    // TRANSITIVE fold history: inherit the folded sources' own manifest
+    // entries, so the full lineage survives sweeps. By induction a single
+    // level of inheritance per compact yields the complete closure, and
+    // this is what keeps [[overlapShadowed]]'s double-fold exclusion
+    // durable — a stale double-fold overlaps the LIVE lineage's manifest
+    // even after its twin and the original sources left disk. Entries are
+    // ints; a decade of daily compacts is a few KB, never a scale cost.
+    val f = fs(spark, stateDir)
+    val inherited = folded.flatMap(readManifest(f, stateDir, _))
+    writeUtf8(f, manifestPath(stateDir, next),
+      (folded ++ inherited ++ dups).distinct.sorted.mkString("\n"))
   }
 
   def deleteVersions(spark: SparkSession, stateDir: String, vs: Seq[Int]): Unit = {
@@ -602,18 +683,24 @@ object GenState {
     * the commit itself an atomic directory publish.
     */
   def fencedParquet(spark: SparkSession, stateDir: String, v: Int,
-      table: String, token: String, commitTable: String = "labels")(
+      table: String, token: String, commitTable: String = "labels",
+      maintToken: Option[String] = None)(
       df: org.apache.spark.sql.DataFrame): Unit = {
     val stage = s"$stateDir/v$v/.$table.stage-${token.take(8)}"
     df.write.mode("overwrite").parquet(stage)
     // the fence: the staged bytes are worthless unless this writer STILL
-    // holds the claim and nobody committed the generation meanwhile. On a
+    // holds the claim and nobody committed the generation meanwhile — and,
+    // for a compact's commit write, unless it still holds the MAINTENANCE
+    // lease (a stalled compactor stolen from mid-fold must abort here,
+    // before its double-fold lands; see [[verifyMaintenance]]). On a
     // fence failure the loser removes its own stage (best-effort — inside
     // a stolen-and-committed generation it would otherwise linger as junk
     // until that generation is eventually folded and swept).
     val f = fs(spark, stateDir)
-    try assertWritable(spark, stateDir, v, token, commitTable)
-    catch {
+    try {
+      assertWritable(spark, stateDir, v, token, commitTable)
+      maintToken.foreach(verifyMaintenance(spark, stateDir, _))
+    } catch {
       case e: IllegalStateException =>
         try f.delete(new Path(stage), true)
         catch { case scala.util.control.NonFatal(_) => () }
@@ -645,11 +732,14 @@ object GenState {
   // now leaves its claimed incomplete vN dir behind instead of being redone
   // in place (no later merge will touch a claimed number it doesn't own).
   // The leftover is inert — completeVersions ignores it, reads never see it
-  // — and it is swept physically by the next COMPACTION, which remains a
-  // quiesced single-writer maintenance operation by contract (under quiesce,
-  // any incomplete dir is abandoned by definition; see [[abandonedVersions]]).
-  // The batch itself recovers exactly as before: the retry re-merges under
-  // its batch key into a fresh generation.
+  // — and it is swept physically by a later compaction/sweep once its lease
+  // AND claim are stale (a fresh lease marks a live in-flight writer; see
+  // [[abandonedVersions]]). Compaction itself is CONCURRENT-SAFE maintenance
+  // since round 17 — serialized per store by the `_MAINT` lease, fenced at
+  // its commit, with folded sources retained under the grace horizon so
+  // racing readers and probes never lose files mid-scan (see the
+  // maintenance-lease section below). The batch itself recovers exactly as
+  // before: the retry re-merges under its batch key into a fresh generation.
   //
   // This allocator is directly correct for modalities whose generation
   // content is independent of the concurrently-live state — the write-only
@@ -773,40 +863,215 @@ object GenState {
   }
 
   /** Every vN dir that is NOT a live complete generation, other than
-    * `except` — the sweep set of a QUIESCED compaction: crash-leftover
-    * incomplete dirs (under quiesce, no incomplete dir can be a live
-    * writer's), manifest-folded sources awaiting deletion, and
-    * duplicate-key shadowed re-deliveries. Compaction is single-writer
-    * maintenance by contract; as DEFENSE IN DEPTH for a violated quiesce
-    * (a compact racing a live multi-writer merge), an INCOMPLETE dir
-    * whose lease is still fresh is excluded — deleting it mid-write
-    * would otherwise let the merge's in-flight table job recreate the
-    * dir and commit a torn generation (pairs with no sigs). The live
-    * merge then completes normally and the next compact folds it.
+    * `except`, that is SAFE to delete under CONCURRENT readers and
+    * writers — compaction is no longer quiesced maintenance, so the
+    * sweep set must respect two liveness guards:
+    *
+    *   - **Incomplete dirs**: a crash leftover unless its `_LEASE` or
+    *     `_CLAIM` is still fresh — deleting a live merge's in-flight dir
+    *     mid-write would let its table job recreate the dir and commit a
+    *     torn generation (pairs with no sigs). The live merge completes
+    *     normally and a later sweep folds it.
+    *
+    *   - **Complete non-live dirs** (manifest-folded sources, shadowed
+    *     duplicates, shadowed double-folds): swept only after the GRACE
+    *     horizon — the store TTL — has passed since the dir became
+    *     non-live. A reader (or a merge's probe) whose version listing
+    *     predates the fold can still be mid-scan over these parquet dirs;
+    *     deleting them under it fails the job (Spark's task retries
+    *     re-read the same splits, so a vanished file is a permanent
+    *     failure, the availability cost quiesce used to hide). The grace
+    *     stamp is the COMMIT time of the generation whose manifest folded
+    *     the dir (newest folding wins; a never-folded shadowed dup uses
+    *     its own commit time — it was never servable, the stamp is pure
+    *     conservatism). Snapshot contract, same clock as the lease: a
+    *     read must complete within the store TTL of its version listing.
+    *     The GDPR purge path overrides the grace explicitly
+    *     ([[sweepLeftovers]] `graceMs = 0`) — immediate erasure is a
+    *     documented quiesce-worthy operation there.
     */
   def abandonedVersions(spark: SparkSession, stateDir: String,
-      commitTable: String = "labels", except: Int = -1): Seq[Int] = {
+      commitTable: String = "labels", except: Int = -1,
+      graceMs: Long = -1L): Seq[Int] = {
     val f = fs(spark, stateDir)
     val ttl = leaseTtlMs(spark, stateDir)
-    def fresh(p: Path): Boolean =
-      try f.exists(p) && System.currentTimeMillis() -
-        f.getFileStatus(p).getModificationTime < ttl
-      catch { case _: java.io.FileNotFoundException => false }
-    val live = completeVersions(spark, stateDir, commitTable).toSet
-    allVersionDirs(f, stateDir).filterNot(live).filterNot(_ == except)
-      .filterNot { v =>
-        // only INCOMPLETE dirs get the lease guard: a complete non-live
-        // dir (folded source, shadowed dup) has a finished writer and
-        // must sweep even though its lease was renewed at its commit.
-        // A fresh _CLAIM counts as proof of life too: claimFresh publishes
-        // the claim BEFORE its first lease renewal, so a quiesce-violating
-        // compact listing in that gap would otherwise sweep a just-claimed
-        // dir out from under its live writer (the torn-generation scenario
-        // this guard exists to prevent)
-        val incomplete =
-          !f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
-        incomplete && (fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)))
+    val grace = if (graceMs >= 0) graceMs else ttl
+    val now = System.currentTimeMillis()
+    def mtimeOf(p: Path): Option[Long] =
+      try { if (f.exists(p)) Some(f.getFileStatus(p).getModificationTime) else None }
+      catch { case _: java.io.FileNotFoundException => None }
+    def fresh(p: Path): Boolean = mtimeOf(p).exists(now - _ < ttl)
+    val live = completeVersions(spark, stateDir, commitTable)
+    val liveSet = live.toSet
+    def commitMtime(v: Int): Option[Long] =
+      mtimeOf(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
+    // v became non-live when the generation whose manifest lists it
+    // committed; transitive manifests make the stamp conservative (a later
+    // compact's commit refreshes the lineage's grace), which only ever
+    // DELAYS a sweep, never endangers a reader
+    val foldStamp: Map[Int, Long] = live.flatMap { g =>
+      val commit = commitMtime(g)
+      readManifest(f, stateDir, g).flatMap(v => commit.map(v -> _))
+    }.groupMapReduce(_._1)(_._2)(math.max)
+    allVersionDirs(f, stateDir).filterNot(liveSet).filterNot(_ == except)
+      .filter { v =>
+        val complete = f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
+        if (!complete)
+          !(fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)))
+        else {
+          val becameNonLive = foldStamp.getOrElse(v, commitMtime(v).getOrElse(0L))
+          now - becameNonLive >= grace
+        }
       }
+  }
+
+  /** Physically delete everything [[abandonedVersions]] deems safe —
+    * the sweep step shared by every family's compact (and callable on
+    * its own as lightweight maintenance: it takes no lease, because the
+    * grace horizon already protects concurrent readers and deleting an
+    * expired dir twice is a no-op). `graceMs` overrides the store-TTL
+    * grace for complete non-live dirs; the GDPR purge passes 0 for
+    * immediate physical erasure (documented there as requiring reader
+    * quiesce for exactly this final step). Incomplete in-flight dirs
+    * keep the lease/claim liveness guard regardless.
+    */
+  def sweepLeftovers(spark: SparkSession, stateDir: String,
+      commitTable: String = "labels", except: Int = -1,
+      graceMs: Long = -1L): Unit =
+    deleteVersions(spark, stateDir,
+      abandonedVersions(spark, stateDir, commitTable, except, graceMs))
+
+  // ---- maintenance lease: concurrent-safe compaction -----------------------
+  //
+  // Ingest is multi-writer (fresh claims + probe-manifest reconciliation);
+  // compaction used to be the last QUIESCED operation. What actually breaks
+  // under two concurrent compacts is not the generation protocol — each
+  // claims its own fresh number — but the FOLD: both list the same live
+  // sources and both fold them, so two complete generations carry the same
+  // content (double counts in the partial-aggregate families, doubled index
+  // in the pair-graph ones). Compaction is therefore serialized by a store-
+  // level `_MAINT` lease: the second compactor fails fast naming the live
+  // holder (same loudness contract as the generation `_LEASE`), a stale
+  // lease — a crashed compactor — is stolen, and the compactor's COMMIT
+  // re-verifies the lease at the fence ([[fencedParquet]]'s `maintToken`),
+  // so a stalled compactor stolen from mid-fold aborts at its commit
+  // instead of landing a double-fold. The residual crash window (a
+  // compactor dying between its commit rename and nothing — the commit IS
+  // the last step) is closed read-side by [[overlapShadowed]]: a lost-race
+  // double-fold's manifest overlaps the survivor's and is excluded from
+  // every serve, exactly how duplicate-key re-deliveries are handled.
+  // Compact-vs-INGEST needs no lease at all: a merge that commits after
+  // the compactor's version listing simply stays live beside the compacted
+  // generation (its manifest doesn't list it), and the `_PROBED`
+  // reconciliation treats the pair as genuinely concurrent — the next
+  // compact folds them together. Renewal rides [[verifyMaintenance]]
+  // (called at every maintenance-fenced write), so like the generation
+  // lease the TTL must exceed the longest single fold job between two
+  // guarded writes.
+
+  private def maintPath(stateDir: String) = new Path(s"$stateDir/_MAINT")
+
+  /** Acquire the store's maintenance lease or fail fast naming the live
+    * holder; a stale lease (older than the store TTL) is stolen. Returns
+    * the token every maintenance-fenced write must present.
+    */
+  def acquireMaintenance(spark: SparkSession, stateDir: String): String = {
+    val f = fs(spark, stateDir)
+    val p = maintPath(stateDir)
+    val ttl = leaseTtlMs(spark, stateDir)
+    def attempt(): Option[String] = {
+      val token = s"$writerId ${java.util.UUID.randomUUID().toString}"
+      if (claimBackend.tryClaim(f, p, token) &&
+          claimBackend.readClaim(f, p).contains(token)) Some(token) else None
+    }
+    attempt().getOrElse {
+      val held =
+        try {
+          if (!f.exists(p)) None
+          else Some((System.currentTimeMillis() -
+            f.getFileStatus(p).getModificationTime, readUtf8(f, p)))
+        } catch { case _: java.io.FileNotFoundException => None }
+      held.foreach { case (age, holder) =>
+        if (age < ttl)
+          throw new IllegalStateException(
+            s"GenState: maintenance on $stateDir is held by a LIVE compactor " +
+              s"($holder; lease renewed $age ms ago, ttl $ttl ms) — compaction " +
+              "is serialized per store. Clean abort, nothing written; retry " +
+              "after the holder finishes (if the holder is known dead, wait " +
+              "out the ttl or pin a lower leaseTtlMs in the store's _CONFIG)")
+      }
+      // stale (a crashed compactor) or vanished between the attempts: steal.
+      // Re-stat IMMEDIATELY before the destructive release — a concurrent
+      // stealer may have re-claimed in the window since the staleness read,
+      // and deleting ITS fresh lease would let two compactors both believe
+      // they hold maintenance. The narrowing is the same as the generation
+      // claim's: a residual double-acquire (re-stat-then-delete is still
+      // check-then-act) collapses at the commit fence — verifyMaintenance
+      // re-reads the lease before any fold can land, and the read-side
+      // manifest-overlap shadow covers even a fence-straddling crash.
+      val nowFresh =
+        try f.exists(p) && System.currentTimeMillis() -
+          f.getFileStatus(p).getModificationTime < ttl
+        catch { case _: java.io.FileNotFoundException => false }
+      if (nowFresh)
+        throw new IllegalStateException(
+          s"GenState: lost the maintenance-lease steal race at $stateDir — " +
+            "another compactor re-claimed the stale lease first; clean abort")
+      claimBackend.releaseClaim(f, p)
+      attempt().getOrElse(throw new IllegalStateException(
+        s"GenState: lost the maintenance-lease race at $stateDir — another " +
+          "compactor claimed it concurrently; clean abort, nothing written"))
+    }
+  }
+
+  /** The maintenance fence: throws unless `token` still holds `_MAINT`
+    * (a stale-lease steal revokes a stalled compactor here, before its
+    * double-fold can commit), and renews the lease mtime — every
+    * maintenance-fenced write is a heartbeat, mirroring the generation
+    * lease contract.
+    */
+  def verifyMaintenance(spark: SparkSession, stateDir: String, token: String): Unit = {
+    val f = fs(spark, stateDir)
+    val p = maintPath(stateDir)
+    if (!claimBackend.readClaim(f, p).contains(token))
+      throw new IllegalStateException(
+        s"GenState: the maintenance lease on $stateDir was taken over " +
+          "mid-compact (token mismatch — this compactor stalled past the ttl " +
+          "and was stolen from) — aborting before the fold can double-commit")
+    try f.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case scala.util.control.NonFatal(_) => () } // renewal is best-effort
+  }
+
+  /** Release is conditional on still holding the lease — a stolen-from
+    * compactor must not release its thief's lease.
+    */
+  def releaseMaintenance(spark: SparkSession, stateDir: String, token: String): Unit = {
+    val f = fs(spark, stateDir)
+    val p = maintPath(stateDir)
+    if (claimBackend.readClaim(f, p).contains(token))
+      claimBackend.releaseClaim(f, p)
+  }
+
+  /** Run `body` (a family's compact fold) under the store's maintenance
+    * lease. After the body returns, a lost lease is AUDITED loudly rather
+    * than rolled back — the commit already landed, and [[overlapShadowed]]
+    * guarantees at most one of the racing folds is ever served, so a
+    * rollback could only destroy the generation a concurrent thief chose
+    * to fold.
+    */
+  def withMaintenance[T](spark: SparkSession, stateDir: String)(
+      body: String => T): T = {
+    val token = acquireMaintenance(spark, stateDir)
+    try {
+      val r = body(token)
+      if (!claimBackend.readClaim(fs(spark, stateDir), maintPath(stateDir))
+            .contains(token))
+        log.warn(s"GenState: the maintenance lease on $stateDir was lost " +
+          "AFTER this compact committed (stalled past the ttl; a thief may " +
+          "be folding concurrently). The read-side double-fold shadow " +
+          "(overlapShadowedVersions) serves at most one of the racing folds.")
+      r
+    } finally releaseMaintenance(spark, stateDir, token)
   }
 
   // ---- probe manifests (multi-writer pair-graph reconciliation) -----------

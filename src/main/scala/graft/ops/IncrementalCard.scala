@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalCard {
 
-  private val commitTable = "partials"
+  private[ops] val commitTable = "partials"
 
   private def partialsPath(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
   private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
@@ -247,10 +247,15 @@ object IncrementalCard {
     * fabricate a sidecar that would wrongly pass [[delete]]'s retention
     * check).
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalCard.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     // FRESH allocation, not the targeted claim: `versions` excludes
     // duplicate-key shadowed generations, so versions.last + 1 can collide
     // with a committed (shadowed) dir and the targeted claim would abort
@@ -282,15 +287,16 @@ object IncrementalCard {
         GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
         GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
         GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+        // the maintenance fence, immediately before the commit write
+        GenState.verifyMaintenance(spark, stateDir, maint)
         survivors.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
             sum(col("n_chars")).as("n_chars"),
             sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
           .write.mode("overwrite").parquet(partialsPath(stateDir, next))
       } finally survivors.unpersist()
-      // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
+      // grace-horizon sweep: folded sources leave disk after the store TTL
+      GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
       return next
     }
     if (haveSidecars) {
@@ -312,14 +318,15 @@ object IncrementalCard {
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    // the maintenance fence, immediately before the commit write
+    GenState.verifyMaintenance(spark, stateDir, maint)
     spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum"))
       .write.mode("overwrite").parquet(partialsPath(stateDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
+    // grace-horizon sweep: folded sources leave disk after the store TTL
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

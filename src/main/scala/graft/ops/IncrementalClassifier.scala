@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalClassifier {
 
-  private val commitTable = "counts"
+  private[ops] val commitTable = "counts"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -172,10 +172,15 @@ object IncrementalClassifier {
     * one (a legacy fold must not fabricate a sidecar that would wrongly
     * pass [[delete]]'s retention check).
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalClassifier.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     // FRESH allocation, not the targeted claim: `versions` excludes
     // duplicate-key shadowed generations, so versions.last + 1 can collide
     // with a committed (shadowed) dir and the targeted claim would abort
@@ -200,10 +205,12 @@ object IncrementalClassifier {
         .write.mode("overwrite").parquet(docsPath(stateDir, next))
     }
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    // the maintenance fence, immediately before the commit write
+    GenState.verifyMaintenance(spark, stateDir, maint)
     folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
+    // grace-horizon sweep: folded sources leave disk once the store TTL
+    // passes (racing readers finish their snapshot); stale leftovers now
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

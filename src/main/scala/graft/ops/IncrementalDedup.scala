@@ -302,13 +302,19 @@ object IncrementalDedup {
     * excludes manifest-listed sources, and the next compact sweeps the
     * leftover dirs. Returns the new generation number.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalDedup.compact: no state at $stateDir")
     // fresh allocation (multi-writer merges can leave abandoned claimed
     // dirs and shadowed duplicate-key generations a targeted
-    // versions.last+1 claim would collide with); quiesced single-writer
-    // maintenance by contract, as everywhere
+    // versions.last+1 claim would collide with); serialized against other
+    // compactors by the _MAINT lease, concurrent-safe against live merges
     val (next, claim) = GenState.claimFresh(spark, stateDir)
     // per-GENERATION purge ([[LabelState.purgeByGen]]): rows older than
     // their id's newest tombstone leave disk EVEN IF the id was
@@ -353,12 +359,12 @@ object IncrementalDedup {
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim,
+        maintToken = Some(maint))(
       LabelState.deletedAwareLabels(spark, stateDir, versions, "bands", "doc_id",
           recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
+    GenState.sweepLeftovers(spark, stateDir, "labels", except = next)
     next
   }
 

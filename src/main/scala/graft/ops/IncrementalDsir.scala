@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDsir {
 
-  private val commitTable = "counts"
+  private[ops] val commitTable = "counts"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -117,27 +117,29 @@ object IncrementalDsir {
     * per-generation purge) and dropped — the deleted docs' count rows
     * leave disk, the GDPR purge point.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
-    val versions = completeVersions(spark, stateDir)
-    require(versions.nonEmpty, s"IncrementalDsir.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    // FRESH allocation, not the targeted claim: `versions` excludes
-    // duplicate-key shadowed generations, so versions.last + 1 can collide
-    // with a committed (shadowed) dir and the targeted claim would abort
-    // every compact until an unrelated ingest landed past it; a fresh
-    // number never collides, and the sweep below removes every non-live
-    // dir regardless of where it sits
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val folded = counts(spark, stateDir)
-    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
-    next
-  }
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      val versions = completeVersions(spark, stateDir)
+      require(versions.nonEmpty, s"IncrementalDsir.compact: no state at $stateDir")
+      // FRESH allocation, not the targeted claim: `versions` excludes
+      // duplicate-key shadowed generations, so versions.last + 1 can collide
+      // with a committed (shadowed) dir and the targeted claim would abort
+      // every compact until an unrelated ingest landed past it; a fresh
+      // number never collides, and the sweep below removes every non-live
+      // dir regardless of where it sits
+      val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+      val folded = counts(spark, stateDir)
+      GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+      GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      // the maintenance fence, immediately before the commit write
+      GenState.verifyMaintenance(spark, stateDir, maint)
+      folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
+      // grace-horizon sweep: folded sources leave disk once the store TTL
+      // passes (racing readers finish their snapshot); stale leftovers now
+      GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
+      next
+    }
 
   /** [[GenState.maybeCompact]] policy over [[compact]]. */
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =

@@ -218,12 +218,18 @@ object IncrementalEmbedding {
     * sources plus crash-window leftovers. Floats/doubles round-trip
     * parquet losslessly, so folded vectors verify bit-identically.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalEmbedding.compact: no state at $stateDir")
     // fresh allocation (multi-writer merges can leave abandoned claimed
-    // dirs and shadowed duplicate-key generations); quiesced single-writer
-    // maintenance by contract, as everywhere
+    // dirs and shadowed duplicate-key generations); serialized against
+    // other compactors by the _MAINT lease, concurrent-safe vs live merges
     val (next, claim) = GenState.claimFresh(spark, stateDir)
     // tombstones applied PHYSICALLY at the fold, per-GENERATION
     // ([[LabelState.purgeByGen]]): pre-delete vecs/pairs leave disk even
@@ -266,12 +272,12 @@ object IncrementalEmbedding {
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim,
+        maintToken = Some(maint))(
       LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id",
           recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
+    GenState.sweepLeftovers(spark, stateDir, "labels", except = next)
     next
   }
 

@@ -35,7 +35,7 @@ import graft.ops.Text.normalized
   */
 object IncrementalExact {
 
-  private val commitTable = "hashes"
+  private[ops] val commitTable = "hashes"
 
   /** Reserved marker namespace for [[delete]] keys — see the note there.
     * FORMAT NOTE: state dirs whose deletes were recorded before this
@@ -264,10 +264,15 @@ object IncrementalExact {
     * [[IncrementalIvf.compact]] purge semantics). A pre-sidecar state dir
     * folds partials the original way and stays sidecar-free.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalExact.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
     // FRESH allocation, not the targeted claim: `versions` excludes
     // duplicate-key shadowed generations, so versions.last + 1 can collide
     // with a committed (shadowed) dir and the targeted claim would abort
@@ -301,11 +306,13 @@ object IncrementalExact {
     // no-op even after its generation was compacted away
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    // the maintenance fence, immediately before the commit write
+    GenState.verifyMaintenance(spark, stateDir, maint)
     folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
-    // compaction is quiesced single-writer by contract, so any incomplete
-    // vN other than our own is an abandoned claimFresh leftover — sweep it
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
+    // grace-horizon sweep: the just-folded sources (now manifest-listed,
+    // hence non-live) leave disk once the store TTL passes — racing
+    // readers finish their snapshot first; stale leftovers sweep now
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

@@ -35,7 +35,7 @@ import graft.sources.Tables
   */
 object IncrementalIvfPq {
 
-  private val commitTable = "codes"
+  private[ops] val commitTable = "codes"
 
   private def codesPath(stateDir: String, v: Int) = s"$stateDir/v$v/codes"
   private def deletesPath(stateDir: String, v: Int) = s"$stateDir/v$v/deletes"
@@ -212,29 +212,31 @@ object IncrementalIvfPq {
     * applied PHYSICALLY ([[liveCodes]]) and dropped: the deleted code
     * rows leave disk, the GDPR purge point.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
-    val versions = completeVersions(spark, stateDir)
-    require(versions.nonEmpty, s"IncrementalIvfPq.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    // FRESH allocation, not the targeted claim: `versions` excludes
-    // duplicate-key shadowed generations, so versions.last + 1 can collide
-    // with a committed (shadowed) dir and the targeted claim would abort
-    // every compact until an unrelated ingest landed past it; a fresh
-    // number never collides, and the sweep below removes every non-live
-    // dir regardless of where it sits
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-    // markers travel with the fold: a re-delivered batch key must stay a
-    // no-op even after its generation was compacted away
-    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    liveCodes(spark, stateDir)
-      .write.mode("overwrite").parquet(codesPath(stateDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
-    next
-  }
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      val versions = completeVersions(spark, stateDir)
+      require(versions.nonEmpty, s"IncrementalIvfPq.compact: no state at $stateDir")
+      // FRESH allocation, not the targeted claim: `versions` excludes
+      // duplicate-key shadowed generations, so versions.last + 1 can collide
+      // with a committed (shadowed) dir and the targeted claim would abort
+      // every compact until an unrelated ingest landed past it; a fresh
+      // number never collides, and the sweep below removes every non-live
+      // dir regardless of where it sits
+      val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+      GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+      // markers travel with the fold: a re-delivered batch key must stay a
+      // no-op even after its generation was compacted away
+      GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      // the maintenance fence, immediately before the commit write
+      GenState.verifyMaintenance(spark, stateDir, maint)
+      liveCodes(spark, stateDir)
+        .write.mode("overwrite").parquet(codesPath(stateDir, next))
+      // grace-horizon sweep: folded sources leave disk once the store TTL
+      // passes (racing readers finish their snapshot); stale leftovers now
+      GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
+      next
+    }
 
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =
     GenState.maybeCompact(spark, stateDir, maxLive, commitTable)(compact(spark, stateDir))

@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalMedia {
 
-  private val commitTable = "pairs"
+  private[ops] val commitTable = "pairs"
 
   /** Pluggable per-asset signature codecs: the chassis (generations,
     * block-index probe, tombstones, compaction) is MODALITY-GENERIC —
@@ -274,11 +274,18 @@ object IncrementalMedia {
     * generation pair (computed from the PURGED per-generation sigs, so
     * deleted names never resurface through reconciliation), and the
     * compacted generation's `_PROBED` is itself — one generation, nothing
-    * left to reconcile. Quiesced single-writer maintenance, as everywhere;
-    * fresh allocation + a full non-live sweep (the multi-writer merges
-    * can leave abandoned claimed dirs behind on crash).
+    * left to reconcile. Concurrent-safe maintenance: serialized against
+    * other compactors by the `_MAINT` lease, fenced at the commit, with
+    * fresh allocation + a grace-horizon sweep (racing merges/readers keep
+    * their snapshot; abandoned claimed dirs sweep once stale).
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalMedia.compact: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
@@ -313,6 +320,10 @@ object IncrementalMedia {
       }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    // the maintenance fence, immediately before the commit write: a
+    // stalled compactor stolen from mid-fold aborts here instead of
+    // landing a double-fold
+    GenState.verifyMaintenance(spark, stateDir, maint)
     val stored =
       (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
@@ -322,8 +333,7 @@ object IncrementalMedia {
     (stored +: recon).reduce(_ unionByName _)
       .dropDuplicates("name1", "name2")
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

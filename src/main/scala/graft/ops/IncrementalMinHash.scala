@@ -209,7 +209,13 @@ object IncrementalMinHash {
     * and the compacted generation's `_PROBED` is itself — one generation,
     * nothing left to reconcile. Returns the new generation.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalMinHash.compact: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir)
@@ -258,12 +264,12 @@ object IncrementalMinHash {
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim,
+        maintToken = Some(maint))(
       LabelState.deletedAwareLabels(spark, stateDir, versions, "sets", "doc_id",
           recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
+    GenState.sweepLeftovers(spark, stateDir, "labels", except = next)
     next
   }
 

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalRotMedia {
 
-  private val commitTable = "pairs"
+  private[ops] val commitTable = "pairs"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -197,7 +197,13 @@ object IncrementalRotMedia {
     * names — a delete-then-re-ingest must not retain its pre-delete orbit
     * rows through maintenance.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalRotMedia.compact: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
@@ -230,6 +236,8 @@ object IncrementalRotMedia {
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+    // the maintenance fence, immediately before the commit write
+    GenState.verifyMaintenance(spark, stateDir, maint)
     val stored =
       (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
@@ -240,8 +248,7 @@ object IncrementalRotMedia {
       .groupBy(col("name1"), col("name2"))
       .agg(min(col("hamming")).as("hamming"))
       .write.mode("overwrite").parquet(pairsPath(stateDir, next))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

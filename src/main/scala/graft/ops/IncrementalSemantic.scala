@@ -183,12 +183,18 @@ object IncrementalSemantic {
     * manifest-then-commit — with tombstones applied PHYSICALLY (the d29
     * purge protocol; a pre-retention fold skips the pairs write).
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalSemantic.compact: no state at $stateDir")
     // fresh allocation (multi-writer merges can leave abandoned claimed
-    // dirs and shadowed duplicate-key generations); quiesced single-writer
-    // maintenance by contract, as everywhere
+    // dirs and shadowed duplicate-key generations); serialized against
+    // other compactors by the _MAINT lease, concurrent-safe vs live merges
     val (next, claim) = GenState.claimFresh(spark, stateDir)
     // per-GENERATION purge ([[LabelState.purgeByGen]]): pre-delete
     // vecs/pairs leave disk even for re-ingested ids; tombstone-free
@@ -230,12 +236,12 @@ object IncrementalSemantic {
           .dropDuplicates("d1", "d2"))
     }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim)
-    GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
+    GenState.fencedParquet(spark, stateDir, next, "labels", claim,
+        maintToken = Some(maint))(
       LabelState.deletedAwareLabels(spark, stateDir, versions, "vecs", "vec_id",
           recon.map(_._1), recon.map(_._2))
         .withColumn("gen", lit(next)))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, "labels", except = next))
+    GenState.sweepLeftovers(spark, stateDir, "labels", except = next)
     next
   }
 

@@ -58,7 +58,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalSubstring {
 
-  private val commitTable = "hits"
+  private[ops] val commitTable = "hits"
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -419,12 +419,18 @@ object IncrementalSubstring {
     * sources plus leftovers. Anchors and hits are immutable facts — the
     * fold is pure concatenation.
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      compactUnderLease(spark, stateDir, maint)
+    }
+
+  private def compactUnderLease(spark: SparkSession, stateDir: String,
+      maint: String): Int = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalSubstring.compact: no state at $stateDir")
     // fresh allocation (multi-writer merges can leave abandoned claimed
-    // dirs and shadowed duplicate-key generations); quiesced single-writer
-    // maintenance by contract, as everywhere
+    // dirs and shadowed duplicate-key generations); serialized against
+    // other compactors by the _MAINT lease, concurrent-safe vs live merges
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     // tombstones applied PHYSICALLY to anchors/docs/hits per-GENERATION
@@ -482,11 +488,11 @@ object IncrementalSubstring {
          versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
          Seq("d1", "d2")))
         .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
-    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
+    GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable,
+        maintToken = Some(maint))(
       (storedHits +: recon).reduce(_ unionByName _)
         .dropDuplicates("d1", "d2", "i", "j"))
-    GenState.deleteVersions(spark, stateDir,
-      GenState.abandonedVersions(spark, stateDir, commitTable, except = next))
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }
 

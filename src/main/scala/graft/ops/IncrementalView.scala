@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
-  private val commitTable = "partials"
+  private[ops] val commitTable = "partials"
 
   /** Reserved marker namespace for [[retract]] keys — see the note there.
     * FORMAT NOTE: state dirs whose retractions were recorded before this
@@ -304,29 +304,30 @@ object IncrementalView {
     * rounding), so the served view is unchanged; `_COMPACTED` manifest
     * before the commit, markers travel with the fold (d18 protocol).
     */
-  def compact(spark: SparkSession, stateDir: String): Int = {
-    val versions = completeVersions(spark, stateDir)
-    require(versions.nonEmpty, s"IncrementalView.compact: no state at $stateDir")
-    val leftovers = GenState.foldedLeftovers(spark, stateDir, commitTable)
-    // FRESH allocation, not the targeted claim: `versions` excludes
-    // duplicate-key shadowed generations, so versions.last + 1 can collide
-    // with a committed (shadowed) dir and the targeted claim would abort
-    // every compact until an unrelated ingest landed past it; a fresh
-    // number never collides, and the sweep below removes every non-live
-    // dir regardless of where it sits
-    val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
-      .groupBy(col("day"), col("event_type"))
-      .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
-    GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-    GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
-    // quiesced single-writer compaction sweeps abandoned claimFresh dirs
-    val abandoned = GenState.abandonedVersions(spark, stateDir, commitTable, next)
-    GenState.deleteVersions(spark, stateDir, versions ++ leftovers ++ abandoned)
-    next
-  }
+  def compact(spark: SparkSession, stateDir: String): Int =
+    GenState.withMaintenance(spark, stateDir) { maint =>
+      val versions = completeVersions(spark, stateDir)
+      require(versions.nonEmpty, s"IncrementalView.compact: no state at $stateDir")
+      // FRESH allocation, not the targeted claim: `versions` excludes
+      // duplicate-key shadowed generations, so versions.last + 1 can collide
+      // with a committed (shadowed) dir and the targeted claim would abort
+      // every compact until an unrelated ingest landed past it; a fresh
+      // number never collides, and the sweep below removes every non-live
+      // dir regardless of where it sits
+      val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
+      val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+      GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
+      GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
+      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
+      // the maintenance fence, immediately before the commit write
+      GenState.verifyMaintenance(spark, stateDir, maint)
+      folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
+      // grace-horizon sweep: folded sources leave disk after the store TTL
+      GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
+      next
+    }
 
   /** [[GenState.maybeCompact]] policy over [[compact]]. */
   def maybeCompact(spark: SparkSession, stateDir: String, maxLive: Int): Option[Int] =

@@ -1,0 +1,273 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Deletes, GenState, IncrementalExact, IncrementalMinHash}
+
+/** Concurrent-safe compaction — the retirement of the engine's last
+  * quiesced operation (round 17). Three mechanisms under test:
+  *
+  *   1. the `_MAINT` lease serializes compactors per store (fail fast
+  *      naming the live holder; a stale lease — a crashed compactor — is
+  *      stolen; the commit-time maintenance fence revokes a stalled
+  *      compactor before its double-fold can land);
+  *   2. the GRACE-horizon sweep: folded sources stay on disk one store
+  *      TTL after the fold commits, so a racing reader or merge probe
+  *      whose version listing predates the fold never loses parquet
+  *      files mid-scan — and the GDPR purge overrides the grace
+  *      explicitly for immediate erasure;
+  *   3. the read-side double-fold shadow: two would-be-live generations
+  *      whose `_COMPACTED` manifests overlap are a lost maintenance race
+  *      — the subset fold is excluded from every serve (transitive
+  *      manifests keep the exclusion durable across sweeps), and
+  *      INCOMPARABLE overlaps refuse loudly instead of guessing.
+  */
+class ConcurrentCompactSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf0001)
+
+  private def fsOf(state: String) = GenState.fs(spark, state)
+
+  private def exists(state: String, rel: String): Boolean =
+    fsOf(state).exists(new org.apache.hadoop.fs.Path(s"$state/$rel"))
+
+  /** Backdate the `_MAINT` lease past the TTL — a crashed compactor. */
+  private def expireMaint(state: String): Unit = {
+    val old = System.currentTimeMillis() - GenState.leaseTtlMs(spark, state) - 60000
+    fsOf(state).setTimes(new org.apache.hadoop.fs.Path(s"$state/_MAINT"), old, -1)
+  }
+
+  /** Backdate a live generation's commit so its manifest's fold stamp
+    * ages past the grace horizon — "the TTL elapsed" without waiting.
+    */
+  private def expireGrace(state: String, liveGen: Int,
+      commitTable: String = "hashes"): Unit = {
+    val old = System.currentTimeMillis() - GenState.leaseTtlMs(spark, state) - 60000
+    fsOf(state).setTimes(
+      new org.apache.hadoop.fs.Path(s"$state/v$liveGen/$commitTable/_SUCCESS"), old, -1)
+  }
+
+  /** Forge a COMPLETE generation carrying an arbitrary `_COMPACTED`
+    * manifest — the on-disk footprint a lost-race double-fold leaves.
+    */
+  private def forgeCompacted(state: String, v: Int, manifest: Seq[Int]): Unit = {
+    spark.read.parquet(s"$state/v${GenState.completeVersions(spark, state, "hashes").head}/hashes")
+      .write.mode("overwrite").parquet(s"$state/v$v/hashes")
+    val f = fsOf(state)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$state/v$v/_COMPACTED"), true)
+    try out.write(manifest.sorted.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  test("compaction is serialized: a second compactor fails fast naming the live holder") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_lease_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val tokenA = GenState.acquireMaintenance(spark, state)
+    val ex = intercept[IllegalStateException] { IncrementalExact.compact(spark, state) }
+    assert(ex.getMessage.contains("held by a LIVE compactor"), ex.getMessage)
+    // the message names the holder (host:pid from the lease content)
+    assert(ex.getMessage.matches("(?s).*\\(\\S+:\\d+ .*"), ex.getMessage)
+    GenState.releaseMaintenance(spark, state, tokenA)
+    val v = IncrementalExact.compact(spark, state)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+  }
+
+  test("a stale maintenance lease is stolen; the stalled compactor is revoked at its commit fence") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_steal_").toString
+    IncrementalExact.merge(spark, state, docs, Some("a"))
+    val tokenA = GenState.acquireMaintenance(spark, state)
+    // A crashes (stops heartbeating): its lease ages past the ttl
+    expireMaint(state)
+    val tokenB = GenState.acquireMaintenance(spark, state)
+    // the stalled A wakes at its commit fence: revoked BEFORE a double-fold lands
+    val ex = intercept[IllegalStateException] {
+      GenState.verifyMaintenance(spark, state, tokenA)
+    }
+    assert(ex.getMessage.contains("taken over mid-compact"), ex.getMessage)
+    // B is the legitimate holder; its fence renews the lease (a heartbeat)
+    GenState.verifyMaintenance(spark, state, tokenB)
+    GenState.releaseMaintenance(spark, state, tokenB)
+    // a released lease leaves the store compactable
+    IncrementalExact.compact(spark, state)
+  }
+
+  test("merge racing compact (exact family): both commit; state equals sequential; the next compact folds them") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_race_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+    val b3 = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+    IncrementalExact.merge(spark, state, b1, Some("b1"))
+    IncrementalExact.merge(spark, state, b2, Some("b2"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, (String, Int)]]()
+    def run(tag: String)(body: => Int) = new Thread(() => {
+      start.await()
+      results.add(try Right((tag, body)) catch { case t: Throwable => Left(t) })
+    })
+    val ts = Seq(
+      run("compact")(IncrementalExact.compact(spark, state)),
+      run("merge")(IncrementalExact.merge(spark, state, b3, Some("b3"))))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(240000))
+    val out = results.toArray(Array.empty[Either[Throwable, (String, Int)]]).toSeq
+    assert(out.size == 2 && out.forall(_.isRight),
+      s"a merge racing a compact must never abort: $out")
+    // whatever the interleaving (merge folded by the compact, or live
+    // beside the compacted generation), the served state is exact
+    val total = IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(total == docs.count(), s"served $total of ${docs.count()} docs")
+    assert(GenState.ingestedKeys(spark, state, "hashes") == Set("b1", "b2", "b3"),
+      "exactly-once keys must survive the race")
+    val v = IncrementalExact.compact(spark, state)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
+  }
+
+  test("merge racing compact (MinHash label family): clusters equal the one-shot either way") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_mh_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+    val b3 = docs.where(pmod(col("doc_id"), lit(3)) === 2)
+    IncrementalMinHash.merge(spark, state, b1, batchKey = Some("b1"))
+    IncrementalMinHash.merge(spark, state, b2, batchKey = Some("b2"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    def run(body: => Int) = new Thread(() => {
+      start.await()
+      results.add(try Right(body) catch { case t: Throwable => Left(t) })
+    })
+    val ts = Seq(run(IncrementalMinHash.compact(spark, state)),
+      run(IncrementalMinHash.merge(spark, state, b3, batchKey = Some("b3"))))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(240000))
+    val out = results.toArray(Array.empty[Either[Throwable, Int]]).toSeq
+    assert(out.size == 2 && out.forall(_.isRight), s"an op aborted: $out")
+    def sortedClusters(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val fresh = graft.util.TmpDirs.scratch("graft_ccomp_mh_oneshot_").toString
+    IncrementalMinHash.merge(spark, fresh, docs)
+    val want = sortedClusters(IncrementalMinHash.clusters(spark, fresh))
+    // the _PROBED reconciliation treats (compacted gen, racing merge) as a
+    // genuinely concurrent pair: missing cross pairs recomputed at read
+    assert(sortedClusters(IncrementalMinHash.clusters(spark, state)) == want,
+      "a merge racing a compact must serve exactly the one-shot clustering")
+    val v = IncrementalMinHash.compact(spark, state)
+    assert(IncrementalMinHash.completeVersions(spark, state) == Seq(v))
+    assert(sortedClusters(IncrementalMinHash.clusters(spark, state)) == want)
+  }
+
+  test("folded sources are retained under the reader grace, then swept once it expires") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_grace_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    // a reader's snapshot: the plan resolved against {v0, v1} pre-compact
+    val preCompact = IncrementalExact.dedup(spark, state)
+    val v = IncrementalExact.compact(spark, state)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v),
+      "folded sources must be non-live immediately")
+    assert(exists(state, "v0") && exists(state, "v1"),
+      "folded sources must stay on disk under the grace horizon")
+    // the racing reader finishes its scan — no vanished files
+    assert(preCompact.agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+    // re-sweeping within the grace is a no-op
+    GenState.sweepLeftovers(spark, state, "hashes")
+    assert(exists(state, "v0") && exists(state, "v1"))
+    // the TTL elapses: the next sweep takes the expired sources
+    expireGrace(state, v)
+    GenState.sweepLeftovers(spark, state, "hashes")
+    assert(!exists(state, "v0") && !exists(state, "v1"),
+      "expired folded sources must sweep")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+  }
+
+  test("GDPR purge overrides the grace: deleted bytes leave disk immediately") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_purge_").toString
+    import spark.implicits._
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val victims = docs.select(col("doc_id")).limit(5)
+    val survivors = docs.count() - 5
+    val gen = Deletes.purge(spark, state, "exact", victims)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(gen))
+    // the forced sweep: NOTHING but the compacted generation remains
+    val dirs = fsOf(state).listStatus(new org.apache.hadoop.fs.Path(state)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("v"))
+    assert(dirs == Seq(s"v$gen"),
+      s"purge must erase all non-live dirs immediately, found $dirs")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == survivors)
+  }
+
+  test("double-fold read-side: the equal/subset manifest is shadowed; serving is unchanged") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_dfold_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val v = IncrementalExact.compact(spark, state) // manifest {0, 1}
+    val total = IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    // forge the lost-race twin: a complete generation that also folded
+    // {0, 1} (what a stalled compactor crashed between commit and audit
+    // would leave behind)
+    forgeCompacted(state, v + 1, Seq(0, 1))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v),
+      "the equal-manifest double-fold must be shadowed (earlier number wins)")
+    assert(GenState.overlapShadowedVersions(spark, state, "hashes") == Seq(v + 1))
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total,
+      "a shadowed double-fold must not double the served counts")
+    // a strict-subset twin shadows the same way
+    forgeCompacted(state, v + 2, Seq(0))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+    // the forced sweep reclaims the shadowed twins' bytes
+    GenState.sweepLeftovers(spark, state, "hashes", graceMs = 0L)
+    assert(!exists(state, s"v${v + 1}") && !exists(state, s"v${v + 2}"))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+  }
+
+  test("incomparable double-folds REFUSE loudly instead of guessing a winner") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_refuse_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1), Some("b"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 2), Some("c"))
+    // two forged folds that OVERLAP on v0 but each cover a generation the
+    // other missed — shadowing either would drop a merge's content
+    forgeCompacted(state, 3, Seq(0, 1))
+    forgeCompacted(state, 4, Seq(0, 2))
+    val ex = intercept[IllegalStateException] {
+      GenState.completeVersions(spark, state, "hashes")
+    }
+    assert(ex.getMessage.contains("no safe automatic winner"), ex.getMessage)
+    assert(ex.getMessage.contains("v3") && ex.getMessage.contains("v4"), ex.getMessage)
+    // operator repair: delete one twin; serving resumes from the other
+    GenState.deleteVersions(spark, state, Seq(4))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(2, 3))
+  }
+
+  test("transitive manifests keep a stale double-fold shadowed after its twin's sources left disk") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_trans_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val c1 = IncrementalExact.compact(spark, state) // manifest {0, 1}
+    IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(7)) === 3).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")), Some("c"))
+    val c2 = IncrementalExact.compact(spark, state) // manifest {c1, m} ∪ {0, 1}
+    assert(GenState.readManifest(fsOf(state), state, c2).toSet.intersect(Set(0, 1)) == Set(0, 1),
+      "a compacted generation must inherit its sources' fold history")
+    val total = IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    // everything but c2 leaves disk
+    GenState.sweepLeftovers(spark, state, "hashes", graceMs = 0L)
+    assert(!exists(state, "v0") && !exists(state, s"v$c1"))
+    // an ANCIENT stalled compactor finally commits its fold of the long-
+    // dead {0, 1}: the transitive manifest still overlaps — shadowed, not
+    // resurrected
+    forgeCompacted(state, c2 + 1, Seq(0, 1))
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(c2),
+      "a stale double-fold must never resurrect after its twin's sources are swept")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
+  }
+}

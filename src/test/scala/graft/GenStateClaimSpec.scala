@@ -225,6 +225,9 @@ class GenStateClaimSpec extends SparkSpec {
     val vCompact = IncrementalExact.compact(spark, state)
     assert(vCompact > vDup, "compaction must allocate past the shadowed dup")
     val fs = GenState.fs(spark, state)
+    // round 17: the dup is manifest-listed and sweep-eligible but lingers
+    // under the reader-grace horizon; the grace-expired sweep takes it
+    GenState.sweepLeftovers(spark, state, "hashes", graceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v$vDup")),
       "compaction must sweep the shadowed duplicate physically")
     assert(IncrementalExact.dedup(spark, state)

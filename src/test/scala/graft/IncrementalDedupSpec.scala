@@ -116,9 +116,13 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(clustersSorted(IncrementalDedup.clusters(spark, state)) ==
       clustersSorted(Dedup.dupClusters(spark, sf0001)))
 
-    // …and the next compact sweeps the crash leftovers off disk
+    // …and the next compact makes the crash leftovers sweep-eligible —
+    // physically deleted once the reader-grace horizon passes (round 17:
+    // folded sources linger one store TTL so racing snapshots never lose
+    // files mid-scan; the forced sweep is the grace-expired equivalent)
     val v = IncrementalDedup.compact(spark, state)
     assert(IncrementalDedup.completeVersions(spark, state) == Seq(v))
+    graft.ops.GenState.sweepLeftovers(spark, state, "labels", graceMs = 0L)
     val f = graft.ops.GenState.fs(spark, state)
     for (old <- Seq(0, 1, 2, 3)) {
       assert(!f.exists(new org.apache.hadoop.fs.Path(s"$state/v$old")),
