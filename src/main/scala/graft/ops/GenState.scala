@@ -985,20 +985,40 @@ object GenState {
           claimBackend.readClaim(f, p).contains(token)) Some(token) else None
     }
     attempt().getOrElse {
-      val held =
+      // held-ness comes from the BACKEND (a CAS row publishes claims
+      // outside the dir tree); staleness authority is the FS mtime, like
+      // the generation lease. A held claim whose age cannot be stat'ed is
+      // "held, age unknown" — fail fast rather than steal blind (such a
+      // deployment recovers a crashed compactor by releasing the row out
+      // of band).
+      val holder = claimBackend.readClaim(f, p).getOrElse(
+        // not held at all: this writer lost a transient claim/read-back
+        // race (a releasing sibling deleted the publish under it)
+        throw new IllegalStateException(
+          s"GenState: lost the maintenance-lease race at $stateDir — a " +
+            "concurrent compactor's claim raced this one; clean abort, " +
+            "nothing written (retry is safe)"))
+      val age =
         try {
-          if (!f.exists(p)) None
-          else Some((System.currentTimeMillis() -
-            f.getFileStatus(p).getModificationTime, readUtf8(f, p)))
-        } catch { case _: java.io.FileNotFoundException => None }
-      held.foreach { case (age, holder) =>
-        if (age < ttl)
+          if (f.exists(p))
+            Some(System.currentTimeMillis() - f.getFileStatus(p).getModificationTime)
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      age match {
+        case Some(a) if a >= ttl => () // stale: a crashed compactor — steal below
+        case Some(a) =>
           throw new IllegalStateException(
             s"GenState: maintenance on $stateDir is held by a LIVE compactor " +
-              s"($holder; lease renewed $age ms ago, ttl $ttl ms) — compaction " +
+              s"($holder; lease renewed $a ms ago, ttl $ttl ms) — compaction " +
               "is serialized per store. Clean abort, nothing written; retry " +
               "after the holder finishes (if the holder is known dead, wait " +
               "out the ttl or pin a lower leaseTtlMs in the store's _CONFIG)")
+        case None =>
+          throw new IllegalStateException(
+            s"GenState: maintenance on $stateDir is held ($holder) and its " +
+              "lease age cannot be determined (non-filesystem claim backend) " +
+              "— refusing to steal blind; release the claim out of band if " +
+              "the holder is known dead")
       }
       // stale (a crashed compactor) or vanished between the attempts: steal.
       // Re-stat IMMEDIATELY before the destructive release — a concurrent
