@@ -325,9 +325,11 @@ object Corpus {
     // multi-writer: a registry is a distinct-union SET, so concurrent suite
     // appends commute — fresh allocation serializes them (GenState.claimFresh)
     val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
-    GenState.assertWritable(spark, registryDir, next, claim, registryTable)
-    suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct()
-      .write.mode("overwrite").parquet(registryPath(registryDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here
+    GenState.fencedParquet(spark, registryDir, next, registryTable, claim,
+      registryTable)(
+      suiteDocs.select(explode(shingles(col("text"))).as("shingle")).distinct())
     next
   }
 
@@ -508,11 +510,11 @@ object Corpus {
       // the targeted claim; the sweep below removes non-live dirs anyway
       val (next, claim) = GenState.claimFresh(spark, registryDir, registryTable)
       GenState.writeCompactManifest(spark, registryDir, next, versions, claim, registryTable)
-      GenState.assertWritable(spark, registryDir, next, claim, registryTable)
-      // the maintenance fence, immediately before the commit write
-      GenState.verifyMaintenance(spark, registryDir, maint)
-      spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct()
-        .write.mode("overwrite").parquet(registryPath(registryDir, next))
+      // the COMMIT write lands through the fence, which also re-verifies
+      // the maintenance lease
+      GenState.fencedParquet(spark, registryDir, next, registryTable, claim,
+        registryTable, maintToken = Some(maint))(
+        spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct())
       // grace-horizon sweep: folded sources leave disk after the store TTL
       GenState.sweepLeftovers(spark, registryDir, registryTable, except = next)
       next

@@ -94,11 +94,11 @@ object Deletes {
     */
   val commitTables: Map[String, String] = Map(
     "exact" -> IncrementalExact.commitTable,
-    "cluster" -> "labels",
-    "minhash" -> "labels",
+    "cluster" -> IncrementalDedup.commitTable,
+    "minhash" -> IncrementalMinHash.commitTable,
     "substring" -> IncrementalSubstring.commitTable,
-    "embedding" -> "labels",
-    "semantic" -> "labels",
+    "embedding" -> IncrementalEmbedding.commitTable,
+    "semantic" -> IncrementalSemantic.commitTable,
     "ivf" -> IncrementalIvf.commitTable,
     "ivfpq" -> IncrementalIvfPq.commitTable,
     "media" -> IncrementalMedia.commitTable,

@@ -255,6 +255,12 @@ object GenState {
     // ints; a decade of daily compacts is a few KB, never a scale cost.
     val f = fs(spark, stateDir)
     val inherited = folded.flatMap(readManifest(f, stateDir, _))
+    // the DIRECT sources ride a `_FOLDED` sidecar (the closure above makes
+    // them unrecoverable from `_COMPACTED` alone): [[classifyUnreconciled]]
+    // needs them to recognize a merge that PROBED exactly what this fold
+    // FOLDED — the maintenance race whose cross edges are already stored
+    writeUtf8(f, new Path(s"$stateDir/v$next/_FOLDED"),
+      folded.distinct.sorted.mkString("\n"))
     writeUtf8(f, manifestPath(stateDir, next),
       (folded ++ inherited ++ dups).distinct.sorted.mkString("\n"))
   }
@@ -909,17 +915,31 @@ object GenState {
     // committed; transitive manifests make the stamp conservative (a later
     // compact's commit refreshes the lineage's grace), which only ever
     // DELAYS a sweep, never endangers a reader
-    val foldStamp: Map[Int, Long] = live.flatMap { g =>
+    val liveManifests = live.map(g => g -> readManifest(f, stateDir, g))
+    val foldStamp: Map[Int, Long] = liveManifests.flatMap { case (g, m) =>
       val commit = commitMtime(g)
-      readManifest(f, stateDir, g).flatMap(v => commit.map(v -> _))
+      m.flatMap(v => commit.map(v -> _))
     }.groupMapReduce(_._1)(_._2)(math.max)
+    // a complete non-live dir referenced by NO live manifest became
+    // non-live either at its own commit (a duplicate-key re-delivery —
+    // never servable, no reader ever held it) or when a TWIN fold
+    // shadowed it (a lost-race double-fold that WAS live and served until
+    // the survivor committed — its own commit can be arbitrarily older
+    // than the shadowing moment). The walk cannot cheaply tell which, so
+    // the stamp is conservative: no earlier than the newest live fold's
+    // commit — delaying a dup's sweep by at most one compact cycle and
+    // giving a shadowed double-fold's readers the full grace.
+    val lastFoldCommit: Long = liveManifests
+      .collect { case (g, m) if m.nonEmpty => commitMtime(g) }
+      .flatten.maxOption.getOrElse(0L)
     allVersionDirs(f, stateDir).filterNot(liveSet).filterNot(_ == except)
       .filter { v =>
         val complete = f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
         if (!complete)
           !(fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)))
         else {
-          val becameNonLive = foldStamp.getOrElse(v, commitMtime(v).getOrElse(0L))
+          val becameNonLive = foldStamp.getOrElse(v,
+            math.max(commitMtime(v).getOrElse(0L), lastFoldCommit))
           now - becameNonLive >= grace
         }
       }
@@ -1153,6 +1173,50 @@ object GenState {
       if !probed(b).contains(a) && !probed(a).contains(b)
     } yield (a, b)
 
+  /** The DIRECT folded sources of a compacted generation (the `_FOLDED`
+    * sidecar — [[writeCompactManifest]]'s `folded` argument, without the
+    * transitive inheritance or the shadowed dups `_COMPACTED` carries).
+    * None for a non-compacted generation or one written before the
+    * sidecar existed — callers must treat None conservatively.
+    */
+  def readDirectFolded(spark: SparkSession, stateDir: String,
+      v: Int): Option[Set[Int]] = {
+    val f = fs(spark, stateDir)
+    val p = new Path(s"$stateDir/v$v/_FOLDED")
+    if (!f.exists(p)) None
+    else Some(readUtf8(f, p).split('\n').toSeq
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+  }
+
+  /** Classify the genuinely-concurrent live pairs into
+    * `(blind, spliceOnly)`:
+    *
+    *   - **blind**: neither generation ever saw the other's CONTENT —
+    *     their cross pairs exist in no stored table and must be
+    *     recomputed from the frozen signature tables (the original
+    *     `_PROBED` reconciliation).
+    *   - **spliceOnly**: a maintenance race — one side is a FOLD whose
+    *     direct sources the other side PROBED, so every cross edge
+    *     between them is ALREADY in the prober's stored pair table (a
+    *     fold is content-preserving modulo tombstone purge, and purged
+    *     rows are filtered at read regardless). Only the label-fold
+    *     splice is owed; a family without label state skips these pairs
+    *     entirely. Without this split, ONE merge racing a routine
+    *     compact would degrade every read to a corpus×batch re-probe
+    *     (the compacted generation holds the whole folded corpus) until
+    *     the next compact.
+    */
+  def classifyUnreconciled(spark: SparkSession, stateDir: String,
+      live: Seq[Int]): (Seq[(Int, Int)], Seq[(Int, Int)]) = {
+    val probed = probedOf(spark, stateDir, live)
+    def covered(fold: Int, prober: Int): Boolean =
+      readDirectFolded(spark, stateDir, fold).exists(d =>
+        d.nonEmpty && d.subsetOf(probed(prober)))
+    unreconciledPairs(live, probed).partition { case (a, b) =>
+      !(covered(a, b) || covered(b, a))
+    }
+  }
+
   /** The pinned merge parameters of a state dir (see [[checkConfig]]) —
     * empty before the first merge. Read-side consumers (e.g. pair
     * reconciliation, which must verify at the SAME threshold every merge
@@ -1189,17 +1253,57 @@ object GenState {
     * concurrent case) pass, mixed parameters refuse loudly whichever
     * sibling won, and no code path trusts a publish return value alone.
     */
+  /** `_CONFIG` keys that tune OPERATIONS (staleness horizons), not the
+    * verification REGIME. They are exempt from the mixed-parameter
+    * compare when the caller does not present them: a family merge's
+    * fixed params map cannot know about `leaseTtlMs`, so an operator who
+    * pins it on an existing store (adding the line to `_CONFIG` out of
+    * band — the file is publish-once, so edit it atomically while no
+    * first-merge race is possible) must not brick every later merge. A
+    * caller that DOES present an operational key is held to the stored
+    * value exactly like a regime parameter.
+    */
+  private val operationalKeys = Set("leaseTtlMs")
+
+  private def parseConfig(s: String): Map[String, String] =
+    s.split('\n').toSeq.map(_.trim).filter(_.contains("="))
+      .map { line =>
+        val i = line.indexOf('=')
+        line.take(i) -> line.drop(i + 1)
+      }.toMap
+
   def checkConfig(spark: SparkSession, stateDir: String,
       params: Map[String, String]): Unit = {
     val f = fs(spark, stateDir)
     val p = new Path(s"$stateDir/_CONFIG")
     val want = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
     def compare(): Unit = {
-      val have = readUtf8(f, p).trim
-      require(have == want,
-        s"dedup state at $stateDir was built with {${have.replace('\n', ' ')}}; " +
-          s"refusing a merge with {${want.replace('\n', ' ')}} — mixed parameters " +
+      val have = parseConfig(readUtf8(f, p))
+      val haveRegime = have.view.filterKeys(!operationalKeys.contains(_)).toMap
+      val wantRegime = params.view.filterKeys(!operationalKeys.contains(_)).toMap
+      def render(m: Map[String, String]) =
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+      require(haveRegime == wantRegime,
+        s"dedup state at $stateDir was built with {${render(haveRegime)}}; " +
+          s"refusing a merge with {${render(wantRegime)}} — mixed parameters " +
           "would produce a clustering matching no one-shot recompute")
+      operationalKeys.foreach { k =>
+        (params.get(k), have.get(k)) match {
+          case (Some(w), Some(h)) =>
+            require(w == h,
+              s"dedup state at $stateDir pins $k=$h; refusing a caller " +
+                s"presenting $k=$w — two writers disagreeing about the " +
+                "staleness horizon on one store is the process-global-knob " +
+                "hazard the per-store pin exists to refuse")
+          case (Some(w), None) =>
+            require(false,
+              s"dedup state at $stateDir predates the '$k' pin and _CONFIG " +
+                s"is publish-once — add '$k=$w' to the store's _CONFIG out " +
+                "of band (operational keys are exempt from the regime " +
+                "compare) instead of passing it to a merge")
+          case _ => () // stored-only operational key: tuning, not regime
+        }
+      }
     }
     if (f.exists(p)) compare()
     else {

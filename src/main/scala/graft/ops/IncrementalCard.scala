@@ -91,12 +91,14 @@ object IncrementalCard {
         .agg(expr("hll_sketch_agg(h)").as("hsk"),
           expr("hll_sketch_agg(lang)").as("lsk"))
         .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      stats.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
-        .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+      // the COMMIT write lands through the fence: a writer stalled past
+      // the TTL whose in-flight dir a concurrent sweep reclaimed aborts
+      // here, never landing a torn complete generation
+      GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
+        stats.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("sc").cast("decimal(38,0)")).as("sc_sum")))
     } finally stats.unpersist()
     next
   }
@@ -129,13 +131,15 @@ object IncrementalCard {
     ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
     // empty peers so every read path's multi-path scan stays uniform;
-    // empty partials LAST — the commit marker
-    Seq(docsPath _, hashesPath _, langsPath _, sketchesPath _, partialsPath _)
+    // empty partials LAST — the commit marker, landed through the fence
+    Seq(docsPath _, hashesPath _, langsPath _, sketchesPath _)
       .foreach { p =>
         GenState.assertWritable(spark, stateDir, next, claim, commitTable)
         spark.read.parquet(p(stateDir, live.head)).limit(0)
           .write.mode("overwrite").parquet(p(stateDir, next))
       }
+    GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
+      spark.read.parquet(partialsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -286,14 +290,14 @@ object IncrementalCard {
           .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
         GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
         GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        // the maintenance fence, immediately before the commit write
-        GenState.verifyMaintenance(spark, stateDir, maint)
-        survivors.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
-            sum(col("n_chars")).as("n_chars"),
-            sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
-          .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+        // the COMMIT write lands through the fence, which also
+        // re-verifies the maintenance lease
+        GenState.fencedParquet(spark, stateDir, next, "partials", claim,
+          commitTable, maintToken = Some(maint))(
+          survivors.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+              sum(col("n_chars")).as("n_chars"),
+              sum(col("sc").cast("decimal(38,0)")).as("sc_sum")))
       } finally survivors.unpersist()
       // grace-horizon sweep: folded sources leave disk after the store TTL
       GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
@@ -317,14 +321,14 @@ object IncrementalCard {
       .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    // the maintenance fence, immediately before the commit write
-    GenState.verifyMaintenance(spark, stateDir, maint)
-    spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum"))
-      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    // the COMMIT write lands through the fence, which also re-verifies
+    // the maintenance lease
+    GenState.fencedParquet(spark, stateDir, next, "partials", claim,
+      commitTable, maintToken = Some(maint))(
+      spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum")))
     // grace-horizon sweep: folded sources leave disk after the store TTL
     GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next

@@ -70,9 +70,11 @@ object IncrementalClassifier {
       // leaves an incomplete generation the next attempt redoes wholesale
       GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       feats.write.mode("overwrite").parquet(docsPath(stateDir, next))
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      TextAnalysis.nbCounts(feats)
-        .write.mode("overwrite").parquet(countsPath(stateDir, next))
+      // the COMMIT write lands through the fence: a writer stalled past
+      // the TTL whose in-flight dir a concurrent sweep reclaimed aborts
+      // here, never landing a torn complete generation
+      GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
+        TextAnalysis.nbCounts(feats))
     } finally feats.unpersist()
     next
   }
@@ -106,9 +108,9 @@ object IncrementalClassifier {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(docsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(countsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(countsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
+      spark.read.parquet(countsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -204,10 +206,10 @@ object IncrementalClassifier {
          Seq("doc_id")))
         .write.mode("overwrite").parquet(docsPath(stateDir, next))
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    // the maintenance fence, immediately before the commit write
-    GenState.verifyMaintenance(spark, stateDir, maint)
-    folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
+    // the COMMIT write lands through the fence, which also re-verifies
+    // the maintenance lease
+    GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable,
+      maintToken = Some(maint))(folded)
     // grace-horizon sweep: folded sources leave disk once the store TTL
     // passes (racing readers finish their snapshot); stale leftovers now
     GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)

@@ -42,6 +42,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** The commit table GenState keys generation liveness on — the value
+    * [[GenState]]'s defaults assume; exposed so cross-family consumers
+    * ([[Deletes.commitTables]]) can never silently diverge.
+    */
+  private[ops] val commitTable = "labels"
+
   /** The verified-pair stream of one ingest batch: new docs signed, their
     * probe variants joined against `index` (which must contain the new
     * docs' own bands plus all persisted ones). Lazy — [[merge]] executes

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalEmbedding {
 
+  /** The commit table GenState keys generation liveness on — the value
+    * [[GenState]]'s defaults assume; exposed so cross-family consumers
+    * ([[Deletes.commitTables]]) can never silently diverge.
+    */
+  private[ops] val commitTable = "labels"
+
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir)
 

@@ -115,10 +115,12 @@ object IncrementalExact {
     try {
       GenState.assertWritable(spark, stateDir, next, claim, commitTable)
       side.write.mode("overwrite").parquet(docsPath(stateDir, next))
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      side.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-        .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+      // the COMMIT write lands through the fence: a writer stalled past
+      // the TTL whose in-flight dir a concurrent sweep reclaimed must
+      // abort here, never land a torn complete generation
+      GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
+        side.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies")))
     } finally side.unpersist()
     next
   }
@@ -167,9 +169,9 @@ object IncrementalExact {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(docsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(hashesPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
+      spark.read.parquet(hashesPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -306,9 +308,10 @@ object IncrementalExact {
     // no-op even after its generation was compacted away
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    // the maintenance fence, immediately before the commit write
-    GenState.verifyMaintenance(spark, stateDir, maint)
-    folded.write.mode("overwrite").parquet(hashesPath(stateDir, next))
+    // the COMMIT write lands through the fence, which also re-verifies
+    // the maintenance lease (a stalled compactor stolen from aborts here)
+    GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable,
+      maintToken = Some(maint))(folded)
     // grace-horizon sweep: the just-folded sources (now manifest-listed,
     // hence non-live) leave disk once the store TTL passes — racing
     // readers finish their snapshot first; stale leftovers sweep now

@@ -79,10 +79,10 @@ object IncrementalIvf {
       call_function("ivf_probe", col("e"), lit(spec), lit(1)), 1)
     val cell = when(isnan(best.getField("ccos")), lit(-1L))
       .otherwise(best.getField("cid"))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    Similarity.withNorm(newVecs)
-      .withColumn("cell", cell)
-      .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here
+    GenState.fencedParquet(spark, stateDir, next, "postings", claim, commitTable)(
+      Similarity.withNorm(newVecs).withColumn("cell", cell))
     next
   }
 
@@ -103,9 +103,9 @@ object IncrementalIvf {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(postingsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "postings", claim, commitTable)(
+      spark.read.parquet(postingsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -171,11 +171,10 @@ object IncrementalIvf {
       // dir regardless of where it sits
       val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
       GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      // the maintenance fence, immediately before the commit write
-      GenState.verifyMaintenance(spark, stateDir, maint)
-      livePostings(spark, stateDir)
-        .write.mode("overwrite").parquet(postingsPath(stateDir, next))
+      // the COMMIT write lands through the fence, which also re-verifies
+      // the maintenance lease
+      GenState.fencedParquet(spark, stateDir, next, "postings", claim, commitTable,
+        maintToken = Some(maint))(livePostings(spark, stateDir))
       // grace-horizon sweep: folded sources leave disk once the store TTL
       // passes (racing readers finish their snapshot); stale leftovers now
       GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)

@@ -129,14 +129,15 @@ object IncrementalIvfPq {
       case Left(v) => return v // already ingested: re-delivery is a no-op
       case Right(nc) => nc
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    newVecs
-      .select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
-      .select(Seq(col("vec_id"), Quantization.cellCol(refs).as("cell")) ++
-        Quantization.codeColsOf(cb): _*)
-      .withColumn("rn", Quantization.rnCol(cb))
-      .write.mode("overwrite").parquet(codesPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here
+    GenState.fencedParquet(spark, stateDir, next, "codes", claim, commitTable)(
+      newVecs
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
+        .select(Seq(col("vec_id"), Quantization.cellCol(refs).as("cell")) ++
+          Quantization.codeColsOf(cb): _*)
+        .withColumn("rn", Quantization.rnCol(cb)))
     next
   }
 
@@ -157,9 +158,9 @@ object IncrementalIvfPq {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("vec_id")).dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(deletesPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(codesPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(codesPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "codes", claim, commitTable)(
+      spark.read.parquet(codesPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -227,11 +228,10 @@ object IncrementalIvfPq {
       // markers travel with the fold: a re-delivered batch key must stay a
       // no-op even after its generation was compacted away
       GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      // the maintenance fence, immediately before the commit write
-      GenState.verifyMaintenance(spark, stateDir, maint)
-      liveCodes(spark, stateDir)
-        .write.mode("overwrite").parquet(codesPath(stateDir, next))
+      // the COMMIT write lands through the fence, which also re-verifies
+      // the maintenance lease
+      GenState.fencedParquet(spark, stateDir, next, "codes", claim, commitTable,
+        maintToken = Some(maint))(liveCodes(spark, stateDir))
       // grace-horizon sweep: folded sources leave disk once the store TTL
       // passes (racing readers finish their snapshot); stale leftovers now
       GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)

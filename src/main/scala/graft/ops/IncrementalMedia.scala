@@ -177,11 +177,13 @@ object IncrementalMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    candidatePairs(
-      spark.read.parquet(sigsPath(stateDir, next)),
-      spark.read.parquet(allPaths: _*), maxHamming)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here,
+    // never landing a torn complete generation (pairs with no sigs)
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
+      candidatePairs(
+        spark.read.parquet(sigsPath(stateDir, next)),
+        spark.read.parquet(allPaths: _*), maxHamming))
     next
   }
 
@@ -226,9 +228,9 @@ object IncrementalMedia {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -249,11 +251,15 @@ object IncrementalMedia {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalMedia.pairs: no state at $stateDir")
     val maxHamming = pinnedMaxHamming(spark, stateDir)
-    val recon = GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
-      val sa = spark.read.parquet(sigsPath(stateDir, a))
-      candidatePairs(sa,
-        sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))), maxHamming)
-    }
+    // BLIND pairs only: a spliceOnly pair (a merge racing a compact whose
+    // direct sources the merge probed) already has every cross edge in the
+    // prober's stored table, and this family has no label state to splice
+    val recon = GenState.classifyUnreconciled(spark, stateDir, live)._1
+      .map { case (a, b) =>
+        val sa = spark.read.parquet(sigsPath(stateDir, a))
+        candidatePairs(sa,
+          sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))), maxHamming)
+      }
     // no forced broadcast on the delete-derived frame: AQE broadcasts
     // when the tombstone set is small, shuffle-joins a bulk delete
     val teff = effectiveTombstones(spark, stateDir, live)
@@ -313,26 +319,26 @@ object IncrementalMedia {
       .dropDuplicates("name", "frame_no")
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
     val maxHamming = pinnedMaxHamming(spark, stateDir)
-    val recon = GenState.unreconciledPairs(versions, GenState.probedOf(spark, stateDir, versions))
+    // blind pairs only — see [[pairs]]
+    val recon = GenState.classifyUnreconciled(spark, stateDir, versions)._1
       .map { case (a, b) =>
         val pa = purgedSigs(a)
         candidatePairs(pa, pa.unionByName(purgedSigs(b)), maxHamming)
       }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    // the maintenance fence, immediately before the commit write: a
-    // stalled compactor stolen from mid-fold aborts here instead of
-    // landing a double-fold
-    GenState.verifyMaintenance(spark, stateDir, maint)
     val stored =
       (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          effectiveTombstones(spark, stateDir, versions),
          versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
          Seq("name1", "name2")))
-    (stored +: recon).reduce(_ unionByName _)
-      .dropDuplicates("name1", "name2")
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence, which also re-verifies
+    // the maintenance lease: a stalled compactor stolen from mid-fold
+    // aborts here instead of landing a double-fold
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable,
+      maintToken = Some(maint))(
+      (stored +: recon).reduce(_ unionByName _)
+        .dropDuplicates("name1", "name2"))
     GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }

@@ -112,11 +112,13 @@ object IncrementalRotMedia {
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
 
     val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    mergePairs(
-      spark.read.parquet(sigsPath(stateDir, next)),
-      spark.read.parquet(allPaths: _*), maxHamming)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here,
+    // never landing a torn complete generation (pairs with no sigs)
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
+      mergePairs(
+        spark.read.parquet(sigsPath(stateDir, next)),
+        spark.read.parquet(allPaths: _*), maxHamming))
     next
   }
 
@@ -155,9 +157,9 @@ object IncrementalRotMedia {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
       .write.mode("overwrite").parquet(sigsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(pairsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
+      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -172,12 +174,14 @@ object IncrementalRotMedia {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalRotMedia.pairs: no state at $stateDir")
     val maxHamming = IncrementalMedia.pinnedMaxHamming(spark, stateDir)
-    val recon = GenState.unreconciledPairs(live,
-      GenState.probedOf(spark, stateDir, live)).map { case (a, b) =>
-      val sa = spark.read.parquet(sigsPath(stateDir, a))
-      mergePairs(sa, sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))),
-        maxHamming)
-    }
+    // blind pairs only — a spliceOnly maintenance race's cross edges are
+    // already stored, and this family has no label state to splice
+    val recon = GenState.classifyUnreconciled(spark, stateDir, live)._1
+      .map { case (a, b) =>
+        val sa = spark.read.parquet(sigsPath(stateDir, a))
+        mergePairs(sa, sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))),
+          maxHamming)
+      }
     val teff = effectiveTombstones(spark, stateDir, live)
     val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
     val base = (stored +: recon).reduce(_ unionByName _)
@@ -229,25 +233,26 @@ object IncrementalRotMedia {
     // reconciled cross pairs of concurrent commits, from PURGED sigs so
     // deleted names never resurface through reconciliation — durable here
     val maxHamming = IncrementalMedia.pinnedMaxHamming(spark, stateDir)
-    val recon = GenState.unreconciledPairs(versions,
-      GenState.probedOf(spark, stateDir, versions)).map { case (a, b) =>
-      val pa = purgedSigs(a)
-      mergePairs(pa, pa.unionByName(purgedSigs(b)), maxHamming)
-    }
+    // blind pairs only — see [[pairs]]
+    val recon = GenState.classifyUnreconciled(spark, stateDir, versions)._1
+      .map { case (a, b) =>
+        val pa = purgedSigs(a)
+        mergePairs(pa, pa.unionByName(purgedSigs(b)), maxHamming)
+      }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    // the maintenance fence, immediately before the commit write
-    GenState.verifyMaintenance(spark, stateDir, maint)
     val stored =
       (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          effectiveTombstones(spark, stateDir, versions),
          versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
          Seq("name1", "name2")))
-    (stored +: recon).reduce(_ unionByName _)
-      .groupBy(col("name1"), col("name2"))
-      .agg(min(col("hamming")).as("hamming"))
-      .write.mode("overwrite").parquet(pairsPath(stateDir, next))
+    // the COMMIT write lands through the fence, which also re-verifies
+    // the maintenance lease
+    GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable,
+      maintToken = Some(maint))(
+      (stored +: recon).reduce(_ unionByName _)
+        .groupBy(col("name1"), col("name2"))
+        .agg(min(col("hamming")).as("hamming")))
     GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
     next
   }

@@ -221,7 +221,9 @@ object IncrementalSubstring {
   private def reconHits(spark: SparkSession, stateDir: String,
       live: Seq[Int], hot: DataFrame,
       anchorsOfGen: Int => DataFrame): Seq[DataFrame] =
-    GenState.unreconciledPairs(live, GenState.probedOf(spark, stateDir, live))
+    // blind pairs only — a spliceOnly maintenance race's cross hits are
+    // already stored in the prober's table, and hits are per-pair facts
+    GenState.classifyUnreconciled(spark, stateDir, live)._1
       .map { case (a, b) => crossHits(anchorsOfGen(a), anchorsOfGen(b), hot) }
 
   /** Ingest `newDocs` (a (doc_id, text, …) projection, doc_ids disjoint

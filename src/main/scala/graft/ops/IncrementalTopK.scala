@@ -61,9 +61,10 @@ object IncrementalTopK {
       case Left(v) => return v // already ingested: re-delivery is a no-op
       case Right(nc) => nc
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    batchCounts(newDocs)
-      .write.mode("overwrite").parquet(countsPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here
+    GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
+      batchCounts(newDocs))
     next
   }
 
@@ -79,9 +80,9 @@ object IncrementalTopK {
     GenState.assertWritable(spark, stateDir, next, claim, commitTable)
     ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
       .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(countsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(countsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
+      spark.read.parquet(countsPath(stateDir, live.head)).limit(0))
     next
   }
 
@@ -148,10 +149,10 @@ object IncrementalTopK {
       val folded = counts(spark, stateDir)
       GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
       GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      // the maintenance fence, immediately before the commit write
-      GenState.verifyMaintenance(spark, stateDir, maint)
-      folded.write.mode("overwrite").parquet(countsPath(stateDir, next))
+      // the COMMIT write lands through the fence, which also re-verifies
+      // the maintenance lease
+      GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable,
+        maintToken = Some(maint))(folded)
       // grace-horizon sweep: folded sources leave disk after the store TTL
       GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
       next

@@ -91,8 +91,10 @@ object IncrementalView {
       case Left(v) => return v // already ingested: re-delivery is a no-op
       case Right(nc) => nc
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    partialOf(newEvents).write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    // the COMMIT write lands through the fence: a writer stalled past the
+    // TTL whose in-flight dir a concurrent sweep reclaimed aborts here
+    GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
+      partialOf(newEvents))
     next
   }
 
@@ -130,11 +132,11 @@ object IncrementalView {
       case Left(v) => return v // already retracted: re-delivery is a no-op
       case Right(nc) => nc
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    partialOf(badEvents)
-      .select(col("day"), col("event_type"), (-col("n")).as("n"),
-        (-col("sum_value")).as("sum_value"))
-      .write.mode("overwrite").parquet(partialsPath(stateDir, next))
+    // the COMMIT write lands through the fence (see merge)
+    GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
+      partialOf(badEvents)
+        .select(col("day"), col("event_type"), (-col("n")).as("n"),
+          (-col("sum_value")).as("sum_value")))
     next
   }
 
@@ -320,10 +322,10 @@ object IncrementalView {
         .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
       GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
       GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      // the maintenance fence, immediately before the commit write
-      GenState.verifyMaintenance(spark, stateDir, maint)
-      folded.write.mode("overwrite").parquet(partialsPath(stateDir, next))
+      // the COMMIT write lands through the fence, which also re-verifies
+      // the maintenance lease
+      GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable,
+        maintToken = Some(maint))(folded)
       // grace-horizon sweep: folded sources leave disk after the store TTL
       GenState.sweepLeftovers(spark, stateDir, commitTable, except = next)
       next

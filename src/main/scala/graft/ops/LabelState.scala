@@ -195,15 +195,22 @@ object LabelState {
   def reconInputs(spark: SparkSession, stateDir: String, live: Seq[Int],
       pairsPathOf: Int => String, crossPairs: (Int, Int) => DataFrame)
       : Option[(DataFrame, DataFrame)] = {
-    val unrec = GenState.unreconciledPairs(live,
-      GenState.probedOf(spark, stateDir, live))
-    if (unrec.isEmpty) return None
-    val recon = unrec.map { case (a, b) =>
-      crossPairs(a, b).select(col("d1").cast("long"), col("d2").cast("long"))
-    }.reduce(_ unionByName _)
-    val unrecGens = unrec.flatMap(p => Seq(p._1, p._2)).distinct
+    // BLIND pairs pay the cross-pair recompute; spliceOnly pairs (a merge
+    // racing a compact — the prober's stored table already holds every
+    // cross edge against the fold's content) contribute only their stored
+    // endpoints to the re-label scope, keeping a routine maintenance race
+    // from degrading reads to a corpus×batch re-probe
+    // ([[GenState.classifyUnreconciled]]).
+    val (blind, spliceOnly) = GenState.classifyUnreconciled(spark, stateDir, live)
+    if (blind.isEmpty && spliceOnly.isEmpty) return None
+    val unrecGens = (blind ++ spliceOnly).flatMap(p => Seq(p._1, p._2)).distinct
     val stored = spark.read.parquet(unrecGens.map(pairsPathOf): _*)
       .select(col("d1").cast("long"), col("d2").cast("long"))
+    val recon =
+      if (blind.isEmpty) stored.limit(0)
+      else blind.map { case (a, b) =>
+        crossPairs(a, b).select(col("d1").cast("long"), col("d2").cast("long"))
+      }.reduce(_ unionByName _)
     val affected = stored.unionByName(recon)
       .select(explode(array(col("d1"), col("d2"))).as("node")).distinct()
     Some((recon, affected))

@@ -38,7 +38,7 @@ object DocumentsStream {
     */
   private def drainMerges(spark: SparkSession, dir: String, files: Int,
       tag: String, table: (SparkSession, String) => DataFrame = Tables.documents)
-      (mergeBatch: (DataFrame, Long) => Unit): Unit = {
+      (mergeBatch: (DataFrame, String) => Unit): Unit = {
     val ss = EventsStream.streamSession(spark)
     val src = TmpDirs.scratch(s"graft_${tag}_src_").toString
     table(ss, dir).repartition(files).write.mode("overwrite").parquet(src)
@@ -50,9 +50,38 @@ object DocumentsStream {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", TmpDirs.scratch(s"graft_${tag}_stream_ckpt_").toString)
-      .foreachBatch { (batch: DataFrame, id: Long) => mergeBatch(batch, id); () }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch, contentKey(batch, id)); () }
       .start()
     q.awaitTermination()
+  }
+
+  /** The exactly-once batch key handed to every merge: derived from the
+    * micro-batch's INPUT FILES (md5 of the sorted paths), never from the
+    * foreachBatch counter alone. allocateFresh's KEY DISCIPLINE requires a
+    * key to be 1:1 with batch CONTENT — but batch ids restart at 0 with
+    * every fresh checkpoint, so a second drain into the same persistent
+    * state dir would reuse b0..bN for DIFFERENT files and its documents
+    * would be silently dropped as "already ingested". File paths are the
+    * batch's content identity for a file stream: a re-delivered batch
+    * (task retry inside one drain) carries the same files ⇒ same key ⇒
+    * no-op, while a new drain's newly staged files get fresh keys. The
+    * bare id remains only for a batch with no file lineage.
+    */
+  private def contentKey(batch: DataFrame, id: Long): String = {
+    // DataFrame.inputFiles is EMPTY on a foreachBatch micro-batch frame
+    // (the plan's leaves are streaming-relation nodes, not file scans), so
+    // the lineage comes from execution-time input_file_name() — one tiny
+    // distinct job per micro-batch, trivial beside the merge that follows
+    import org.apache.spark.sql.functions.input_file_name
+    val files = batch.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).sorted
+    if (files.isEmpty) s"b$id" // non-file source (or empty batch): the id
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(files.mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
   }
 
   def runIncrementalDedupAvailableNow(spark: SparkSession, dir: String,
@@ -60,9 +89,9 @@ object DocumentsStream {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q54_state_").toString)
     // keyed by the foreachBatch batch id (the q57 contract): a re-delivered
     // micro-batch is an exactly-once no-op instead of duplicate index rows
-    drainMerges(spark, dir, files, "q54")((b, id) =>
+    drainMerges(spark, dir, files, "q54")((b, key) =>
       IncrementalDedup.merge(b.sparkSession, state, b,
-        batchKey = Some(s"b$id")))
+        batchKey = Some(key)))
     IncrementalDedup.clusters(spark, state)
   }
 
@@ -78,9 +107,9 @@ object DocumentsStream {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q55_state_").toString)
     // keyed by the foreachBatch batch id (the q57 contract): a re-delivered
     // micro-batch is an exactly-once no-op instead of duplicate index rows
-    drainMerges(spark, dir, files, "q55")((b, id) =>
+    drainMerges(spark, dir, files, "q55")((b, key) =>
       graft.ops.IncrementalMinHash.merge(b.sparkSession, state, b,
-        batchKey = Some(s"b$id")))
+        batchKey = Some(key)))
     graft.ops.IncrementalMinHash.clusters(spark, state)
   }
 
@@ -98,8 +127,8 @@ object DocumentsStream {
   def runExactDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q57_state_").toString)
-    drainMerges(spark, dir, files, "q57")((b, id) =>
-      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q57")((b, key) =>
+      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalExact.dedup(spark, state)
   }
 
@@ -114,8 +143,8 @@ object DocumentsStream {
   def runSubstringDedupAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q58_state_").toString)
-    drainMerges(spark, dir, files, "q58")((b, id) =>
-      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q58")((b, key) =>
+      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalSubstring.spans(spark, state)
   }
 
@@ -128,8 +157,8 @@ object DocumentsStream {
   def runSpanRemovalAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q75_state_").toString)
-    drainMerges(spark, dir, files, "q75")((b, id) =>
-      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q75")((b, key) =>
+      graft.ops.IncrementalSubstring.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalSubstring.removal(spark, dir, state)
   }
 
@@ -147,13 +176,13 @@ object DocumentsStream {
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q77_state_").toString)
-    drainMerges(spark, dir, files, "q77i")((b, id) =>
-      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q77i")((b, key) =>
+      graft.ops.IncrementalExact.merge(b.sparkSession, state, b, Some(key)))
     drainMerges(spark, dir, 2, "q77d", table = (ss, d) =>
         Tables.documents(ss, d).where(pmod(col("doc_id"), lit(7)) === 3)
           .select(col("doc_id")))(
-      (b, id) => graft.ops.IncrementalExact.delete(b.sparkSession, state, b,
-        Some(s"del$id")))
+      (b, key) => graft.ops.IncrementalExact.delete(b.sparkSession, state, b,
+        Some(s"del$key")))
     graft.ops.IncrementalExact.dedup(spark, state)
   }
 
@@ -252,8 +281,8 @@ object DocumentsStream {
   def runTopKAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q82_state_").toString)
-    drainMerges(spark, dir, files, "q82")((b, id) =>
-      graft.ops.IncrementalTopK.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q82")((b, key) =>
+      graft.ops.IncrementalTopK.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalTopK.topK(spark, state)
   }
 
@@ -291,8 +320,8 @@ object DocumentsStream {
   def runClassifierTrainAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q61_state_").toString)
-    drainMerges(spark, dir, files, "q61")((b, id) =>
-      graft.ops.IncrementalClassifier.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q61")((b, key) =>
+      graft.ops.IncrementalClassifier.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalClassifier.classify(spark, state, Tables.documents(spark, dir))
   }
 
@@ -328,9 +357,9 @@ object DocumentsStream {
       modelDir: String, stateDir: Option[String] = None,
       files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q74_state_").toString)
-    drainMerges(spark, dir, files, "q74", Tables.embeddings)((b, id) =>
+    drainMerges(spark, dir, files, "q74", Tables.embeddings)((b, key) =>
       graft.ops.IncrementalIvfPq.merge(b.sparkSession, state, modelDir, b,
-        Some(s"b$id")))
+        Some(key)))
     graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, modelDir)
   }
 
@@ -345,8 +374,8 @@ object DocumentsStream {
   def runCardMaintenanceAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q76_state_").toString)
-    drainMerges(spark, dir, files, "q76")((b, id) =>
-      graft.ops.IncrementalCard.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q76")((b, key) =>
+      graft.ops.IncrementalCard.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalCard.serve(spark, state)
   }
 
@@ -363,8 +392,8 @@ object DocumentsStream {
   def runDsirSelectAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q62_state_").toString)
-    drainMerges(spark, dir, files, "q62")((b, id) =>
-      graft.ops.IncrementalDsir.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q62")((b, key) =>
+      graft.ops.IncrementalDsir.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalDsir.select(spark, state)
   }
 
@@ -413,10 +442,10 @@ object DocumentsStream {
     val reg = TmpDirs.scratch("graft_q72_registry_").toString
     graft.ops.Corpus.buildContaminationRegistry(spark, dir, reg)
     val out = TmpDirs.scratch("graft_q72_out_").toString
-    drainMerges(spark, dir, files, "q72") { (b, id) =>
+    drainMerges(spark, dir, files, "q72") { (b, key) =>
       val train = b.where(col("source") =!= graft.ops.Corpus.benchmarkSource)
       graft.ops.Corpus.contaminationAgainst(b.sparkSession, reg, train)
-        .write.mode("overwrite").parquet(s"$out/b$id")
+        .write.mode("overwrite").parquet(s"$out/b$key")
     }
     spark.read.parquet(s"$out/b*").orderBy(col("doc_id"))
   }
@@ -437,9 +466,9 @@ object DocumentsStream {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q63_state_").toString)
     val cents = graft.ops.Similarity.persistedIvfCentroids(spark, dir, modelDir)
     // keyed by the foreachBatch batch id (the q57 contract)
-    drainMerges(spark, dir, files, "q63", Tables.embeddings)((b, id) =>
+    drainMerges(spark, dir, files, "q63", Tables.embeddings)((b, key) =>
       graft.ops.IncrementalSemantic.merge(b.sparkSession, state, cents, b,
-        batchKey = Some(s"b$id")))
+        batchKey = Some(key)))
     graft.ops.IncrementalSemantic.clusters(spark, state)
   }
 
@@ -454,9 +483,9 @@ object DocumentsStream {
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q56_state_").toString)
     // keyed by the foreachBatch batch id (the q57 contract)
-    drainMerges(spark, dir, files, "q56", Tables.embeddings)((b, id) =>
+    drainMerges(spark, dir, files, "q56", Tables.embeddings)((b, key) =>
       graft.ops.IncrementalEmbedding.merge(b.sparkSession, state, b,
-        batchKey = Some(s"b$id")))
+        batchKey = Some(key)))
     graft.ops.IncrementalEmbedding.clusters(spark, state)
   }
 
@@ -491,13 +520,13 @@ object DocumentsStream {
       files: Int = defaultStreamFiles): DataFrame = {
     val daily = TmpDirs.scratch("graft_q71_daily_").toString
     val weekly = TmpDirs.scratch("graft_q71_weekly_").toString
-    drainMerges(spark, dir, files, "q71", Tables.events) { (b, id) =>
+    drainMerges(spark, dir, files, "q71", Tables.events) { (b, key) =>
       val s = b.sparkSession
       val prev = graft.ops.IncrementalView.latestVersion(s, daily).getOrElse(-1)
-      val v = graft.ops.IncrementalView.merge(s, daily, b, Some(s"b$id"))
+      val v = graft.ops.IncrementalView.merge(s, daily, b, Some(key))
       if (v > prev) // re-delivered daily batch → nothing new to chain
         graft.ops.IncrementalView.Weekly.merge(s, weekly,
-          graft.ops.IncrementalView.changeFeedRaw(s, daily, prev, v), Some(s"w$id"))
+          graft.ops.IncrementalView.changeFeedRaw(s, daily, prev, v), Some(s"w$key"))
     }
     graft.ops.IncrementalView.Weekly.serve(spark, weekly)
   }
@@ -518,8 +547,8 @@ object DocumentsStream {
   def runViewMaintenanceAvailableNow(spark: SparkSession, dir: String,
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q66_state_").toString)
-    drainMerges(spark, dir, files, "q66", Tables.events)((b, id) =>
-      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q66", Tables.events)((b, key) =>
+      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(key)))
     graft.ops.IncrementalView.serve(spark, state)
   }
 
@@ -541,8 +570,8 @@ object DocumentsStream {
       stateDir: Option[String] = None, files: Int = defaultStreamFiles): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val state = stateDir.getOrElse(TmpDirs.scratch("graft_q80_state_").toString)
-    drainMerges(spark, dir, files, "q80i", Tables.events)((b, id) =>
-      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(s"b$id")))
+    drainMerges(spark, dir, files, "q80i", Tables.events)((b, key) =>
+      graft.ops.IncrementalView.merge(b.sparkSession, state, b, Some(key)))
     val corrections = (ss: SparkSession, d: String) => {
       val ev = Tables.events(ss, d)
       ev.where(col("event_type") === "click" && col("event_id") % 10 === 3)
@@ -551,15 +580,15 @@ object DocumentsStream {
           ev.where(col("event_type") === "error" && col("event_id") % 17 === 5)
             .withColumn("fixed_event_type", lit(null).cast("string")))
     }
-    drainMerges(spark, dir, 2, "q80c", table = corrections) { (b, id) =>
+    drainMerges(spark, dir, 2, "q80c", table = corrections) { (b, key) =>
       val s = b.sparkSession
       graft.ops.IncrementalView.retract(s, state,
-        b.drop("fixed_event_type"), Some(s"r$id"))
+        b.drop("fixed_event_type"), Some(s"r$key"))
       graft.ops.IncrementalView.merge(s, state,
         b.where(col("fixed_event_type").isNotNull)
           .withColumn("event_type", col("fixed_event_type"))
           .drop("fixed_event_type"),
-        Some(s"f$id"))
+        Some(s"f$key"))
     }
     graft.ops.IncrementalView.serve(spark, state)
   }

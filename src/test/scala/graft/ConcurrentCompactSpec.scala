@@ -220,6 +220,12 @@ class ConcurrentCompactSpec extends SparkSpec {
     // a strict-subset twin shadows the same way
     forgeCompacted(state, v + 2, Seq(0))
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+    // a shadowed double-fold WAS live and served until its twin committed,
+    // so it keeps the full reader grace (stamped no earlier than the
+    // newest live fold's commit) — a default-grace sweep spares it
+    GenState.sweepLeftovers(spark, state, "hashes")
+    assert(exists(state, s"v${v + 1}") && exists(state, s"v${v + 2}"),
+      "a freshly shadowed double-fold must survive the grace-horizon sweep")
     // the forced sweep reclaims the shadowed twins' bytes
     GenState.sweepLeftovers(spark, state, "hashes", graceMs = 0L)
     assert(!exists(state, s"v${v + 1}") && !exists(state, s"v${v + 2}"))
@@ -269,5 +275,94 @@ class ConcurrentCompactSpec extends SparkSpec {
       "a stale double-fold must never resurrect after its twin's sources are swept")
     assert(IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
+  }
+
+  test("operational _CONFIG keys: an out-of-band leaseTtlMs pin does not brick later merges") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_opkey_").toString
+    // a real merge pins the verification regime
+    IncrementalMinHash.merge(spark, state, docs.where(col("doc_id") < 40), batchKey = Some("a"))
+    // the operator follows the lease-steal advice: adds the ttl line to
+    // the existing _CONFIG out of band
+    val f = fsOf(state)
+    val p = new org.apache.hadoop.fs.Path(s"$state/_CONFIG")
+    val prior = {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    val out = f.create(p, true)
+    try out.write((prior + "\nleaseTtlMs=120000").getBytes("UTF-8")) finally out.close()
+    assert(GenState.leaseTtlMs(spark, state) == 120000L)
+    // later merges (whose fixed params map cannot know the key) proceed
+    IncrementalMinHash.merge(spark, state, docs.where(col("doc_id") >= 40), batchKey = Some("b"))
+    // but a caller PRESENTING a conflicting operational value is refused
+    val ex = intercept[IllegalArgumentException] {
+      GenState.checkConfig(spark, state,
+        Map("threshold" -> "0.8", "leaseTtlMs" -> "1"))
+    }
+    assert(ex.getMessage.contains("leaseTtlMs"), ex.getMessage)
+    // and mixed REGIME parameters still refuse
+    val ex2 = intercept[IllegalArgumentException] {
+      GenState.checkConfig(spark, state, Map("threshold" -> "0.5"))
+    }
+    assert(ex2.getMessage.contains("mixed parameters"), ex2.getMessage)
+  }
+
+  test("write fence vs the sweep: a stalled writer's commit after its dir was reclaimed aborts — no torn generation") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_torn_").toString
+    IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 40), Some("a"))
+    // writer B claims a fresh generation, writes a non-commit table, then
+    // stalls past the TTL mid-merge
+    val (vB, tokB) = GenState.claimFresh(spark, state, "hashes")
+    spark.read.parquet(s"$state/v0/docs").limit(1)
+      .write.mode("overwrite").parquet(s"$state/v$vB/docs")
+    val old = System.currentTimeMillis() - GenState.leaseTtlMs(spark, state) - 60000
+    Seq("_LEASE", "_CLAIM").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$state/v$vB/$n")
+      if (fsOf(state).exists(p)) fsOf(state).setTimes(p, old, -1)
+    }
+    // a concurrent sweep (any compact) reclaims the stale in-flight dir
+    GenState.sweepLeftovers(spark, state, "hashes")
+    assert(!exists(state, s"v$vB"))
+    // B wakes and attempts its COMMIT write: the fence aborts it — the
+    // commit table can never land alone in a recreated dir
+    intercept[IllegalStateException] {
+      GenState.fencedParquet(spark, state, vB, "hashes", tokB, "hashes")(
+        spark.read.parquet(s"$state/v0/hashes").limit(1))
+    }
+    assert(!exists(state, s"v$vB/hashes/_SUCCESS"),
+      "a stalled writer's commit must not land after the sweep reclaimed its dir")
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(0))
+  }
+
+  test("a merge racing a compact is spliceOnly, not blind: reads skip the corpus-scale re-probe") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_splice_").toString
+    IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0), batchKey = Some("a"))
+    IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1), batchKey = Some("b"))
+    val c = IncrementalMinHash.compact(spark, state) // direct sources {0, 1}
+    val m = IncrementalMinHash.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === 2), batchKey = Some("c"))
+    // doctor the race's exact footprint: pretend the merge listed the
+    // PRE-compact sources (it committed while the compact was in flight)
+    val f = fsOf(state)
+    val pp = new org.apache.hadoop.fs.Path(s"$state/v$m/_PROBED")
+    val out = f.create(pp, true)
+    try out.write(s"0\n1\n$m".getBytes("UTF-8")) finally out.close()
+    // classified spliceOnly: the merge probed exactly what the fold folded,
+    // so its stored pairs already carry every cross edge — no blind pair
+    val (blind, spliceOnly) = GenState.classifyUnreconciled(spark, state,
+      IncrementalMinHash.completeVersions(spark, state))
+    assert(blind.isEmpty, s"maintenance race must not be blind: $blind")
+    assert(spliceOnly == Seq((c, m)), s"expected spliceOnly ($c,$m), got $spliceOnly")
+    // and the served clustering is still exactly the one-shot
+    def sortedClusters(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "cluster_size", "is_keeper")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val fresh = graft.util.TmpDirs.scratch("graft_ccomp_splice_oneshot_").toString
+    IncrementalMinHash.merge(spark, fresh, docs)
+    assert(sortedClusters(IncrementalMinHash.clusters(spark, state)) ==
+      sortedClusters(IncrementalMinHash.clusters(spark, fresh)))
   }
 }

@@ -27,6 +27,19 @@ class DocumentsStreamSpec extends SparkSpec {
     assert(IncrementalDedup.latestVersion(spark, state)
       .contains(DocumentsStream.defaultStreamFiles - 1))
     assert(out == fullD7)
+    // REGRESSION (batch-key discipline): a SECOND drain into the same
+    // persistent state gets fresh content-derived keys — batch ids restart
+    // at 0 with every fresh checkpoint, so keying by the id alone would
+    // silently drop the second drain's documents as "already ingested".
+    // The re-drained corpus re-merges (pair-graph dedup keeps the
+    // clustering exact) and the generation count GROWS.
+    val before = IncrementalDedup.completeVersions(spark, state).size
+    val out2 = DocumentsStream.runIncrementalDedupAvailableNow(
+      spark, sf0001, stateDir = Some(state))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(IncrementalDedup.completeVersions(spark, state).size > before,
+      "a second drain's batches must not be dropped by batch-id key collisions")
+    assert(out2 == fullD7)
   }
 
   test("q55: streamed MinHash merges accumulate generations and match the one-shot d3 clustering") {
