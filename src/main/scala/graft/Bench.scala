@@ -251,13 +251,15 @@ object Bench {
     * BENCH files bounds the box-state share of any total drift.
     */
   def fullLine(stats: Seq[QStat], errors: Map[String, String],
-      passes: Int, sfDir: String, canary: Seq[Double] = Nil): String = {
+      passes: Int, sfDir: String, canary: Seq[Double] = Nil,
+      shuffleCanary: Seq[Double] = Nil): String = {
     val qs = objJson(stats.map(s => s.name -> s.med.toString))
     val mins = objJson(stats.map(s => s.name -> s.min.toString))
     val maxs = objJson(stats.map(s => s.name -> s.max.toString))
     val total = stats.collect { case s if s.med >= 0 => s.med }.sum
     s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""canary":${canary.mkString("[", ",", "]")},""" +
+      s""""shuffleCanary":${shuffleCanary.mkString("[", ",", "]")},""" +
       s""""queries":$qs,"min":$mins,"max":$maxs,""" +
       s""""errors":${errJson(errors, 200)},"sf":"${esc(sfDir)}"}"""
   }
@@ -282,10 +284,20 @@ object Bench {
     // a codegen'd 1M-row sum — data-independent, so only box/JVM state can
     // move it between rounds
     val canary = mutable.ArrayBuffer.empty[Double]
+    // second fixed-cost canary, one EXCHANGE deep: the codegen canary sits
+    // entirely in the driver+one-task path and missed a measured broad-based
+    // drift band that lived in shuffle/task-scheduling overhead — a
+    // data-independent 2M-row hash aggregate over 256 keys exposes exactly
+    // that axis while staying O(100 ms)
+    val shuffleCanary = mutable.ArrayBuffer.empty[Double]
     def runCanary(): Unit = {
       val t0 = System.nanoTime()
       spark.range(1L << 20).selectExpr("sum(id)").collect()
       canary += (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      spark.range(1L << 21).selectExpr("id % 256 as k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+      shuffleCanary += (System.nanoTime() - t1) / 1e9
     }
     // NATURAL-sorted (digit runs compare numerically): Map iteration order
     // is hash-arbitrary, which would move queries relative to residual
@@ -346,7 +358,8 @@ object Bench {
     System.out.flush()
     // Durable full-detail copy: the driver's stdout capture keeps only a
     // 2000-char tail, so the full-name full-precision line lives in files.
-    val full = fullLine(stats, errors, passes, sfDir, canary.toSeq)
+    val full = fullLine(stats, errors, passes, sfDir, canary.toSeq,
+      shuffleCanary.toSeq)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), full + "\n"))
