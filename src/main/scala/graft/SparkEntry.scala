@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, substring_index, to_json}
+import org.apache.spark.sql.functions.{col, collect_list, concat, concat_ws, count, lit, pmod, sort_array, substring_index, to_json}
 
 import graft.operators._
 import graft.ops.{Corpus, Dedup, Quantization, Similarity, TextAnalysis}
@@ -1009,6 +1009,33 @@ object SparkEntry {
       graft.ops.IncrementalMedia.pairs(s, state)
         .select(col("name1"), col("name2"))
         .orderBy(col("name1"), col("name2"))
+    }),
+    // d44: tombstone delete on the JPEG modality through the Deletes
+    // facade's "jpeg" alias — the last image container to get its GDPR
+    // board entry (the chassis is codec-parametric, so this pins the
+    // FACADE wiring: tombstone("jpeg", ...) must route, shadow the
+    // victim's pairs at read, and revive them on re-ingest). Counts and
+    // names only (JPEG hamming is decoder-rounded, the d42 contract).
+    "d44_jpeg_delete" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val state = graft.util.TmpDirs.scratch("graft_d44_state_").toString
+      val media = s.read.format("binaryFile")
+        .load(graft.ops.Png.jpgFixtureDir)
+        .select(substring_index(col("path"), "/", -1).as("name"), col("content"))
+      graft.ops.IncrementalMedia.merge(s, state, media, codec = "jpeg-dhash")
+      graft.ops.Deletes.tombstone(s, state, "jpeg", Seq("imga.jpg").toDF("name"))
+      def snap(phase: String) = graft.ops.IncrementalMedia.pairs(s, state)
+        .agg(count(lit(1)).cast("int").as("n_pairs"),
+          concat_ws("|", sort_array(collect_list(
+            concat(col("name1"), lit("|"), col("name2"))))).as("names"))
+        .select(lit(phase).as("phase"), col("n_pairs"), col("names"))
+      // materialize the post-delete snapshot before the revive mutates state
+      val afterDelete = snap("after_delete").collect().toSeq
+      graft.ops.IncrementalMedia.merge(s, state,
+        media.where(col("name") === "imga.jpg"), codec = "jpeg-dhash")
+      val afterRevive = snap("after_revive")
+      s.createDataFrame(s.sparkContext.parallelize(afterDelete), afterRevive.schema)
+        .unionAll(afterRevive).orderBy(col("phase"))
     }),
     // m15/m16: BMP and GIF through the same registry — both lossless for
     // these fixtures (the rasters palettize exactly), so the goldens are
@@ -3356,6 +3383,15 @@ object SparkEntry {
     // re-quality encode of the same raster pairs with its source (names
     // only — the exact Hamming is decoder-dependent; generation-time
     // margins were 1 vs 55+ against threshold 3).
+    // JPEG tombstone + revive through the facade's "jpeg" alias: deleting
+    // imga.jpg empties the pair serve (its requality twin has no other
+    // neighbor); re-ingesting it revives the pair — both phases pinned.
+    "d44_jpeg_delete" ->
+      """SELECT phase, n_pairs, names FROM (VALUES
+        |  ('after_delete', CAST(0 AS INT), ''),
+        |  ('after_revive', CAST(1 AS INT), 'imga.jpg|imga_requality.jpg')
+        |) AS t(phase, n_pairs, names)
+        |ORDER BY phase""".stripMargin,
     "d42_jpeg_incremental" ->
       """SELECT name1, name2 FROM (VALUES
         |  ('imga.jpg', 'imga_requality.jpg')

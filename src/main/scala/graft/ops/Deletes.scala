@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-call right-to-be-forgotten facade over the eighteen stateful
+/** One-call right-to-be-forgotten facade over the nineteen stateful
   * modality entries' tombstone deletes. Every modality shares the same
   * semantics — write a tombstone generation, shadow at read, purge at
   * compact, revive on re-ingest — but each has its own entry point and id
@@ -32,6 +32,7 @@ object Deletes {
     "audio" -> (("name", IncrementalMedia.delete _)),
     "video" -> (("name", IncrementalMedia.delete _)),
     "png" -> (("name", IncrementalMedia.delete _)),
+    "jpeg" -> (("name", IncrementalMedia.delete _)),
     "tiff" -> (("name", IncrementalMedia.delete _)),
     "rotmedia" -> (("name", IncrementalRotMedia.delete _)),
     "dsir" -> (("doc_id", IncrementalDsir.delete _)),
@@ -81,6 +82,7 @@ object Deletes {
     "audio" -> (IncrementalMedia.compact _),
     "video" -> (IncrementalMedia.compact _),
     "png" -> (IncrementalMedia.compact _),
+    "jpeg" -> (IncrementalMedia.compact _),
     "tiff" -> (IncrementalMedia.compact _),
     "rotmedia" -> (IncrementalRotMedia.compact _),
     "dsir" -> (IncrementalDsir.compact _),
@@ -105,6 +107,7 @@ object Deletes {
     "audio" -> IncrementalMedia.commitTable,
     "video" -> IncrementalMedia.commitTable,
     "png" -> IncrementalMedia.commitTable,
+    "jpeg" -> IncrementalMedia.commitTable,
     "tiff" -> IncrementalMedia.commitTable,
     "rotmedia" -> IncrementalRotMedia.commitTable,
     "dsir" -> IncrementalDsir.commitTable,
@@ -116,22 +119,50 @@ object Deletes {
     * the deleted bytes leave disk when the modality's compact applies
     * tombstones physically AND the folded source generations are swept.
     * Ordinary compacts sweep under the reader-grace horizon (folded
-    * sources linger one store TTL so concurrent snapshots never lose
+    * sources linger one sweep grace so concurrent snapshots never lose
     * files mid-scan); erasure regulations want the bytes gone NOW, so
-    * purge forces the final sweep with `graceMs = 0`. That forced sweep
-    * is the ONE quiesce-worthy step left in the engine: run purge when no
-    * reader holds a pre-purge version listing, or accept that such a
-    * reader's job fails (it can never see deleted data — the generations
-    * it would read are already non-live). The returned generation is the
-    * compacted one, tombstone-free, holding no deleted rows.
+    * purge forces a `graceMs = 0` erase — SCOPED to exactly the
+    * generations the purge's OWN compact folded (its `_COMPACTED`
+    * manifest: the pre-purge lineage that held the deleted rows, plus its
+    * shadowed duplicates). The scope matters under concurrent
+    * maintenance: the purge's compact releases the `_MAINT` lease before
+    * this sweep runs, so a concurrent compact can commit a NEW fold in
+    * that window — an unscoped zero-grace sweep would erase that fold's
+    * just-folded sources under readers whose listing postdates the purge.
+    * The scoped erase touches only dirs that became non-live at (or
+    * before) the purge's own fold, so only readers holding a PRE-purge
+    * listing can fail — and they must, since every scoped dir holds
+    * to-be-erased rows: run purge when no such reader is in flight, or
+    * accept that its job fails (it can never see deleted data). Anything
+    * else expired is swept under the normal grace. The returned
+    * generation is the compacted one, tombstone-free, holding no deleted
+    * rows.
     */
   def purge(spark: SparkSession, stateDir: String, modality: String,
       ids: DataFrame): Int = {
     tombstone(spark, stateDir, modality, ids)
+    val ct = commitTables(modality)
     val gen = compacts(modality)(spark, stateDir)
-    GenState.sweepLeftovers(spark, stateDir, commitTables(modality),
-      except = gen, graceMs = 0L)
+    purgeErase(spark, stateDir, ct, gen)
     gen
+  }
+
+  /** [[purge]]'s forced final erase: zero-grace deletion of exactly the
+    * generations `gen`'s `_COMPACTED` manifest folded (the purge's own
+    * lineage — every dir that held the now-deleted rows), then a
+    * NORMAL-grace sweep for anything else expired. A generation made
+    * non-live by a concurrent fold that committed after `gen` is outside
+    * the lineage and keeps its reader grace — the window this scoping
+    * exists for.
+    */
+  def purgeErase(spark: SparkSession, stateDir: String, commitTable: String,
+      gen: Int): Unit = {
+    val lineage = GenState.readManifest(
+      GenState.fs(spark, stateDir), stateDir, gen).toSet
+    GenState.deleteVersions(spark, stateDir,
+      GenState.abandonedVersions(spark, stateDir, commitTable, except = gen,
+        graceMs = 0L).filter(lineage))
+    GenState.sweepLeftovers(spark, stateDir, commitTable, except = gen)
   }
 
   /** [[sweep]] with physical erasure: one loop tombstones AND compacts

@@ -544,6 +544,23 @@ object GenState {
     readConfig(spark, stateDir).get("leaseTtlMs")
       .map(_.toLong).getOrElse(DefaultLeaseTtlMs)
 
+  /** How long a complete-but-non-live generation (folded source, shadowed
+    * duplicate) stays on disk for in-flight readers before the sweep may
+    * erase it. Defaults to [[leaseTtlMs]], but is a SEPARATE per-store
+    * `_CONFIG` key (`sweepGraceMs`): the two horizons answer unrelated
+    * questions — the TTL bounds how long a silent WRITER is presumed
+    * alive (shorter = faster crash recovery), the grace bounds how long a
+    * READER's version listing stays valid (longer = long scans survive
+    * compaction). Coupling them forced a deployment with hour-long probe
+    * scans to also wait an hour before stealing from a crashed writer;
+    * pinning `sweepGraceMs` decouples reader protection from recovery
+    * latency. Operational key, same out-of-band pinning rule as
+    * `leaseTtlMs` (see [[checkConfig]]).
+    */
+  def sweepGraceMs(spark: SparkSession, stateDir: String): Long =
+    readConfig(spark, stateDir).get("sweepGraceMs")
+      .map(_.toLong).getOrElse(leaseTtlMs(spark, stateDir))
+
   private def leasePath(stateDir: String, v: Int) = new Path(s"$stateDir/v$v/_LEASE")
 
   private def writerId: String =
@@ -881,7 +898,7 @@ object GenState {
     *
     *   - **Complete non-live dirs** (manifest-folded sources, shadowed
     *     duplicates, shadowed double-folds): swept only after the GRACE
-    *     horizon — the store TTL — has passed since the dir became
+    *     horizon — [[sweepGraceMs]], defaulting to the store TTL — has passed since the dir became
     *     non-live. A reader (or a merge's probe) whose version listing
     *     predates the fold can still be mid-scan over these parquet dirs;
     *     deleting them under it fails the job (Spark's task retries
@@ -901,7 +918,7 @@ object GenState {
       graceMs: Long = -1L): Seq[Int] = {
     val f = fs(spark, stateDir)
     val ttl = leaseTtlMs(spark, stateDir)
-    val grace = if (graceMs >= 0) graceMs else ttl
+    val grace = if (graceMs >= 0) graceMs else sweepGraceMs(spark, stateDir)
     val now = System.currentTimeMillis()
     def mtimeOf(p: Path): Option[Long] =
       try { if (f.exists(p)) Some(f.getFileStatus(p).getModificationTime) else None }
@@ -1078,8 +1095,22 @@ object GenState {
         s"GenState: the maintenance lease on $stateDir was taken over " +
           "mid-compact (token mismatch — this compactor stalled past the ttl " +
           "and was stolen from) — aborting before the fold can double-commit")
-    try f.setTimes(p, System.currentTimeMillis(), -1)
-    catch { case scala.util.control.NonFatal(_) => () } // renewal is best-effort
+    // renewal is best-effort, but setTimes is UNSUPPORTED (silent no-op or
+    // throw) on some object stores — an unrenewed mtime would make any
+    // compact spanning more than one TTL between fenced writes silently
+    // stealable mid-fold. Verify the mtime actually advanced; when it did
+    // not, fall back to rewriting the file content (token unchanged), the
+    // same write-based heartbeat renewLease uses. A rewrite racing a
+    // stale-lease thief can only restore THIS holder's token over the
+    // thief's — then exactly one of the two aborts at its next fence, the
+    // same single-winner collapse the steal path already documents.
+    val now = System.currentTimeMillis()
+    val renewed =
+      try { f.setTimes(p, now, -1); f.getFileStatus(p).getModificationTime >= now - 1000L }
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!renewed)
+      try writeUtf8(f, p, token)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Release is conditional on still holding the lease — a stolen-from
@@ -1263,7 +1294,7 @@ object GenState {
     * caller that DOES present an operational key is held to the stored
     * value exactly like a regime parameter.
     */
-  private val operationalKeys = Set("leaseTtlMs")
+  private val operationalKeys = Set("leaseTtlMs", "sweepGraceMs")
 
   private def parseConfig(s: String): Map[String, String] =
     s.split('\n').toSeq.map(_.trim).filter(_.contains("="))

@@ -70,6 +70,27 @@ object DocumentsStream {
     * collide. Costs zero extra jobs per batch — the alternative
     * (hashing execution-time input_file_name()) measured ~1 s per
     * streaming board entry.
+    *
+    * RERUN SEMANTICS (the flip side of checkpoint scoping, per family):
+    * because keys are scoped to the CHECKPOINT, re-draining the same
+    * source through a FRESH checkpoint into the same persistent stateDir
+    * re-ingests every batch under new keys. Crash-restart from the SAME
+    * checkpoint stays exactly-once in all families — the scoped keys
+    * exist for that window. A fresh-checkpoint re-drain splits two ways:
+    *
+    *   - **pair-graph / idempotent-content families** (cluster q54,
+    *     minhash q55, substring q58/q75, semantic q63, embedding q56,
+    *     media q60/q69/q81/q83/q84, ann/ivfpq q59/q74): re-ingested
+    *     signatures and pairs are identical to the first drain's, so the
+    *     served clustering/index is unchanged (pinned by the parity
+    *     specs) — only state bytes grow until compaction folds them.
+    *   - **count-partial families** (exact q57/q77 n_copies, card q76,
+    *     top-k q82, dsir q62, classifier q61, views q66/q71/q80): each
+    *     generation is an additive partial, so a re-drain DOUBLE-COUNTS.
+    *     Re-running one of these runners against a persistent stateDir
+    *     requires either a fresh stateDir (rebuild) or caller-supplied
+    *     batch keys derived from source CONTENT identity (e.g. the
+    *     source file list), which makes the re-drain a keyed no-op.
     */
   private def ckptScope(ckpt: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -106,6 +127,8 @@ object DocumentsStream {
     graft.ops.IncrementalMinHash.clusters(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q57: the EXACT modality under the same chassis — each micro-batch
     * appended as a write-only partial-aggregate generation
     * ([[graft.ops.IncrementalExact]]); the drained re-aggregation equals
@@ -155,6 +178,8 @@ object DocumentsStream {
     graft.ops.IncrementalSubstring.removal(spark, dir, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q77: the right-to-be-forgotten pipeline under the streaming chassis
     * — documents stream in (q57's keyed d18 merges), then DELETE REQUESTS
     * stream in as their own micro-batches, each a keyed d28 tombstone
@@ -263,6 +288,8 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q82: streaming HEAVY HITTERS — b5's merge under the chassis: each
     * document micro-batch is tokenized once and its per-doc token counts
     * appended as a write-only generation (batch-keyed, so re-delivery is
@@ -301,6 +328,8 @@ object DocumentsStream {
     graft.ops.IncrementalMedia.pairs(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q61: streaming CLASSIFIER TRAINING — online learning as
     * aggregation: each document micro-batch is featurized and its Naive
     * Bayes count partials appended write-only
@@ -356,6 +385,8 @@ object DocumentsStream {
     graft.ops.IncrementalIvfPq.annTopK(spark, dir, state, modelDir)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q76: streaming dataset-card maintenance — the t23 count-distinct
     * view under the chassis: each document micro-batch appends its
     * additive partials plus its distinct key tables (batch-key
@@ -372,6 +403,8 @@ object DocumentsStream {
     graft.ops.IncrementalCard.serve(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q62: streaming DSIR — continuous data selection under the same
     * chassis: each document micro-batch pays its text pass once
     * (foreachBatch → [[graft.ops.IncrementalDsir.merge]], write-only slim
@@ -500,6 +533,8 @@ object DocumentsStream {
     graft.ops.IncrementalRotMedia.pairs(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q71: the STREAMING rollup pyramid — q66's daily maintenance with the
     * weekly view chained off the daily change feed INSIDE each trigger:
     * one merge appends the daily partial, then the weekly view ingests
@@ -524,6 +559,8 @@ object DocumentsStream {
     graft.ops.IncrementalView.Weekly.serve(spark, weekly)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q66: streaming INCREMENTAL VIEW MAINTENANCE — the q14 daily rollup
     * maintained by [[graft.ops.IncrementalView]] under the same chassis,
     * over the EVENTS table. Each micro-batch appends only its own partial
@@ -545,6 +582,8 @@ object DocumentsStream {
     graft.ops.IncrementalView.serve(spark, state)
   }
 
+  // COUNT-PARTIAL family: a fresh-checkpoint re-drain into a persistent
+  // stateDir DOUBLE-COUNTS — see ckptScope's RERUN SEMANTICS.
   /** q80: streaming CORRECTIONS — q79's retraction semantics under the
     * q77 two-feed chassis, completing the mutation matrix (ingest /
     * delete / retract, each batch AND streamed). Events stream in as

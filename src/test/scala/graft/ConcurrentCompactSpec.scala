@@ -337,6 +337,81 @@ class ConcurrentCompactSpec extends SparkSpec {
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(0))
   }
 
+  /** Append operational lines to an existing `_CONFIG` out of band (the
+    * documented pinning route for operational keys on a live store).
+    */
+  private def appendConfig(state: String, lines: String): Unit = {
+    val f = fsOf(state)
+    val p = new org.apache.hadoop.fs.Path(s"$state/_CONFIG")
+    val prior = if (!f.exists(p)) "" else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(buf); new String(buf, "UTF-8") + "\n"
+      } finally in.close()
+    }
+    val out = f.create(p, true)
+    try out.write((prior + lines).getBytes("UTF-8")) finally out.close()
+  }
+
+  test("sweepGraceMs decouples the reader grace from the writer-staleness TTL") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_sgrace_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    // deployment choice: instant sweeps (no long readers) but the DEFAULT
+    // 15-minute writer TTL — previously impossible, the two were one knob
+    appendConfig(state, "sweepGraceMs=0")
+    assert(GenState.sweepGraceMs(spark, state) == 0L)
+    assert(GenState.leaseTtlMs(spark, state) == GenState.DefaultLeaseTtlMs,
+      "pinning the sweep grace must not move the writer-staleness TTL")
+    val v = IncrementalExact.compact(spark, state)
+    // the compact's own sweep (default grace = the store's sweepGraceMs)
+    // already reclaimed the folded sources — zero lingering, zero waiting
+    assert(!exists(state, "v0") && !exists(state, "v1"),
+      "sweepGraceMs=0 must reclaim folded sources at the compact itself")
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+    // operational-key discipline holds for the new key too: later merges
+    // that don't present it proceed, a conflicting presenter is refused
+    IncrementalExact.merge(spark, state, docs.limit(1), Some("c"))
+    val ex = intercept[IllegalArgumentException] {
+      GenState.checkConfig(spark, state, Map("sweepGraceMs" -> "999"))
+    }
+    assert(ex.getMessage.contains("sweepGraceMs"), ex.getMessage)
+  }
+
+  test("purge's zero-grace erase is scoped to its own fold lineage: a concurrent fold's sources keep their grace") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_pscope_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 1), Some("b"))
+    val f1 = IncrementalExact.compact(spark, state) // the purge's own fold: manifest {0, 1}
+    // the advice's window, replayed deterministically: after the purge's
+    // compact released _MAINT but BEFORE its forced sweep runs, a merge
+    // lands and a CONCURRENT compact folds {f1, merge} into f2
+    val m = IncrementalExact.merge(spark, state,
+      docs.where(pmod(col("doc_id"), lit(3)) === 2), Some("c"))
+    // a reader resolves its listing NOW: {f1, m} — exactly the set the
+    // concurrent fold is about to make non-live, and the set the unscoped
+    // zero-grace sweep used to erase under it
+    val racingReader = IncrementalExact.dedup(spark, state)
+    val f2 = IncrementalExact.compact(spark, state)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(f2))
+    // the purge's forced erase arrives late, presenting ITS fold f1
+    Deletes.purgeErase(spark, state, "hashes", f1)
+    // f1's own lineage (v0, v1 — the dirs that held the purged rows) is
+    // erased with zero grace; the CONCURRENT fold's sources are spared
+    assert(!exists(state, "v0") && !exists(state, "v1"),
+      "the purge lineage must erase immediately")
+    assert(exists(state, s"v$m") && exists(state, s"v$f2"),
+      "a concurrent fold's just-folded sources must keep their reader grace")
+    assert(exists(state, s"v$f1"), "the purge's own compacted generation is the except")
+    assert(racingReader.agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count(),
+      "a post-purge reader mid-scan must not lose files to the forced sweep")
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+  }
+
   test("a merge racing a compact is spliceOnly, not blind: reads skip the corpus-scale re-probe") {
     val state = graft.util.TmpDirs.scratch("graft_ccomp_splice_").toString
     IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0), batchKey = Some("a"))
