@@ -267,7 +267,13 @@ object GenState {
 
   def deleteVersions(spark: SparkSession, stateDir: String, vs: Seq[Int]): Unit = {
     val f = fs(spark, stateDir)
-    vs.foreach(v => f.delete(new Path(s"$stateDir/v$v"), true))
+    vs.foreach { v =>
+      f.delete(new Path(s"$stateDir/v$v"), true)
+      // a backend whose claim store is external to the dir tree (CAS row,
+      // conditional-put slot) is not released by the recursive delete —
+      // without this, every swept generation leaks its claim row forever
+      claimBackend.releaseClaim(f, claimPath(stateDir, v))
+    }
   }
 
   /** Size-tiered maintenance POLICY shared by the three incremental
@@ -421,6 +427,10 @@ object GenState {
     * [[tryClaim]] is an `If-None-Match: *` conditional PUT (or a DynamoDB
     * lock item) and whose [[readClaim]] is a strongly-consistent GET —
     * merge/compact code is untouched, it only ever talks to [[GenState]].
+    * [[ExternalCpClaimBackend]] is that shape, shipped and tested: the
+    * claim spec's steal/fence/concurrent-merge scenarios run against it
+    * alongside the default, so the external-store path is protocol-proven,
+    * not hand-waved — an S3 deployment swaps only its one put primitive.
     */
   trait ClaimBackend {
     /** Atomically publish `token` at claim path `p` iff no claim exists.
@@ -492,6 +502,39 @@ object GenState {
       if (f.exists(p)) Some(readUtf8(f, p)) else None
     def releaseClaim(f: FileSystem, p: Path): Unit =
       if (f.exists(p)) f.delete(p, false)
+  }
+
+  /** Conditional-put claim store OUTSIDE the state-dir tree — the tested
+    * shape of an object-store deployment. The interface discipline is
+    * exactly what S3-with-conditional-writes (or a DynamoDB lock item)
+    * offers and NOTHING more: an atomic create-if-absent of one whole
+    * object (`If-None-Match: *` PUT), a strongly-consistent GET, and a
+    * DELETE. Claims live as one object per claim path under `storeRoot`
+    * (keyed by a digest of the path), so — unlike [[FsClaimBackend]],
+    * whose `_CLAIM` rides inside the vN dir — a recursive generation
+    * delete NEVER implicitly releases a claim. That is the real
+    * external-store semantic, and running the claim spec through this
+    * backend is what proves the protocol's EXPLICIT release points
+    * (the steal path, [[abandonFresh]], [[deleteVersions]]) carry the
+    * whole burden. Locally the conditional put is emulated by the
+    * filesystem's atomic exclusive create on the slot object; an S3
+    * deployment replaces only that one primitive with the conditional
+    * PUT call. Maintenance-lease staleness still reads the FS mtime, so
+    * with claims fully external a crashed compactor is recovered out of
+    * band (the documented [[acquireMaintenance]] refuse-blind rule).
+    */
+  final class ExternalCpClaimBackend(storeRoot: String) extends ClaimBackend {
+    private def slot(p: Path): Path = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(p.toString.getBytes(StandardCharsets.UTF_8))
+      new Path(storeRoot, md.digest().take(16).map("%02x".format(_)).mkString)
+    }
+    def tryClaim(f: FileSystem, p: Path, token: String): Boolean =
+      FsClaimBackend.tryClaim(f, slot(p), token)
+    def readClaim(f: FileSystem, p: Path): Option[String] =
+      FsClaimBackend.readClaim(f, slot(p))
+    def releaseClaim(f: FileSystem, p: Path): Unit =
+      FsClaimBackend.releaseClaim(f, slot(p))
   }
 
   /** The claim backend in effect for this JVM. A deployment swaps this
@@ -1108,8 +1151,12 @@ object GenState {
     val renewed =
       try { f.setTimes(p, now, -1); f.getFileStatus(p).getModificationTime >= now - 1000L }
       catch { case scala.util.control.NonFatal(_) => false }
+    // only rewrite a lease file that EXISTS on this filesystem: a fully
+    // external claim backend has no FS _MAINT object at all, and creating
+    // one here would graft a half-authoritative mtime onto a store whose
+    // crash recovery is documented as out-of-band
     if (!renewed)
-      try writeUtf8(f, p, token)
+      try { if (f.exists(p)) writeUtf8(f, p, token) }
       catch { case scala.util.control.NonFatal(_) => () }
   }
 

@@ -30,7 +30,26 @@ class GenStateClaimSpec extends SparkSpec {
     }
   }
 
-  test("a live holder's lease makes contention LOUD: the second writer fails fast, naming the holder") {
+  /** The two claim-backend shapes every parameterized scenario must hold
+    * under: the default in-tree `_CLAIM` file, and the external
+    * conditional-put store (one slot object per claim, OUTSIDE the state
+    * dir tree — the S3/DynamoDB deployment shape, where a recursive vN
+    * delete never implicitly releases a claim).
+    */
+  private def backends: Seq[(String, () => GenState.ClaimBackend)] = Seq(
+    "fs" -> (() => GenState.FsClaimBackend),
+    "external-cp" -> (() => new GenState.ExternalCpClaimBackend(
+      graft.util.TmpDirs.scratch("graft_claim_cpstore_").toString)))
+
+  private def withBackend[T](b: GenState.ClaimBackend)(body: => T): T = {
+    val before = GenState.claimBackend
+    GenState.claimBackend = b
+    try body finally GenState.claimBackend = before
+  }
+
+  for ((bk, mk) <- backends)
+  test(s"[$bk] a live holder's lease makes contention LOUD: the second writer fails fast, naming the holder") {
+    withBackend(mk()) {
     val state = graft.util.TmpDirs.scratch("graft_claim_lease_").toString
     // writer A is mid-merge: claimed v0, lease fresh (renewed at the claim
     // and at every guarded write)
@@ -47,9 +66,12 @@ class GenStateClaimSpec extends SparkSpec {
     assert(ex.getMessage.matches("(?s).*\\(\\S+:\\d+;.*"), ex.getMessage)
     // A is untouched: its claim still verifies and its merge may proceed
     GenState.assertClaimed(spark, state, 0, tokenA)
+    }
   }
 
-  test("claim race: the second claimant steals a STALE claim, the stalled first aborts before commit") {
+  for ((bk, mk) <- backends)
+  test(s"[$bk] claim race: the second claimant steals a STALE claim, the stalled first aborts before commit") {
+    withBackend(mk()) {
     val state = graft.util.TmpDirs.scratch("graft_claim_race_").toString
     // writer A mid-merge: claimed v0, tables not yet committed
     val tokenA = GenState.claimGeneration(spark, state, 0, "hashes")
@@ -66,6 +88,7 @@ class GenStateClaimSpec extends SparkSpec {
     assert(ex.getMessage.contains("single-writer"))
     // B serializes: its claim holds and its commit may proceed
     GenState.assertClaimed(spark, state, 0, tokenB)
+    }
   }
 
   test("stale version listing: claiming an already-committed generation aborts") {
@@ -96,7 +119,9 @@ class GenStateClaimSpec extends SparkSpec {
       "the committed generation must hold exactly the completed writer's batch")
   }
 
-  test("crash recovery under fresh allocation: the retry lands at a fresh generation; compact sweeps the leftover") {
+  for ((bk, mk) <- backends)
+  test(s"[$bk] crash recovery under fresh allocation: the retry lands at a fresh generation; compact sweeps the leftover") {
+    withBackend(mk()) {
     val state = graft.util.TmpDirs.scratch("graft_claim_crash_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -130,6 +155,38 @@ class GenStateClaimSpec extends SparkSpec {
       "compaction must sweep abandoned claim leftovers once the lease is stale")
     assert(IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total)
+    // the sweep released the leftover's claim wherever the backend keeps
+    // it — external claim rows must not leak once their dir is gone
+    assert(GenState.claimBackend.readClaim(fs,
+      new org.apache.hadoop.fs.Path(s"$state/v1/_CLAIM")).isEmpty,
+      "sweeping a generation must release its claim in the backend's store")
+    }
+  }
+
+  test("external conditional-put store: a recursive vN delete does NOT release the claim; the protocol's explicit release points do") {
+    val store = graft.util.TmpDirs.scratch("graft_claim_cpsem_").toString
+    withBackend(new GenState.ExternalCpClaimBackend(store)) {
+      val state = graft.util.TmpDirs.scratch("graft_claim_cpext_").toString
+      val (v, _) = GenState.claimFresh(spark, state, "hashes")
+      val fs = GenState.fs(spark, state)
+      val claimP = new org.apache.hadoop.fs.Path(s"$state/v$v/_CLAIM")
+      assert(GenState.claimBackend.readClaim(fs, claimP).isDefined)
+      // the semantic difference from the in-tree backend: deleting the
+      // generation dir leaves the external claim row standing — exactly
+      // what an S3 slot object or DynamoDB lock item would do
+      fs.delete(new org.apache.hadoop.fs.Path(s"$state/v$v"), true)
+      assert(GenState.claimBackend.readClaim(fs, claimP).isDefined,
+        "an external claim must survive the dir delete (that IS the deployment shape)")
+      // a rival claimFresh must not contest the still-claimed number: it
+      // lands past it even though no vN dir exists on disk any more
+      val (v2, tok2) = GenState.claimFresh(spark, state, "hashes")
+      assert(v2 != v, s"claimFresh must skip the externally-claimed v$v")
+      // the explicit release points clean up: abandonFresh for the rival,
+      // and for the orphan the steal path or sweep (exercised above)
+      GenState.abandonFresh(spark, state, v2, "hashes")
+      assert(GenState.claimBackend.readClaim(fs,
+        new org.apache.hadoop.fs.Path(s"$state/v$v2/_CLAIM")).isEmpty)
+    }
   }
 
   test("loser waking MID-TABLE-WRITES after a steal committed: every guarded write refuses") {
@@ -163,7 +220,9 @@ class GenStateClaimSpec extends SparkSpec {
       "a stalled loser's refused marker write must not clear the committed markers")
   }
 
-  test("two genuinely concurrent merges both commit; state equals sequential ingest of both batches") {
+  for ((bk, mk) <- backends)
+  test(s"[$bk] two genuinely concurrent merges both commit; state equals sequential ingest of both batches") {
+    withBackend(mk()) {
     val state = graft.util.TmpDirs.scratch("graft_claim_conc_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
     val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -195,6 +254,7 @@ class GenStateClaimSpec extends SparkSpec {
       "concurrent state must serve exactly the sequential-ingest answer")
     // and the exactly-once markers carried both keys
     assert(GenState.ingestedKeys(spark, state, "hashes") == Set("c1", "c2"))
+    }
   }
 
   test("a same-key double-commit is shadowed at every read and swept at compact") {
@@ -391,7 +451,9 @@ class GenStateClaimSpec extends SparkSpec {
     assert(GenState.completeVersions(spark, state, "hashes").isEmpty)
   }
 
-  test("write fencing: a stalled writer's staged table loses cleanly to a stale-lease steal") {
+  for ((bk, mk) <- backends)
+  test(s"[$bk] write fencing: a stalled writer's staged table loses cleanly to a stale-lease steal") {
+    withBackend(mk()) {
     val state = graft.util.TmpDirs.scratch("graft_claim_fence_").toString
     // writer A claims v0 and stalls INSIDE a guarded write: its table job
     // has landed in the stage dir, the publish rename has not yet run
@@ -417,6 +479,7 @@ class GenStateClaimSpec extends SparkSpec {
     val junk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/v0"))
       .map(_.getPath.getName).filter(_.contains(".stage-"))
     assert(junk.isEmpty, s"aborted stage dirs must not linger: ${junk.toSeq}")
+    }
   }
 
   test("leaseTtlMs rides _CONFIG per store: a pinned short ttl steals immediately; a mixed ttl is refused") {
