@@ -354,6 +354,36 @@ class ConcurrentCompactSpec extends SparkSpec {
     try out.write((prior + lines).getBytes("UTF-8")) finally out.close()
   }
 
+  test("the _MAINT heartbeat survives a store whose setTimes is unsupported (write-based fallback)") {
+    spark.sparkContext.hadoopConfiguration.setClass("fs.crash.impl",
+      classOf[CrashFs], classOf[org.apache.hadoop.fs.FileSystem])
+    CrashFs.disarm()
+    CrashFs.failSetTimes = true
+    try {
+      val local = graft.util.TmpDirs.scratch("graft_maint_hb_")
+      val state = s"crash://$local"
+      val token = GenState.acquireMaintenance(spark, state)
+      // a long fold: the lease has not been touched for a while — model it
+      // by backdating the file UNDERNEATH the failing-setTimes facade
+      val maintLocal = local.resolve("_MAINT")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000)
+      java.nio.file.Files.setLastModifiedTime(maintLocal, old)
+      val f = fsOf(state)
+      val p = new org.apache.hadoop.fs.Path(s"$state/_MAINT")
+      val before = f.getFileStatus(p).getModificationTime
+      // the fence: setTimes throws, so without the write fallback the
+      // mtime would stay stale and ANY compact spanning more than one TTL
+      // between fenced writes would be silently stealable mid-fold
+      GenState.verifyMaintenance(spark, state, token)
+      assert(f.getFileStatus(p).getModificationTime > before,
+        "the heartbeat must renew by rewriting the lease when setTimes is unsupported")
+      // the rewrite preserved the token: the holder's fences keep passing
+      GenState.verifyMaintenance(spark, state, token)
+      GenState.releaseMaintenance(spark, state, token)
+    } finally CrashFs.failSetTimes = false
+  }
+
   test("sweepGraceMs decouples the reader grace from the writer-staleness TTL") {
     val state = graft.util.TmpDirs.scratch("graft_ccomp_sgrace_").toString
     IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))

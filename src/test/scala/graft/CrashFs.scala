@@ -61,7 +61,12 @@ class CrashFs extends RawLocalFileSystem {
   }
 
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit = {
-    tick(); super.setTimes(p, mtime, atime)
+    tick()
+    // some object stores don't support mtime mutation at all — the
+    // heartbeat-fallback pin flips this to model them
+    if (CrashFs.failSetTimes)
+      throw new UnsupportedOperationException("setTimes unsupported (injected)")
+    super.setTimes(p, mtime, atime)
   }
 }
 
@@ -78,6 +83,11 @@ object CrashFs {
 
   final class InjectedCrash(k: Long)
     extends java.io.IOException(s"CRASH-INJECTED at mutation $k")
+
+  /** Model a store whose setTimes is unsupported (no-op/throw) — the
+    * `_MAINT` heartbeat must then fall back to a content rewrite.
+    */
+  @volatile var failSetTimes: Boolean = false
 
   private def tick(): Unit = {
     val k = mutations.incrementAndGet()
