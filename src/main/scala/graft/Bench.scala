@@ -240,27 +240,37 @@ object Bench {
     }
   }
 
-  /** The full-precision file line: median under "queries" (so cross-round
-    * file comparisons keep one stable key), min/max alongside, plus the
-    * per-pass CANARY timings — a fixed data-independent action (a 1M-row
-    * codegen'd sum; CPU + scheduler only, zero I/O) timed at the head of
-    * every pass. Two rounds of broad-based total drift (+7.9% r14→r15,
-    * +5.4% r15→r16) were attributed to box weather only by re-benching
-    * identical code; the canary makes that attribution READABLE FROM THE
-    * ARTIFACT: code cannot move the canary, so canary drift between two
-    * BENCH files bounds the box-state share of any total drift.
+  /** The full-precision file line. BASELINE POLICY (round 18): "queries"
+    * — the committed per-query DENOMINATOR for the 2× gate and every
+    * cross-round comparison — holds the per-query MIN over passes, the
+    * same statistic as the stdout headline, and "value" is the sum of
+    * those mins. The r17 canary proved the then-committed baseline was
+    * captured under box contention (fixed-cost canary spread 0.18–0.69 s
+    * on identical code), and an average denominator lets the neighbors'
+    * weather flatter or damn the code; the min is the one statistic
+    * sustained contention cannot inflate, so min-vs-min compares code
+    * with code. Median ("med") and "max" ride alongside for distribution
+    * visibility ("min" is kept as an explicit alias of "queries" for
+    * schema stability), plus the per-pass CANARY timings — a fixed
+    * data-independent action (a 1M-row codegen'd sum; CPU + scheduler
+    * only, zero I/O) timed at the head of every pass. Two rounds of
+    * broad-based total drift (+7.9% r14→r15, +5.4% r15→r16) were
+    * attributed to box weather only by re-benching identical code; the
+    * canary makes that attribution READABLE FROM THE ARTIFACT: code
+    * cannot move the canary, so canary drift between two BENCH files
+    * bounds the box-state share of any total drift.
     */
   def fullLine(stats: Seq[QStat], errors: Map[String, String],
       passes: Int, sfDir: String, canary: Seq[Double] = Nil,
       shuffleCanary: Seq[Double] = Nil): String = {
-    val qs = objJson(stats.map(s => s.name -> s.med.toString))
-    val mins = objJson(stats.map(s => s.name -> s.min.toString))
+    val qs = objJson(stats.map(s => s.name -> s.min.toString))
+    val meds = objJson(stats.map(s => s.name -> s.med.toString))
     val maxs = objJson(stats.map(s => s.name -> s.max.toString))
-    val total = stats.collect { case s if s.med >= 0 => s.med }.sum
+    val total = stats.collect { case s if s.min >= 0 => s.min }.sum
     s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
       s""""canary":${canary.mkString("[", ",", "]")},""" +
       s""""shuffleCanary":${shuffleCanary.mkString("[", ",", "]")},""" +
-      s""""queries":$qs,"min":$mins,"max":$maxs,""" +
+      s""""queries":$qs,"min":$qs,"med":$meds,"max":$maxs,""" +
       s""""errors":${errJson(errors, 200)},"sf":"${esc(sfDir)}"}"""
   }
 

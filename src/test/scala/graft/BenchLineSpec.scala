@@ -67,6 +67,13 @@ class BenchLineSpec extends AnyFunSuite {
       s"file line must carry the statistic breakdown: $full")
     assert(full.contains(""""q1_agg":12.0"""),
       s"file line must keep full-precision seconds: $full")
+    // BASELINE POLICY (round 18): the committed denominator "queries" is
+    // the per-query MIN over passes — the statistic box contention cannot
+    // inflate — matching the stdout headline; median rides under "med"
+    assert(full.contains(""""queries":{"q1_agg":1.5,"""),
+      s"'queries' must publish the per-query min (the 2x-gate denominator): $full")
+    assert(full.contains(""""med":{"q1_agg":12.0,"""),
+      s"the median must stay visible under 'med': $full")
   }
 
   test("file line carries the per-pass fixed-cost canary for box-drift attribution") {
