@@ -1029,7 +1029,8 @@ object SparkEntry {
           concat_ws("|", sort_array(collect_list(
             concat(col("name1"), lit("|"), col("name2"))))).as("names"))
         .select(lit(phase).as("phase"), col("n_pairs"), col("names"))
-      // materialize the post-delete snapshot before the revive mutates state
+      // materialize the post-delete snapshot before the revive mutates
+      // state — a 1-row global aggregate, bounded by construction
       val afterDelete = snap("after_delete").collect().toSeq
       graft.ops.IncrementalMedia.merge(s, state,
         media.where(col("name") === "imga.jpg"), codec = "jpeg-dhash")

@@ -198,6 +198,17 @@ object IncrementalDedup {
     * `batchKey`, cross pairs and the label-fold split repaired at read
     * ([[stateLabels]]) and made durable at [[compact]].
     *
+    * WIDTH REGIME GUIDANCE (measured, `tools/TextScaleProbe`, SCALE.md
+    * round 18): the 32-bit default is right up to ~10^5 docs of
+    * heterogeneous text; past that, hamming≤3-of-32 admits ~1.3e-6 of
+    * RANDOM pairs — at 10^6 docs the incidental pair graph percolates
+    * into a giant component and the incremental label splice degrades
+    * super-linearly (measured 21× split-ingest at the 100k→1M decade),
+    * while the 16-bit band buckets reach occupancy ~15. `width = 64`
+    * (incidental rate ~2.4e-15) stays flat across the same decades
+    * (1.1–1.7× per 10× data) and is the corpus-scale pin; the probe
+    * tells a deployment which side of the cliff its corpus sits on.
+    *
     * Generation `vN/bands` holds ONLY batch N's bands (append-style): the
     * probe-able full index is the UNION of generation dirs, so per-ingest
     * write volume is O(|new batch|) — consolidating the whole index per
