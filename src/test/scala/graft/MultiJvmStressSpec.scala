@@ -109,6 +109,36 @@ class MultiJvmStressSpec extends SparkSpec {
     assert(IncrementalExact.dedup(spark, state).collect().map(_.toString).sorted.toSeq == want)
   }
 
+  test("exact family: TWO compactor processes racing — never a double-fold, state intact either way") {
+    val state = graft.util.TmpDirs.scratch("graft_mjvm_2comp_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val total = IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    val ws = Seq(
+      fork("exact", "compact", state, 2, -1, "c1"),
+      fork("exact", "compact", state, 2, -1, "c2"))
+    val out = drain(ws)
+    // valid cross-process outcomes: both folded (they serialized in time —
+    // JVM startup jitter usually exceeds the fold) or one folded and one
+    // failed fast on the live _MAINT lease (exit 2). Never anything else,
+    // and never a served double-count: the _MAINT lease + commit fence +
+    // read-side overlap shadow make a double-fold unservable even if both
+    // commit.
+    assert(out.forall(o => o._2 == 0 || o._2 == 2),
+      s"non-clean compactor outcomes:\n${out.mkString("\n\n")}")
+    assert(out.exists(_._2 == 0), s"at least one compactor must fold:\n$out")
+    out.filter(_._2 == 2).foreach { case (_, _, log) =>
+      assert(log.contains("CLEAN-ABORT"), s"loser must abort via the protocol: $log")
+    }
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == total,
+      "racing cross-process compactors must never change the served counts")
+    // whatever happened, the store remains compactable and single-live
+    val v = IncrementalExact.compact(spark, state)
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+  }
+
   test("MinHash family: 3 merge processes + 1 compactor process — clustering equals the one-shot") {
     val state = graft.util.TmpDirs.scratch("graft_mjvm_mh_").toString
     IncrementalMinHash.merge(spark, state,
