@@ -11,8 +11,10 @@ import scala.util.control.NonFatal
   * `q` packs the per-query values as one string of space-separated
   * `shortkey:value` tokens, integer deciseconds (declared by `qu`); the
   * file line (BENCH_LOCAL.json) keeps the full
-  * `{"metric","value","unit","passes","queries","min","max","errors","sf"}`
-  * shape with FULL query names in full-precision seconds.
+  * `{"metric","value","unit","passes","canary","shuffleCanary","queries",
+  * "min","med","max","errors","sf"}` shape with FULL query names in
+  * full-precision seconds — "queries" (= "min") is the per-query MIN
+  * over passes, the committed baseline denominator (see [[fullLine]]).
   *
   * Harness notes (round-1/3/4/5 postmortems):
   *   - a warm-up pass runs first so the first timed query does not absorb
@@ -42,10 +44,10 @@ import scala.util.control.NonFatal
   *     line uses COMPACT query keys (unique prefix before the first `_`,
   *     e.g. `"q1"`, matching the spec's own example) and 2-dp timings to
   *     stay well under that buffer even with the sbt `[success]` trailer;
-  *   - the full-name full-precision line (median plus per-query min/max)
-  *     is written to BENCH_LOCAL.json in cwd and to SPARK_GRAFT_BENCH_OUT
-  *     if set — that is the durable copy for cross-round per-query
-  *     comparison.
+  *   - the full-name full-precision line (per-query min as the committed
+  *     denominator, median/max as spread) is written to BENCH_LOCAL.json
+  *     in cwd and to SPARK_GRAFT_BENCH_OUT if set — that is the durable
+  *     copy for cross-round per-query comparison.
   *
   * The line-construction helpers are pure functions on this object so
   * BenchLineSpec can assert the stdout line stays under the driver's

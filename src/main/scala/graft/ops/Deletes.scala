@@ -148,20 +148,26 @@ object Deletes {
   }
 
   /** [[purge]]'s forced final erase: zero-grace deletion of exactly the
-    * generations `gen`'s `_COMPACTED` manifest folded (the purge's own
-    * lineage — every dir that held the now-deleted rows), then a
-    * NORMAL-grace sweep for anything else expired. A generation made
-    * non-live by a concurrent fold that committed after `gen` is outside
-    * the lineage and keeps its reader grace — the window this scoping
-    * exists for.
+    * generations that held the now-deleted rows — `gen`'s `_COMPACTED`
+    * lineage (its folded sources, their transitive history, and the
+    * manifest-listed duplicate-key shadows) PLUS any overlap-shadowed
+    * double-fold twins (a lost-race compact's copy duplicates the
+    * lineage's content, purged rows included, but is recorded in no
+    * manifest — only the read-side overlap walk knows it; its readers
+    * necessarily hold pre-purge listings, so the zero grace is exactly
+    * as safe there as on the lineage). Then a NORMAL-grace sweep for
+    * anything else expired. A generation made non-live by a concurrent
+    * fold that committed after `gen` is outside both sets and keeps its
+    * reader grace — the window this scoping exists for.
     */
   def purgeErase(spark: SparkSession, stateDir: String, commitTable: String,
       gen: Int): Unit = {
-    val lineage = GenState.readManifest(
-      GenState.fs(spark, stateDir), stateDir, gen).toSet
+    val scope = GenState.readManifest(
+      GenState.fs(spark, stateDir), stateDir, gen).toSet ++
+      GenState.overlapShadowedVersions(spark, stateDir, commitTable)
     GenState.deleteVersions(spark, stateDir,
       GenState.abandonedVersions(spark, stateDir, commitTable, except = gen,
-        graceMs = 0L).filter(lineage))
+        graceMs = 0L).filter(scope))
     GenState.sweepLeftovers(spark, stateDir, commitTable, except = gen)
   }
 

@@ -995,9 +995,21 @@ object GenState {
     allVersionDirs(f, stateDir).filterNot(liveSet).filterNot(_ == except)
       .filter { v =>
         val complete = f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
-        if (!complete)
-          !(fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)))
-        else {
+        if (!complete) {
+          // liveness evidence for an in-flight dir is FS mtimes (lease or
+          // in-tree claim). An EXTERNAL claim backend publishes no in-tree
+          // claim file, so when the lease write also failed (best-effort)
+          // there is NO mtime authority at all — then a held backend claim
+          // means "in flight, age unknown": refuse to sweep blind, the
+          // same rule acquireMaintenance applies to unstat-able leases
+          // (recovery of a truly crashed writer is the backend's
+          // out-of-band release, as documented on ExternalCpClaimBackend).
+          val noMtimeAuthority = mtimeOf(leasePath(stateDir, v)).isEmpty &&
+            mtimeOf(claimPath(stateDir, v)).isEmpty
+          !(fresh(leasePath(stateDir, v)) || fresh(claimPath(stateDir, v)) ||
+            (noMtimeAuthority &&
+              claimBackend.readClaim(f, claimPath(stateDir, v)).isDefined))
+        } else {
           val becameNonLive = foldStamp.getOrElse(v,
             math.max(commitMtime(v).getOrElse(0L), lastFoldCommit))
           now - becameNonLive >= grace
@@ -1154,10 +1166,23 @@ object GenState {
     // only rewrite a lease file that EXISTS on this filesystem: a fully
     // external claim backend has no FS _MAINT object at all, and creating
     // one here would graft a half-authoritative mtime onto a store whose
-    // crash recovery is documented as out-of-band
-    if (!renewed)
-      try { if (f.exists(p)) writeUtf8(f, p, token) }
-      catch { case scala.util.control.NonFatal(_) => () }
+    // crash recovery is documented as out-of-band. The rewrite is
+    // overwrite-in-place, so a TORN write (created-then-failed) would
+    // leave the holder's own token unreadable — read back and repair
+    // once, so a transient write failure stays the harmless renewal miss
+    // it was under the setTimes-only path instead of a spurious
+    // taken-over abort at the next fence.
+    if (!renewed) {
+      def rewrite(): Unit = writeUtf8(f, p, token)
+      try {
+        if (f.exists(p)) {
+          rewrite()
+          if (!claimBackend.readClaim(f, p).contains(token)) rewrite()
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        try rewrite() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Release is conditional on still holding the lease — a stolen-from

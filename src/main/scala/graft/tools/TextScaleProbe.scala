@@ -71,12 +71,18 @@ object TextScaleProbe {
       tag: String): Unit = {
     val labels = IncrementalDedup.clusters(spark, state)
       .select(col("doc_id"), col("cluster_id"))
-    val split = planted(spark, n)
+    // count MATCHED pairs against the planted total (inner joins would
+    // otherwise silently drop a twin missing from the serve entirely and
+    // pass vacuously — the exact regression a recall gate exists to catch)
+    val matched = planted(spark, n)
       .join(labels.toDF("d1", "c1"), "d1")
       .join(labels.toDF("d2", "c2"), "d2")
-      .where(col("c1") =!= col("c2") || col("c1").isNull || col("c2").isNull)
+      .where(col("c1") === col("c2"))
       .count()
-    require(split == 0, s"$tag@$n: $split planted twin pairs NOT co-clustered")
+    val want = planted(spark, n).count()
+    require(matched == want,
+      s"$tag@$n: only $matched of $want planted twin pairs co-clustered " +
+        "(missing-from-serve or split)")
   }
 
   def main(args: Array[String]): Unit = {

@@ -442,6 +442,28 @@ class ConcurrentCompactSpec extends SparkSpec {
       .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
   }
 
+  test("purge's forced erase covers overlap-shadowed double-folds: no manifest records them, but they hold the purged rows") {
+    val state = graft.util.TmpDirs.scratch("graft_ccomp_pshadow_").toString
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))
+    IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 1), Some("b"))
+    val survivor = IncrementalExact.compact(spark, state) // manifest {0, 1}
+    // the lost-race twin: a complete double-fold of the same sources — a
+    // physical COPY of the pre-purge corpus that appears in NO manifest
+    forgeCompacted(state, survivor + 1, Seq(0, 1))
+    assert(GenState.overlapShadowedVersions(spark, state, "hashes") == Seq(survivor + 1))
+    // the purge's forced erase must take the twin with zero grace too —
+    // its bytes are exactly the rows the regulation wants gone, and any
+    // reader still holding it predates the survivor fold (pre-purge)
+    Deletes.purgeErase(spark, state, "hashes", survivor)
+    assert(!exists(state, "v0") && !exists(state, "v1"),
+      "the purge lineage must erase immediately")
+    assert(!exists(state, s"v${survivor + 1}"),
+      "an overlap-shadowed double-fold holds purged rows and must erase with the lineage")
+    assert(GenState.completeVersions(spark, state, "hashes") == Seq(survivor))
+    assert(IncrementalExact.dedup(spark, state)
+      .agg(sum(col("n_copies"))).collect()(0).getLong(0) == docs.count())
+  }
+
   test("a merge racing a compact is spliceOnly, not blind: reads skip the corpus-scale re-probe") {
     val state = graft.util.TmpDirs.scratch("graft_ccomp_splice_").toString
     IncrementalMinHash.merge(spark, state, docs.where(pmod(col("doc_id"), lit(3)) === 0), batchKey = Some("a"))

@@ -189,6 +189,28 @@ class GenStateClaimSpec extends SparkSpec {
     }
   }
 
+  test("external store, no mtime authority: a held claim with NO lease file is spared by the sweep (refuse-blind)") {
+    val store = graft.util.TmpDirs.scratch("graft_claim_cpblind_store_").toString
+    withBackend(new GenState.ExternalCpClaimBackend(store)) {
+      val state = graft.util.TmpDirs.scratch("graft_claim_cpblind_").toString
+      IncrementalExact.merge(spark, state, docs.where(col("doc_id") < 40), Some("seed"))
+      val (v, _) = GenState.claimFresh(spark, state, "hashes")
+      val fs = GenState.fs(spark, state)
+      // model the best-effort lease write having FAILED: the in-flight dir
+      // then has no _LEASE and (external backend) no in-tree _CLAIM — zero
+      // filesystem mtime evidence either way
+      fs.delete(new org.apache.hadoop.fs.Path(s"$state/v$v/_LEASE"), false)
+      assert(!GenState.abandonedVersions(spark, state, "hashes").contains(v),
+        "a held external claim with no mtime authority must be spared, not swept blind")
+      // once the claim is released (crash recovery's out-of-band step, or
+      // abandonFresh), the evidence-free dir becomes sweepable
+      GenState.claimBackend.releaseClaim(fs,
+        new org.apache.hadoop.fs.Path(s"$state/v$v/_CLAIM"))
+      assert(GenState.abandonedVersions(spark, state, "hashes").contains(v),
+        "a claim-free lease-free incomplete dir is an ordinary crash leftover")
+    }
+  }
+
   test("loser waking MID-TABLE-WRITES after a steal committed: every guarded write refuses") {
     // the steal protocol still guards the TARGETED claim path (compaction,
     // probe-at-merge modalities) — drive it directly

@@ -38,15 +38,31 @@ class MultiJvmStressSpec extends SparkSpec {
 
   private def docs = graft.sources.Tables.documents(spark, sf0001)
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  /** The forked workers must open the same JDK modules as this (Spark-
+    * capable) test JVM. Inherit the flags from the RUNNING JVM so the
+    * list cannot drift from build.sbt's; fall back to the known Spark 4 /
+    * JDK 17 set only if the runtime reports none (non-forked runner).
+    */
+  private val addOpens: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val paired = jvmArgs.sliding(2).collect {
+      case Seq("--add-opens", v) => Seq("--add-opens", v) }.flatten.toSeq
+    val fused = jvmArgs.filter(_.startsWith("--add-opens="))
+      .flatMap(a => Seq("--add-opens", a.stripPrefix("--add-opens=")))
+    val inherited = paired ++ fused
+    if (inherited.nonEmpty) inherited
+    else Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  }
 
   private case class Worker(tag: String, proc: Process, log: java.io.File)
 
