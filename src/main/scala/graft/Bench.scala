@@ -38,7 +38,13 @@ import scala.util.control.NonFatal
   *     the process exits nonzero;
   *   - the JSON line is printed to stdout (build.sbt pins
   *     `run / outputStrategy := StdoutOutput` so sbt does not prefix it
-  *     with `[info]`);
+  *     with `[info]`), and it is the LAST thing the process writes: the
+  *     r18 driver artifact lost the line's FRONT because a post-shutdown
+  *     StateStore WARN stack landed AFTER it and ate ~900 chars of the
+  *     2000-char tail — so the session (and the streaming state-store
+  *     maintenance executor, the WARN's source) is stopped BEFORE the
+  *     line prints, leaving only sbt's ~80-char `[success]` trailer
+  *     between the line and the end of the capture;
   *   - the driver keeps only the LAST 2000 chars of stdout (BENCH_r03 and
   *     r04 both tail-truncated mid-line → `parsed: null`), so the stdout
   *     line uses COMPACT query keys (unique prefix before the first `_`,
@@ -269,7 +275,12 @@ object Bench {
     val meds = objJson(stats.map(s => s.name -> s.med.toString))
     val maxs = objJson(stats.map(s => s.name -> s.max.toString))
     val total = stats.collect { case s if s.min >= 0 => s.min }.sum
+    // "policy" is the schema marker tooling needs to compare across rounds:
+    // before round 18, "queries" held the per-query MEDIAN; a file without
+    // this field is pre-policy and its "queries" must not be compared
+    // against a min-statistic file as if they were the same measurement
     s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,""" +
+      s""""policy":"min-of-passes",""" +
       s""""canary":${canary.mkString("[", ",", "]")},""" +
       s""""shuffleCanary":${shuffleCanary.mkString("[", ",", "]")},""" +
       s""""queries":$qs,"min":$qs,"med":$meds,"max":$maxs,""" +
@@ -366,8 +377,6 @@ object Bench {
     if (compact.length > 1800)
       System.err.println(s"WARNING: bench stdout line is ${compact.length} chars; " +
         "the driver keeps only a 2000-char tail — shorten keys/precision before it truncates")
-    println(compact)
-    System.out.flush()
     // Durable full-detail copy: the driver's stdout capture keeps only a
     // 2000-char tail, so the full-name full-precision line lives in files.
     val full = fullLine(stats, errors, passes, sfDir, canary.toSeq,
@@ -375,7 +384,19 @@ object Bench {
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), full + "\n"))
+    // Shut everything down BEFORE the stdout line: the streaming
+    // state-store maintenance executor outlives the session and, once
+    // SparkEnv is gone, dumps a WARN stack into stdout — which landed
+    // AFTER the r18 line and displaced its front out of the driver's
+    // 2000-char tail (BENCH_r18 `parsed: null`). Stopping the maintenance
+    // task first keeps the tail clean; the session stop follows so any of
+    // its own shutdown chatter also precedes the line.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case NonFatal(_) => () }
     spark.stop()
+    // the compact line is the LAST write — nothing may print after it
+    println(compact)
+    System.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

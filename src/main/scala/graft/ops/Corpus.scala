@@ -317,8 +317,8 @@ object Corpus {
     */
   private val registryTable = "shingles"
 
-  private def registryPath(registryDir: String, v: Int) =
-    s"$registryDir/v$v/$registryTable"
+  private def registryPath(spark: SparkSession, registryDir: String, v: Int) =
+    GenState.tablePath(spark, registryDir, v, registryTable)
 
   def appendContaminationRegistry(spark: SparkSession, registryDir: String,
       suiteDocs: DataFrame): Int = {
@@ -339,7 +339,7 @@ object Corpus {
   def registryShingles(spark: SparkSession, registryDir: String): DataFrame = {
     val live = GenState.completeVersions(spark, registryDir, registryTable)
     require(live.nonEmpty, s"registryShingles: no registry at $registryDir")
-    spark.read.parquet(live.map(registryPath(registryDir, _)): _*).distinct()
+    spark.read.parquet(live.map(registryPath(spark, registryDir, _)): _*).distinct()
   }
 
   /** Screen one ingest batch against the generational registry — same
@@ -514,7 +514,7 @@ object Corpus {
       // the maintenance lease
       GenState.fencedParquet(spark, registryDir, next, registryTable, claim,
         registryTable, maintToken = Some(maint))(
-        spark.read.parquet(versions.map(registryPath(registryDir, _)): _*).distinct())
+        spark.read.parquet(versions.map(registryPath(spark, registryDir, _)): _*).distinct())
       // grace-horizon sweep: folded sources leave disk after the store TTL
       GenState.sweepLeftovers(spark, registryDir, registryTable, except = next)
       next

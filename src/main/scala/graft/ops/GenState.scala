@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   * ([[IncrementalDedup]] d12, [[IncrementalEmbedding]] d14,
   * [[IncrementalMinHash]] d15): version listing, the compaction manifest,
   * and merge-parameter pinning. All three operators persist state as
-  * `stateDir/vN/{<index>,labels}` where `labels/_SUCCESS` is the commit
-  * marker — this object is the single source of truth for what counts as
-  * a live generation.
+  * `stateDir/vN/{<index>,labels}` where the commit marker is the commit
+  * table's `_SUCCESS` at its final path (the default [[RenamePublish]])
+  * or the `vN/_COMMIT` pointer ([[PointerPublish]], object stores) —
+  * this object is the single source of truth for what counts as a live
+  * generation, and [[tablePath]] for where a generation's tables
+  * physically live.
   *
   * Two failure modes this closes (both found by audit, neither by a test
   * that existed before):
@@ -37,6 +40,113 @@ object GenState {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- publish modes -------------------------------------------------------
+  //
+  // [[fencedParquet]]'s default publish is stage-inside-vN + directory
+  // RENAME — correct wherever rename is atomic (HDFS, ABFS, POSIX), and
+  // the commit itself (the commit table's rename making its _SUCCESS
+  // appear at the final path) leans on exactly that atomicity. An object
+  // store without atomic rename (S3) breaks it two ways: a copy-semantics
+  // rename can surface _SUCCESS before the data objects (a reader sees a
+  // torn committed generation), and a stalled loser's half-finished copy
+  // can interleave object-by-object with a thief's rebuild of the same
+  // final path. [[PointerPublish]] removes the rename dependency at the
+  // root: every table job writes DIRECTLY to a final-named dir whose name
+  // embeds the claim token's nonce (`<table>.g<nonce>` — nonce-unique per
+  // writer, so two writers' bytes can never land in one dir), and the
+  // generation becomes live via ONE small `_COMMIT` object holding the
+  // winning nonce, published with the conditional create-if-absent
+  // primitive (`If-None-Match: *` PUT on S3, O_EXCL locally). Readers
+  // resolve table paths through [[tablePath]], which follows the pointer
+  // when one exists — so reads are MODE-AGNOSTIC and a store can even
+  // hold generations committed under either mode. The pointer lives
+  // in-tree, so every existing delete path (steal, sweep, abandon)
+  // releases it with the vN dir for free.
+  //
+  // What stays out of scope: the table job's own task-commit renames
+  // inside `_temporary` are the storage connector's contract (S3A's
+  // committers solve that with multipart uploads — public machinery);
+  // the STATE PROTOCOL itself performs zero renames under PointerPublish,
+  // which is what the no-rename-filesystem spec pins.
+
+  sealed trait PublishMode
+  /** Stage inside vN + atomic directory rename (HDFS/ABFS/POSIX). */
+  case object RenamePublish extends PublishMode
+  /** Rename-free: nonce-named final dirs + conditional-put `_COMMIT`. */
+  case object PointerPublish extends PublishMode
+
+  /** The publish mode for this JVM's WRITES (reads auto-detect per
+    * generation). A deployment sets it once at startup, like
+    * [[claimBackend]].
+    */
+  @volatile var publishMode: PublishMode = RenamePublish
+
+  private def commitPtrPath(stateDir: String, v: Int) =
+    new Path(s"$stateDir/v$v/_COMMIT")
+
+  /** 13 hex chars + dash of the claim token (48 bits): unique enough that
+    * two RACING writers on one generation never collide (the same
+    * exposure class as the stage-dir suffix), short enough to keep
+    * listings readable.
+    */
+  private def nonceOf(token: String): String = token.take(13)
+
+  /** The committed pointer nonce of generation `v`, or None (not
+    * pointer-committed — either rename-mode or not yet committed).
+    */
+  private def readPointer(f: FileSystem, stateDir: String, v: Int): Option[String] =
+    FsClaimBackend.readClaim(f, commitPtrPath(stateDir, v))
+
+  /** The conditional create-if-absent single-object put — the one
+    * primitive [[PointerPublish]] needs from the store (S3: native
+    * `If-None-Match: *` PUT at the same key; local: O_EXCL). Content is
+    * the whole object; atomicity of the put is the store's contract.
+    */
+  private def conditionalPut(f: FileSystem, p: Path, content: String): Boolean =
+    FsClaimBackend.tryClaim(f, p, content)
+
+  /** Generation `v` is COMMITTED: its commit table's `_SUCCESS` exists at
+    * the plain final path (rename-mode publish), or a `_COMMIT` pointer
+    * exists AND the commit-table dir it names is present (pointer-mode;
+    * a pointer naming vanished dirs — a loser's flip racing a thief's
+    * redo-wholesale delete — is NOT a committed generation, and the next
+    * steal/sweep clears it with the vN dir). The single source of truth
+    * every claim/sweep/read-side check routes through.
+    */
+  private def isCommitted(f: FileSystem, stateDir: String, v: Int,
+      commitTable: String): Boolean =
+    f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")) ||
+      readPointer(f, stateDir, v).exists(n =>
+        f.exists(new Path(s"$stateDir/v$v/$commitTable.g$n/_SUCCESS")))
+
+  /** Resolve the PHYSICAL path of a generation table. A committed pointer
+    * wins (the generation was pointer-published — mode-agnostic reads);
+    * otherwise a caller that owns the generation's claim passes its
+    * `token` so its own pre-commit reads resolve to the nonce dir it is
+    * writing under PointerPublish; otherwise the plain rename-mode path.
+    */
+  def tablePath(spark: SparkSession, stateDir: String, v: Int, table: String,
+      token: Option[String] = None): String = {
+    val f = fs(spark, stateDir)
+    readPointer(f, stateDir, v) match {
+      case Some(n) => s"$stateDir/v$v/$table.g$n"
+      case None => token match {
+        case Some(t) if publishMode == PointerPublish =>
+          s"$stateDir/v$v/$table.g${nonceOf(t)}"
+        case _ => s"$stateDir/v$v/$table"
+      }
+    }
+  }
+
+  /** Whether a COMPLETE generation carries `table` (its job `_SUCCESS`
+    * under the resolved physical path) — the presence probe the optional
+    * per-family tables (pairs, tombstones) use.
+    */
+  def tableExists(spark: SparkSession, stateDir: String, v: Int,
+      table: String): Boolean =
+    fs(spark, stateDir).exists(
+      new Path(s"${tablePath(spark, stateDir, v, table)}/_SUCCESS"))
+
   /** Generations whose commit table committed, folded-or-not, ascending. */
   private def rawComplete(f: FileSystem, stateDir: String,
       commitTable: String): Seq[Int] = {
@@ -47,7 +157,7 @@ object GenState {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.length > 1 &&
         n.drop(1).forall(_.isDigit) => n.drop(1).toInt }
-      .filter(v => f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
+      .filter(v => isCommitted(f, stateDir, v, commitTable))
       .sorted
   }
 
@@ -626,7 +736,7 @@ object GenState {
   def claimGeneration(spark: SparkSession, stateDir: String, v: Int,
       commitTable: String = "labels"): String = {
     val f = fs(spark, stateDir)
-    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
+    if (isCommitted(f, stateDir, v, commitTable))
       throw new IllegalStateException(
         s"GenState: generation v$v at $stateDir is already committed — a " +
           "concurrent writer ingested since this merge listed versions; " +
@@ -673,11 +783,11 @@ object GenState {
       // destructive step (and again before re-claiming) so the thief never
       // deletes a COMMITTED generation — narrowing the race to the same
       // single-write granularity as the rest of the protocol.
-      if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))) abortCommitted()
+      if (isCommitted(f, stateDir, v, commitTable)) abortCommitted()
       f.delete(new Path(s"$stateDir/v$v"), true)
       claimBackend.releaseClaim(f, p)
     }
-    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))) abortCommitted()
+    if (isCommitted(f, stateDir, v, commitTable)) abortCommitted()
     val token = java.util.UUID.randomUUID().toString
     if (!claimBackend.tryClaim(f, p, token))
       throw new IllegalStateException(
@@ -706,7 +816,7 @@ object GenState {
   def assertWritable(spark: SparkSession, stateDir: String, v: Int,
       token: String, commitTable: String = "labels"): Unit = {
     val f = fs(spark, stateDir)
-    if (f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")))
+    if (isCommitted(f, stateDir, v, commitTable))
       throw new IllegalStateException(
         s"GenState: generation v$v at $stateDir was committed by another " +
           "writer while this merge was stalled — refusing to write into a " +
@@ -751,6 +861,16 @@ object GenState {
   def fencedParquet(spark: SparkSession, stateDir: String, v: Int,
       table: String, token: String, commitTable: String = "labels",
       maintToken: Option[String] = None)(
+      df: org.apache.spark.sql.DataFrame): Unit = publishMode match {
+    case RenamePublish => fencedParquetRename(
+      spark, stateDir, v, table, token, commitTable, maintToken)(df)
+    case PointerPublish => fencedParquetPointer(
+      spark, stateDir, v, table, token, commitTable, maintToken)(df)
+  }
+
+  private def fencedParquetRename(spark: SparkSession, stateDir: String, v: Int,
+      table: String, token: String, commitTable: String,
+      maintToken: Option[String])(
       df: org.apache.spark.sql.DataFrame): Unit = {
     val stage = s"$stateDir/v$v/.$table.stage-${token.take(8)}"
     df.write.mode("overwrite").parquet(stage)
@@ -779,6 +899,51 @@ object GenState {
         s"GenState: fenced publish of $table into v$v at $stateDir failed — " +
           "the stage directory vanished (a concurrent steal deleted the " +
           "generation mid-publish); clean abort, nothing landed")
+  }
+
+  /** The rename-free fenced write (see the [[PublishMode]] block comment).
+    * The job writes DIRECTLY to the nonce-named final dir — isolation
+    * comes from the name, not from staging: a stalled loser's bytes land
+    * only ever in ITS OWN `<table>.g<nonce>` dir, which no pointer will
+    * name and which leaves disk with the vN dir (steal) or the sweep.
+    * The fence then re-verifies the claim (and maintenance lease), and
+    * the COMMIT table additionally flips the `_COMMIT` pointer with the
+    * conditional put — exactly one writer's flip can land, so a loser
+    * that survived every earlier check still aborts here instead of
+    * publishing over the winner.
+    */
+  private def fencedParquetPointer(spark: SparkSession, stateDir: String, v: Int,
+      table: String, token: String, commitTable: String,
+      maintToken: Option[String])(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val f = fs(spark, stateDir)
+    val n = nonceOf(token)
+    val dst = s"$stateDir/v$v/$table.g$n"
+    // overwrite: a prior crashed attempt under the SAME token may have
+    // left a partial dir; other writers' dirs carry other nonces
+    df.write.mode("overwrite").parquet(dst)
+    def cleanup(): Unit =
+      try f.delete(new Path(dst), true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      assertWritable(spark, stateDir, v, token, commitTable)
+      maintToken.foreach(verifyMaintenance(spark, stateDir, _))
+    } catch {
+      case e: IllegalStateException => cleanup(); throw e
+    }
+    if (table == commitTable) {
+      val ptr = commitPtrPath(stateDir, v)
+      // read-back like every claim publish: the conditional put is only
+      // authoritative as READ (a thief's redo-wholesale delete can race
+      // the flip; at most one writer ever sees its own nonce)
+      if (!conditionalPut(f, ptr, n) || !readPointer(f, stateDir, v).contains(n)) {
+        cleanup()
+        throw new IllegalStateException(
+          s"GenState: lost the pointer-commit race for v$v at $stateDir — " +
+            "another writer's _COMMIT landed first (or this writer's flip " +
+            "did not survive a concurrent steal); clean abort, nothing served")
+      }
+    }
   }
 
   // ---- multi-writer optimistic allocation ----------------------------------
@@ -856,7 +1021,7 @@ object GenState {
       // Then publish + read-back, as in claimGeneration: the local-FS
       // exclusive create is best-effort, so only a read-back seeing this
       // writer's own token proves the claim held.
-      if (!f.exists(new Path(s"$stateDir/v$candidate/$commitTable/_SUCCESS")) &&
+      if (!isCommitted(f, stateDir, candidate, commitTable) &&
           claimBackend.tryClaim(f, p, token) &&
           claimBackend.readClaim(f, p).contains(token)) {
         renewLease(f, stateDir, candidate)
@@ -882,7 +1047,7 @@ object GenState {
   def abandonFresh(spark: SparkSession, stateDir: String, v: Int,
       commitTable: String = "labels"): Unit = {
     val f = fs(spark, stateDir)
-    require(!f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS")),
+    require(!isCommitted(f, stateDir, v, commitTable),
       s"GenState.abandonFresh: v$v at $stateDir is committed — refusing")
     f.delete(new Path(s"$stateDir/v$v"), true)
     claimBackend.releaseClaim(f, claimPath(stateDir, v))
@@ -971,6 +1136,10 @@ object GenState {
     val liveSet = live.toSet
     def commitMtime(v: Int): Option[Long] =
       mtimeOf(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
+        // pointer-published generation: the pointed commit dir's job
+        // _SUCCESS is the FS mtime authority (written just before the flip)
+        .orElse(readPointer(f, stateDir, v).flatMap(n =>
+          mtimeOf(new Path(s"$stateDir/v$v/$commitTable.g$n/_SUCCESS"))))
     // v became non-live when the generation whose manifest lists it
     // committed; transitive manifests make the stamp conservative (a later
     // compact's commit refreshes the lineage's grace), which only ever
@@ -994,7 +1163,7 @@ object GenState {
       .flatten.maxOption.getOrElse(0L)
     allVersionDirs(f, stateDir).filterNot(liveSet).filterNot(_ == except)
       .filter { v =>
-        val complete = f.exists(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
+        val complete = isCommitted(f, stateDir, v, commitTable)
         if (!complete) {
           // liveness evidence for an in-flight dir is FS mtimes (lease or
           // in-tree claim). An EXTERNAL claim backend publishes no in-tree
@@ -1166,21 +1335,36 @@ object GenState {
     // only rewrite a lease file that EXISTS on this filesystem: a fully
     // external claim backend has no FS _MAINT object at all, and creating
     // one here would graft a half-authoritative mtime onto a store whose
-    // crash recovery is documented as out-of-band. The rewrite is
-    // overwrite-in-place, so a TORN write (created-then-failed) would
-    // leave the holder's own token unreadable — read back and repair
-    // once, so a transient write failure stays the harmless renewal miss
-    // it was under the setTimes-only path instead of a spurious
-    // taken-over abort at the next fence.
+    // crash recovery is documented as out-of-band. A read-back MISMATCH
+    // after the holder's own successful rewrite is not a torn write (the
+    // rewrite closed) — it means a rival legitimately stole the stale
+    // lease in the window between the rewrite and the read-back, and
+    // "repairing" by rewriting again would stomp the live thief's token
+    // (dueling heartbeats, wasted double-folds). Abort with the same
+    // taken-over error the fence above throws: exactly one of the two
+    // compactors survives, the single-winner collapse the steal path
+    // documents. A transient write FAILURE, by contrast, is retried once
+    // — but only when the prior exists(p) was confirmed true; retrying
+    // blind after a failed exists() could create an _MAINT object on a
+    // store whose claims live entirely in an external backend.
     if (!renewed) {
-      def rewrite(): Unit = writeUtf8(f, p, token)
+      var existed = false
       try {
         if (f.exists(p)) {
-          rewrite()
-          if (!claimBackend.readClaim(f, p).contains(token)) rewrite()
+          existed = true
+          writeUtf8(f, p, token)
+          if (!claimBackend.readClaim(f, p).contains(token))
+            throw new IllegalStateException(
+              s"GenState: the maintenance lease on $stateDir was taken over " +
+                "mid-compact (a rival stole the stale lease during this " +
+                "holder's heartbeat rewrite) — aborting before the fold can " +
+                "double-commit")
         }
-      } catch { case scala.util.control.NonFatal(_) =>
-        try rewrite() catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(_) if existed =>
+          try writeUtf8(f, p, token) catch { case scala.util.control.NonFatal(_) => () }
+        case scala.util.control.NonFatal(_) => ()
       }
     }
   }
@@ -1366,7 +1550,8 @@ object GenState {
     * caller that DOES present an operational key is held to the stored
     * value exactly like a regime parameter.
     */
-  private val operationalKeys = Set("leaseTtlMs", "sweepGraceMs")
+  private val operationalKeys = Set("leaseTtlMs", "sweepGraceMs",
+    "saturationOccupancy", "saturationAction")
 
   private def parseConfig(s: String): Map[String, String] =
     s.split('\n').toSeq.map(_.trim).filter(_.contains("="))
@@ -1409,7 +1594,17 @@ object GenState {
       }
     }
     if (f.exists(p)) compare()
-    else {
+    else if (publishMode == PointerPublish) {
+      // object-store shape: the pin publishes as ONE conditional
+      // create-if-absent of the whole content (native If-None-Match PUT
+      // on S3 — whole-object atomicity is the store's contract; locally
+      // the O_EXCL emulation can expose a brief torn-read window to a
+      // concurrent sibling, which the unconditional read-back turns into
+      // a loud refusal, never a silent mixed pin). No staging, no rename.
+      f.mkdirs(new Path(stateDir))
+      conditionalPut(f, p, want)
+      compare()
+    } else {
       f.mkdirs(new Path(stateDir))
       val tmp = new Path(s"$stateDir/._CONFIG.${java.util.UUID.randomUUID()}")
       writeUtf8(f, tmp, want)

@@ -36,11 +36,16 @@ object IncrementalCard {
 
   private[ops] val commitTable = "partials"
 
-  private def partialsPath(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
-  private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
-  private def langsPath(stateDir: String, v: Int) = s"$stateDir/v$v/langs"
-  private def sketchesPath(stateDir: String, v: Int) = s"$stateDir/v$v/sketches"
-  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
+  private def partialsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "partials")
+  private def hashesPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "hashes")
+  private def langsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "langs")
+  private def sketchesPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "sketches")
+  private def docsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "docs")
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -73,24 +78,20 @@ object IncrementalCard {
       // subtract a doc — and lets the distinct counts drop a key exactly
       // when its LAST surviving carrier goes (multiplicity, tracked by
       // keeping the keys per-doc instead of per-batch-distinct)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      stats.write.mode("overwrite").parquet(docsPath(stateDir, next))
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      stats.select(col("source"), col("h")).distinct()
-        .write.mode("overwrite").parquet(hashesPath(stateDir, next))
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      stats.select(col("source"), col("lang")).distinct()
-        .write.mode("overwrite").parquet(langsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(stats)
+      GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
+        stats.select(col("source"), col("h")).distinct())
+      GenState.fencedParquet(spark, stateDir, next, "langs", claim, commitTable)(
+        stats.select(col("source"), col("lang")).distinct())
       // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
       // the same keys (Apache DataSketches via hll_sketch_agg) — the
       // serve-time choice between exact and approx is a READ choice; the
       // ingest pays both (one extra aggregation of the already-computed
       // stats, kilobytes written)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      stats.groupBy(col("source"))
-        .agg(expr("hll_sketch_agg(h)").as("hsk"),
-          expr("hll_sketch_agg(lang)").as("lsk"))
-        .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "sketches", claim, commitTable)(
+        stats.groupBy(col("source"))
+          .agg(expr("hll_sketch_agg(h)").as("hsk"),
+            expr("hll_sketch_agg(lang)").as("lsk")))
       // the COMMIT write lands through the fence: a writer stalled past
       // the TTL whose in-flight dir a concurrent sweep reclaimed aborts
       // here, never landing a torn complete generation
@@ -120,26 +121,22 @@ object IncrementalCard {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalCard.delete: no state at $stateDir")
-    val f = GenState.fs(spark, stateDir)
-    require(live.forall(v => f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))),
+    require(live.forall(v => GenState.tableExists(spark, stateDir, v, "docs")),
       s"IncrementalCard.delete: state at $stateDir predates per-doc sidecar " +
         "retention — distinct-key multiplicity is not recoverable from the " +
         "distinct tables")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     // empty peers so every read path's multi-path scan stays uniform;
     // empty partials LAST — the commit marker, landed through the fence
-    Seq(docsPath _, hashesPath _, langsPath _, sketchesPath _)
-      .foreach { p =>
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        spark.read.parquet(p(stateDir, live.head)).limit(0)
-          .write.mode("overwrite").parquet(p(stateDir, next))
-      }
+    Seq("docs", "hashes", "langs", "sketches").foreach { t =>
+      GenState.fencedParquet(spark, stateDir, next, t, claim, commitTable)(
+        spark.read.parquet(
+          GenState.tablePath(spark, stateDir, live.head, t)).limit(0))
+    }
     GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
-      spark.read.parquet(partialsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(partialsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -152,7 +149,7 @@ object IncrementalCard {
       versions: Seq[Int]): DataFrame =
     LabelState.purgeByGen(
       LabelState.tombstonesByGen(spark, stateDir, versions),
-      versions.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
+      versions.map(v => (v, spark.read.parquet(docsPath(spark, stateDir, v)))),
       Seq("doc_id"))
 
   /** The current card from state alone — identical columns, values, and
@@ -167,15 +164,15 @@ object IncrementalCard {
     require(versions.nonEmpty, s"IncrementalCard.serve: no state at $stateDir")
     if (LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty)
       return TextAnalysis.cardOf(survivorStats(spark, stateDir, versions))
-    val sums = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+    val sums = spark.read.parquet(versions.map(partialsPath(spark, stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         sum(col("sc_sum")).as("sc_sum"))
-    val nd = spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+    val nd = spark.read.parquet(versions.map(hashesPath(spark, stateDir, _)): _*)
       .distinct().groupBy(col("source"))
       .agg(count(lit(1)).as("n_distinct_texts"))
-    val nl = spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
+    val nl = spark.read.parquet(versions.map(langsPath(spark, stateDir, _)): _*)
       .distinct().groupBy(col("source"))
       .agg(count(lit(1)).as("n_langs"))
     sums.join(nl, "source").join(nd, "source")
@@ -211,7 +208,7 @@ object IncrementalCard {
     val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
     val sums =
       if (delVs.isEmpty)
-        spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+        spark.read.parquet(versions.map(partialsPath(spark, stateDir, _)): _*)
           .groupBy(col("source"))
           .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
             sum(col("n_chars")).as("n_chars"),
@@ -221,7 +218,7 @@ object IncrementalCard {
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
           sum(col("n_chars")).as("n_chars"),
           sum(col("sc").cast("decimal(38,0)")).as("sc_sum"))
-    val est = spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
+    val est = spark.read.parquet(versions.map(sketchesPath(spark, stateDir, _)): _*)
       .groupBy(col("source"))
       .agg(expr("cast(round(hll_sketch_estimate(hll_union_agg(hsk))) as bigint)")
           .as("n_distinct_est"),
@@ -267,27 +264,23 @@ object IncrementalCard {
     // number never collides, and the sweep below removes every non-live
     // dir regardless of where it sits
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val f = GenState.fs(spark, stateDir)
-    val haveSidecars = versions.forall(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS")))
+    val haveSidecars = versions.forall(v =>
+      GenState.tableExists(spark, stateDir, v, "docs"))
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     if (hasTombs) {
       // tombstoned fold: one survivors projection feeds all five tables
       val survivors = survivorStats(spark, stateDir, versions).persist()
       try {
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        survivors.write.mode("overwrite").parquet(docsPath(stateDir, next))
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        survivors.select(col("source"), col("h")).distinct()
-          .write.mode("overwrite").parquet(hashesPath(stateDir, next))
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        survivors.select(col("source"), col("lang")).distinct()
-          .write.mode("overwrite").parquet(langsPath(stateDir, next))
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        survivors.groupBy(col("source"))
-          .agg(expr("hll_sketch_agg(h)").as("hsk"),
-            expr("hll_sketch_agg(lang)").as("lsk"))
-          .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+        GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+          survivors)
+        GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
+          survivors.select(col("source"), col("h")).distinct())
+        GenState.fencedParquet(spark, stateDir, next, "langs", claim, commitTable)(
+          survivors.select(col("source"), col("lang")).distinct())
+        GenState.fencedParquet(spark, stateDir, next, "sketches", claim, commitTable)(
+          survivors.groupBy(col("source"))
+            .agg(expr("hll_sketch_agg(h)").as("hsk"),
+              expr("hll_sketch_agg(lang)").as("lsk")))
         GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
         GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
         // the COMMIT write lands through the fence, which also
@@ -304,28 +297,26 @@ object IncrementalCard {
       return next
     }
     if (haveSidecars) {
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      spark.read.parquet(versions.map(docsPath(stateDir, _)): _*)
-        .write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+        spark.read.parquet(versions.map(docsPath(spark, stateDir, _)): _*))
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
-      .distinct().write.mode("overwrite").parquet(hashesPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(langsPath(stateDir, _)): _*)
-      .distinct().write.mode("overwrite").parquet(langsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(versions.map(sketchesPath(stateDir, _)): _*)
-      .groupBy(col("source"))
-      .agg(expr("hll_union_agg(hsk)").as("hsk"), expr("hll_union_agg(lsk)").as("lsk"))
-      .write.mode("overwrite").parquet(sketchesPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
+      spark.read.parquet(versions.map(hashesPath(spark, stateDir, _)): _*)
+        .distinct())
+    GenState.fencedParquet(spark, stateDir, next, "langs", claim, commitTable)(
+      spark.read.parquet(versions.map(langsPath(spark, stateDir, _)): _*)
+        .distinct())
+    GenState.fencedParquet(spark, stateDir, next, "sketches", claim, commitTable)(
+      spark.read.parquet(versions.map(sketchesPath(spark, stateDir, _)): _*)
+        .groupBy(col("source"))
+        .agg(expr("hll_union_agg(hsk)").as("hsk"), expr("hll_union_agg(lsk)").as("lsk")))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     // the COMMIT write lands through the fence, which also re-verifies
     // the maintenance lease
     GenState.fencedParquet(spark, stateDir, next, "partials", claim,
       commitTable, maintToken = Some(maint))(
-      spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+      spark.read.parquet(versions.map(partialsPath(spark, stateDir, _)): _*)
         .groupBy(col("source"))
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
           sum(col("n_chars")).as("n_chars"), sum(col("sc_sum")).as("sc_sum")))

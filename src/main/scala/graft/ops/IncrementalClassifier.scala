@@ -38,8 +38,10 @@ object IncrementalClassifier {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def countsPath(stateDir: String, v: Int) = s"$stateDir/v$v/counts"
-  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
+  private def countsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "counts")
+  private def docsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "docs")
 
   /** Ingest one raw (doc_id, text, source, …) batch: featurize, count,
     * append — write-only. `batchKey` gives d18-style exactly-once ingest
@@ -68,8 +70,7 @@ object IncrementalClassifier {
     try {
       // sidecar first, count partial LAST (the commit table): a crash
       // leaves an incomplete generation the next attempt redoes wholesale
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      feats.write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(feats)
       // the COMMIT write lands through the fence: a writer stalled past
       // the TTL whose in-flight dir a concurrent sweep reclaimed aborts
       // here, never landing a torn complete generation
@@ -95,22 +96,18 @@ object IncrementalClassifier {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalClassifier.delete: no state at $stateDir")
-    val f = GenState.fs(spark, stateDir)
-    require(live.forall(v => f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))),
+    require(live.forall(v => GenState.tableExists(spark, stateDir, v, "docs")),
       s"IncrementalClassifier.delete: state at $stateDir predates per-doc " +
         "sidecar retention — deleted docs' count contributions are not " +
         "recoverable from aggregated partials")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+      spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
-      spark.read.parquet(countsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(countsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -129,7 +126,7 @@ object IncrementalClassifier {
     // ([[LabelState.shadowedByGen]])
     LabelState.shadowedByGen(
       LabelState.tombstonesByGen(spark, stateDir, versions),
-      oldVs.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
+      oldVs.map(v => (v, spark.read.parquet(docsPath(spark, stateDir, v)))),
       "doc_id")
   }
 
@@ -143,7 +140,7 @@ object IncrementalClassifier {
   def modelCounts(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalClassifier.modelCounts: no state at $stateDir")
-    val summed = spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+    val summed = spark.read.parquet(versions.map(countsPath(spark, stateDir, _)): _*)
       .groupBy(col("feature"), col("v"))
       .agg(sum(col("c1")).as("c1"), sum(col("c0")).as("c0"))
     val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
@@ -191,20 +188,18 @@ object IncrementalClassifier {
     // dir regardless of where it sits
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val folded = modelCounts(spark, stateDir)
-    val f = GenState.fs(spark, stateDir)
-    val haveSidecars = versions.forall(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS")))
+    val haveSidecars = versions.forall(v =>
+      GenState.tableExists(spark, stateDir, v, "docs"))
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
     if (haveSidecars) {
       val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
       def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      (if (!hasTombs) spark.read.parquet(versions.map(docsPath(stateDir, _)): _*)
-       else LabelState.purgeByGen(tombs,
-         versions.map(v => (v, spark.read.parquet(docsPath(stateDir, v)))),
-         Seq("doc_id")))
-        .write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+        if (!hasTombs) spark.read.parquet(versions.map(docsPath(spark, stateDir, _)): _*)
+        else LabelState.purgeByGen(tombs,
+          versions.map(v => (v, spark.read.parquet(docsPath(spark, stateDir, v)))),
+          Seq("doc_id")))
     }
     // the COMMIT write lands through the fence, which also re-verifies
     // the maintenance lease

@@ -42,11 +42,74 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The commit table GenState keys generation liveness on — the value
     * [[GenState]]'s defaults assume; exposed so cross-family consumers
     * ([[Deletes.commitTables]]) can never silently diverge.
     */
   private[ops] val commitTable = "labels"
+
+  // ---- 32-bit saturation guard ---------------------------------------------
+  //
+  // The width=32 regime has a MEASURED cliff (tools/TextScaleProbe,
+  // SCALE.md round 18): hamming≤3-of-32 admits ~1.3e-6 of RANDOM pairs, so
+  // past ~10^5 heterogeneous docs the incidental pair graph percolates and
+  // the incremental label splice degrades super-linearly — measured 21×
+  // split-ingest blowup across the 100k→1M decade, with the 16-bit band
+  // buckets at occupancy ~15. The guard makes the cliff OPERATIONAL: every
+  // 32-bit merge estimates the half-band index's mean bucket occupancy
+  // (from the slim band dirs' on-disk bytes — a metadata walk, no extra
+  // Spark job on the ingest hot path) and warns — or refuses, when the
+  // store pins `saturationAction=refuse` — once it crosses
+  // `saturationOccupancy` (default 8, about half the measured-cliff
+  // occupancy: the advisory must fire while re-ingesting under width=64
+  // is still cheap, not after reads already degraded).
+
+  /** Mean-bucket-occupancy advisory threshold when the store pins none.
+    * Occupancy = index rows / (2 bands × 2^16 buckets); the measured 1M-doc
+    * cliff sits at ~15 (SCALE.md), so 8 fires a decade of headroom early.
+    */
+  val DefaultSaturationOccupancy = 8.0
+
+  /** Estimated bytes per slim band-index parquet row (doc_id, sigint,
+    * band, half; snappy). Only an order-of-magnitude estimate is needed:
+    * the cliff spans a full decade of corpus growth, so a 2× row-size
+    * error moves the advisory by far less than the regime it guards.
+    */
+  private val estBandRowBytes = 16L
+
+  private def warnIfSaturating(spark: SparkSession, stateDir: String,
+      vs: Seq[Int], tok: Option[String]): Unit = {
+    val cfg = GenState.readConfig(spark, stateDir)
+    val threshold = cfg.get("saturationOccupancy").map(_.toDouble)
+      .getOrElse(DefaultSaturationOccupancy)
+    val f = GenState.fs(spark, stateDir)
+    val bytes = vs.map { v =>
+      val p = new org.apache.hadoop.fs.Path(bandsPath(spark, stateDir, v, tok))
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+    val occupancy = bytes.toDouble / estBandRowBytes / (2.0 * 65536)
+    if (occupancy >= threshold) {
+      val msg =
+        f"IncrementalDedup: the 32-bit half-band index at $stateDir has " +
+          f"estimated mean bucket occupancy $occupancy%.1f (>= $threshold%.1f) — " +
+          "the width=32 regime is SATURATING. Measured consequence " +
+          "(tools/TextScaleProbe, SCALE.md): hamming<=3-of-32 admits ~1.3e-6 " +
+          "of random pairs, the incidental pair graph percolates, and " +
+          "split-ingest cost blew up 21x across the 100k->1M decade while " +
+          "width=64 stayed flat (1.1-1.7x per 10x data). Migration: the " +
+          "state is derivable from the corpus — re-ingest it into a FRESH " +
+          "state dir under width=64 (signatures ARE the state, so an " +
+          "in-place width flip is impossible and checkConfig refuses it); " +
+          "pin saturationAction=refuse in _CONFIG to make this an error, " +
+          "or raise saturationOccupancy if this corpus's occupancy is " +
+          "driven by true near-duplicates rather than scale."
+      if (cfg.getOrElse("saturationAction", "warn") == "refuse")
+        throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
+  }
 
   /** The verified-pair stream of one ingest batch: new docs signed, their
     * probe variants joined against `index` (which must contain the new
@@ -92,9 +155,13 @@ object IncrementalDedup {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     completeVersions(spark, stateDir).lastOption
 
-  private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
-  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish
+  private def bandsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "bands", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** The cross pairs two genuinely-concurrent generations never probed:
     * generation `a`'s signatures probed against `b`'s band index (doc
@@ -124,7 +191,7 @@ object IncrementalDedup {
   private def reconInputs(spark: SparkSession, stateDir: String,
       live: Seq[Int], bandsOf: Int => DataFrame)
       : Option[(DataFrame, DataFrame)] =
-    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(spark, stateDir, _),
       (a, b) => crossPairs(spark, stateDir, a, b, bandsOf))
 
   /** Current labels — the latest-wins fold over the live label DELTAS,
@@ -138,7 +205,7 @@ object IncrementalDedup {
   def stateLabels(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     val recon = reconInputs(spark, stateDir, live,
-      v => spark.read.parquet(bandsPath(stateDir, v)))
+      v => spark.read.parquet(bandsPath(spark, stateDir, v)))
     LabelState.deletedAwareLabels(spark, stateDir, live, "bands", "doc_id",
       recon.map(_._1), recon.map(_._2))
   }
@@ -163,9 +230,7 @@ object IncrementalDedup {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalDedup.delete: no state at $stateDir")
-    live.foreach(v => require(
-      GenState.fs(spark, stateDir).exists(
-        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+    live.foreach(v => require(GenState.tableExists(spark, stateDir, v, "pairs"),
       s"IncrementalDedup.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — component re-labeling replays " +
         "stored edges; rebuild the state dir first"))
@@ -180,9 +245,9 @@ object IncrementalDedup {
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      spark.read.parquet(bandsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next
@@ -208,6 +273,17 @@ object IncrementalDedup {
     * (incidental rate ~2.4e-15) stays flat across the same decades
     * (1.1–1.7× per 10× data) and is the corpus-scale pin; the probe
     * tells a deployment which side of the cliff its corpus sits on.
+    * The cliff is also GUARDED in-engine: every 32-bit merge estimates
+    * the band index's mean bucket occupancy and warns (or refuses,
+    * under `saturationAction=refuse` in `_CONFIG`) once it crosses
+    * `saturationOccupancy` — see the saturation-guard block above.
+    * MIGRATION: width is pinned at state creation and signatures ARE
+    * the state, so an existing 32-bit dir cannot flip in place
+    * ([[GenState.checkConfig]] refuses a width-64 merge into it as a
+    * mixed regime — deliberately). The state is derivable from the
+    * corpus: re-ingest into a FRESH state dir under `width = 64`;
+    * the old dir keeps serving until the new one is caught up, then
+    * retire it.
     *
     * Generation `vN/bands` holds ONLY batch N's bands (append-style): the
     * probe-able full index is the UNION of generation dirs, so per-ingest
@@ -256,13 +332,18 @@ object IncrementalDedup {
         Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
           .withColumnRenamed("block", "half"))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(signed)
-    val newBands = spark.read.parquet(bandsPath(stateDir, next))
+    // the measured-cliff advisory (see the saturation-guard block above):
+    // fires on the post-write index, so the estimate covers exactly what
+    // this merge is about to probe
+    if (width == 32) warnIfSaturating(spark, stateDir, live :+ next, Some(claim))
+    val newBands = spark.read.parquet(bandsPath(spark, stateDir, next, Some(claim)))
 
     // 2. the full exact-half index = every PROBED generation's bands plus
     // the new batch (old ones read from persisted parquet — old TEXT is
     // never re-read, old docs never re-signed). The post-claim snapshot,
     // exactly what the manifest records.
-    val allBandPaths = live.map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)
+    val allBandPaths = live.map(bandsPath(spark, stateDir, _)) :+
+      bandsPath(spark, stateDir, next, Some(claim))
     val fullIndex = spark.read.parquet(allBandPaths: _*)
 
     // 3. new-new + new-old pairs, then seeded CC: previous labeling as
@@ -284,7 +365,7 @@ object IncrementalDedup {
     // previous labels forward verbatim and skips the CC loop — the common
     // streaming case) and CC read the slim parquet back.
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
-    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(spark, stateDir, next, Some(claim)))
     // affected-component-scoped seeded CC over the PROBED fold → the
     // label DELTA of this batch (a pair-free batch writes an empty delta
     // and changes nothing; an untouched old component stays in its older
@@ -341,33 +422,32 @@ object IncrementalDedup {
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     def purgedBands(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(bandsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(bandsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(bandsPath(stateDir, v)))), Seq("doc_id"))
+        Seq((v, spark.read.parquet(bandsPath(spark, stateDir, v)))), Seq("doc_id"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      if (!hasTombs) spark.read.parquet(versions.map(bandsPath(stateDir, _)): _*)
+      if (!hasTombs) spark.read.parquet(versions.map(bandsPath(spark, stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
-        versions.map(v => (v, spark.read.parquet(bandsPath(stateDir, v)))),
+        versions.map(v => (v, spark.read.parquet(bandsPath(spark, stateDir, v)))),
         Seq("doc_id")))
     // outstanding concurrent-commit reconciliation becomes DURABLE here:
     // recon cross pairs from PURGED bands (deleted docs never resurface),
     // folded into the pair table, and the labels snapshot fully corrected
     val recon = reconInputs(spark, stateDir, versions, purgedBands)
-    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
-      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    val pairVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "pairs"))
     require(recon.isEmpty || pairVs == versions,
       s"IncrementalDedup.compact: concurrent commits at $stateDir need every " +
         "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
       val stored =
         (if (!hasTombs)
-           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
          else LabelState.purgePairsByGen(tombs,
            LabelState.effectiveTombstones(spark, stateDir, versions, "bands", "doc_id"),
-           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
       GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(

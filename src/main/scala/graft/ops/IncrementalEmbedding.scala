@@ -46,9 +46,14 @@ object IncrementalEmbedding {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir)
 
-  private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
-  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish (pointer resolution wins for complete
+  // generations, so passing the token on a mixed-version read is safe)
+  private def vecsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "vecs", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** Slim candidate phase of one merge: (d1, d2) pairs from exact bucket
     * equality of the NEW batch against the full index, hot buckets dropped
@@ -127,8 +132,9 @@ object IncrementalEmbedding {
     // 2. SLIM candidates: new side vs the PROBED union on exact bucket
     // equality — both scans pruned to (vec_id, bucket), no vector payload
     // in the candidate join
-    val allPaths = live.map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
-    val slimNew = spark.read.parquet(vecsPath(stateDir, next))
+    val allPaths = live.map(vecsPath(spark, stateDir, _)) :+
+      vecsPath(spark, stateDir, next, Some(claim))
+    val slimNew = spark.read.parquet(vecsPath(spark, stateDir, next, Some(claim)))
       .select(col("vec_id"), col("bucket"))
     val slimAll = spark.read.parquet(allPaths: _*)
       .select(col("vec_id"), col("bucket"))
@@ -156,7 +162,7 @@ object IncrementalEmbedding {
     // a duplicate-bearing merge pays the join exactly once (it used to
     // execute again from scratch inside CC after the limit(1) probe).
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
-    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(spark, stateDir, next, Some(claim)))
 
     // 3. affected-component-scoped seeded CC over the PROBED fold → this
     // batch's label DELTA (empty for a pair-free batch — the common
@@ -215,7 +221,7 @@ object IncrementalEmbedding {
   private def reconInputs(spark: SparkSession, stateDir: String,
       live: Seq[Int], vecsOf: Int => DataFrame)
       : Option[(DataFrame, DataFrame)] =
-    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(spark, stateDir, _),
       (a, b) => crossPairs(spark, stateDir, a, b, live, vecsOf))
 
   /** LSM maintenance ([[IncrementalDedup.compact]]'s shape): fold every
@@ -244,32 +250,31 @@ object IncrementalEmbedding {
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     def purgedVecs(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(vecsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(vecsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(vecsPath(stateDir, v)))), Seq("vec_id"))
+        Seq((v, spark.read.parquet(vecsPath(spark, stateDir, v)))), Seq("vec_id"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
-      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(spark, stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
-        versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
+        versions.map(v => (v, spark.read.parquet(vecsPath(spark, stateDir, v)))),
         Seq("vec_id")))
     // outstanding concurrent-commit reconciliation becomes DURABLE here
     // (recon cross pairs from PURGED vecs — deleted ids never resurface)
     val recon = reconInputs(spark, stateDir, versions, purgedVecs)
-    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
-      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    val pairVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "pairs"))
     require(recon.isEmpty || pairVs == versions,
       s"IncrementalEmbedding.compact: concurrent commits at $stateDir need every " +
         "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
       val stored =
         (if (!hasTombs)
-           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
          else LabelState.purgePairsByGen(tombs,
            LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
-           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
       GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
@@ -299,7 +304,7 @@ object IncrementalEmbedding {
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     val recon = reconInputs(spark, stateDir, live,
-      v => spark.read.parquet(vecsPath(stateDir, v)))
+      v => spark.read.parquet(vecsPath(spark, stateDir, v)))
     Dedup.clustersOf(
         LabelState.deletedAwareLabels(spark, stateDir, live, "vecs", "vec_id",
           recon.map(_._1), recon.map(_._2)))
@@ -314,9 +319,7 @@ object IncrementalEmbedding {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalEmbedding.delete: no state at $stateDir")
-    live.foreach(v => require(
-      GenState.fs(spark, stateDir).exists(
-        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+    live.foreach(v => require(GenState.tableExists(spark, stateDir, v, "pairs"),
       s"IncrementalEmbedding.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
     // fresh allocation (multi-writer, round 17): empty vecs ⇒ nothing to
@@ -328,9 +331,9 @@ object IncrementalEmbedding {
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
-      spark.read.parquet(vecsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(vecsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next

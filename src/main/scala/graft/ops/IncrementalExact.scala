@@ -55,9 +55,16 @@ object IncrementalExact {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def hashesPath(stateDir: String, v: Int) = s"$stateDir/v$v/hashes"
-  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
-  private def tombsPath(stateDir: String, v: Int) = s"$stateDir/v$v/tombstones"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads
+  // (a pointer-committed generation's tables live in nonce-named dirs);
+  // `tok` is the caller's claim token for pre-commit reads of its OWN
+  // in-flight generation under PointerPublish
+  private def hashesPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "hashes", tok)
+  private def docsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "docs", tok)
+  private def tombsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "tombstones", tok)
 
   /** The slim per-doc projection a generation's sidecar stores. */
   private def sidecarOf(docs: DataFrame): DataFrame =
@@ -113,8 +120,7 @@ object IncrementalExact {
     // wholesale
     val side = sidecarOf(newDocs).persist()
     try {
-      GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-      side.write.mode("overwrite").parquet(docsPath(stateDir, next))
+      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(side)
       // the COMMIT write lands through the fence: a writer stalled past
       // the TTL whose in-flight dir a concurrent sweep reclaimed must
       // abort here, never land a torn complete generation
@@ -145,7 +151,7 @@ object IncrementalExact {
       batchKey: Option[String] = None): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalExact.delete: no state at $stateDir")
-    live.foreach(v => require(hasTable(spark, docsPath(stateDir, v)),
+    live.foreach(v => require(hasTable(spark, docsPath(spark, stateDir, v)),
       s"IncrementalExact.delete: generation v$v at $stateDir has no per-doc " +
         "sidecar (pre-sidecar layout) — deletes need the sidecar to " +
         "re-aggregate from; rebuild the state dir first"))
@@ -163,15 +169,13 @@ object IncrementalExact {
       case Left(v) => return v
       case Right(nc) => nc
     }
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id")).dropDuplicates("doc_id")
-      .write.mode("overwrite").parquet(tombsPath(stateDir, next))
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(docsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(docsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      ids.select(col("doc_id")).dropDuplicates("doc_id"))
+    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+      spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
-      spark.read.parquet(hashesPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(hashesPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -181,11 +185,11 @@ object IncrementalExact {
     */
   private def survivorsOf(spark: SparkSession, stateDir: String,
       versions: Seq[Int], delVs: Seq[Int]): DataFrame = {
-    val side = versions.map(v => spark.read.parquet(docsPath(stateDir, v))
+    val side = versions.map(v => spark.read.parquet(docsPath(spark, stateDir, v))
       .withColumn("gen", lit(v))).reduce(_ unionByName _)
     if (delVs.isEmpty) side
     else {
-      val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+      val tombs = delVs.map(v => spark.read.parquet(tombsPath(spark, stateDir, v))
         .select(col("doc_id").as("del_id"), lit(v).as("dgen"))).reduce(_ unionByName _)
       side.join(tombs,
         side("doc_id") === tombs("del_id") && tombs("dgen") > side("gen"),
@@ -208,11 +212,11 @@ object IncrementalExact {
       import spark.implicits._
       return Seq.empty[(String, Long, Long)].toDF("h", "keeper", "n_copies")
     }
-    val delVs = versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
+    val delVs = versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
     val fold =
       if (delVs.isEmpty)
         // tombstone-free fast path: no gen tags, no sidecar read
-        spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+        spark.read.parquet(versions.map(hashesPath(spark, stateDir, _)): _*)
       else {
         // TOMBSTONE BOUND: a tombstone at generation d shadows doc rows of
         // generations STRICTLY OLDER than d, so generations >= max(delVs)
@@ -224,12 +228,12 @@ object IncrementalExact {
         val (oldVs, newVs) = versions.partition(_ < maxDel)
         val untouched =
           if (newVs.isEmpty) None
-          else Some(spark.read.parquet(newVs.map(hashesPath(stateDir, _)): _*))
-        val partsG = oldVs.map(v => spark.read.parquet(hashesPath(stateDir, v))
+          else Some(spark.read.parquet(newVs.map(hashesPath(spark, stateDir, _)): _*))
+        val partsG = oldVs.map(v => spark.read.parquet(hashesPath(spark, stateDir, v))
           .withColumn("gen", lit(v))).reduce(_ unionByName _)
-        val tombs = delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+        val tombs = delVs.map(v => spark.read.parquet(tombsPath(spark, stateDir, v))
           .select(col("doc_id").as("del_id"), lit(v).as("dgen"))).reduce(_ unionByName _)
-        val side = oldVs.map(v => spark.read.parquet(docsPath(stateDir, v))
+        val side = oldVs.map(v => spark.read.parquet(docsPath(spark, stateDir, v))
           .withColumn("gen", lit(v))).reduce(_ unionByName _)
         // the (h, gen) groups that lost at least one member. Usually
         // tombstone-batch-sized, but a GDPR-scale bulk delete makes it
@@ -282,21 +286,20 @@ object IncrementalExact {
     // number never collides, and the sweep below removes every non-live
     // dir regardless of where it sits
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val sidecars = versions.forall(v => hasTable(spark, docsPath(stateDir, v)))
+    val sidecars = versions.forall(v => hasTable(spark, docsPath(spark, stateDir, v)))
     val folded =
       if (!sidecars)
         // pre-sidecar layout: no tombstones possible ([[delete]] refuses),
         // the fold is the pure partial re-aggregation
-        spark.read.parquet(versions.map(hashesPath(stateDir, _)): _*)
+        spark.read.parquet(versions.map(hashesPath(spark, stateDir, _)): _*)
           .groupBy(col("h"))
           .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
       else {
-        val delVs = versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
-        GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-        survivorsOf(spark, stateDir, versions, delVs)
-          .select(col("doc_id"), col("h"))
-          .write.mode("overwrite").parquet(docsPath(stateDir, next))
-        spark.read.parquet(docsPath(stateDir, next))
+        val delVs = versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
+        GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
+          survivorsOf(spark, stateDir, versions, delVs)
+            .select(col("doc_id"), col("h")))
+        spark.read.parquet(docsPath(spark, stateDir, next, Some(claim)))
           .groupBy(col("h"))
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       }

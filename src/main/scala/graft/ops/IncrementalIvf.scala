@@ -42,8 +42,11 @@ object IncrementalIvf {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def postingsPath(stateDir: String, v: Int) = s"$stateDir/v$v/postings"
-  private def deletesPath(stateDir: String, v: Int) = s"$stateDir/v$v/deletes"
+  // resolved through [[GenState.tablePath]] — publish-mode-agnostic reads
+  private def postingsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "postings")
+  private def deletesPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "deletes")
 
   private def fingerprint(spec: String): String =
     MessageDigest.getInstance("MD5")
@@ -100,12 +103,11 @@ object IncrementalIvf {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalIvf.delete: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("vec_id")).dropDuplicates("vec_id")
-      .write.mode("overwrite").parquet(deletesPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "deletes", claim, commitTable)(
+      ids.select(col("vec_id")).dropDuplicates("vec_id"))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "postings", claim, commitTable)(
-      spark.read.parquet(postingsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(postingsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -117,15 +119,15 @@ object IncrementalIvf {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalIvf.livePostings: no postings at $stateDir")
     val posts = versions.map(v =>
-      spark.read.parquet(postingsPath(stateDir, v)).withColumn("gen", lit(v)))
+      spark.read.parquet(postingsPath(spark, stateDir, v)).withColumn("gen", lit(v)))
       .reduce(_ unionByName _)
     val f = GenState.fs(spark, stateDir)
-    val delVs = versions.filter(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${deletesPath(stateDir, v)}/_SUCCESS")))
+    val delVs = versions.filter(v =>
+      GenState.tableExists(spark, stateDir, v, "deletes"))
     if (delVs.isEmpty) posts.drop("gen")
     else {
       val dels = delVs.map(v =>
-        spark.read.parquet(deletesPath(stateDir, v))
+        spark.read.parquet(deletesPath(spark, stateDir, v))
           .select(col("vec_id").as("del_id"), lit(v).as("dgen")))
         .reduce(_ unionByName _)
       posts.join(dels,

@@ -37,8 +37,11 @@ object IncrementalIvfPq {
 
   private[ops] val commitTable = "codes"
 
-  private def codesPath(stateDir: String, v: Int) = s"$stateDir/v$v/codes"
-  private def deletesPath(stateDir: String, v: Int) = s"$stateDir/v$v/deletes"
+  // resolved through [[GenState.tablePath]] — publish-mode-agnostic reads
+  private def codesPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "codes")
+  private def deletesPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "deletes")
 
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
@@ -155,12 +158,11 @@ object IncrementalIvfPq {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalIvfPq.delete: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("vec_id")).dropDuplicates("vec_id")
-      .write.mode("overwrite").parquet(deletesPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "deletes", claim, commitTable)(
+      ids.select(col("vec_id")).dropDuplicates("vec_id"))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "codes", claim, commitTable)(
-      spark.read.parquet(codesPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(codesPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -172,18 +174,17 @@ object IncrementalIvfPq {
   def liveCodes(spark: SparkSession, stateDir: String): DataFrame = {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalIvfPq.liveCodes: no state at $stateDir")
-    val f = GenState.fs(spark, stateDir)
-    val delVs = versions.filter(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${deletesPath(stateDir, v)}/_SUCCESS")))
+    val delVs = versions.filter(v =>
+      GenState.tableExists(spark, stateDir, v, "deletes"))
     if (delVs.isEmpty)
-      return spark.read.parquet(versions.map(codesPath(stateDir, _)): _*)
+      return spark.read.parquet(versions.map(codesPath(spark, stateDir, _)): _*)
     val codes = versions.map(v =>
-      spark.read.parquet(codesPath(stateDir, v)).withColumn("gen", lit(v)))
+      spark.read.parquet(codesPath(spark, stateDir, v)).withColumn("gen", lit(v)))
       .reduce(_ unionByName _)
     // delete-derived frame unhinted: AQE broadcasts a small tombstone
     // set, shuffle-joins a GDPR-scale bulk delete (degraded, not OOM)
     val dels = delVs.map(v =>
-      spark.read.parquet(deletesPath(stateDir, v))
+      spark.read.parquet(deletesPath(spark, stateDir, v))
         .select(col("vec_id").as("del_id"), lit(v).as("dgen")))
       .reduce(_ unionByName _)
     codes.join(dels,

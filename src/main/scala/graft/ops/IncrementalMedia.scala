@@ -85,8 +85,14 @@ object IncrementalMedia {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def sigsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sigs"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish (pointer resolution wins for complete
+  // generations, so passing the token on a mixed-version read is safe)
+  private def sigsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "sigs", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** The 4×16-bit exact-block index of a signature table (d17 geometry,
     * per signature row — the frame axis rides along).
@@ -167,22 +173,22 @@ object IncrementalMedia {
 
     // decode exactly once, at ingest; the generation dir is the
     // materialized copy every later probe reads (merge hot-path contract)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    newMedia.select(col("name"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (name, bytes) =>
-        sigOf(bytes).map { case (j, sig) => (name, j, sig) }
-      })
-      .toDF("name", "frame_no", "sig")
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      newMedia.select(col("name"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (name, bytes) =>
+          sigOf(bytes).map { case (j, sig) => (name, j, sig) }
+        })
+        .toDF("name", "frame_no", "sig"))
 
-    val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    val allPaths = live.map(sigsPath(spark, stateDir, _)) :+
+      sigsPath(spark, stateDir, next, Some(claim))
     // the COMMIT write lands through the fence: a writer stalled past the
     // TTL whose in-flight dir a concurrent sweep reclaimed aborts here,
     // never landing a torn complete generation (pairs with no sigs)
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
       candidatePairs(
-        spark.read.parquet(sigsPath(stateDir, next)),
+        spark.read.parquet(sigsPath(spark, stateDir, next, Some(claim))),
         spark.read.parquet(allPaths: _*), maxHamming))
     next
   }
@@ -198,7 +204,7 @@ object IncrementalMedia {
     // shared shadowing core (newest tombstone per name, re-ingest probe);
     // only the STRING-keyed sig index projection is this modality's own
     LabelState.effectiveTombstonesFrom(spark, stateDir, versions, delVs,
-      v => spark.read.parquet(sigsPath(stateDir, v))
+      v => spark.read.parquet(sigsPath(spark, stateDir, v))
         .select(col("name").as("node")))
   }
 
@@ -222,15 +228,13 @@ object IncrementalMedia {
     // sigs on every read until compact
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    names.select(col("name").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      names.select(col("name").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      spark.read.parquet(sigsPath(spark, stateDir, live.head)).limit(0))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -256,14 +260,14 @@ object IncrementalMedia {
     // prober's stored table, and this family has no label state to splice
     val recon = GenState.classifyUnreconciled(spark, stateDir, live)._1
       .map { case (a, b) =>
-        val sa = spark.read.parquet(sigsPath(stateDir, a))
+        val sa = spark.read.parquet(sigsPath(spark, stateDir, a))
         candidatePairs(sa,
-          sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))), maxHamming)
+          sa.unionByName(spark.read.parquet(sigsPath(spark, stateDir, b))), maxHamming)
       }
     // no forced broadcast on the delete-derived frame: AQE broadcasts
     // when the tombstone set is small, shuffle-joins a bulk delete
     val teff = effectiveTombstones(spark, stateDir, live)
-    val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val stored = spark.read.parquet(live.map(pairsPath(spark, stateDir, _)): _*)
     val base = (stored +: recon).reduce(_ unionByName _)
     base
       .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
@@ -299,25 +303,23 @@ object IncrementalMedia {
     // ([[LabelState.purgeByGen]], string-keyed): pre-delete sigs/pairs
     // leave disk even for re-ingested names — a delete-then-re-ingest
     // must not retain its pre-delete signature rows through maintenance
-    val f2 = GenState.fs(spark, stateDir)
     val hasTombs = versions.exists(v =>
-      f2.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+      GenState.tableExists(spark, stateDir, v, "tombstones"))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     def purgedSigs(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(sigsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(sigsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
+        Seq((v, spark.read.parquet(sigsPath(spark, stateDir, v)))), Seq("name"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     // batch-key exactly-once must survive maintenance: carry the folded
     // generations' ingest markers onto the compacted one
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(sigsPath(stateDir, v)))),
-       Seq("name")))
-      .dropDuplicates("name", "frame_no")
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(spark, stateDir, _)): _*)
+       else LabelState.purgeByGen(tombs,
+         versions.map(v => (v, spark.read.parquet(sigsPath(spark, stateDir, v)))),
+         Seq("name")))
+        .dropDuplicates("name", "frame_no"))
     val maxHamming = pinnedMaxHamming(spark, stateDir)
     // blind pairs only — see [[pairs]]
     val recon = GenState.classifyUnreconciled(spark, stateDir, versions)._1
@@ -327,10 +329,10 @@ object IncrementalMedia {
       }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     val stored =
-      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(spark, stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          effectiveTombstones(spark, stateDir, versions),
-         versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+         versions.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v)))),
          Seq("name1", "name2")))
     // the COMMIT write lands through the fence, which also re-verifies
     // the maintenance lease: a stalled compactor stolen from mid-fold

@@ -73,10 +73,15 @@ object IncrementalMinHash {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir)
 
-  private def bandsPath(stateDir: String, v: Int) = s"$stateDir/v$v/bands"
-  private def setsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sets"
-  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish
+  private def bandsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "bands", tok)
+  private def setsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "sets", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** Slim candidate pairs of one merge: the new batch's band rows against
     * the full persisted index on exact (band, bh) equality — both
@@ -145,28 +150,30 @@ object IncrementalMinHash {
       sigs.select(col("doc_id"), col("sh")))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
       Dedup.bandRowsOf(
-        spark.read.parquet(setsPath(stateDir, next))
+        spark.read.parquet(setsPath(spark, stateDir, next, Some(claim)))
           .withColumn("sig", call_function("minhash_sig", col("sh")))))
 
     // 2. candidates: new band rows vs the UNION of the probed generations'
     // bands plus the new one — old docs touched ONLY through their
     // persisted 3-column band index
     val allBands = spark.read.parquet(
-      (live.map(bandsPath(stateDir, _)) :+ bandsPath(stateDir, next)): _*)
-    val newBands = spark.read.parquet(bandsPath(stateDir, next))
+      (live.map(bandsPath(spark, stateDir, _)) :+
+        bandsPath(spark, stateDir, next, Some(claim))): _*)
+    val newBands = spark.read.parquet(bandsPath(spark, stateDir, next, Some(claim)))
     val cand = candidatePairs(newBands, allBands)
 
     // 3. verify surviving candidates with d3's exact rounded Jaccard —
     // shingle sets joined back by key from the persisted set generations
     val sets = spark.read.parquet(
-      (live.map(setsPath(stateDir, _)) :+ setsPath(stateDir, next)): _*)
+      (live.map(setsPath(spark, stateDir, _)) :+
+        setsPath(spark, stateDir, next, Some(claim))): _*)
     // materialize the candidate+verify join ONCE to the generation dir
     // (crash-abandoned with the rest of vN); emptiness probe and CC read
     // the slim parquet back instead of re-executing the join (see
     // IncrementalEmbedding — the shared merge hot-path contract).
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
       verifyPairs(cand, sets, threshold))
-    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(spark, stateDir, next, Some(claim)))
 
     // 4. affected-component-scoped seeded CC over the PROBED fold → this
     // batch's label DELTA (empty for a pair-free batch — the common
@@ -198,7 +205,7 @@ object IncrementalMinHash {
   private def reconInputs(spark: SparkSession, stateDir: String,
       live: Seq[Int], bandsOf: Int => DataFrame, setsOf: Int => DataFrame)
       : Option[(DataFrame, DataFrame)] =
-    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(spark, stateDir, _),
       (a, b) => crossPairs(spark, stateDir, a, b, bandsOf, setsOf))
 
   /** LSM maintenance, [[IncrementalDedup.compact]]'s shape with TWO index
@@ -244,24 +251,23 @@ object IncrementalMinHash {
     // generations' ingest markers onto the compacted one
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      foldTable(bandsPath(stateDir, _)))
+      foldTable(bandsPath(spark, stateDir, _)))
     GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
-      foldTable(setsPath(stateDir, _)))
+      foldTable(setsPath(spark, stateDir, _)))
     val recon = reconInputs(spark, stateDir, versions,
-      purged(bandsPath(stateDir, _), _), purged(setsPath(stateDir, _), _))
-    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
-      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+      purged(bandsPath(spark, stateDir, _), _), purged(setsPath(spark, stateDir, _), _))
+    val pairVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "pairs"))
     require(recon.isEmpty || pairVs == versions,
       s"IncrementalMinHash.compact: concurrent commits at $stateDir need every " +
         "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
       val stored =
         (if (!hasTombs)
-           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
          else LabelState.purgePairsByGen(tombs,
            LabelState.effectiveTombstones(spark, stateDir, versions, "sets", "doc_id"),
-           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
       GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
@@ -292,8 +298,8 @@ object IncrementalMinHash {
   def clusters(spark: SparkSession, stateDir: String): DataFrame = {
     val live = completeVersions(spark, stateDir)
     val recon = reconInputs(spark, stateDir, live,
-      v => spark.read.parquet(bandsPath(stateDir, v)),
-      v => spark.read.parquet(setsPath(stateDir, v)))
+      v => spark.read.parquet(bandsPath(spark, stateDir, v)),
+      v => spark.read.parquet(setsPath(spark, stateDir, v)))
     Dedup.clustersOf(
       LabelState.deletedAwareLabels(spark, stateDir, live, "sets", "doc_id",
         recon.map(_._1), recon.map(_._2)))
@@ -310,8 +316,7 @@ object IncrementalMinHash {
     val pre = completeVersions(spark, stateDir)
     require(pre.nonEmpty, s"IncrementalMinHash.delete: no state at $stateDir")
     pre.foreach(v => require(
-      GenState.fs(spark, stateDir).exists(
-        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+      GenState.tableExists(spark, stateDir, v, "pairs"),
       s"IncrementalMinHash.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
     val (next, claim) = GenState.claimFresh(spark, stateDir)
@@ -323,11 +328,11 @@ object IncrementalMinHash {
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
-      spark.read.parquet(setsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(setsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      spark.read.parquet(bandsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next

@@ -42,8 +42,14 @@ object IncrementalRotMedia {
   def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
     GenState.completeVersions(spark, stateDir, commitTable)
 
-  private def sigsPath(stateDir: String, v: Int) = s"$stateDir/v$v/sigs"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish (pointer resolution wins for complete
+  // generations, so passing the token on a mixed-version read is safe)
+  private def sigsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "sigs", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** The 4×16-bit exact-block index over (name, sig) rows (d17 geometry). */
   private def blocksOf(sigs: DataFrame): DataFrame =
@@ -100,24 +106,24 @@ object IncrementalRotMedia {
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
 
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    newMedia.select(col("name"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (name, bytes) =>
-        Multimodal.decodePpm(bytes).toSeq.flatMap(img =>
-          Multimodal.dihedralOrbit(img).zipWithIndex.map { case (v, t) =>
-            (name, t, Multimodal.dHash64(v)) })
-      })
-      .toDF("name", "t", "sig")
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      newMedia.select(col("name"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.flatMap { case (name, bytes) =>
+          Multimodal.decodePpm(bytes).toSeq.flatMap(img =>
+            Multimodal.dihedralOrbit(img).zipWithIndex.map { case (v, t) =>
+              (name, t, Multimodal.dHash64(v)) })
+        })
+        .toDF("name", "t", "sig"))
 
-    val allPaths = live.map(sigsPath(stateDir, _)) :+ sigsPath(stateDir, next)
+    val allPaths = live.map(sigsPath(spark, stateDir, _)) :+
+      sigsPath(spark, stateDir, next, Some(claim))
     // the COMMIT write lands through the fence: a writer stalled past the
     // TTL whose in-flight dir a concurrent sweep reclaimed aborts here,
     // never landing a torn complete generation (pairs with no sigs)
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
       mergePairs(
-        spark.read.parquet(sigsPath(stateDir, next)),
+        spark.read.parquet(sigsPath(spark, stateDir, next, Some(claim))),
         spark.read.parquet(allPaths: _*), maxHamming))
     next
   }
@@ -134,7 +140,7 @@ object IncrementalRotMedia {
     val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty) return Seq.empty[String].toDF("node")
     LabelState.effectiveTombstonesFrom(spark, stateDir, versions, delVs,
-      v => spark.read.parquet(sigsPath(stateDir, v))
+      v => spark.read.parquet(sigsPath(spark, stateDir, v))
         .select(col("name").as("node")))
   }
 
@@ -151,15 +157,13 @@ object IncrementalRotMedia {
     // just before the claim is not omitted from the manifest
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    names.select(col("name").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(s"$stateDir/v$next/tombstones")
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    spark.read.parquet(sigsPath(stateDir, live.head)).limit(0)
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      names.select(col("name").as("node")).dropDuplicates("node"))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      spark.read.parquet(sigsPath(spark, stateDir, live.head)).limit(0))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -178,12 +182,12 @@ object IncrementalRotMedia {
     // already stored, and this family has no label state to splice
     val recon = GenState.classifyUnreconciled(spark, stateDir, live)._1
       .map { case (a, b) =>
-        val sa = spark.read.parquet(sigsPath(stateDir, a))
-        mergePairs(sa, sa.unionByName(spark.read.parquet(sigsPath(stateDir, b))),
+        val sa = spark.read.parquet(sigsPath(spark, stateDir, a))
+        mergePairs(sa, sa.unionByName(spark.read.parquet(sigsPath(spark, stateDir, b))),
           maxHamming)
       }
     val teff = effectiveTombstones(spark, stateDir, live)
-    val stored = spark.read.parquet(live.map(pairsPath(stateDir, _)): _*)
+    val stored = spark.read.parquet(live.map(pairsPath(spark, stateDir, _)): _*)
     val base = (stored +: recon).reduce(_ unionByName _)
     base
       .join(teff.select(col("node").as("name1")), Seq("name1"), "left_anti")
@@ -211,25 +215,23 @@ object IncrementalRotMedia {
     val versions = completeVersions(spark, stateDir)
     require(versions.nonEmpty, s"IncrementalRotMedia.compact: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val f = GenState.fs(spark, stateDir)
     val hasTombs = versions.exists(v =>
-      f.exists(new org.apache.hadoop.fs.Path(s"$stateDir/v$v/tombstones/_SUCCESS")))
+      GenState.tableExists(spark, stateDir, v, "tombstones"))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     def purgedSigs(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(sigsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(sigsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(sigsPath(stateDir, v)))), Seq("name"))
+        Seq((v, spark.read.parquet(sigsPath(spark, stateDir, v)))), Seq("name"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim, commitTable)
     // batch-key exactly-once must survive maintenance: carry the folded
     // generations' ingest markers onto the compacted one
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(stateDir, _)): _*)
-     else LabelState.purgeByGen(tombs,
-       versions.map(v => (v, spark.read.parquet(sigsPath(stateDir, v)))),
-       Seq("name")))
-      .dropDuplicates("name", "t")
-      .write.mode("overwrite").parquet(sigsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
+      (if (!hasTombs) spark.read.parquet(versions.map(sigsPath(spark, stateDir, _)): _*)
+       else LabelState.purgeByGen(tombs,
+         versions.map(v => (v, spark.read.parquet(sigsPath(spark, stateDir, v)))),
+         Seq("name")))
+        .dropDuplicates("name", "t"))
     // reconciled cross pairs of concurrent commits, from PURGED sigs so
     // deleted names never resurface through reconciliation — durable here
     val maxHamming = IncrementalMedia.pinnedMaxHamming(spark, stateDir)
@@ -241,10 +243,10 @@ object IncrementalRotMedia {
       }
     GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)
     val stored =
-      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(stateDir, _)): _*)
+      (if (!hasTombs) spark.read.parquet(versions.map(pairsPath(spark, stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          effectiveTombstones(spark, stateDir, versions),
-         versions.map(v => (v, spark.read.parquet(pairsPath(stateDir, v)))),
+         versions.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v)))),
          Seq("name1", "name2")))
     // the COMMIT write lands through the fence, which also re-verifies
     // the maintenance lease

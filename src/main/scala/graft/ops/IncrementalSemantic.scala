@@ -43,9 +43,14 @@ object IncrementalSemantic {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir)
 
-  private def vecsPath(stateDir: String, v: Int) = s"$stateDir/v$v/vecs"
-  private def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
-  private def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish (pointer resolution wins for complete
+  // generations, so passing the token on a mixed-version read is safe)
+  private def vecsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "vecs", tok)
+  private def pairsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "pairs", tok)
 
   /** Ingest `newVecs` ((vec_id, embedding), vec_ids disjoint from prior
     * ingests) against the frozen centroid model; returns the generation.
@@ -88,8 +93,9 @@ object IncrementalSemantic {
     // 2. SLIM candidates: new side vs the PROBED union on exact CELL
     // equality — scans pruned to (vec_id, cell), no payload in the
     // candidate join; the snapshot is exactly what the manifest records
-    val allPaths = live.map(vecsPath(stateDir, _)) :+ vecsPath(stateDir, next)
-    val slimNew = spark.read.parquet(vecsPath(stateDir, next))
+    val allPaths = live.map(vecsPath(spark, stateDir, _)) :+
+      vecsPath(spark, stateDir, next, Some(claim))
+    val slimNew = spark.read.parquet(vecsPath(spark, stateDir, next, Some(claim)))
       .select(col("vec_id"), col("cell"))
     val slimAll = spark.read.parquet(allPaths: _*)
       .select(col("vec_id"), col("cell"))
@@ -114,7 +120,7 @@ object IncrementalSemantic {
     // materialize once (merge hot-path contract), then delta-CC over the
     // PROBED fold
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(pairs)
-    val matPairs = spark.read.parquet(pairsPath(stateDir, next))
+    val matPairs = spark.read.parquet(pairsPath(spark, stateDir, next, Some(claim)))
     val labels = LabelState.deltaLabels(spark, stateDir, live, matPairs, next)
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(labels)
     next
@@ -151,7 +157,7 @@ object IncrementalSemantic {
   private def reconInputs(spark: SparkSession, stateDir: String,
       live: Seq[Int], vecsOf: Int => DataFrame)
       : Option[(DataFrame, DataFrame)] =
-    LabelState.reconInputs(spark, stateDir, live, pairsPath(stateDir, _),
+    LabelState.reconInputs(spark, stateDir, live, pairsPath(spark, stateDir, _),
       (a, b) => crossPairs(spark, stateDir, a, b, vecsOf))
 
   /** d34: TOMBSTONE a set of vectors — [[IncrementalDedup.delete]]'s d29
@@ -163,9 +169,7 @@ object IncrementalSemantic {
   def delete(spark: SparkSession, stateDir: String, ids: DataFrame): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalSemantic.delete: no state at $stateDir")
-    live.foreach(v => require(
-      GenState.fs(spark, stateDir).exists(
-        new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")),
+    live.foreach(v => require(GenState.tableExists(spark, stateDir, v, "pairs"),
       s"IncrementalSemantic.delete: generation v$v at $stateDir has no pairs " +
         "table (pre-retention layout) — rebuild the state dir first"))
     // fresh allocation (multi-writer, round 17): empty vecs ⇒ nothing to
@@ -177,9 +181,9 @@ object IncrementalSemantic {
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
       ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
-      spark.read.parquet(vecsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(vecsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next
@@ -208,32 +212,31 @@ object IncrementalSemantic {
     val hasTombs = LabelState.tombstoneVersions(spark, stateDir, versions).nonEmpty
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     def purgedVecs(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(vecsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(vecsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(vecsPath(stateDir, v)))), Seq("vec_id"))
+        Seq((v, spark.read.parquet(vecsPath(spark, stateDir, v)))), Seq("vec_id"))
     GenState.writeProbed(spark, stateDir, next, Seq(next), claim)
     GenState.copyIngestMarkers(spark, stateDir, versions, next, claim)
     GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
-      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+      if (!hasTombs) spark.read.parquet(versions.map(vecsPath(spark, stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
-        versions.map(v => (v, spark.read.parquet(vecsPath(stateDir, v)))),
+        versions.map(v => (v, spark.read.parquet(vecsPath(spark, stateDir, v)))),
         Seq("vec_id")))
     // outstanding concurrent-commit reconciliation becomes DURABLE here
     // (recon cross pairs from PURGED vecs — deleted ids never resurface)
     val recon = reconInputs(spark, stateDir, versions, purgedVecs)
-    val pairVs = versions.filter(v => GenState.fs(spark, stateDir).exists(
-      new org.apache.hadoop.fs.Path(s"${pairsPath(stateDir, v)}/_SUCCESS")))
+    val pairVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "pairs"))
     require(recon.isEmpty || pairVs == versions,
       s"IncrementalSemantic.compact: concurrent commits at $stateDir need every " +
         "generation's pairs table to reconcile — pre-retention layout found")
     if (pairVs == versions) {
       val stored =
         (if (!hasTombs)
-           spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+           spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)
              .select(col("d1").cast("long"), col("d2").cast("long"))
          else LabelState.purgePairsByGen(tombs,
            LabelState.effectiveTombstones(spark, stateDir, versions, "vecs", "vec_id"),
-           pairVs.map(v => (v, spark.read.parquet(pairsPath(stateDir, v))
+           pairVs.map(v => (v, spark.read.parquet(pairsPath(spark, stateDir, v))
              .select(col("d1").cast("long"), col("d2").cast("long")))),
            Seq("d1", "d2")))
       GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
@@ -266,11 +269,11 @@ object IncrementalSemantic {
     // `_PROBED` reconciliation for histories with genuinely-concurrent
     // commits (multi-writer, round 17); sequential histories pay nothing
     val recon = reconInputs(spark, stateDir, versions,
-      v => spark.read.parquet(vecsPath(stateDir, v)))
+      v => spark.read.parquet(vecsPath(spark, stateDir, v)))
     val labels = LabelState.deletedAwareLabels(spark, stateDir, versions,
         "vecs", "vec_id", recon.map(_._1), recon.map(_._2))
       .select(col("node").as("vec_id"), col("label").as("cluster_id"))
-    val asg = spark.read.parquet(versions.map(vecsPath(stateDir, _)): _*)
+    val asg = spark.read.parquet(versions.map(vecsPath(spark, stateDir, _)): _*)
       .select(col("vec_id"), col("cell"), col("ccos"))
       // at-least-once re-delivery can duplicate a vector across
       // generations; assignment is a pure function of the frozen model,

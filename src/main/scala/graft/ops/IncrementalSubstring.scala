@@ -66,10 +66,18 @@ object IncrementalSubstring {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def anchorsPath(stateDir: String, v: Int) = s"$stateDir/v$v/anchors"
-  private def hitsPath(stateDir: String, v: Int) = s"$stateDir/v$v/hits"
-  private def occPath(stateDir: String, v: Int) = s"$stateDir/v$v/occ"
-  private def docsPath(stateDir: String, v: Int) = s"$stateDir/v$v/docs"
+  // resolved through [[GenState.tablePath]]: publish-mode-agnostic reads;
+  // `tok` is the claim token for pre-commit reads of an OWN in-flight
+  // generation under PointerPublish (pointer resolution wins for complete
+  // generations, so passing the token on a mixed-version read is safe)
+  private def anchorsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "anchors", tok)
+  private def hitsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "hits", tok)
+  private def occPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "occ", tok)
+  private def docsPath(spark: SparkSession, stateDir: String, v: Int,
+      tok: Option[String] = None) = GenState.tablePath(spark, stateDir, v, "docs", tok)
 
   /** The table the tombstone re-ingest probe scans: the slim one-column
     * `vN/docs` projection (one row per batch doc) when every live
@@ -82,7 +90,7 @@ object IncrementalSubstring {
       live: Seq[Int]): String = {
     val f = GenState.fs(spark, stateDir)
     if (live.forall(v => f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))))
+        new org.apache.hadoop.fs.Path(s"${docsPath(spark, stateDir, v)}/_SUCCESS"))))
       "docs"
     else "anchors"
   }
@@ -97,14 +105,15 @@ object IncrementalSubstring {
     * reads every occ dir in ONE multi-path scan (single FileIndex, one
     * stage).
     */
-  private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int]): DataFrame = {
+  private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int],
+      tok: Option[String] = None): DataFrame = {
     val f = GenState.fs(spark, stateDir)
     val (have, missing) = vs.partition(v =>
-      f.exists(new org.apache.hadoop.fs.Path(s"${occPath(stateDir, v)}/_SUCCESS")))
+      f.exists(new org.apache.hadoop.fs.Path(s"${occPath(spark, stateDir, v, tok)}/_SUCCESS")))
     val parts =
-      (if (have.nonEmpty) Seq(spark.read.parquet(have.map(occPath(stateDir, _)): _*))
+      (if (have.nonEmpty) Seq(spark.read.parquet(have.map(occPath(spark, stateDir, _, tok)): _*))
        else Seq.empty) ++
-        missing.map(v => occOf(spark.read.parquet(anchorsPath(stateDir, v))))
+        missing.map(v => occOf(spark.read.parquet(anchorsPath(spark, stateDir, v, tok))))
     parts.reduce(_ unionByName _)
       .groupBy(col("anchor")).agg(sum(col("aocc")).as("aocc"))
   }
@@ -273,7 +282,7 @@ object IncrementalSubstring {
     }
     t("anchors")(GenState.fencedParquet(spark, stateDir, next, "anchors",
       claim, commitTable)(anchorsOf(newDocs)))
-    val newAnch = spark.read.parquet(anchorsPath(stateDir, next))
+    val newAnch = spark.read.parquet(anchorsPath(spark, stateDir, next, Some(claim)))
 
     // slim per-generation doc projection — the table the tombstone
     // re-ingest probe scans ([[probeTable]]): one row per batch doc, so a
@@ -292,11 +301,11 @@ object IncrementalSubstring {
     t("occ")(GenState.fencedParquet(spark, stateDir, next, "occ",
       claim, commitTable)(mergeOccOf(newAnch)))
 
-    val hot = foldedOcc(spark, stateDir, live :+ next)
+    val hot = foldedOcc(spark, stateDir, live :+ next, Some(claim))
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     val oldAnch =
       if (live.isEmpty) newAnch.limit(0)
-      else spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*)
+      else spark.read.parquet(live.map(anchorsPath(spark, stateDir, _)): _*)
     t("hits")(GenState.fencedParquet(spark, stateDir, next, "hits",
       claim, commitTable)(candidateHits(newAnch, oldAnch, hot)))
     next
@@ -333,13 +342,13 @@ object IncrementalSubstring {
     GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
       ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
-      spark.read.parquet(anchorsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(anchorsPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
       ids.select(col("doc_id").cast("long").as("doc_id")).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "occ", claim, commitTable)(
-      spark.read.parquet(occPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(occPath(spark, stateDir, live.head)).limit(0))
     GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
-      spark.read.parquet(hitsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(hitsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -372,7 +381,7 @@ object IncrementalSubstring {
     // duplicate-proof positional re-aggregation ([[occOf]]) instead.
     val hot = (if (spark.conf.getOption("spark.graft.substring.occFromAnchors")
           .contains("true"))
-        occOf(spark.read.parquet(live.map(anchorsPath(stateDir, _)): _*))
+        occOf(spark.read.parquet(live.map(anchorsPath(spark, stateDir, _)): _*))
       else foldedOcc(spark, stateDir, live))
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     // tombstone shadowing (d32): drop every hit incident to an
@@ -386,8 +395,8 @@ object IncrementalSubstring {
     val teff = LabelState.effectiveTombstones(spark, stateDir, live,
       probeTable(spark, stateDir, live), "doc_id")
     val recon = reconHits(spark, stateDir, live, hot,
-      v => spark.read.parquet(anchorsPath(stateDir, v)))
-    val stored = spark.read.parquet(live.map(hitsPath(stateDir, _)): _*)
+      v => spark.read.parquet(anchorsPath(spark, stateDir, v)))
+    val stored = spark.read.parquet(live.map(hitsPath(spark, stateDir, _)): _*)
       .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
     val hits = (stored +: recon).reduce(_ unionByName _)
       .join(hot, Seq("anchor"), "left_anti")
@@ -441,21 +450,21 @@ object IncrementalSubstring {
     // see [[delete]]
     val f = GenState.fs(spark, stateDir)
     val hasTombs = versions.exists(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${LabelState.tombsPath(stateDir, v)}/_SUCCESS")))
+      new org.apache.hadoop.fs.Path(s"${LabelState.tombsPath(spark, stateDir, v)}/_SUCCESS")))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
-      if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(stateDir, _)): _*)
+      if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(spark, stateDir, _)): _*)
       else LabelState.purgeByGen(tombs,
-        versions.map(v => (v, spark.read.parquet(anchorsPath(stateDir, v)))),
+        versions.map(v => (v, spark.read.parquet(anchorsPath(spark, stateDir, v)))),
         Seq("doc_id")))
     // the slim doc projection folds the same way (legacy generations
     // without one backfill from their anchors — compaction IS the
     // migration point, as for occ)
     val docsFrames = versions.map { v =>
       val have = f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(stateDir, v)}/_SUCCESS"))
-      (v, if (have) spark.read.parquet(docsPath(stateDir, v))
-          else spark.read.parquet(anchorsPath(stateDir, v))
+        new org.apache.hadoop.fs.Path(s"${docsPath(spark, stateDir, v)}/_SUCCESS"))
+      (v, if (have) spark.read.parquet(docsPath(spark, stateDir, v))
+          else spark.read.parquet(anchorsPath(spark, stateDir, v))
             .select(col("doc_id")).dropDuplicates("doc_id"))
     }
     GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
@@ -476,18 +485,18 @@ object IncrementalSubstring {
     // cross hits recomputed from the PURGED per-generation anchors (deleted
     // docs never resurface), cold-filtered by the final-count hot set
     def purgedAnchors(v: Int): DataFrame =
-      if (!hasTombs) spark.read.parquet(anchorsPath(stateDir, v))
+      if (!hasTombs) spark.read.parquet(anchorsPath(spark, stateDir, v))
       else LabelState.purgeByGen(tombs,
-        Seq((v, spark.read.parquet(anchorsPath(stateDir, v)))), Seq("doc_id"))
+        Seq((v, spark.read.parquet(anchorsPath(spark, stateDir, v)))), Seq("doc_id"))
     val hotNow = foldedOcc(spark, stateDir, versions)
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
     val recon = reconHits(spark, stateDir, versions, hotNow, purgedAnchors)
     val storedHits =
-      (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(stateDir, _)): _*)
+      (if (!hasTombs) spark.read.parquet(versions.map(hitsPath(spark, stateDir, _)): _*)
        else LabelState.purgePairsByGen(tombs,
          LabelState.effectiveTombstones(spark, stateDir, versions,
            probeTable(spark, stateDir, versions), "doc_id"),
-         versions.map(v => (v, spark.read.parquet(hitsPath(stateDir, v)))),
+         versions.map(v => (v, spark.read.parquet(hitsPath(spark, stateDir, v)))),
          Seq("d1", "d2")))
         .select(col("d1"), col("d2"), col("i"), col("j"), col("anchor"))
     GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable,

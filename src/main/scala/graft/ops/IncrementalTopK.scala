@@ -41,7 +41,8 @@ object IncrementalTopK {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def countsPath(stateDir: String, v: Int) = s"$stateDir/v$v/counts"
+  private def countsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "counts")
 
   /** Per-doc token counts of one batch: one tokenize pass, one shuffle
     * onto (doc_id, token) — O(|batch|) work and output.
@@ -77,12 +78,11 @@ object IncrementalTopK {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalTopK.delete: no state at $stateDir")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.assertWritable(spark, stateDir, next, claim, commitTable)
-    ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")
-      .write.mode("overwrite").parquet(LabelState.tombsPath(stateDir, next))
+    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
+      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
-      spark.read.parquet(countsPath(stateDir, live.head)).limit(0))
+      spark.read.parquet(countsPath(spark, stateDir, live.head)).limit(0))
     next
   }
 
@@ -95,10 +95,10 @@ object IncrementalTopK {
     require(versions.nonEmpty, s"IncrementalTopK: no state at $stateDir")
     val delVs = LabelState.tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty)
-      return spark.read.parquet(versions.map(countsPath(stateDir, _)): _*)
+      return spark.read.parquet(versions.map(countsPath(spark, stateDir, _)): _*)
     LabelState.purgeByGen(
       LabelState.tombstonesByGen(spark, stateDir, versions),
-      versions.map(v => (v, spark.read.parquet(countsPath(stateDir, v)))),
+      versions.map(v => (v, spark.read.parquet(countsPath(spark, stateDir, v)))),
       Seq("doc_id"))
   }
 

@@ -61,7 +61,8 @@ object IncrementalView {
   def latestVersion(spark: SparkSession, stateDir: String): Option[Int] =
     GenState.latestVersion(spark, stateDir, commitTable)
 
-  private def partialsPath(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
+  private def partialsPath(spark: SparkSession, stateDir: String, v: Int) =
+    GenState.tablePath(spark, stateDir, v, "partials")
 
   /** One batch's partial aggregate of the q14 rollup — raw double sum, no
     * rounding (see class doc). Input must already carry a normalized
@@ -146,7 +147,7 @@ object IncrementalView {
       return Seq.empty[(java.sql.Date, String, Long, Double)]
         .toDF("day", "event_type", "n", "sum_value")
     }
-    spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+    spark.read.parquet(versions.map(partialsPath(spark, stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
@@ -247,7 +248,7 @@ object IncrementalView {
       return Seq.empty[(java.sql.Date, String, Long, Double)]
         .toDF("day", "event_type", "n", "sum_value")
     }
-    spark.read.parquet(window.map(partialsPath(stateDir, _)): _*)
+    spark.read.parquet(window.map(partialsPath(spark, stateDir, _)): _*)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
   }
@@ -263,7 +264,8 @@ object IncrementalView {
     */
   object Weekly {
 
-    private def path(stateDir: String, v: Int) = s"$stateDir/v$v/partials"
+    private def path(spark: SparkSession, stateDir: String, v: Int) =
+      GenState.tablePath(spark, stateDir, v, "partials")
 
     def completeVersions(spark: SparkSession, stateDir: String): Seq[Int] =
       GenState.completeVersions(spark, stateDir, "partials")
@@ -275,11 +277,11 @@ object IncrementalView {
         case Left(v) => return v
         case Right(nc) => nc
       }
-      GenState.assertWritable(spark, stateDir, next, claim, "partials")
-      rawFeed
-        .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
-        .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
-        .write.mode("overwrite").parquet(path(stateDir, next))
+      // the COMMIT write lands through the fence (the daily merge's rule)
+      GenState.fencedParquet(spark, stateDir, next, "partials", claim, "partials")(
+        rawFeed
+          .groupBy(date_trunc("week", col("day")).cast("date").as("week"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value")))
       next
     }
 
@@ -294,7 +296,7 @@ object IncrementalView {
       // a view surface, so the same presentation rule as the daily serve
       // applies: emptied groups leave, negative counts refuse loudly
       presentable(
-        spark.read.parquet(versions.map(path(stateDir, _)): _*)
+        spark.read.parquet(versions.map(path(spark, stateDir, _)): _*)
           .groupBy(col("week"), col("event_type"))
           .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 2).as("sum_value"))
           .orderBy(col("week"), col("event_type")),
@@ -317,7 +319,7 @@ object IncrementalView {
       // number never collides, and the sweep below removes every non-live
       // dir regardless of where it sits
       val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-      val folded = spark.read.parquet(versions.map(partialsPath(stateDir, _)): _*)
+      val folded = spark.read.parquet(versions.map(partialsPath(spark, stateDir, _)): _*)
         .groupBy(col("day"), col("event_type"))
         .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
       GenState.writeCompactManifest(spark, stateDir, next, versions, claim, commitTable)

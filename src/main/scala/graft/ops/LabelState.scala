@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object LabelState {
 
-  def labelsPath(stateDir: String, v: Int) = s"$stateDir/v$v/labels"
+  // table paths resolve through [[GenState.tablePath]] so every read is
+  // publish-mode-agnostic (a pointer-committed generation's tables live in
+  // nonce-named dirs; see GenState's PublishMode block comment)
+  def labelsPath(spark: SparkSession, stateDir: String, v: Int): String =
+    GenState.tablePath(spark, stateDir, v, "labels")
 
   private[ops] def emptyDelta(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -59,9 +63,9 @@ object LabelState {
   def folded(spark: SparkSession, stateDir: String, versions: Seq[Int]): DataFrame =
     versions match {
       case Seq() => emptyDelta(spark).select(col("node"), col("label"))
-      case Seq(v) => spark.read.parquet(labelsPath(stateDir, v))
+      case Seq(v) => spark.read.parquet(labelsPath(spark, stateDir, v))
         .select(col("node"), col("label"))
-      case vs => spark.read.parquet(vs.map(labelsPath(stateDir, _)): _*)
+      case vs => spark.read.parquet(vs.map(labelsPath(spark, stateDir, _)): _*)
         .groupBy(col("node"))
         .agg(max_by(col("label"), col("gen")).as("label"))
     }
@@ -231,8 +235,10 @@ object LabelState {
   // affected set is broadcast-scoped and the correction is O(affected
   // components' edges), not a corpus re-clustering.
 
-  def tombsPath(stateDir: String, v: Int) = s"$stateDir/v$v/tombstones"
-  def pairsPath(stateDir: String, v: Int) = s"$stateDir/v$v/pairs"
+  def tombsPath(spark: SparkSession, stateDir: String, v: Int): String =
+    GenState.tablePath(spark, stateDir, v, "tombstones")
+  def pairsPath(spark: SparkSession, stateDir: String, v: Int): String =
+    GenState.tablePath(spark, stateDir, v, "pairs")
 
   private def hasTable(spark: SparkSession, path: String): Boolean =
     GenState.fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
@@ -240,7 +246,7 @@ object LabelState {
   /** Live generations that carry a tombstones table. */
   def tombstoneVersions(spark: SparkSession, stateDir: String,
       versions: Seq[Int]): Seq[Int] =
-    versions.filter(v => hasTable(spark, tombsPath(stateDir, v)))
+    versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
 
   /** Tombstoned ids still in EFFECT: [[IncrementalIvf]]'s LSM shadowing —
     * a tombstone at generation d deletes an id from generations OLDER
@@ -256,7 +262,7 @@ object LabelState {
     val delVs = tombstoneVersions(spark, stateDir, versions)
     if (delVs.isEmpty) return Seq.empty[Long].toDF("node")
     effectiveTombstonesFrom(spark, stateDir, versions, delVs,
-      v => spark.read.parquet(s"$stateDir/v$v/$indexTable")
+      v => spark.read.parquet(GenState.tablePath(spark, stateDir, v, indexTable))
         .select(col(idCol).cast("long").as("node")))
   }
 
@@ -303,7 +309,7 @@ object LabelState {
       versions: Seq[Int]): DataFrame = {
     val delVs = tombstoneVersions(spark, stateDir, versions)
     require(delVs.nonEmpty, "tombstonesByGen: no tombstone generations")
-    delVs.map(v => spark.read.parquet(tombsPath(stateDir, v))
+    delVs.map(v => spark.read.parquet(tombsPath(spark, stateDir, v))
         .select(col("node"), lit(v).as("dgen"))).reduce(_ unionByName _)
       .groupBy(col("node")).agg(max(col("dgen")).as("dgen"))
   }
@@ -433,10 +439,10 @@ object LabelState {
     // deleted-incident edge, plus the caller's reconciliation edges
     // (tombstone-filtered the same way) — exactly the survivors' true
     // pair graph over the affected scope
-    val pairVs = versions.filter(v => hasTable(spark, pairsPath(stateDir, v)))
+    val pairVs = versions.filter(v => hasTable(spark, pairsPath(spark, stateDir, v)))
     val storedEdges = (if (pairVs.isEmpty) emptyDelta(spark).select(
         col("node").as("d1"), col("label").as("d2"))
-      else spark.read.parquet(pairVs.map(pairsPath(stateDir, _)): _*)
+      else spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)
         .select(col("d1").cast("long"), col("d2").cast("long")))
       .join(members.select(col("node").as("d1")), Seq("d1"), "left_semi")
     val liveEdges = extraEdges.fold(storedEdges)(e =>

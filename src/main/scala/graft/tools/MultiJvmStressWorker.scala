@@ -17,8 +17,14 @@ import graft.ops.{IncrementalExact, IncrementalMinHash}
   * the served state equals sequential ingest of the same batches.
   *
   * Usage:
-  *   MultiJvmStressWorker <family> <role> <stateDir> <sfDir> <mod> <residue> <key>
+  *   MultiJvmStressWorker <family> <role> <stateDir> <sfDir> <mod> <residue> <key> [claimStore]
   *     family: exact | minhash      role: merge | compact
+  *     claimStore: "-" (default) = in-tree FsClaimBackend; any other value
+  *       = the external conditional-put backend rooted there
+  *       ([[graft.ops.GenState.ExternalCpClaimBackend]]) — each forked
+  *       worker builds its OWN backend instance against the shared store
+  *       root, exactly as separate Spark drivers against one DynamoDB
+  *       table / S3 prefix would.
   *
   * Exit codes (the spec's contract):
   *   0 — the operation committed;
@@ -28,7 +34,10 @@ import graft.ops.{IncrementalExact, IncrementalMinHash}
   */
 object MultiJvmStressWorker {
   def main(args: Array[String]): Unit = {
-    val Array(family, role, stateDir, sfDir, mod, residue, key) = args
+    val Array(family, role, stateDir, sfDir, mod, residue, key) = args.take(7)
+    args.drop(7).headOption.filter(_ != "-").foreach { store =>
+      graft.ops.GenState.claimBackend = new graft.ops.GenState.ExternalCpClaimBackend(store)
+    }
     val spark = GraftSession.create(s"mjvm-$family-$role-$key", cores = 4)
     val outcome: Either[IllegalStateException, String] =
       try {

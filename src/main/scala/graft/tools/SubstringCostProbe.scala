@@ -31,9 +31,9 @@ object SubstringCostProbe {
           docs.where(pmod(col("doc_id"), lit(8)) === r), Some(s"b$r"))
       }
     }
-    val anch = spark.read.parquet((0 until 8).map(v => s"$state/v$v/anchors"): _*)
+    val anch = spark.read.parquet((0 until 8).map(v => graft.ops.GenState.tablePath(spark, state, v, "anchors")): _*)
     println(s"PROBE anchor rows total: ${anch.count()}")
-    val hits = spark.read.parquet((0 until 8).map(v => s"$state/v$v/hits"): _*)
+    val hits = spark.read.parquet((0 until 8).map(v => graft.ops.GenState.tablePath(spark, state, v, "hits")): _*)
     println(s"PROBE hit rows total: ${hits.count()}")
     time("spans read")(IncrementalSubstring.spans(spark, state).count())
     time("spans read (2nd)")(IncrementalSubstring.spans(spark, state).count())

@@ -384,6 +384,62 @@ class ConcurrentCompactSpec extends SparkSpec {
     } finally CrashFs.failSetTimes = false
   }
 
+  test("heartbeat read-back mismatch is a taken-over ABORT, never a re-stomp of the thief's token") {
+    // the write-based heartbeat (setTimes unsupported) rewrites the
+    // holder's token, then reads back. A mismatch there is NOT a torn
+    // write (the rewrite closed) — it means a rival legitimately stole
+    // the stale lease in the rewrite/read-back window. The pre-round-19
+    // "repair" rewrote the holder's token AGAIN, stomping the live
+    // thief's claim (dueling heartbeats, wasted double-folds); the fix
+    // aborts with the fence's taken-over error so exactly one compactor
+    // survives — and the thief's token must still be standing afterwards.
+    spark.sparkContext.hadoopConfiguration.setClass("fs.crash.impl",
+      classOf[CrashFs], classOf[org.apache.hadoop.fs.FileSystem])
+    CrashFs.disarm()
+    CrashFs.failSetTimes = true
+    val thief = new GenState.ClaimBackend {
+      @volatile var armed = false
+      private val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      def tryClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path, token: String): Boolean =
+        GenState.FsClaimBackend.tryClaim(f, p, token)
+      def readClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path): Option[String] = {
+        if (armed && p.getName == "_MAINT" && reads.incrementAndGet() == 2) {
+          // the post-rewrite read-back: the rival's steal (release +
+          // re-claim) landed between the holder's rewrite and this read
+          GenState.FsClaimBackend.releaseClaim(f, p)
+          GenState.FsClaimBackend.tryClaim(f, p, "rival-token")
+        }
+        GenState.FsClaimBackend.readClaim(f, p)
+      }
+      def releaseClaim(f: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path): Unit =
+        GenState.FsClaimBackend.releaseClaim(f, p)
+    }
+    val before = GenState.claimBackend
+    try {
+      GenState.claimBackend = thief
+      val local = graft.util.TmpDirs.scratch("graft_maint_stomp_")
+      val state = s"crash://$local"
+      val token = GenState.acquireMaintenance(spark, state)
+      thief.armed = true
+      val ex = intercept[IllegalStateException] {
+        GenState.verifyMaintenance(spark, state, token)
+      }
+      assert(ex.getMessage.contains("taken over"), ex.getMessage)
+      // the regression half: the thief's live claim survived the abort —
+      // no dueling-heartbeat stomp
+      val f = fsOf(state)
+      assert(GenState.FsClaimBackend.readClaim(f,
+        new org.apache.hadoop.fs.Path(s"$state/_MAINT")).contains("rival-token"),
+        "the aborting holder must not rewrite over the thief's token")
+    } finally {
+      GenState.claimBackend = before
+      CrashFs.failSetTimes = false
+    }
+  }
+
   test("sweepGraceMs decouples the reader grace from the writer-staleness TTL") {
     val state = graft.util.TmpDirs.scratch("graft_ccomp_sgrace_").toString
     IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(2)) === 0), Some("a"))

@@ -25,82 +25,49 @@ import graft.ops.{GenState, IncrementalExact, IncrementalMinHash}
   *     `_PROBED` reconciliation must repair cross pairs across process
   *     boundaries exactly as it does across threads).
   *
-  * What this does and does not prove: the processes share one LOCAL
-  * filesystem, so the atomic primitive under test is the OS's O_EXCL
-  * create (plus link(2) for `_CONFIG`) — the same primitives HDFS/ABFS
-  * provide natively. An object-store deployment swaps the claim primitive
-  * for a conditional PUT ([[GenState.ExternalCpClaimBackend]], proven in
-  * GenStateClaimSpec); what the local FS CANNOT prove is S3's rename
-  * semantics for the fenced table publish — see SCALE.md's multi-JVM
-  * note for that boundary.
+  * Both merge+compactor races run under BOTH claim backends (round 19):
+  * the in-tree `_CLAIM` files (O_EXCL — the HDFS/ABFS shape) and the
+  * external conditional-put store, where every worker process builds its
+  * OWN [[GenState.ExternalCpClaimBackend]] against one shared store root
+  * — separate drivers against one DynamoDB table / S3 prefix, the actual
+  * object-store deployment shape. The remaining local-FS boundary is the
+  * fenced table publish's RENAME, which [[PointerPublishSpec]] removes
+  * with the pointer publish mode on a rename-less filesystem.
   */
 class MultiJvmStressSpec extends SparkSpec {
 
+  import MultiJvmHarness.{drain, fork}
+
   private def docs = graft.sources.Tables.documents(spark, sf0001)
 
-  /** The forked workers must open the same JDK modules as this (Spark-
-    * capable) test JVM. Inherit the flags from the RUNNING JVM so the
-    * list cannot drift from build.sbt's; fall back to the known Spark 4 /
-    * JDK 17 set only if the runtime reports none (non-forked runner).
+  /** Backend axis: None = in-tree FS claims; Some(()=>store) = a fresh
+    * external conditional-put store root shared by the spec JVM and every
+    * forked worker.
     */
-  private val addOpens: Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-    val paired = jvmArgs.sliding(2).collect {
-      case Seq("--add-opens", v) => Seq("--add-opens", v) }.flatten.toSeq
-    val fused = jvmArgs.filter(_.startsWith("--add-opens="))
-      .flatMap(a => Seq("--add-opens", a.stripPrefix("--add-opens=")))
-    val inherited = paired ++ fused
-    if (inherited.nonEmpty) inherited
-    else Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val backends: Seq[(String, () => Option[String])] = Seq(
+    "fs" -> (() => None),
+    "external-cp" -> (() =>
+      Some(graft.util.TmpDirs.scratch("graft_mjvm_cpstore_").toString)))
+
+  private def withBackend[T](store: Option[String])(body: => T): T = {
+    val before = GenState.claimBackend
+    store.foreach(s => GenState.claimBackend = new GenState.ExternalCpClaimBackend(s))
+    try body finally GenState.claimBackend = before
   }
 
-  private case class Worker(tag: String, proc: Process, log: java.io.File)
-
-  private def fork(family: String, role: String, state: String,
-      mod: Int, residue: Int, key: String): Worker = {
-    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
-      Seq("-Xmx3g", "-Dspark.ui.enabled=false",
-        "-cp", System.getProperty("java.class.path"),
-        "graft.tools.MultiJvmStressWorker",
-        family, role, state, sf0001, mod.toString, residue.toString, key)
-    // log to a file, not a pipe: four concurrent Spark drivers write more
-    // startup chatter than a pipe buffer holds, and a writer blocked on a
-    // full pipe would serialize the very race under test
-    val log = java.io.File.createTempFile(s"graft_mjvm_${role}_$key", ".log")
-    log.deleteOnExit()
-    val proc = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true).redirectOutput(log).start()
-    Worker(s"$family/$role/$key", proc, log)
-  }
-
-  /** Wait for all workers; return (tag, exitCode, output-tail). */
-  private def drain(ws: Seq[Worker]): Seq[(String, Int, String)] = ws.map { w =>
-    val done = w.proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-    assert(done, s"worker ${w.tag} did not finish in 10 minutes")
-    val out = new String(java.nio.file.Files.readAllBytes(w.log.toPath), "UTF-8")
-    (w.tag, w.proc.exitValue(), out.linesIterator.toSeq.takeRight(12).mkString("\n"))
-  }
-
-  test("exact family: 3 merge processes + 1 compactor process — all clean, state equals sequential ingest") {
+  for ((bk, mkStore) <- backends)
+  test(s"[$bk] exact family: 3 merge processes + 1 compactor process — all clean, state equals sequential ingest") {
+    val store = mkStore()
+    withBackend(store) {
     val state = graft.util.TmpDirs.scratch("graft_mjvm_exact_").toString
     // seed one committed generation so the racing compactor always has
     // something to fold whatever the interleaving
     IncrementalExact.merge(spark, state, docs.where(pmod(col("doc_id"), lit(4)) === 3), Some("seed"))
     val ws = Seq(
-      fork("exact", "merge", state, 4, 0, "j0"),
-      fork("exact", "merge", state, 4, 1, "j1"),
-      fork("exact", "merge", state, 4, 2, "j2"),
-      fork("exact", "compact", state, 4, -1, "comp"))
+      fork("exact", "merge", state, sf0001, 4, 0, "j0", store),
+      fork("exact", "merge", state, sf0001, 4, 1, "j1", store),
+      fork("exact", "merge", state, sf0001, 4, 2, "j2", store),
+      fork("exact", "compact", state, sf0001, 4, -1, "comp", store))
     val out = drain(ws)
     val bad = out.filterNot { case (tag, rc, _) =>
       rc == 0 || (rc == 2 && tag.contains("compact")) }
@@ -123,6 +90,7 @@ class MultiJvmStressSpec extends SparkSpec {
     val v = IncrementalExact.compact(spark, state)
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
     assert(IncrementalExact.dedup(spark, state).collect().map(_.toString).sorted.toSeq == want)
+    }
   }
 
   test("exact family: TWO compactor processes racing — never a double-fold, state intact either way") {
@@ -132,8 +100,8 @@ class MultiJvmStressSpec extends SparkSpec {
     val total = IncrementalExact.dedup(spark, state)
       .agg(sum(col("n_copies"))).collect()(0).getLong(0)
     val ws = Seq(
-      fork("exact", "compact", state, 2, -1, "c1"),
-      fork("exact", "compact", state, 2, -1, "c2"))
+      fork("exact", "compact", state, sf0001, 2, -1, "c1"),
+      fork("exact", "compact", state, sf0001, 2, -1, "c2"))
     val out = drain(ws)
     // valid cross-process outcomes: both folded (they serialized in time —
     // JVM startup jitter usually exceeds the fold) or one folded and one
@@ -155,15 +123,18 @@ class MultiJvmStressSpec extends SparkSpec {
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
   }
 
-  test("MinHash family: 3 merge processes + 1 compactor process — clustering equals the one-shot") {
+  for ((bk, mkStore) <- backends)
+  test(s"[$bk] MinHash family: 3 merge processes + 1 compactor process — clustering equals the one-shot") {
+    val store = mkStore()
+    withBackend(store) {
     val state = graft.util.TmpDirs.scratch("graft_mjvm_mh_").toString
     IncrementalMinHash.merge(spark, state,
       docs.where(pmod(col("doc_id"), lit(4)) === 3), batchKey = Some("seed"))
     val ws = Seq(
-      fork("minhash", "merge", state, 4, 0, "j0"),
-      fork("minhash", "merge", state, 4, 1, "j1"),
-      fork("minhash", "merge", state, 4, 2, "j2"),
-      fork("minhash", "compact", state, 4, -1, "comp"))
+      fork("minhash", "merge", state, sf0001, 4, 0, "j0", store),
+      fork("minhash", "merge", state, sf0001, 4, 1, "j1", store),
+      fork("minhash", "merge", state, sf0001, 4, 2, "j2", store),
+      fork("minhash", "compact", state, sf0001, 4, -1, "comp", store))
     val out = drain(ws)
     val bad = out.filterNot { case (tag, rc, _) =>
       rc == 0 || (rc == 2 && tag.contains("compact")) }
@@ -183,5 +154,6 @@ class MultiJvmStressSpec extends SparkSpec {
     // durable after a fold: compact and re-serve
     IncrementalMinHash.compact(spark, state)
     assert(sortedClusters(IncrementalMinHash.clusters(spark, state)) == want)
+    }
   }
 }
