@@ -124,6 +124,15 @@ object GenState {
     * otherwise a caller that owns the generation's claim passes its
     * `token` so its own pre-commit reads resolve to the nonce dir it is
     * writing under PointerPublish; otherwise the plain rename-mode path.
+    *
+    * The token branch additionally defers to a plain-path table that
+    * already EXISTS: a caller reading a mixed set of versions (its own
+    * in-flight generation plus complete predecessors) may pass its token
+    * blanketly, and in a MIXED-MODE store a predecessor committed under
+    * rename mode has no pointer — without the existence check its path
+    * would mis-resolve to a nonce dir that was never written. The check
+    * costs one metadata probe and only on token-bearing (write-path)
+    * resolutions, never on plain reads.
     */
   def tablePath(spark: SparkSession, stateDir: String, v: Int, table: String,
       token: Option[String] = None): String = {
@@ -131,7 +140,8 @@ object GenState {
     readPointer(f, stateDir, v) match {
       case Some(n) => s"$stateDir/v$v/$table.g$n"
       case None => token match {
-        case Some(t) if publishMode == PointerPublish =>
+        case Some(t) if publishMode == PointerPublish &&
+            !f.exists(new Path(s"$stateDir/v$v/$table/_SUCCESS")) =>
           s"$stateDir/v$v/$table.g${nonceOf(t)}"
         case _ => s"$stateDir/v$v/$table"
       }

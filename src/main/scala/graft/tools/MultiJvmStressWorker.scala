@@ -17,7 +17,7 @@ import graft.ops.{IncrementalExact, IncrementalMinHash}
   * the served state equals sequential ingest of the same batches.
   *
   * Usage:
-  *   MultiJvmStressWorker <family> <role> <stateDir> <sfDir> <mod> <residue> <key> [claimStore]
+  *   MultiJvmStressWorker <family> <role> <stateDir> <sfDir> <mod> <residue> <key> [claimStore] [publish]
   *     family: exact | minhash      role: merge | compact
   *     claimStore: "-" (default) = in-tree FsClaimBackend; any other value
   *       = the external conditional-put backend rooted there
@@ -25,6 +25,13 @@ import graft.ops.{IncrementalExact, IncrementalMinHash}
   *       worker builds its OWN backend instance against the shared store
   *       root, exactly as separate Spark drivers against one DynamoDB
   *       table / S3 prefix would.
+  *     publish: "rename" (default) | "pointer" —
+  *       [[graft.ops.GenState.PointerPublish]], the rename-free
+  *       object-store commit path.
+  *
+  * A `norename://` stateDir registers the test-classpath NoRenameFs by
+  * class NAME (the worker ships on the test classpath when forked by the
+  * specs), so cross-process runs can target the rename-less filesystem.
   *
   * Exit codes (the spec's contract):
   *   0 — the operation committed;
@@ -38,7 +45,11 @@ object MultiJvmStressWorker {
     args.drop(7).headOption.filter(_ != "-").foreach { store =>
       graft.ops.GenState.claimBackend = new graft.ops.GenState.ExternalCpClaimBackend(store)
     }
+    if (args.drop(8).headOption.contains("pointer"))
+      graft.ops.GenState.publishMode = graft.ops.GenState.PointerPublish
     val spark = GraftSession.create(s"mjvm-$family-$role-$key", cores = 4)
+    if (stateDir.startsWith("norename:"))
+      spark.sparkContext.hadoopConfiguration.set("fs.norename.impl", "graft.NoRenameFs")
     val outcome: Either[IllegalStateException, String] =
       try {
         import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -196,4 +196,26 @@ class CrashSoakSpec extends SparkSpec {
   test("media family: killed at a random mutation of every op — prefix reads exact, recovery total") {
     soak(mediaFamily)
   }
+
+  /** The same soak under the rename-free POINTER publish: every mutation
+    * of the nonce-dir writes, the `_COMMIT` conditional put, and the
+    * pointer-aware sweeps is a kill point — the object-store commit path
+    * must be prefix-exact and totally recoverable exactly like the
+    * rename path. (The simulation granularity is the mutation CALL, as
+    * everywhere in this suite; whole-object put atomicity is the store's
+    * contract and is modeled by the single create mutation.)
+    */
+  private def soakPointer(fam: Family): Unit = {
+    val before = GenState.publishMode
+    GenState.publishMode = GenState.PointerPublish
+    try soak(fam) finally GenState.publishMode = before
+  }
+
+  test("exact family under POINTER publish: killed at a random mutation of every op — same invariants") {
+    soakPointer(exactFamily)
+  }
+
+  test("MinHash family under POINTER publish: killed at a random mutation of every op — same invariants") {
+    soakPointer(minhashFamily)
+  }
 }

@@ -42,13 +42,14 @@ object MultiJvmHarness {
     */
   def fork(family: String, role: String, state: String, sfDir: String,
       mod: Int, residue: Int, key: String,
-      claimStore: Option[String] = None): Worker = {
+      claimStore: Option[String] = None,
+      publish: String = "rename"): Worker = {
     val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
       Seq("-Xmx3g", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.tools.MultiJvmStressWorker",
         family, role, state, sfDir, mod.toString, residue.toString, key,
-        claimStore.getOrElse("-"))
+        claimStore.getOrElse("-"), publish)
     // log to a file, not a pipe: four concurrent Spark drivers write more
     // startup chatter than a pipe buffer holds, and a writer blocked on a
     // full pipe would serialize the very race under test

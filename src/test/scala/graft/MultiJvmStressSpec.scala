@@ -123,6 +123,48 @@ class MultiJvmStressSpec extends SparkSpec {
     assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
   }
 
+  test("FULL object-store simulation: 3 merges + compactor as processes, pointer publish, NO renames, external claims") {
+    // the strongest local approximation of the S3 deployment: separate
+    // JVMs, a filesystem that THROWS on every protocol rename
+    // (NoRenameFs), the rename-free pointer commit, and claims through
+    // the external conditional-put store — all four axes at once
+    spark.sparkContext.hadoopConfiguration.setClass("fs.norename.impl",
+      classOf[NoRenameFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val store = Some(graft.util.TmpDirs.scratch("graft_mjvm_s3sim_store_").toString)
+    val state = s"norename://${graft.util.TmpDirs.scratch("graft_mjvm_s3sim_")}"
+    val beforeMode = GenState.publishMode
+    GenState.publishMode = GenState.PointerPublish
+    try withBackend(store) {
+      IncrementalExact.merge(spark, state,
+        docs.where(pmod(col("doc_id"), lit(4)) === 3), Some("seed"))
+      val ws = Seq(
+        fork("exact", "merge", state, sf0001, 4, 0, "j0", store, "pointer"),
+        fork("exact", "merge", state, sf0001, 4, 1, "j1", store, "pointer"),
+        fork("exact", "merge", state, sf0001, 4, 2, "j2", store, "pointer"),
+        fork("exact", "compact", state, sf0001, 4, -1, "comp", store, "pointer"))
+      val out = drain(ws)
+      val bad = out.filterNot { case (tag, rc, _) =>
+        rc == 0 || (rc == 2 && tag.contains("compact")) }
+      assert(bad.isEmpty, s"non-clean worker outcomes:\n${bad.mkString("\n\n")}")
+      assert(out.filter(_._1.contains("merge")).forall(_._2 == 0),
+        s"every cross-process pointer-mode merge must commit:\n$out")
+      assert(GenState.ingestedKeys(spark, state, "hashes") ==
+        Set("seed", "j0", "j1", "j2"))
+      val seq = graft.util.TmpDirs.scratch("graft_mjvm_s3sim_seq_").toString
+      for ((r, k) <- Seq(3 -> "seed", 0 -> "j0", 1 -> "j1", 2 -> "j2"))
+        IncrementalExact.merge(spark, seq,
+          docs.where(pmod(col("doc_id"), lit(4)) === r), Some(k))
+      val got = IncrementalExact.dedup(spark, state).collect().map(_.toString).sorted.toSeq
+      val want = IncrementalExact.dedup(spark, seq).collect().map(_.toString).sorted.toSeq
+      assert(got == want,
+        "cross-process pointer-mode state must serve exactly the sequential-ingest answer")
+      val v = IncrementalExact.compact(spark, state)
+      assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+      assert(IncrementalExact.dedup(spark, state)
+        .collect().map(_.toString).sorted.toSeq == want)
+    } finally GenState.publishMode = beforeMode
+  }
+
   for ((bk, mkStore) <- backends)
   test(s"[$bk] MinHash family: 3 merge processes + 1 compactor process — clustering equals the one-shot") {
     val store = mkStore()
