@@ -393,7 +393,12 @@ object Bench {
     // its own shutdown chatter also precedes the line.
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case NonFatal(_) => () }
-    spark.stop()
+    // guarded like the StateStore stop: a shutdown-race exception out of
+    // spark.stop() must not kill the stdout line the driver parses —
+    // losing it would recreate the exact parsed-null artifact this
+    // ordering exists to prevent
+    try spark.stop()
+    catch { case NonFatal(_) => () }
     // the compact line is the LAST write — nothing may print after it
     println(compact)
     System.out.flush()

@@ -91,19 +91,36 @@ object GenState {
     */
   private def nonceOf(token: String): String = token.take(13)
 
+  /** Backend for the `_COMMIT` pointer put/read/release — the one
+    * primitive [[PointerPublish]] needs from the store (a conditional
+    * create-if-absent of one whole object, a consistent read, a delete).
+    * It MUST address the GIVEN path: the pointer is state-dir data, so a
+    * recursive vN delete has to release it implicitly — slot-mapping
+    * stores like [[ExternalCpClaimBackend]] are NOT suitable here. The
+    * default models the put with the local O_EXCL create (atomic on
+    * POSIX; HDFS/ABFS `create(overwrite=false)` is natively atomic); an
+    * S3 deployment swaps in a backend whose tryClaim is the native
+    * `If-None-Match: *` PUT at the same key and whose readClaim is a
+    * consistent GET — stock S3A's `create(overwrite=false)` is
+    * check-then-act and would let two racing flips both pass, so the
+    * seam is load-bearing there, exactly like [[claimBackend]]'s.
+    */
+  @volatile var pointerBackend: ClaimBackend = FsClaimBackend
+
   /** The committed pointer nonce of generation `v`, or None (not
-    * pointer-committed — either rename-mode or not yet committed).
+    * pointer-committed — either rename-mode or not yet committed). A
+    * pointer vanishing MID-READ (a concurrent steal's recursive vN
+    * delete, or a sweep, between the backend's existence probe and its
+    * open) means exactly "not committed" — classified, never thrown, the
+    * same discipline as `mtimeOf` in the sweep walk: this runs on every
+    * read path of every family.
     */
   private def readPointer(f: FileSystem, stateDir: String, v: Int): Option[String] =
-    FsClaimBackend.readClaim(f, commitPtrPath(stateDir, v))
+    try pointerBackend.readClaim(f, commitPtrPath(stateDir, v))
+    catch { case _: java.io.FileNotFoundException => None }
 
-  /** The conditional create-if-absent single-object put — the one
-    * primitive [[PointerPublish]] needs from the store (S3: native
-    * `If-None-Match: *` PUT at the same key; local: O_EXCL). Content is
-    * the whole object; atomicity of the put is the store's contract.
-    */
   private def conditionalPut(f: FileSystem, p: Path, content: String): Boolean =
-    FsClaimBackend.tryClaim(f, p, content)
+    pointerBackend.tryClaim(f, p, content)
 
   /** Generation `v` is COMMITTED: its commit table's `_SUCCESS` exists at
     * the plain final path (rename-mode publish), or a `_COMMIT` pointer
@@ -133,6 +150,15 @@ object GenState {
     * would mis-resolve to a nonce dir that was never written. The check
     * costs one metadata probe and only on token-bearing (write-path)
     * resolutions, never on plain reads.
+    *
+    * COST NOTE: every resolution pays one pointer probe (an exists, plus
+    * a small read when present) — metadata-only, the same class as the
+    * marker listings, measured at low-single-digit percent on the bench.
+    * It is deliberately NOT memoized: a `_COMMIT` is immutable only for
+    * a generation that stays committed, but a pointer stranded on a
+    * gutted vN (a flip racing a steal) is DELETED and re-created with a
+    * new nonce by the next steal — a cache would serve the dead nonce
+    * forever and make the generation permanently invisible.
     */
   def tablePath(spark: SparkSession, stateDir: String, v: Int, table: String,
       token: Option[String] = None): String = {
@@ -148,14 +174,15 @@ object GenState {
     }
   }
 
-  /** Whether a COMPLETE generation carries `table` (its job `_SUCCESS`
-    * under the resolved physical path) — the presence probe the optional
-    * per-family tables (pairs, tombstones) use.
+  /** Whether a generation carries `table` (its job `_SUCCESS` under the
+    * resolved physical path) — the ONE presence probe for the optional
+    * per-family tables (pairs, tombstones, sidecars); `token` resolves a
+    * caller's own in-flight generation exactly as in [[tablePath]].
     */
   def tableExists(spark: SparkSession, stateDir: String, v: Int,
-      table: String): Boolean =
+      table: String, token: Option[String] = None): Boolean =
     fs(spark, stateDir).exists(
-      new Path(s"${tablePath(spark, stateDir, v, table)}/_SUCCESS"))
+      new Path(s"${tablePath(spark, stateDir, v, table, token)}/_SUCCESS"))
 
   /** Generations whose commit table committed, folded-or-not, ascending. */
   private def rawComplete(f: FileSystem, stateDir: String,
@@ -953,6 +980,30 @@ object GenState {
             "another writer's _COMMIT landed first (or this writer's flip " +
             "did not survive a concurrent steal); clean abort, nothing served")
       }
+      // POST-FLIP AUDIT: the flip itself is blind — a writer that stalled
+      // between the fence above and the put can have had its generation
+      // stolen wholesale in the window (tables deleted, claim released),
+      // and its pointer then lands on a gutted vN. Rename mode fails that
+      // interleaving naturally (the stage dir is gone); here the writer
+      // must detect it: if its claim no longer stands or the committed
+      // dir is missing, RETRACT the just-written pointer (read-back
+      // proved it is this writer's own) and abort — never report a
+      // commit that serves nothing. The audit narrows the race to the
+      // same single-write granularity as the rest of the protocol.
+      val stolen =
+        try !claimBackend.readClaim(f, claimPath(stateDir, v)).contains(token) ||
+          !f.exists(new Path(s"$dst/_SUCCESS"))
+        catch { case scala.util.control.NonFatal(_) => true }
+      if (stolen) {
+        try pointerBackend.releaseClaim(f, ptr)
+        catch { case scala.util.control.NonFatal(_) => () }
+        cleanup()
+        throw new IllegalStateException(
+          s"GenState: the pointer flip for v$v at $stateDir landed on a " +
+            "STOLEN generation (claim taken over / tables deleted between " +
+            "the fence and the put) — pointer retracted, clean abort; the " +
+            "batch retry re-merges under its key")
+      }
     }
   }
 
@@ -1146,8 +1197,15 @@ object GenState {
     val liveSet = live.toSet
     def commitMtime(v: Int): Option[Long] =
       mtimeOf(new Path(s"$stateDir/v$v/$commitTable/_SUCCESS"))
-        // pointer-published generation: the pointed commit dir's job
-        // _SUCCESS is the FS mtime authority (written just before the flip)
+        // pointer-published generation: the _COMMIT object's own mtime is
+        // the true commit instant — the pointed dir's job _SUCCESS lands
+        // BEFORE the flip, and a writer stalling between the two would
+        // otherwise date the generation's grace window too EARLY (stamps
+        // may only delay sweeps, never shorten them). The pointed
+        // _SUCCESS stays as the fallback for a pointer store with no FS
+        // mtime (conservativeness caveat: such a deployment sizes its
+        // grace to absorb the job-to-flip gap).
+        .orElse(mtimeOf(commitPtrPath(stateDir, v)))
         .orElse(readPointer(f, stateDir, v).flatMap(n =>
           mtimeOf(new Path(s"$stateDir/v$v/$commitTable.g$n/_SUCCESS"))))
     // v became non-live when the generation whose manifest lists it

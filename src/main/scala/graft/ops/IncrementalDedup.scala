@@ -80,13 +80,13 @@ object IncrementalDedup {
   private val estBandRowBytes = 16L
 
   private def warnIfSaturating(spark: SparkSession, stateDir: String,
-      vs: Seq[Int], tok: Option[String]): Unit = {
+      vs: Seq[Int]): Unit = {
     val cfg = GenState.readConfig(spark, stateDir)
     val threshold = cfg.get("saturationOccupancy").map(_.toDouble)
       .getOrElse(DefaultSaturationOccupancy)
     val f = GenState.fs(spark, stateDir)
     val bytes = vs.map { v =>
-      val p = new org.apache.hadoop.fs.Path(bandsPath(spark, stateDir, v, tok))
+      val p = new org.apache.hadoop.fs.Path(bandsPath(spark, stateDir, v))
       if (f.exists(p)) f.getContentSummary(p).getLength else 0L
     }.sum
     val occupancy = bytes.toDouble / estBandRowBytes / (2.0 * 65536)
@@ -318,6 +318,20 @@ object IncrementalDedup {
       case Right(nc) => nc
     }
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
+    // the measured-cliff advisory (see the saturation-guard block above):
+    // evaluated over the LIVE index BEFORE any write — under
+    // saturationAction=refuse the merge must abort with nothing staged
+    // (abandoning its fresh claim), not after paying the full sign-and-
+    // write job; one batch moves the decade-scale estimate negligibly.
+    // AFTER the re-delivery no-op above: a replayed already-ingested
+    // batch stays a no-op even on a saturated store.
+    if (width == 32)
+      try warnIfSaturating(spark, stateDir, live)
+      catch {
+        case e: IllegalStateException =>
+          GenState.abandonFresh(spark, stateDir, next)
+          throw e
+      }
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
 
     // 1. sign the new batch once and persist its bands — the generation's
@@ -332,10 +346,6 @@ object IncrementalDedup {
         Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
           .withColumnRenamed("block", "half"))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(signed)
-    // the measured-cliff advisory (see the saturation-guard block above):
-    // fires on the post-write index, so the estimate covers exactly what
-    // this merge is about to probe
-    if (width == 32) warnIfSaturating(spark, stateDir, live :+ next, Some(claim))
     val newBands = spark.read.parquet(bandsPath(spark, stateDir, next, Some(claim)))
 
     // 2. the full exact-half index = every PROBED generation's bands plus

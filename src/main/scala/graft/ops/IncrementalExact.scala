@@ -76,9 +76,6 @@ object IncrementalExact {
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
-  private def hasTable(spark: SparkSession, path: String): Boolean =
-    GenState.fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
-
   /** Ingest `newDocs` (doc_ids disjoint from prior ingests): WRITE-ONLY —
     * hashes the batch, partial-aggregates it, appends a generation.
     * Returns the generation number holding the batch.
@@ -151,7 +148,7 @@ object IncrementalExact {
       batchKey: Option[String] = None): Int = {
     val live = completeVersions(spark, stateDir)
     require(live.nonEmpty, s"IncrementalExact.delete: no state at $stateDir")
-    live.foreach(v => require(hasTable(spark, docsPath(spark, stateDir, v)),
+    live.foreach(v => require(GenState.tableExists(spark, stateDir, v, "docs"),
       s"IncrementalExact.delete: generation v$v at $stateDir has no per-doc " +
         "sidecar (pre-sidecar layout) — deletes need the sidecar to " +
         "re-aggregate from; rebuild the state dir first"))
@@ -212,7 +209,7 @@ object IncrementalExact {
       import spark.implicits._
       return Seq.empty[(String, Long, Long)].toDF("h", "keeper", "n_copies")
     }
-    val delVs = versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
+    val delVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "tombstones"))
     val fold =
       if (delVs.isEmpty)
         // tombstone-free fast path: no gen tags, no sidecar read
@@ -286,7 +283,7 @@ object IncrementalExact {
     // number never collides, and the sweep below removes every non-live
     // dir regardless of where it sits
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    val sidecars = versions.forall(v => hasTable(spark, docsPath(spark, stateDir, v)))
+    val sidecars = versions.forall(v => GenState.tableExists(spark, stateDir, v, "docs"))
     val folded =
       if (!sidecars)
         // pre-sidecar layout: no tombstones possible ([[delete]] refuses),
@@ -295,7 +292,7 @@ object IncrementalExact {
           .groupBy(col("h"))
           .agg(min(col("keeper")).as("keeper"), sum(col("n_copies")).as("n_copies"))
       else {
-        val delVs = versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
+        val delVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "tombstones"))
         GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
           survivorsOf(spark, stateDir, versions, delVs)
             .select(col("doc_id"), col("h")))

@@ -87,13 +87,10 @@ object IncrementalSubstring {
     * materializes the migration).
     */
   private def probeTable(spark: SparkSession, stateDir: String,
-      live: Seq[Int]): String = {
-    val f = GenState.fs(spark, stateDir)
-    if (live.forall(v => f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(spark, stateDir, v)}/_SUCCESS"))))
+      live: Seq[Int]): String =
+    if (live.forall(v => GenState.tableExists(spark, stateDir, v, "docs")))
       "docs"
     else "anchors"
-  }
 
   /** The folded per-anchor occurrence of generations `vs` — the sum of
     * their slim partials, O(distinct anchors), never a positional scan.
@@ -107,9 +104,8 @@ object IncrementalSubstring {
     */
   private def foldedOcc(spark: SparkSession, stateDir: String, vs: Seq[Int],
       tok: Option[String] = None): DataFrame = {
-    val f = GenState.fs(spark, stateDir)
     val (have, missing) = vs.partition(v =>
-      f.exists(new org.apache.hadoop.fs.Path(s"${occPath(spark, stateDir, v, tok)}/_SUCCESS")))
+      GenState.tableExists(spark, stateDir, v, "occ", tok))
     val parts =
       (if (have.nonEmpty) Seq(spark.read.parquet(have.map(occPath(spark, stateDir, _, tok)): _*))
        else Seq.empty) ++
@@ -448,9 +444,8 @@ object IncrementalSubstring {
     // ([[LabelState.purgeByGen]] — pre-delete rows leave disk even for
     // re-ingested ids); occ is APPEND-ONLY and folds the full history —
     // see [[delete]]
-    val f = GenState.fs(spark, stateDir)
-    val hasTombs = versions.exists(v => f.exists(
-      new org.apache.hadoop.fs.Path(s"${LabelState.tombsPath(spark, stateDir, v)}/_SUCCESS")))
+    val hasTombs = versions.exists(v =>
+      GenState.tableExists(spark, stateDir, v, "tombstones"))
     def tombs = LabelState.tombstonesByGen(spark, stateDir, versions)
     GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
       if (!hasTombs) spark.read.parquet(versions.map(anchorsPath(spark, stateDir, _)): _*)
@@ -461,8 +456,7 @@ object IncrementalSubstring {
     // without one backfill from their anchors — compaction IS the
     // migration point, as for occ)
     val docsFrames = versions.map { v =>
-      val have = f.exists(
-        new org.apache.hadoop.fs.Path(s"${docsPath(spark, stateDir, v)}/_SUCCESS"))
+      val have = GenState.tableExists(spark, stateDir, v, "docs")
       (v, if (have) spark.read.parquet(docsPath(spark, stateDir, v))
           else spark.read.parquet(anchorsPath(spark, stateDir, v))
             .select(col("doc_id")).dropDuplicates("doc_id"))

@@ -240,13 +240,10 @@ object LabelState {
   def pairsPath(spark: SparkSession, stateDir: String, v: Int): String =
     GenState.tablePath(spark, stateDir, v, "pairs")
 
-  private def hasTable(spark: SparkSession, path: String): Boolean =
-    GenState.fs(spark, path).exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
-
   /** Live generations that carry a tombstones table. */
   def tombstoneVersions(spark: SparkSession, stateDir: String,
       versions: Seq[Int]): Seq[Int] =
-    versions.filter(v => hasTable(spark, tombsPath(spark, stateDir, v)))
+    versions.filter(v => GenState.tableExists(spark, stateDir, v, "tombstones"))
 
   /** Tombstoned ids still in EFFECT: [[IncrementalIvf]]'s LSM shadowing —
     * a tombstone at generation d deletes an id from generations OLDER
@@ -439,7 +436,7 @@ object LabelState {
     // deleted-incident edge, plus the caller's reconciliation edges
     // (tombstone-filtered the same way) — exactly the survivors' true
     // pair graph over the affected scope
-    val pairVs = versions.filter(v => hasTable(spark, pairsPath(spark, stateDir, v)))
+    val pairVs = versions.filter(v => GenState.tableExists(spark, stateDir, v, "pairs"))
     val storedEdges = (if (pairVs.isEmpty) emptyDelta(spark).select(
         col("node").as("d1"), col("label").as("d2"))
       else spark.read.parquet(pairVs.map(pairsPath(spark, stateDir, _)): _*)

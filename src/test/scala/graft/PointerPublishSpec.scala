@@ -205,6 +205,52 @@ class PointerPublishSpec extends SparkSpec {
     }
   }
 
+  test("POST-FLIP AUDIT: a flip racing a redo-wholesale steal retracts its pointer and aborts — never a false success") {
+    // the one interleaving the conditional put alone cannot catch: writer
+    // A passes the fence, stalls, a thief steals the generation wholesale
+    // (tables deleted, claim released), and A's flip then lands on the
+    // gutted vN. Model the steal INSIDE the pointer put via the
+    // pointerBackend seam: the thief's actions run just before the put.
+    val state = noRenameState("graft_ptr_audit_")
+    withPointerMode() {
+      val (v, claim) = GenState.claimFresh(spark, state, "hashes")
+      val f = fsOf(state)
+      val stealing = new GenState.ClaimBackend {
+        def tryClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path, token: String): Boolean = {
+          if (p.getName == "_COMMIT") {
+            // the thief: redo-wholesale delete + claim release, landing in
+            // the stall window between A's fence and A's flip
+            f.delete(new org.apache.hadoop.fs.Path(s"$state/v$v"), true)
+            GenState.claimBackend.releaseClaim(f,
+              new org.apache.hadoop.fs.Path(s"$state/v$v/_CLAIM"))
+          }
+          GenState.FsClaimBackend.tryClaim(fs2, p, token)
+        }
+        def readClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Option[String] =
+          GenState.FsClaimBackend.readClaim(fs2, p)
+        def releaseClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Unit =
+          GenState.FsClaimBackend.releaseClaim(fs2, p)
+      }
+      val before = GenState.pointerBackend
+      try {
+        GenState.pointerBackend = stealing
+        val ex = intercept[IllegalStateException] {
+          GenState.fencedParquet(spark, state, v, "hashes", claim, "hashes")(
+            spark.range(9).toDF("id"))
+        }
+        assert(ex.getMessage.contains("STOLEN"), ex.getMessage)
+      } finally GenState.pointerBackend = before
+      // the false-success footprint must be fully retracted: no pointer,
+      // no committed generation — the batch retry re-merges cleanly
+      assert(!exists(state, s"v$v/_COMMIT"),
+        "the aborting writer must retract its own stranded pointer")
+      assert(GenState.completeVersions(spark, state, "hashes").isEmpty)
+    }
+  }
+
   test("two genuinely concurrent merges both pointer-commit; state equals sequential ingest") {
     val state = noRenameState("graft_ptr_conc_")
     withPointerMode() {

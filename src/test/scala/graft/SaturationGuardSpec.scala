@@ -47,6 +47,16 @@ class SaturationGuardSpec extends SparkSpec {
     assert(ex.getMessage.contains("SATURATING"), ex.getMessage)
     assert(ex.getMessage.contains("width=64"), "the advisory must name the escape dial")
     assert(ex.getMessage.contains("re-ingest"), "the advisory must state the migration")
+    // the refusal fires BEFORE any write and abandons its fresh claim: a
+    // deterministic refusal retried by a scheduler must not accumulate
+    // orphaned claimed generations (or pay the sign-and-write job first)
+    val dirs = GenState.fs(spark, state)
+      .listStatus(new org.apache.hadoop.fs.Path(state))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dirs == Set("v0"),
+      s"a refused merge must leave no claimed leftover, got $dirs")
+    // and the already-ingested generation still serves
+    assert(GenState.completeVersions(spark, state) == Seq(0))
   }
 
   test("default action is a WARNING: the merge itself still commits (availability over refusal)") {
