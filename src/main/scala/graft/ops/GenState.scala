@@ -592,6 +592,23 @@ object GenState {
       * deadlock the state dir on the leftover's token forever.
       */
     def releaseClaim(f: FileSystem, p: Path): Unit
+    /** Compare-and-delete: drop the claim at `p` only if it still holds
+      * `token`; returns whether a delete happened. The post-flip audit's
+      * pointer retraction MUST be conditional — between a writer's
+      * successful read-back and its audit, a thief can redo-wholesale the
+      * generation (deleting the writer's stranded pointer with the vN
+      * dir), rebuild it, and commit its OWN pointer; an unconditional
+      * release would then delete the thief's COMMITTED pointer and
+      * silently un-commit a batch whose writer already reported success.
+      * The default is read-then-delete — not atomic, but it narrows the
+      * destructive window from "any time after read-back" to one
+      * read-to-delete gap, the same re-check-before-release discipline as
+      * [[acquireMaintenance]]'s; a store with a native conditional delete
+      * (S3 `If-Match`, a CAS row) overrides this with the real primitive.
+      */
+    def releaseIfToken(f: FileSystem, p: Path, token: String): Boolean =
+      if (readClaim(f, p).contains(token)) { releaseClaim(f, p); true }
+      else false
   }
 
   /** Filesystem default: exclusive create + read-back. The claim lives
@@ -763,14 +780,26 @@ object GenState {
     try writeUtf8(f, leasePath(stateDir, v), writerId)
     catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Claim generation `v` for this writer (step 1 above). Returns the
-    * writer token to present to [[assertWritable]] before every later
-    * per-generation write. Throws IllegalStateException — with nothing
-    * committed — when the version listing is stale (v already committed by
-    * someone else) or a live concurrent writer wins the claim race, at
-    * publish time or at the read-back.
+  /** LEGACY targeted claim of a SPECIFIC generation `v` — retained only
+    * as a recovery helper and as the protocol specs' thief model; NOT part
+    * of the allocation API. Every shipped family allocates via
+    * [[claimFresh]], which never steals and never deletes: the
+    * redo-wholesale rule here (an incomplete claimed vN with a stale lease
+    * is a crash leftover, deleted and re-claimed in place) is the
+    * single-writer recovery semantic, and wiring it into a multi-writer
+    * family aborts N−1 of N concurrent merges (see the [[claimFresh]]
+    * block comment). Crash leftovers under claimFresh are recovered by
+    * [[sweepLeftovers]] instead; the specs keep exercising this path
+    * because it is exactly what a hostile/failed second writer DOES to a
+    * stalled one, and the fences must hold against it.
+    *
+    * Returns the writer token to present to [[assertWritable]] before
+    * every later per-generation write. Throws IllegalStateException —
+    * with nothing committed — when the version listing is stale (v
+    * already committed by someone else) or a live concurrent writer wins
+    * the claim race, at publish time or at the read-back.
     */
-  def claimGeneration(spark: SparkSession, stateDir: String, v: Int,
+  private[graft] def claimGeneration(spark: SparkSession, stateDir: String, v: Int,
       commitTable: String = "labels"): String = {
     val f = fs(spark, stateDir)
     if (isCommitted(f, stateDir, v, commitTable))
@@ -986,16 +1015,24 @@ object GenState {
       // and its pointer then lands on a gutted vN. Rename mode fails that
       // interleaving naturally (the stage dir is gone); here the writer
       // must detect it: if its claim no longer stands or the committed
-      // dir is missing, RETRACT the just-written pointer (read-back
-      // proved it is this writer's own) and abort — never report a
-      // commit that serves nothing. The audit narrows the race to the
-      // same single-write granularity as the rest of the protocol.
+      // dir is missing, RETRACT the just-written pointer and abort —
+      // never report a commit that serves nothing. The audit narrows the
+      // race to the same single-write granularity as the rest of the
+      // protocol. The retraction is COMPARE-AND-DELETE on this writer's
+      // own nonce, NOT a blind release: by the time a stalled auditor
+      // wakes, a SECOND redo-wholesale steal can already have deleted its
+      // stranded pointer with the vN dir, rebuilt the generation, and
+      // committed the thief's own pointer — a blind release here would
+      // delete that COMMITTED pointer and silently un-commit the thief's
+      // batch (violating "never delete a committed generation"). If the
+      // pointer no longer holds this writer's nonce, there is nothing of
+      // ours left to retract; abort without touching it.
       val stolen =
         try !claimBackend.readClaim(f, claimPath(stateDir, v)).contains(token) ||
           !f.exists(new Path(s"$dst/_SUCCESS"))
         catch { case scala.util.control.NonFatal(_) => true }
       if (stolen) {
-        try pointerBackend.releaseClaim(f, ptr)
+        try pointerBackend.releaseIfToken(f, ptr, n)
         catch { case scala.util.control.NonFatal(_) => () }
         cleanup()
         throw new IllegalStateException(
@@ -1266,9 +1303,69 @@ object GenState {
     */
   def sweepLeftovers(spark: SparkSession, stateDir: String,
       commitTable: String = "labels", except: Int = -1,
-      graceMs: Long = -1L): Unit =
+      graceMs: Long = -1L): Unit = {
     deleteVersions(spark, stateDir,
       abandonedVersions(spark, stateDir, commitTable, except, graceMs))
+    sweepOrphanNonceDirs(spark, stateDir, commitTable)
+  }
+
+  /** Nonce suffix of a `<table>.g<nonce>` dir name, when it has the exact
+    * [[nonceOf]] shape (13 chars of the UUID claim token: 8 hex, dash,
+    * 4 hex); None for plain rename-mode table dirs and markers.
+    */
+  private def nonceSuffixOf(name: String): Option[String] = {
+    val i = name.lastIndexOf(".g")
+    if (i <= 0) None
+    else {
+      val s = name.substring(i + 2)
+      if (s.length == 13 && s(8) == '-' &&
+        s.indices.forall(j => j == 8 || "0123456789abcdef".contains(s(j))))
+        Some(s)
+      else None
+    }
+  }
+
+  /** Sweep pass 2, pointer mode: orphaned LOSER nonce dirs INSIDE a
+    * COMMITTED generation. A stalled targeted-claim loser under
+    * [[PointerPublish]] writes directly into `<table>.g<loserNonce>`; if a
+    * thief re-claimed the vN, rebuilt it, and pointer-committed while the
+    * loser stalled, the loser's dirs now sit inside a LIVE generation —
+    * the abandoned-version walk never touches live vNs, so without this
+    * pass they persist until the generation itself is compacted away
+    * (unbounded junk on a busy store). Any `.g<nonce>` dir whose nonce
+    * differs from the committed pointer's is unservable BY CONSTRUCTION —
+    * no pointer names it and [[tablePath]] never resolves to it — so the
+    * only liveness concern is the loser still mid-write: its dir mtime is
+    * fresh while it writes (and its fence will abort it regardless, the
+    * same way the thief's own redo-wholesale delete would have), so the
+    * lease TTL is the deletion horizon. Metadata-only: one listStatus per
+    * pointer-committed generation.
+    */
+  private def sweepOrphanNonceDirs(spark: SparkSession, stateDir: String,
+      commitTable: String): Unit = {
+    val f = fs(spark, stateDir)
+    val ttl = leaseTtlMs(spark, stateDir)
+    val now = System.currentTimeMillis()
+    allVersionDirs(f, stateDir).foreach { v =>
+      readPointer(f, stateDir, v).foreach { n =>
+        // only generations whose pointer names a real committed dir — a
+        // pointer stranded on a gutted vN is the steal path's business
+        if (f.exists(new Path(s"$stateDir/v$v/$commitTable.g$n/_SUCCESS"))) {
+          val kids =
+            try f.listStatus(new Path(s"$stateDir/v$v"))
+            catch { case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          kids.foreach { st =>
+            if (st.isDirectory &&
+              nonceSuffixOf(st.getPath.getName).exists(_ != n) &&
+              now - st.getModificationTime >= ttl)
+              try f.delete(st.getPath, true)
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      }
+    }
+  }
 
   // ---- maintenance lease: concurrent-safe compaction -----------------------
   //

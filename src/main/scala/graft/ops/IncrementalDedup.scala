@@ -82,8 +82,27 @@ object IncrementalDedup {
   private def warnIfSaturating(spark: SparkSession, stateDir: String,
       vs: Seq[Int]): Unit = {
     val cfg = GenState.readConfig(spark, stateDir)
-    val threshold = cfg.get("saturationOccupancy").map(_.toDouble)
-      .getOrElse(DefaultSaturationOccupancy)
+    // Both keys are operator-pinned free text in _CONFIG: validate loudly.
+    // A malformed occupancy must not brick every merge with a bare
+    // NumberFormatException, and a typo'd action ("refues") must not
+    // silently degrade the refuse contract back to warn.
+    val threshold = cfg.get("saturationOccupancy").map { raw =>
+      val v = try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"IncrementalDedup: _CONFIG key saturationOccupancy at $stateDir " +
+            s"is '$raw' — expected a positive number (mean half-band bucket " +
+            s"occupancy; default $DefaultSaturationOccupancy)")
+      }
+      require(v > 0 && !v.isNaN,
+        s"IncrementalDedup: _CONFIG key saturationOccupancy at $stateDir " +
+          s"is $raw — must be a positive number")
+      v
+    }.getOrElse(DefaultSaturationOccupancy)
+    val action = cfg.getOrElse("saturationAction", "warn")
+    require(action == "warn" || action == "refuse",
+      s"IncrementalDedup: _CONFIG key saturationAction at $stateDir is " +
+        s"'$action' — accepted values are 'warn' and 'refuse' (an " +
+        "unrecognized value must not silently weaken a refuse contract)")
     val f = GenState.fs(spark, stateDir)
     val bytes = vs.map { v =>
       val p = new org.apache.hadoop.fs.Path(bandsPath(spark, stateDir, v))
@@ -105,7 +124,7 @@ object IncrementalDedup {
           "pin saturationAction=refuse in _CONFIG to make this an error, " +
           "or raise saturationOccupancy if this corpus's occupancy is " +
           "driven by true near-duplicates rather than scale."
-      if (cfg.getOrElse("saturationAction", "warn") == "refuse")
+      if (action == "refuse")
         throw new IllegalStateException(msg)
       log.warn(msg)
     }

@@ -103,10 +103,24 @@ object IncrementalEmbedding {
   def merge(spark: SparkSession, stateDir: String, newVecs: DataFrame,
       threshold: Double = 0.4,
       cap: Int = Similarity.maxBucketOccupancy,
-      batchKey: Option[String] = None): Int = {
-    // pin the verification regime across ingests (see GenState.checkConfig)
+      batchKey: Option[String] = None,
+      planes: Int = graft.exprs.SrpBucket.numPlanes): Int = {
+    // pin the verification regime across ingests (see GenState.checkConfig).
+    // `planes` is the SRP bucket width — state geometry exactly like d12's
+    // SimHash width (buckets are persisted; a flip mid-history would mix
+    // incompatible candidate geometries), so it is regime-pinned. The
+    // default-8 pin is by ABSENCE for back-compat with pre-dial _CONFIGs:
+    // a non-default dir refuses a default merge and vice versa, which is
+    // the width-migration contract (re-ingest into a fresh dir to re-gear).
+    // WHY the dial exists: 2^planes is the bucket count, and the occupancy
+    // cap forfeits recall in buckets holding > cap vectors — at fixed
+    // planes=8 (256 buckets) a corpus outgrows the geometry at ~cap×256
+    // spread vectors. Size planes ≈ log2(n / targetOccupancy); see
+    // tools/EmbeddingScaleProbe and SCALE.md for the measured decades.
     GenState.checkConfig(spark, stateDir,
-      Map("threshold" -> threshold.toString, "cap" -> cap.toString))
+      Map("threshold" -> threshold.toString, "cap" -> cap.toString) ++
+        (if (planes != graft.exprs.SrpBucket.numPlanes)
+          Map("planes" -> planes.toString) else Map.empty))
     // MULTI-WRITER (round 17, the d15 pattern): fresh allocation with the
     // keyed exactly-once ledger and a _PROBED manifest of the post-claim
     // snapshot. The occupancy cap composes with concurrency for free: a
@@ -127,7 +141,7 @@ object IncrementalEmbedding {
       newVecs
         .select(col("vec_id"), col("embedding").as("e"))
         .withColumn("nrm", sqrt(call_function("array_dot", col("e"), col("e"))))
-        .withColumn("bucket", call_function("srp_bucket", col("e"))))
+        .withColumn("bucket", call_function("srp_bucket", col("e"), lit(planes))))
 
     // 2. SLIM candidates: new side vs the PROBED union on exact bucket
     // equality — both scans pruned to (vec_id, bucket), no vector payload

@@ -301,6 +301,108 @@ class PointerPublishSpec extends SparkSpec {
     }
   }
 
+  test("POST-FLIP AUDIT retraction is compare-and-delete: a SECOND steal's COMMITTED pointer survives a stalled auditor") {
+    // the interleaving one step past the single-steal audit test: A's flip
+    // and read-back SUCCEED, then A stalls inside its own audit; a second
+    // redo-wholesale steal guts the vN (taking A's stranded pointer with
+    // the dir), rebuilds it, and pointer-commits its own batch. A then
+    // wakes, sees stolen=true — and its retraction must NOT touch the
+    // thief's committed pointer (a blind release here would silently
+    // un-commit a batch whose writer already reported success, violating
+    // "never delete a committed generation"). Model the steal inside the
+    // audit's claim read via the claimBackend seam.
+    val state = noRenameState("graft_ptr_audit2_")
+    withPointerMode(external = false) {
+      val (v, claimA) = GenState.claimFresh(spark, state, "hashes")
+      val f = fsOf(state)
+      val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val trap = new GenState.ClaimBackend {
+        def tryClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path, token: String): Boolean =
+          GenState.FsClaimBackend.tryClaim(fs2, p, token)
+        def readClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Option[String] = {
+          // fire exactly once, on the post-flip AUDIT's claim read — the
+          // only _CLAIM read that happens after A's _COMMIT exists
+          if (p.getName == "_CLAIM" &&
+            f.exists(new org.apache.hadoop.fs.Path(s"$state/v$v/_COMMIT")) &&
+            fired.compareAndSet(false, true)) {
+            // the second thief runs with the real backend (one-shot trap)
+            GenState.claimBackend = GenState.FsClaimBackend
+            f.delete(new org.apache.hadoop.fs.Path(s"$state/v$v"), true)
+            val tokenB = GenState.claimGeneration(spark, state, v, "hashes")
+            GenState.fencedParquet(spark, state, v, "hashes", tokenB, "hashes")(
+              spark.range(7).toDF("id"))
+          }
+          GenState.FsClaimBackend.readClaim(fs2, p)
+        }
+        def releaseClaim(fs2: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Unit =
+          GenState.FsClaimBackend.releaseClaim(fs2, p)
+      }
+      GenState.claimBackend = trap
+      try {
+        val ex = intercept[IllegalStateException] {
+          GenState.fencedParquet(spark, state, v, "hashes", claimA, "hashes")(
+            spark.range(999).toDF("id"))
+        }
+        assert(ex.getMessage.contains("STOLEN"), ex.getMessage)
+      } finally GenState.claimBackend = GenState.FsClaimBackend
+      assert(fired.get(), "the trap must have exercised the double-steal window")
+      // the thief's batch must NOT be un-committed by A's retraction
+      assert(exists(state, s"v$v/_COMMIT"),
+        "the second steal's committed pointer must survive the loser's audit")
+      assert(GenState.completeVersions(spark, state, "hashes") == Seq(v))
+      assert(spark.read.parquet(
+        GenState.tablePath(spark, state, v, "hashes")).count() == 7,
+        "the committed batch must still serve after the loser aborts")
+    }
+  }
+
+  test("sweep clears a stalled loser's orphan nonce dirs INSIDE a committed generation; fresh and committed dirs survive") {
+    // a loser whose vN was re-claimed and committed by a thief leaves its
+    // <table>.g<nonce> dirs inside a LIVE generation — the abandoned-
+    // version walk never touches live vNs, so sweepLeftovers' pass 2 must
+    // take them (they are unservable by construction: no pointer names
+    // them) once their mtime ages past the lease TTL.
+    val state = graft.util.TmpDirs.scratch("graft_ptr_orphan_").toString
+    withPointerMode(external = false) {
+      val batch = docs.where(col("doc_id") < 50)
+      val cnt = batch.count()
+      IncrementalExact.merge(spark, state, batch, Some("b0"))
+      val f = fsOf(state)
+      def mkOrphan(name: String): org.apache.hadoop.fs.Path = {
+        val p = new org.apache.hadoop.fs.Path(s"$state/v0/$name")
+        f.mkdirs(p)
+        val out = f.create(new org.apache.hadoop.fs.Path(p, "part-00000"), true)
+        try out.write(Array[Byte](1, 2, 3)) finally out.close()
+        p
+      }
+      val oldHashes = mkOrphan("hashes.gdeadbeef-dead")
+      val oldDocs = mkOrphan("docs.gdeadbeef-dead")
+      val freshOrphan = mkOrphan("hashes.gcafecafe-cafe")
+      // a dir whose suffix is NOT nonce-shaped is never the sweep's to take
+      val odd = mkOrphan("hashes.gnotanonce")
+      val past = System.currentTimeMillis() -
+        GenState.leaseTtlMs(spark, state) - 60000
+      Seq(oldHashes, oldDocs, odd).foreach(p => f.setTimes(p, past, -1))
+      GenState.sweepLeftovers(spark, state, "hashes")
+      assert(!f.exists(oldHashes) && !f.exists(oldDocs),
+        "expired loser nonce dirs inside the live generation must be swept")
+      assert(f.exists(freshOrphan),
+        "a fresh nonce dir (a possibly mid-write loser) must survive the TTL horizon")
+      assert(f.exists(odd), "non-nonce-shaped names must never be touched")
+      // the committed generation is untouched and still serves
+      assert(GenState.completeVersions(spark, state, "hashes") == Seq(0))
+      assert(IncrementalExact.dedup(spark, state)
+        .agg(sum(col("n_copies"))).collect()(0).getLong(0) == cnt)
+      // once the fresh orphan ages out, a later sweep takes it too
+      f.setTimes(freshOrphan, past, -1)
+      GenState.sweepLeftovers(spark, state, "hashes")
+      assert(!f.exists(freshOrphan))
+    }
+  }
+
   test("mixed-mode store: rename-mode generations and pointer-mode generations serve together; compact folds both") {
     // reads are mode-agnostic per GENERATION (pointer wins when present),
     // so a deployment can flip modes without rebuilding state

@@ -77,6 +77,41 @@ class SaturationGuardSpec extends SparkSpec {
     IncrementalDedup.merge(spark, state64, b2, width = 64, batchKey = Some("b1"))
   }
 
+  test("malformed guard config fails LOUDLY naming the key: bad occupancy numbers and typo'd actions never silently degrade") {
+    // a fat-fingered _CONFIG must not brick every merge with a bare
+    // NumberFormatException, and a typo of 'refuse' must not silently
+    // weaken the refuse contract back to warn
+    val state = graft.util.TmpDirs.scratch("graft_sat_badcfg_").toString
+    val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val b2 = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    IncrementalDedup.merge(spark, state, b1, batchKey = Some("b0"))
+    appendConfig(state, "saturationOccupancy=eight")
+    val exNum = intercept[IllegalArgumentException] {
+      IncrementalDedup.merge(spark, state, b2, batchKey = Some("b1"))
+    }
+    assert(exNum.getMessage.contains("saturationOccupancy") &&
+      exNum.getMessage.contains("eight"), exNum.getMessage)
+    // negative / zero thresholds are rejected the same way
+    val stateNeg = graft.util.TmpDirs.scratch("graft_sat_negcfg_").toString
+    IncrementalDedup.merge(spark, stateNeg, b1, batchKey = Some("b0"))
+    appendConfig(stateNeg, "saturationOccupancy=-3")
+    val exNeg = intercept[IllegalArgumentException] {
+      IncrementalDedup.merge(spark, stateNeg, b2, batchKey = Some("b1"))
+    }
+    assert(exNeg.getMessage.contains("saturationOccupancy"), exNeg.getMessage)
+    // an unknown action is an error that NAMES the accepted values
+    val stateAct = graft.util.TmpDirs.scratch("graft_sat_actcfg_").toString
+    IncrementalDedup.merge(spark, stateAct, b1, batchKey = Some("b0"))
+    appendConfig(stateAct, "saturationAction=refues")
+    val exAct = intercept[IllegalArgumentException] {
+      IncrementalDedup.merge(spark, stateAct, b2, batchKey = Some("b1"))
+    }
+    assert(exAct.getMessage.contains("saturationAction") &&
+      exAct.getMessage.contains("refues") &&
+      exAct.getMessage.contains("'warn'") &&
+      exAct.getMessage.contains("'refuse'"), exAct.getMessage)
+  }
+
   test("width migration: an in-place 32→64 flip is REFUSED; re-ingest into a fresh width=64 dir serves the 64-bit answer") {
     val state32 = graft.util.TmpDirs.scratch("graft_sat_mig32_").toString
     val b1 = docs.where(pmod(col("doc_id"), lit(2)) === 0)
