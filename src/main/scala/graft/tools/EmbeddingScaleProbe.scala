@@ -128,6 +128,39 @@ object EmbeddingScaleProbe {
 
   // ---- d14: SRP-LSH near-dup, planes geared to n -----------------------
 
+  /** Twin pairs whose bucket crosses the occupancy cap are FORFEITED BY
+    * DESIGN — in the one-shot and the incremental alike (the documented
+    * cap contract: recall in a hot bucket is traded for bounded fan-out).
+    * The hard gate is therefore 100% co-clustering of the COLD-bucket
+    * twins, with the forfeit rate reported as its own scale observable:
+    * geared planes must keep it small and roughly flat across decades
+    * (SRP buckets on real data are skewed, so a thin hot tail persists at
+    * any gear — that tail, not the mean, is what the cap prices).
+    */
+  private def coldPlanted(spark: SparkSession, dir: String, n: Long,
+      planes: Int, cap: Int): (DataFrame, Long) = {
+    val b = vecs(spark, dir).select(col("vec_id"),
+      call_function("srp_bucket", col("embedding"), lit(planes)).as("bucket"))
+    val hot = b.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") > cap).select(col("bucket"))
+    val forfeited = b.join(hot, "bucket").select(col("vec_id").as("d1"))
+    val cold = planted(spark, n).join(forfeited, Seq("d1"), "left_anti")
+    (cold, planted(spark, n).count() - cold.count())
+  }
+
+  private def assertRecallOf(spark: SparkSession, pairs: DataFrame,
+      labels: DataFrame, tag: String): Unit = {
+    val matched = pairs
+      .join(labels.toDF("d1", "c1"), "d1")
+      .join(labels.toDF("d2", "c2"), "d2")
+      .where(col("c1") === col("c2"))
+      .count()
+    val want = pairs.count()
+    require(matched == want,
+      s"$tag: only $matched of $want cold-bucket twin pairs co-clustered " +
+        "(missing-from-serve or split)")
+  }
+
   private def runD14(spark: SparkSession, sizes: Seq[Long]): Unit = {
     println(s"\n## d14 IncrementalEmbedding (SRP-LSH), planes=log2(n/25)\n")
     header()
@@ -136,14 +169,18 @@ object EmbeddingScaleProbe {
       def all = vecs(spark, dir)
       all.count() // warm read + codegen
       val planes = planesFor(n)
+      val cap = Similarity.maxBucketOccupancy
+      val (cold, forfeited) = coldPlanted(spark, dir, n, planes, cap)
+      val pct = 100.0 * forfeited / math.max(1L, planted(spark, n).count())
+      println(f"<!-- d14@$n: $forfeited twin pairs (${pct}%.1f%%) in capped buckets — recall forfeited by design -->")
 
       val s1 = graft.util.TmpDirs.scratch(s"graft_embprobe_one_${n}_").toString
       val (_, tOne) = time {
         IncrementalEmbedding.merge(spark, s1, all, batchKey = Some("all"),
           planes = planes)
       }
-      assertRecall(spark, IncrementalEmbedding.clusters(spark, s1)
-        .select(col("vec_id"), col("cluster_id")), n, "d14-one-shot")
+      assertRecallOf(spark, cold, IncrementalEmbedding.clusters(spark, s1)
+        .select(col("vec_id"), col("cluster_id")), s"d14-one-shot@$n")
 
       val s2 = graft.util.TmpDirs.scratch(s"graft_embprobe_split_${n}_").toString
       val parity = pmod(xxhash64(col("vec_id")), lit(2))
@@ -154,8 +191,8 @@ object EmbeddingScaleProbe {
           batchKey = Some("h1"), planes = planes)
       }
       val (_, tServe) = time { IncrementalEmbedding.clusters(spark, s2).count() }
-      assertRecall(spark, IncrementalEmbedding.clusters(spark, s2)
-        .select(col("vec_id"), col("cluster_id")), n, "d14-split")
+      assertRecallOf(spark, cold, IncrementalEmbedding.clusters(spark, s2)
+        .select(col("vec_id"), col("cluster_id")), s"d14-split@$n")
 
       val fresh = spark.range(2L * n + 7, 2L * n + 7 + 1000)
         .select(col("id").as("vec_id"), vecOf(col("id")).as("embedding"))
@@ -183,7 +220,19 @@ object EmbeddingScaleProbe {
 
   // ---- d23: SemDeDup, geared cells + fixed-cells control ----------------
 
-  private def runD23(spark: SparkSession, sizes: Seq[Long]): Unit = {
+  private def runD23(spark: SparkSession, allSizes: Seq[Long]): Unit = {
+    // NO SILENT CAP: the geared arm holds occupancy by growing cells with
+    // n, so the ivf_probe assignment is O(n·cells·dim) = O(n²·dim/25) —
+    // measured 19x per decade at 100k (61s one-shot). A 1M geared run
+    // would spend hours proving the same exponent; the boundary IS the
+    // result, so sizes past 100k are dropped here and the conclusion
+    // (assignment needs a sub-linear scan — hierarchical / ANN-assisted —
+    // past ~100k geared vectors) goes to SCALE.md with the two-decade
+    // numbers.
+    val sizes = allSizes.filter(_ <= 100000L)
+    allSizes.filterNot(_ <= 100000L).foreach(n =>
+      println(s"<!-- d23@$n SKIPPED: geared assignment is O(n·cells·dim); " +
+        "see the SCALE.md boundary note -->"))
     println(s"\n## d23 IncrementalSemantic (SemDeDup), cells=n/25 (geared)\n")
     header()
     val rows = for (n <- sizes) yield {

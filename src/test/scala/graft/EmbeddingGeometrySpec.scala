@@ -131,6 +131,57 @@ class EmbeddingGeometrySpec extends SparkSpec {
       s"band 0 equals the d6 bucket, so d16 must be a superset; missing: ${d6 -- d16}")
   }
 
+  test("d14 planes dial: refined-geometry recall ⊆ default; split = one-shot at the gear; in-place flips REFUSED") {
+    // planes is state geometry (buckets persist in vecs) — the d12 width
+    // contract: pin in _CONFIG, refuse a mixed-regime merge both ways,
+    // migrate by re-ingest into a fresh dir. Recall is NOT gear-invariant
+    // for non-identical near-dups: srp_bucket is prefix-consistent (test
+    // above), so 16 planes REFINE the 8-plane buckets and a pair split by
+    // the extra 8 sign bits loses its candidate — the recall/fan-out
+    // trade the dial exists to price. The invariants that DO hold:
+    // (1) every geared co-clustered pair is co-clustered at the default
+    //     gear (refinement ⇒ candidate subset, on a corpus with no hot
+    //     bucket at either gear — identical twins stay together at any
+    //     gear since equal vectors share every sign bit);
+    // (2) incremental = one-shot AT the same gear (the d11 parity
+    //     contract is per-geometry).
+    import graft.ops.IncrementalEmbedding
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    def half(p: Int) = e.where(pmod(col("vec_id"), lit(2)) === p)
+    val s8 = graft.util.TmpDirs.scratch("graft_planes8_").toString
+    IncrementalEmbedding.merge(spark, s8, half(0), batchKey = Some("b0"))
+    IncrementalEmbedding.merge(spark, s8, half(1), batchKey = Some("b1"))
+    val s16 = graft.util.TmpDirs.scratch("graft_planes16_").toString
+    IncrementalEmbedding.merge(spark, s16, half(0), batchKey = Some("b0"), planes = 16)
+    IncrementalEmbedding.merge(spark, s16, half(1), batchKey = Some("b1"), planes = 16)
+    def pairsOf(state: String): Set[(Long, Long)] = {
+      val lab = IncrementalEmbedding.clusters(spark, state)
+        .select(col("vec_id"), col("cluster_id"))
+      lab.as("a").join(lab.as("b"),
+          col("a.cluster_id") === col("b.cluster_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (p8, p16) = (pairsOf(s8), pairsOf(s16))
+    assert(p16.subsetOf(p8),
+      s"refined-gear pairs must be a subset of the default gear's; extra: ${p16 -- p8}")
+    val one16 = graft.util.TmpDirs.scratch("graft_planes16one_").toString
+    IncrementalEmbedding.merge(spark, one16, e, batchKey = Some("all"), planes = 16)
+    assert(pairsOf(one16) == p16,
+      "incremental at planes=16 must equal the one-shot at planes=16")
+    // both flip directions refuse before writing anything
+    val up = intercept[IllegalArgumentException] {
+      IncrementalEmbedding.merge(spark, s8, e.limit(0), batchKey = Some("b2"), planes = 16)
+    }
+    assert(up.getMessage.contains("mixed parameters"), up.getMessage)
+    val down = intercept[IllegalArgumentException] {
+      IncrementalEmbedding.merge(spark, s16, e.limit(0), batchKey = Some("b2"))
+    }
+    assert(down.getMessage.contains("mixed parameters"), down.getMessage)
+  }
+
   test("s10 recall audit equals an independent set computation over s1/s3") {
     val got = graft.ops.Similarity.annRecallAudit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
