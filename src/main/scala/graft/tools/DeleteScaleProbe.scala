@@ -53,9 +53,14 @@ object DeleteScaleProbe {
     val (_, tServe0) = time { IncrementalDedup.clusters(spark, state).count() }
     val (_, tTomb) = time { IncrementalDedup.delete(spark, state, victims(spark, dir)) }
     val (_, tServe1) = time { IncrementalDedup.clusters(spark, state).count() }
+    // the re-label is paid per SERVE until compact folds the tombstones
+    // into purged base tables — measure that the fold restores flat serve
+    val (_, tCompact) = time { IncrementalDedup.compact(spark, state) }
+    val (_, tServe2) = time { IncrementalDedup.clusters(spark, state).count() }
     Seq("ingest" -> tIngest, "serve-before" -> tServe0,
       "tombstone" -> tTomb, "serve-after" -> tServe1,
-      "relabel-delta" -> math.max(0.0, tServe1 - tServe0))
+      "relabel-delta" -> math.max(0.0, tServe1 - tServe0),
+      "compact" -> tCompact, "serve-compacted" -> tServe2)
   }
 
   /** q78 phases: the streaming chassis split at its seams — ingest drain
