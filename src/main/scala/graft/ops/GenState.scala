@@ -624,7 +624,7 @@ object GenState {
       // with a "taken over" error instead of the loser taking the next slot
       // (caught by the four-writer stress in MediaMultiWriterSpec). Use the
       // OS's atomic O_EXCL create instead: exactly one creator succeeds.
-      if (f.getScheme == "file") {
+      if (f.getUri.getScheme == "file") {
         val local = java.nio.file.Paths.get(p.toUri.getPath)
         try {
           java.nio.file.Files.createDirectories(local.getParent)
@@ -927,11 +927,18 @@ object GenState {
   def fencedParquet(spark: SparkSession, stateDir: String, v: Int,
       table: String, token: String, commitTable: String = "labels",
       maintToken: Option[String] = None)(
-      df: org.apache.spark.sql.DataFrame): Unit = publishMode match {
-    case RenamePublish => fencedParquetRename(
-      spark, stateDir, v, table, token, commitTable, maintToken)(df)
-    case PointerPublish => fencedParquetPointer(
-      spark, stateDir, v, table, token, commitTable, maintToken)(df)
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    // label the write job (guide §1.5) so bench/probe job censuses
+    // attribute per-table; thread-local, restored after the write
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"genstate:$table:v$v")
+    try publishMode match {
+      case RenamePublish => fencedParquetRename(
+        spark, stateDir, v, table, token, commitTable, maintToken)(df)
+      case PointerPublish => fencedParquetPointer(
+        spark, stateDir, v, table, token, commitTable, maintToken)(df)
+    } finally sc.setJobDescription(prev)
   }
 
   private def fencedParquetRename(spark: SparkSession, stateDir: String, v: Int,
@@ -1773,7 +1780,7 @@ object GenState {
       f.mkdirs(new Path(stateDir))
       val tmp = new Path(s"$stateDir/._CONFIG.${java.util.UUID.randomUUID()}")
       writeUtf8(f, tmp, want)
-      if (f.getScheme == "file") {
+      if (f.getUri.getScheme == "file") {
         // local FS: hard link is the atomic no-replace publish (fails
         // EEXIST when a sibling already published; readers of p always see
         // the fully-written staged content, never a prefix)

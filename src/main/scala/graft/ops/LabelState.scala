@@ -107,8 +107,16 @@ object LabelState {
     if (sample.isEmpty) emptyDelta(spark)
     else if (sample.length <= smallEdgeLimit) {
       import spark.implicits._
+      // coalesce(1): this branch is driver-materialized and bounded by
+      // [[smallEdgeLimit]] (≈3 MB), so its delta is ONE parquet file at any
+      // scale — unhinted, a LocalRelation write fans out to
+      // defaultParallelism (32) near-empty files per generation, and every
+      // later fold pays 32× the listing/footer/scan-task overhead per
+      // generation on the serve and merge hot paths (measured: the d12
+      // merge loop spent half its wall in exactly this driver/FS overhead).
+      // The distributed branch below keeps its cluster-sized parallelism.
       unionFindMinLabels(sample.map(r => (r.getLong(0), r.getLong(1))))
-        .toSeq.toDF("node", "label").withColumn("gen", lit(next))
+        .toSeq.toDF("node", "label").withColumn("gen", lit(next)).coalesce(1)
     } else {
       val ckpt = ConnectedComponents.durable(spark,
         graft.util.TmpDirs.sessionCheckpointDir(spark))
