@@ -353,6 +353,12 @@ object Bench {
         graft.ops.Dedup.clearCaches()
         graft.engine.Bucketing.clearCaches()
         graft.ops.TextAnalysis.clearCaches()
+        // frozen-model LOAD memos (round 20): same per-pass honesty rule
+        // as the label memo — within a pass the in-memory model is the
+        // real serving shape, across passes each pass re-pays one load
+        graft.ops.Similarity.clearCaches()
+        graft.ops.Quantization.clearCaches()
+        graft.ops.IncrementalIvfPq.clearCaches()
         runCanary()
       }
       // a query that already failed is not retried on later passes: a

@@ -910,6 +910,49 @@ object GenState {
     renewLease(f, stateDir, v)
   }
 
+  /** Run INDEPENDENT per-generation table writes concurrently — the
+    * guide-§2.6 overlap pattern applied to the merge/delete hot path. A
+    * state generation writes several slim tables whose contents do not
+    * depend on one another (e.g. the card family's docs/hashes/langs/
+    * sketches, a delete generation's tombstones + empty peers); running
+    * them sequentially pays one full driver round (plan + AQE stages +
+    * commit + fence) PER TABLE, and the round-20 job census measured that
+    * driver-side gap at more than half of every state query's wall clock
+    * at bench scale. Submitting the writes from a small thread pool
+    * overlaps planning, job scheduling and FS commit across tables (jobs
+    * from different threads back-fill each other's idle scheduler time —
+    * FIFO default); each write is still individually fenced, and the
+    * caller keeps the COMMIT table write strictly AFTER this returns, so
+    * the crash contract (commit `_SUCCESS` implies every peer table is
+    * present) is unchanged.
+    *
+    * Failure semantics: waits for EVERY task (no half-cancelled write is
+    * left racing a caller's next step), then rethrows the first failure —
+    * same observable behavior as the sequential loop: the merge aborts,
+    * the generation stays incomplete, recovery redoes it wholesale.
+    * Thread-locals: pool threads are created at submit time from the
+    * calling thread, so Spark's inheritable job-group/description
+    * properties carry over; fencedParquet sets its own description per
+    * write anyway.
+    */
+  def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+      var firstFailure: Option[Throwable] = None
+      futs.foreach { fut =>
+        try { fut.get(); () }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+        }
+      }
+      firstFailure.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
+
   /** FENCED per-generation table write — the guarded-write primitive of
     * the steal-capable (claimGeneration) families, closing the
     * stall-inside-a-guarded-write window the block comment above

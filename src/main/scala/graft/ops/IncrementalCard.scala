@@ -70,6 +70,10 @@ object IncrementalCard {
     // write would redo it, quadrupling per-trigger ingest cost
     val stats = TextAnalysis.cardDocStats(newDocs).persist()
     try {
+      // materialize the cached stats pass ONCE, on this thread, before the
+      // concurrent writes fan out — otherwise all four race to compute the
+      // same cached partitions and the slowest write pays the text pass
+      stats.count()
       // key tables first, additive commit table LAST: a crash leaves an
       // incomplete generation that the next attempt rebuilds wholesale.
       // The d28-style PER-DOC sidecar rides first: hashes/langs are
@@ -77,21 +81,27 @@ object IncrementalCard {
       // partials are aggregated, so only the sidecar lets [[delete]]
       // subtract a doc — and lets the distinct counts drop a key exactly
       // when its LAST surviving carrier goes (multiplicity, tracked by
-      // keeping the keys per-doc instead of per-batch-distinct)
-      GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(stats)
-      GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
-        stats.select(col("source"), col("h")).distinct())
-      GenState.fencedParquet(spark, stateDir, next, "langs", claim, commitTable)(
-        stats.select(col("source"), col("lang")).distinct())
-      // the O(1)-per-group sufficient statistic: mergeable HLL sketches of
-      // the same keys (Apache DataSketches via hll_sketch_agg) — the
-      // serve-time choice between exact and approx is a READ choice; the
-      // ingest pays both (one extra aggregation of the already-computed
-      // stats, kilobytes written)
-      GenState.fencedParquet(spark, stateDir, next, "sketches", claim, commitTable)(
-        stats.groupBy(col("source"))
-          .agg(expr("hll_sketch_agg(h)").as("hsk"),
-            expr("hll_sketch_agg(lang)").as("lsk")))
+      // keeping the keys per-doc instead of per-batch-distinct).
+      // The four key tables are mutually independent projections of the
+      // cached stats — written CONCURRENTLY ([[GenState.inParallel]]):
+      // sequential, each paid its own full driver round, which dominated
+      // the per-trigger wall clock at micro-batch size.
+      GenState.inParallel(Seq(
+        () => GenState.fencedParquet(spark, stateDir, next, "docs", claim,
+          commitTable)(stats),
+        () => GenState.fencedParquet(spark, stateDir, next, "hashes", claim,
+          commitTable)(stats.select(col("source"), col("h")).distinct()),
+        () => GenState.fencedParquet(spark, stateDir, next, "langs", claim,
+          commitTable)(stats.select(col("source"), col("lang")).distinct()),
+        // the O(1)-per-group sufficient statistic: mergeable HLL sketches
+        // of the same keys (Apache DataSketches via hll_sketch_agg) — the
+        // serve-time choice between exact and approx is a READ choice; the
+        // ingest pays both (one extra aggregation of the already-computed
+        // stats, kilobytes written)
+        () => GenState.fencedParquet(spark, stateDir, next, "sketches", claim,
+          commitTable)(stats.groupBy(col("source"))
+            .agg(expr("hll_sketch_agg(h)").as("hsk"),
+              expr("hll_sketch_agg(lang)").as("lsk")))))
       // the COMMIT write lands through the fence: a writer stalled past
       // the TTL whose in-flight dir a concurrent sweep reclaimed aborts
       // here, never landing a torn complete generation
@@ -126,15 +136,17 @@ object IncrementalCard {
         "retention — distinct-key multiplicity is not recoverable from the " +
         "distinct tables")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
-      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
-    // empty peers so every read path's multi-path scan stays uniform;
-    // empty partials LAST — the commit marker, landed through the fence
-    Seq("docs", "hashes", "langs", "sketches").foreach { t =>
-      GenState.fencedParquet(spark, stateDir, next, t, claim, commitTable)(
-        spark.read.parquet(
-          GenState.tablePath(spark, stateDir, live.head, t)).limit(0))
-    }
+    // tombstones + empty peers are mutually independent — written
+    // concurrently (guide §2.6 via [[GenState.inParallel]]); empty
+    // partials LAST — the commit marker, landed through the fence
+    GenState.inParallel(
+      (() => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim,
+        commitTable)(
+        ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))) +:
+      Seq("docs", "hashes", "langs", "sketches").map(t =>
+        () => GenState.fencedParquet(spark, stateDir, next, t, claim, commitTable)(
+          spark.read.parquet(
+            GenState.tablePath(spark, stateDir, live.head, t)).limit(0))))
     GenState.fencedParquet(spark, stateDir, next, "partials", claim, commitTable)(
       spark.read.parquet(partialsPath(spark, stateDir, live.head)).limit(0))
     next

@@ -101,10 +101,16 @@ object IncrementalClassifier {
         "sidecar retention — deleted docs' count contributions are not " +
         "recoverable from aggregated partials")
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
-      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
-      spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty sidecar are independent — written concurrently
+    // (guide §2.6 via [[GenState.inParallel]]); the counts commit stays
+    // strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim,
+        commitTable)(
+        ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "docs", claim,
+        commitTable)(
+        spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "counts", claim, commitTable)(
       spark.read.parquet(countsPath(spark, stateDir, live.head)).limit(0))

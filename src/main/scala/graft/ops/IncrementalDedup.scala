@@ -261,12 +261,16 @@ object IncrementalDedup {
     val (next, claim) = GenState.claimFresh(spark, stateDir)
     val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
-      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty peers are mutually independent — written
+    // concurrently (guide §2.6 via [[GenState.inParallel]]); the labels
+    // commit stays strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+        ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+        spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next
@@ -358,11 +362,18 @@ object IncrementalDedup {
     // recompute of the signature job across the two consumers). The
     // 64-bit dial (d17's geometry) stores exact 16-bit blocks under the
     // same (band, half) schema — its "probes" are the index rows
-    // themselves, no flip fan-out.
+    // themselves, no flip fan-out. NO repartition barrier (round 20): the
+    // signed frame's only consumer is this write, so the barrier bought
+    // nothing the write's own materialization doesn't — while costing a
+    // full shuffle of the batch's band rows per ingest (the Exchange was
+    // the most expensive stage of every micro-batch merge). The one-pass
+    // signing shape is unchanged — the Project→Generate plan keeps a
+    // single simhash per row (IncrementalDedupSpec pins exactly this
+    // barrier-free plan) — and write parallelism follows the batch scan.
     val signed = (if (width == 32)
-        Dedup.halfBandsOf(Dedup.signedDocs(newDocs).repartition(col("doc_id")))
+        Dedup.halfBandsOf(Dedup.signedDocs(newDocs))
       else
-        Dedup.blockBandsOf(Dedup.signedDocs64(newDocs).repartition(col("doc_id")))
+        Dedup.blockBandsOf(Dedup.signedDocs64(newDocs))
           .withColumnRenamed("block", "half"))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(signed)
     val newBands = spark.read.parquet(bandsPath(spark, stateDir, next, Some(claim)))

@@ -166,10 +166,15 @@ object IncrementalExact {
       case Left(v) => return v
       case Right(nc) => nc
     }
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
-      ids.select(col("doc_id")).dropDuplicates("doc_id"))
-    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
-      spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty sidecar are independent — written concurrently
+    // (guide §2.6 via [[GenState.inParallel]]); the hashes commit stays
+    // strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim,
+        commitTable)(ids.select(col("doc_id")).dropDuplicates("doc_id")),
+      () => GenState.fencedParquet(spark, stateDir, next, "docs", claim,
+        commitTable)(
+        spark.read.parquet(docsPath(spark, stateDir, live.head)).limit(0))))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "hashes", claim, commitTable)(
       spark.read.parquet(hashesPath(spark, stateDir, live.head)).limit(0))

@@ -69,17 +69,33 @@ object IncrementalIvfPq {
     loadRefVectors(spark, modelDir)
   }
 
+  /** Session-scoped memo of the loaded frozen model — the model is FROZEN
+    * by contract (fingerprint-pinned in `_CONFIG`), so re-collecting the
+    * same parquet on every merge/serve of an ingest loop was a pure
+    * fixed cost (one collect job + its planning per micro-batch). A
+    * production ingest loop holds its frozen model in memory exactly
+    * like this; a retrain is a NEW modelDir (the s8 freeze contract), so
+    * path-keyed entries can never serve a stale model. The bench clears
+    * it between passes ([[clearCaches]]) so per-pass timings still pay
+    * one real load.
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[Similarity.Centroid]]
+
+  def clearCaches(): Unit = modelCache.clear()
+
   /** Load the frozen model (must exist — ingest and query never derive). */
-  def loadRefVectors(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] = {
-    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(marker),
-      s"IncrementalIvfPq: no frozen model at $modelDir — persist via " +
-        "persistedRefVectors first; ingest never derives")
-    spark.read.parquet(modelDir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1).toSeq
-  }
+  def loadRefVectors(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] =
+    modelCache.computeIfAbsent((spark, modelDir), _ => {
+      val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(marker),
+        s"IncrementalIvfPq: no frozen model at $modelDir — persist via " +
+          "persistedRefVectors first; ingest never derives")
+      spark.read.parquet(modelDir).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    })
 
   /** PQ codebooks derived from the frozen reference vectors — the same
     * slicing and ascending-fold ‖c‖² as [[Quantization.pqCodebooks]].

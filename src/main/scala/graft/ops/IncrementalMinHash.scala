@@ -144,8 +144,14 @@ object IncrementalMinHash {
     // the materialized copies every downstream join reads (no recompute
     // of the signature job across consumers). Bands and sets land before
     // labels — a crash leaves an uncommitted generation the next compact
-    // sweeps once its lease ages out.
-    val sigs = Dedup.minhashSigsOf(newDocs).repartition(col("doc_id"))
+    // sweeps once its lease ages out. NO repartition barrier (round 20):
+    // the sets write is the frame's only consumer (bands derive from the
+    // written parquet, column-pruned to (doc_id, sh) so the sig expr is
+    // dropped), and the barrier shuffled the HEAVY shingle-set payload —
+    // the one column §2.3 says to never move without need; removing it
+    // deletes that Exchange outright and write parallelism follows the
+    // batch scan.
+    val sigs = Dedup.minhashSigsOf(newDocs)
     GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
       sigs.select(col("doc_id"), col("sh")))
     GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
@@ -325,14 +331,18 @@ object IncrementalMinHash {
     // claim is not omitted from the manifest
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
-      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
-      spark.read.parquet(setsPath(spark, stateDir, live.head)).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
-      spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty peers are mutually independent — written
+    // concurrently (guide §2.6 via [[GenState.inParallel]]); the labels
+    // commit stays strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+        ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "sets", claim)(
+        spark.read.parquet(setsPath(spark, stateDir, live.head)).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "bands", claim)(
+        spark.read.parquet(bandsPath(spark, stateDir, live.head)).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next

@@ -157,10 +157,15 @@ object IncrementalRotMedia {
     // just before the claim is not omitted from the manifest
     val live = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, live :+ next, claim, commitTable)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
-      names.select(col("name").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "sigs", claim, commitTable)(
-      spark.read.parquet(sigsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty sigs are independent — written concurrently
+    // (guide §2.6 via [[GenState.inParallel]]); the pairs commit stays
+    // strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim,
+        commitTable)(names.select(col("name").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "sigs", claim,
+        commitTable)(
+        spark.read.parquet(sigsPath(spark, stateDir, live.head)).limit(0))))
     // the COMMIT write lands through the fence (see merge)
     GenState.fencedParquet(spark, stateDir, next, "pairs", claim, commitTable)(
       spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))

@@ -178,12 +178,16 @@ object IncrementalSemantic {
     val (next, claim) = GenState.claimFresh(spark, stateDir)
     val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
-      ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
-      spark.read.parquet(vecsPath(spark, stateDir, live.head)).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
-      spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty peers are mutually independent — written
+    // concurrently (guide §2.6 via [[GenState.inParallel]]); the labels
+    // commit stays strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim)(
+        ids.select(col("vec_id").cast("long").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "vecs", claim)(
+        spark.read.parquet(vecsPath(spark, stateDir, live.head)).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "pairs", claim)(
+        spark.read.parquet(pairsPath(spark, stateDir, live.head)).limit(0))))
     GenState.fencedParquet(spark, stateDir, next, "labels", claim)(
       LabelState.emptyDelta(spark))
     next

@@ -280,22 +280,28 @@ object IncrementalSubstring {
       claim, commitTable)(anchorsOf(newDocs)))
     val newAnch = spark.read.parquet(anchorsPath(spark, stateDir, next, Some(claim)))
 
-    // slim per-generation doc projection — the table the tombstone
-    // re-ingest probe scans ([[probeTable]]): one row per batch doc, so a
-    // delete-bearing read never scans the corpus-sized positional anchors
-    // index just to ask "was this id re-ingested later?". From newDocs,
-    // not newAnch: a short doc with no anchors still counts as re-ingested.
-    t("docs")(GenState.fencedParquet(spark, stateDir, next, "docs",
-      claim, commitTable)(
-      newDocs.select(col("doc_id")).dropDuplicates("doc_id")))
-
-    // per-generation occurrence PARTIAL (the d18 write-only trick): one slim
-    // (anchor, aocc) row per distinct batch anchor, O(batch) to produce.
-    // Folding these partials (sum per anchor) equals mergeOccOf over the
-    // full positional union — [[mergeOccOf]]'s disjoint-doc_id argument —
-    // so the cold filter below never re-aggregates old positional rows.
-    t("occ")(GenState.fencedParquet(spark, stateDir, next, "occ",
-      claim, commitTable)(mergeOccOf(newAnch)))
+    // Two independent slim writes, run CONCURRENTLY (guide §2.6 via
+    // [[GenState.inParallel]] — each sequential write paid its own full
+    // driver round, which dominated the micro-batch wall clock):
+    //   - docs: the per-generation doc projection the tombstone re-ingest
+    //     probe scans ([[probeTable]]) — one row per batch doc, so a
+    //     delete-bearing read never scans the corpus-sized positional
+    //     anchors index just to ask "was this id re-ingested later?".
+    //     From newDocs, not newAnch: a short doc with no anchors still
+    //     counts as re-ingested.
+    //   - occ: the per-generation occurrence PARTIAL (the d18 write-only
+    //     trick) — one slim (anchor, aocc) row per distinct batch anchor,
+    //     O(batch) to produce, derived from the already-written newAnch
+    //     parquet. Folding these partials (sum per anchor) equals
+    //     mergeOccOf over the full positional union — [[mergeOccOf]]'s
+    //     disjoint-doc_id argument — so the cold filter below never
+    //     re-aggregates old positional rows.
+    t("docs+occ")(GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "docs",
+        claim, commitTable)(
+        newDocs.select(col("doc_id")).dropDuplicates("doc_id")),
+      () => GenState.fencedParquet(spark, stateDir, next, "occ",
+        claim, commitTable)(mergeOccOf(newAnch)))))
 
     val hot = foldedOcc(spark, stateDir, live :+ next, Some(claim))
       .where(col("aocc") > Dedup.anchorMaxOcc).select(col("anchor"))
@@ -335,14 +341,22 @@ object IncrementalSubstring {
     val (next, claim) = GenState.claimFresh(spark, stateDir, commitTable)
     val liveNow = completeVersions(spark, stateDir).filterNot(_ == next)
     GenState.writeProbed(spark, stateDir, next, liveNow :+ next, claim, commitTable)
-    GenState.fencedParquet(spark, stateDir, next, "tombstones", claim, commitTable)(
-      ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node"))
-    GenState.fencedParquet(spark, stateDir, next, "anchors", claim, commitTable)(
-      spark.read.parquet(anchorsPath(spark, stateDir, live.head)).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "docs", claim, commitTable)(
-      ids.select(col("doc_id").cast("long").as("doc_id")).limit(0))
-    GenState.fencedParquet(spark, stateDir, next, "occ", claim, commitTable)(
-      spark.read.parquet(occPath(spark, stateDir, live.head)).limit(0))
+    // tombstones + empty peers are mutually independent — written
+    // concurrently (guide §2.6 via [[GenState.inParallel]]); the hits
+    // commit stays strictly after, preserving the crash contract
+    GenState.inParallel(Seq(
+      () => GenState.fencedParquet(spark, stateDir, next, "tombstones", claim,
+        commitTable)(
+        ids.select(col("doc_id").cast("long").as("node")).dropDuplicates("node")),
+      () => GenState.fencedParquet(spark, stateDir, next, "anchors", claim,
+        commitTable)(
+        spark.read.parquet(anchorsPath(spark, stateDir, live.head)).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "docs", claim,
+        commitTable)(
+        ids.select(col("doc_id").cast("long").as("doc_id")).limit(0)),
+      () => GenState.fencedParquet(spark, stateDir, next, "occ", claim,
+        commitTable)(
+        spark.read.parquet(occPath(spark, stateDir, live.head)).limit(0))))
     GenState.fencedParquet(spark, stateDir, next, "hits", claim, commitTable)(
       spark.read.parquet(hitsPath(spark, stateDir, live.head)).limit(0))
     next

@@ -200,26 +200,37 @@ object Quantization {
     * artifact with the same freeze semantics as the IVF model (retrain =
     * re-encode, a scheduled rebuild, never an ingest-path event).
     */
+  /** Session-scoped memo of the loaded frozen codebooks (the
+    * [[IncrementalIvfPq]] pattern): frozen by contract — a retrain is a
+    * new modelDir — so the per-call collect was a fixed cost. Cleared
+    * per bench pass.
+    */
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), IndexedSeq[IndexedSeq[PqEntry]]]
+
+  def clearCaches(): Unit = codebookCache.clear()
+
   def persistedPqCodebooks(spark: SparkSession, dir: String,
-      modelDir: String): IndexedSeq[IndexedSeq[PqEntry]] = {
-    val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      import spark.implicits._
-      pqCodebooks(spark, dir).zipWithIndex
-        .flatMap { case (entries, s) =>
-          entries.map { case (code, sub, cc) => (s, code, sub.toSeq, cc) }
-        }
-        .toDF("s", "code", "sub", "cc")
-        .coalesce(1).write.mode("overwrite").parquet(modelDir)
-    }
-    val rows = spark.read.parquet(modelDir).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
-    rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
-      .map { case (_, es) =>
-        es.sortBy(_._2).map { case (_, code, sub, cc) => (code, sub, cc) }.toIndexedSeq
+      modelDir: String): IndexedSeq[IndexedSeq[PqEntry]] =
+    codebookCache.computeIfAbsent((spark, modelDir), _ => {
+      val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        import spark.implicits._
+        pqCodebooks(spark, dir).zipWithIndex
+          .flatMap { case (entries, s) =>
+            entries.map { case (code, sub, cc) => (s, code, sub.toSeq, cc) }
+          }
+          .toDF("s", "code", "sub", "cc")
+          .coalesce(1).write.mode("overwrite").parquet(modelDir)
       }
-  }
+      val rows = spark.read.parquet(modelDir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+      rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+        .map { case (_, es) =>
+          es.sortBy(_._2).map { case (_, code, sub, cc) => (code, sub, cc) }.toIndexedSeq
+        }
+    })
 
   def pqAdcTopKPersisted(spark: SparkSession, dir: String, modelDir: String,
       nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame =

@@ -616,13 +616,20 @@ object DocumentsStream {
     }
     drainMerges(spark, dir, 2, "q80c", table = corrections) { (b, key) =>
       val s = b.sparkSession
-      graft.ops.IncrementalView.retract(s, state,
-        b.drop("fixed_event_type"), Some(s"r$key"))
-      graft.ops.IncrementalView.merge(s, state,
-        b.where(col("fixed_event_type").isNotNull)
-          .withColumn("event_type", col("fixed_event_type"))
-          .drop("fixed_event_type"),
-        Some(s"f$key"))
+      // retraction and fix are INDEPENDENT write-only generations (signed
+      // partials; the fold sums an abelian group, so commit order is
+      // irrelevant) with disjoint exactly-once keys — run them
+      // concurrently (guide §2.6 via GenState.inParallel): allocateFresh
+      // is the multi-writer allocator, so the two claims serialize into
+      // two fresh generations whichever wins the first slot
+      graft.ops.GenState.inParallel(Seq(
+        () => { graft.ops.IncrementalView.retract(s, state,
+          b.drop("fixed_event_type"), Some(s"r$key")); () },
+        () => { graft.ops.IncrementalView.merge(s, state,
+          b.where(col("fixed_event_type").isNotNull)
+            .withColumn("event_type", col("fixed_event_type"))
+            .drop("fixed_event_type"),
+          Some(s"f$key")); () }))
     }
     graft.ops.IncrementalView.serve(spark, state)
   }

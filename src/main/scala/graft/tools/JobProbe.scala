@@ -47,11 +47,17 @@ object JobProbe {
       graft.ops.Dedup.clearCaches()
       graft.engine.Bucketing.clearCaches()
       graft.ops.TextAnalysis.clearCaches()
+      graft.ops.Similarity.clearCaches()
+      graft.ops.Quantization.clearCaches()
+      graft.ops.IncrementalIvfPq.clearCaches()
       try { fn(spark, dir).count(); () } catch { case NonFatal(e) =>
         println(s"WARM $name failed: ${e.getMessage}") }
       graft.ops.Dedup.clearCaches()
       graft.engine.Bucketing.clearCaches()
       graft.ops.TextAnalysis.clearCaches()
+      graft.ops.Similarity.clearCaches()
+      graft.ops.Quantization.clearCaches()
+      graft.ops.IncrementalIvfPq.clearCaches()
       jobs.clear()
       record = true
       val t0 = System.nanoTime()
@@ -63,9 +69,12 @@ object JobProbe {
       val jobSum = snap.collect { case j if j.end > 0 => (j.end - j.start) / 1e3 }.sum
       // gaps: time between consecutive job ends/starts = driver+FS work
       val sorted = snap.sortBy(_.start)
+      var prevEnd = if (sorted.nonEmpty) sorted.head.start else 0L
       sorted.foreach { j =>
         val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
-        println(f"  job ${j.id}%4d ${dur}%7.3f s stages=${j.stages} ${j.desc.take(90)}")
+        val gap = (j.start - prevEnd) / 1e3 // driver/FS time since last job end
+        prevEnd = math.max(prevEnd, if (j.end > 0) j.end else j.start)
+        println(f"  job ${j.id}%4d gap ${gap}%7.3f  dur ${dur}%7.3f s stages=${j.stages} ${j.desc.take(80)}")
       }
       println(f"  JOB-SUM $jobSum%.2f s  DRIVER/FS GAP ${total - jobSum}%.2f s")
     }
