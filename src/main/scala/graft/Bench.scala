@@ -270,7 +270,7 @@ object Bench {
     */
   def fullLine(stats: Seq[QStat], errors: Map[String, String],
       passes: Int, sfDir: String, canary: Seq[Double] = Nil,
-      shuffleCanary: Seq[Double] = Nil): String = {
+      shuffleCanary: Seq[Double] = Nil, fsCanary: Seq[Double] = Nil): String = {
     val qs = objJson(stats.map(s => s.name -> s.min.toString))
     val meds = objJson(stats.map(s => s.name -> s.med.toString))
     val maxs = objJson(stats.map(s => s.name -> s.max.toString))
@@ -283,6 +283,7 @@ object Bench {
       s""""policy":"min-of-passes",""" +
       s""""canary":${canary.mkString("[", ",", "]")},""" +
       s""""shuffleCanary":${shuffleCanary.mkString("[", ",", "]")},""" +
+      s""""fsCanary":${fsCanary.mkString("[", ",", "]")},""" +
       s""""queries":$qs,"min":$qs,"med":$meds,"max":$maxs,""" +
       s""""errors":${errJson(errors, 200)},"sf":"${esc(sfDir)}"}"""
   }
@@ -313,6 +314,31 @@ object Bench {
     // data-independent 2M-row hash aggregate over 256 keys exposes exactly
     // that axis while staying O(100 ms)
     val shuffleCanary = mutable.ArrayBuffer.empty[Double]
+    // third fixed-cost canary (round 20): SMALL-FILE METADATA. The round-20
+    // optimization loop caught a measured epoch where the whole state-query
+    // board drifted +15-25% while BOTH existing canaries sat at their floor
+    // — the drift lived entirely in filesystem metadata work (create/list/
+    // rename of many small files: exactly the per-generation state-write
+    // pattern), an axis neither the CPU canary nor the shuffle canary can
+    // see. 128 create(4KB)+fsync-free writes, one directory listing, 128
+    // renames, 128 deletes on java.io.tmpdir — data-independent, O(100 ms),
+    // so fsCanary drift between two BENCH files bounds the FS-weather share
+    // of any state-family drift the way `canary` bounds the CPU share.
+    val fsCanary = mutable.ArrayBuffer.empty[Double]
+    def runFsCanary(): Unit = {
+      val base = java.nio.file.Files.createTempDirectory("graft_fs_canary_")
+      val buf = new Array[Byte](4096)
+      val t0 = System.nanoTime()
+      val files = (0 until 128).map { i =>
+        val p = base.resolve(s"f$i"); java.nio.file.Files.write(p, buf); p
+      }
+      java.nio.file.Files.list(base).count()
+      val renamed = files.map(p =>
+        java.nio.file.Files.move(p, p.resolveSibling(p.getFileName.toString + ".r")))
+      fsCanary += (System.nanoTime() - t0) / 1e9
+      renamed.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(base)
+    }
     def runCanary(): Unit = {
       val t0 = System.nanoTime()
       spark.range(1L << 20).selectExpr("sum(id)").collect()
@@ -321,6 +347,7 @@ object Bench {
       spark.range(1L << 21).selectExpr("id % 256 as k")
         .groupBy("k").count().selectExpr("sum(count)").collect()
       shuffleCanary += (System.nanoTime() - t1) / 1e9
+      runFsCanary()
     }
     // NATURAL-sorted (digit runs compare numerically): Map iteration order
     // is hash-arbitrary, which would move queries relative to residual
@@ -386,7 +413,7 @@ object Bench {
     // Durable full-detail copy: the driver's stdout capture keeps only a
     // 2000-char tail, so the full-name full-precision line lives in files.
     val full = fullLine(stats, errors, passes, sfDir, canary.toSeq,
-      shuffleCanary.toSeq)
+      shuffleCanary.toSeq, fsCanary.toSeq)
     try Files.writeString(Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), full + "\n"))

@@ -284,9 +284,16 @@ object Corpus {
     * shape and values as [[contamination]] restricted to the batch).
     */
   def contaminationAgainst(spark: SparkSession, registryDir: String,
+      batch: DataFrame): DataFrame =
+    contaminationWith(spark.read.parquet(registryDir), batch)
+
+  /** [[contaminationAgainst]] over an already-loaded registry frame — a
+    * per-trigger screening loop (q72) loads/persists the frozen registry
+    * ONCE per drain instead of re-reading it per micro-batch.
+    */
+  private[graft] def contaminationWith(benchSh: DataFrame,
       batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val benchSh = spark.read.parquet(registryDir)
     val trainSh = batch
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .repartition(col("doc_id"))

@@ -424,12 +424,24 @@ object LabelState {
       extraEdges: Option[DataFrame] = None,
       extraAffectedNodes: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val current = folded(spark, stateDir, versions)
     val hasTombs = tombstoneVersions(spark, stateDir, versions).nonEmpty
-    if (!hasTombs && extraEdges.isEmpty && extraAffectedNodes.isEmpty) return current
+    if (!hasTombs && extraEdges.isEmpty && extraAffectedNodes.isEmpty)
+      return folded(spark, stateDir, versions)
+    // SPLICE PATH ONLY — materialize the two subplans every later step
+    // shares. This method runs TWO actions over them: the bounded edge
+    // collect below (executed eagerly, here) and the caller's read of the
+    // returned frame — without the lazy checkpoint each action re-executes
+    // the label fold and the tombstone-scope derivation from scratch,
+    // doubling the delete-serve's most expensive stages (measured: the
+    // serve-after phase was the dominant term of d29/q78 at bench scale).
+    // Lazy (eager=false): the collect is the materializing action, so no
+    // extra job; blocks are reclaimed by the context cleaner once the
+    // serve frame is dropped — same lifecycle as the d2 pair-stats memo.
+    // The tombstone-free common case above stays checkpoint-free.
+    val current = folded(spark, stateDir, versions).localCheckpoint(false)
     val teff =
-      if (hasTombs) effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
-      else Seq.empty[Long].toDF("node")
+      (if (hasTombs) effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
+       else Seq.empty[Long].toDF("node")).localCheckpoint(false)
     val touch = extraAffectedNodes.fold(teff)(x =>
       teff.unionByName(x.select(col("node").cast("long"))))
     val affected = current.join(touch, Seq("node"), "left_semi")

@@ -470,11 +470,20 @@ object DocumentsStream {
     val reg = TmpDirs.scratch("graft_q72_registry_").toString
     graft.ops.Corpus.buildContaminationRegistry(spark, dir, reg)
     val out = TmpDirs.scratch("graft_q72_out_").toString
-    drainMerges(spark, dir, files, "q72") { (b, key) =>
-      val train = b.where(col("source") =!= graft.ops.Corpus.benchmarkSource)
-      graft.ops.Corpus.contaminationAgainst(b.sparkSession, reg, train)
-        .write.mode("overwrite").parquet(s"$out/b$key")
-    }
+    // the registry is FROZEN for the whole drain (the s8 freeze contract
+    // this runner documents above) — load and persist it once instead of
+    // re-reading + re-building the broadcast input per micro-batch; the
+    // in-memory registry across triggers is the production serving shape
+    var benchSh: org.apache.spark.sql.DataFrame = null
+    try {
+      drainMerges(spark, dir, files, "q72") { (b, key) =>
+        val s = b.sparkSession
+        if (benchSh == null) benchSh = s.read.parquet(reg).persist()
+        val train = b.where(col("source") =!= graft.ops.Corpus.benchmarkSource)
+        graft.ops.Corpus.contaminationWith(benchSh, train)
+          .write.mode("overwrite").parquet(s"$out/b$key")
+      }
+    } finally if (benchSh != null) benchSh.unpersist()
     spark.read.parquet(s"$out/b*").orderBy(col("doc_id"))
   }
 

@@ -80,17 +80,22 @@ class BenchLineSpec extends AnyFunSuite {
     val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0))
     // one canary sample per pass, full precision, stdout line untouched
     val full = Bench.fullLine(stats, Map.empty, 3, "sf", Seq(0.012, 0.01, 0.011),
-      Seq(0.1, 0.09, 0.11))
+      Seq(0.1, 0.09, 0.11), Seq(0.02, 0.018, 0.021))
     assert(full.contains(""""canary":[0.012,0.01,0.011]"""), full)
     // the shuffle canary rides beside it: the codegen canary is driver+
     // one-task only and cannot see drift living in shuffle overhead
     assert(full.contains(""""shuffleCanary":[0.1,0.09,0.11]"""), full)
+    // and the small-file metadata canary beside both (round 20): a
+    // measured +22% board epoch sat entirely in FS metadata work while
+    // the CPU and shuffle canaries stayed at floor
+    assert(full.contains(""""fsCanary":[0.02,0.018,0.021]"""), full)
     val compact = Bench.compactLine(stats, Map.empty, 3, "sf")
     assert(!compact.contains("canary"),
       "the canary must not spend stdout tail bytes")
     // absent canary (unit-test callers) renders an empty array, valid JSON
     assert(Bench.fullLine(stats, Map.empty, 3, "sf").contains(""""canary":[]"""))
     assert(Bench.fullLine(stats, Map.empty, 3, "sf").contains(""""shuffleCanary":[]"""))
+    assert(Bench.fullLine(stats, Map.empty, 3, "sf").contains(""""fsCanary":[]"""))
   }
 
   test("a pathological all-slow board still fits via the whole-second rail") {
