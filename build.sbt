@@ -14,6 +14,12 @@ run / fork := true
 // Forked `run` output goes straight to stdout (no sbt `[info]` prefix) so
 // Bench's single JSON line is machine-parseable by the driver.
 run / outputStrategy := Some(StdoutOutput)
+// No `[success] Total time: …` trailer after the run: the driver keeps only
+// the LAST 2000 chars of stdout and parses Bench's one-line JSON from that
+// tail — the ~75-char trailer was spending tail budget the 215-query
+// contract line needs (see Bench.compactLine / BenchLineSpec).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,12 +26,54 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("compact stdout line stays under the driver's tail at +20 queries, 300-char headroom") {
-    // 1700 = the driver's 2000-char tail minus ≥300 chars of headroom
-    // (sbt's [success] trailer plus future growth) — the round-14 bound
-    // after the decisecond byte diet
+  test("compact stdout line stays under the fit budget at +20 queries and keeps per-query data") {
     val line = Bench.compactLine(syntheticStats(20), Map.empty, 3, "/root/testdata/sf0.1")
-    assert(line.length < 1700, s"compact line is ${line.length} chars:\n$line")
+    assert(line.length <= Bench.fitBudget, s"compact line is ${line.length} chars:\n$line")
+    // the precision ladder may degrade bands, but at +20 queries the
+    // per-query map itself must survive (the floor's empty object would
+    // read as 235 dropped queries)
+    assert(line.contains(""""queries":{""") && !line.contains(""""queries":{}"""),
+      s"per-query map must be non-empty: ${line.take(200)}")
+  }
+
+  test("stdout line is the DRIVER CONTRACT schema and parses as JSON") {
+    val line = Bench.compactLine(syntheticStats(0), Map.empty, 3, "/root/testdata/sf0.1")
+    // exact field set and order of the last driver-parsed-with-queries
+    // line (round 13): metric, value, unit, queries, sf — and on a
+    // healthy run the empty errors object is ELIDED so the shape matches
+    // that line exactly (failures re-insert the digest before "sf")
+    assert(line.startsWith("""{"metric":"total","value":"""), line.take(80))
+    assert(line.contains(""""unit":"sec","queries":{"""), line.take(120))
+    assert(!line.contains(""""errors""""), "empty errors object must be elided")
+    assert(line.endsWith("""},"sf":"sf0.1"}"""), line.takeRight(40))
+    // strict-JSON check with the same parser family the driver stack uses
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("queries").size == SparkEntry.queries.size,
+      "every declared query must appear in the stdout map")
+    val it = node.get("queries").elements()
+    while (it.hasNext) {
+      val v = it.next().asDouble()
+      assert(v > 0, "successful queries must render a positive value (no 0 landmine)")
+    }
+  }
+
+  test("stdout keys are the round-13 driver-parsed short keys, verbatim and injective") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val key = Bench.shortKeys(names)
+    assert(names.map(key).distinct.size == names.size, "bench keys must stay injective")
+    // the contract forbids renaming existing `queries` entries: these are
+    // keys the round-13 driver actually parsed — pinned verbatim
+    assert(key("q54_stream_incremental_dedup") == "q54")
+    assert(key("c10_registry_append") == "c10")
+    assert(key("m17_tiff_decode") == "m17")
+    assert(key("ooh_occupations") == "ooh_o")
+    assert(key("ooh_report") == "ooh_r")
+    for (n <- names)
+      assert(n.startsWith(key(n)),
+        s"short key must be a prefix of the full name: $n -> ${key(n)}")
   }
 
   test("compact line survives a multi-failure run without blowing the buffer") {
@@ -41,26 +83,26 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.compactLine(stats.map(s =>
       if (errors.contains(s.name)) s.copy(med = -1, min = -1, max = -1) else s),
       errors, 3, "/root/testdata/sf0.1")
-    assert(line.length < 2000, s"compact line is ${line.length} chars")
+    assert(line.length <= Bench.fitBudget, s"compact line is ${line.length} chars")
     assert(!line.contains("x" * 31), "error snippet not truncated to 30 chars")
   }
 
-  test("compact line reports per-query MIN in declared deciseconds; file line keeps full seconds") {
+  test("compact line reports per-query MIN in seconds; file line keeps full precision") {
     val stats = Seq(Bench.QStat("q1_agg", 12.0, 1.5, 99.0),
       Bench.QStat("d7_clusters", 8.0, 7.5, 50.0),
-      Bench.QStat("t3_quality_scores", 1.0, -1.0, 1.0))
+      Bench.QStat("t3_quality_scores", 1.0, -1.0, 1.0),
+      Bench.QStat("m17_tiny", 1.0, 0.04, 1.0))
     val line = Bench.compactLine(stats, Map.empty, 3, "sf")
-    // per-query values are integer DECISECONDS, self-declared by qunit,
-    // packed as one `shortkey:value` token string (round-14 diet part
-    // two); the failure sentinel stays -1 regardless of unit
-    assert(line.contains(""""qu":"ds""""), s"unit declaration missing: $line")
-    assert(line.contains("q1:15"), line)
-    assert(line.contains("d7:75"), line)
-    assert(line.contains("t3:-1"), line)
+    // a small board fits the full-1-dp band: per-query SECONDS at 0.1 s
+    // resolution; the failure sentinel stays -1
+    assert(line.contains(""""q1":1.5"""), line)
+    assert(line.contains(""""d7":7.5"""), line)
+    assert(line.contains(""""t3":-1"""), line)
+    // the m17:0 landmine fix (round-20 verdict): a <0.05 s query floors
+    // at 0.1, never 0
+    assert(line.contains(""""m17":0.1"""), line)
     // the top-level total stays SECONDS (failures excluded from the sum)
-    assert(line.contains(""""value":9"""), s"total must sum mins in seconds: $line")
-    // the empty errors object is elided (byte diet) — the json stays valid
-    assert(!line.contains(""""errors""""), s"empty errors must be elided: $line")
+    assert(line.contains(""""value":9.04"""), s"total must sum mins in seconds: $line")
     // min/med/max live in the FILE line under their own keys, in seconds
     val full = Bench.fullLine(stats, Map.empty, 3, "sf")
     assert(full.contains(""""min":""") && full.contains(""""max":"""),
@@ -74,6 +116,24 @@ class BenchLineSpec extends AnyFunSuite {
       s"'queries' must publish the per-query min (the 2x-gate denominator): $full")
     assert(full.contains(""""med":{"q1_agg":12.0,"""),
       s"the median must stay visible under 'med': $full")
+  }
+
+  test("precision ladder: multi-second bands degrade to integer seconds, sub-second keeps 0.1s") {
+    // the live query-name set with every min at 5.67 s except one
+    // sub-second entry: the all-1-dp band cannot fit (215 × 4-char
+    // values), so the ladder lands on an integer-second band for the
+    // multi-second entries while the sub-second entry keeps 1-dp
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val stats = names.map { n =>
+      if (n == "m17_tiff_decode") Bench.QStat(n, 0.5, 0.42, 0.9)
+      else Bench.QStat(n, 6.0, 5.67, 9.0)
+    }
+    val line = Bench.compactLine(stats, Map.empty, 3, "sf")
+    assert(line.length <= Bench.fitBudget, s"${line.length} chars")
+    assert(line.contains(""""q54":6"""),
+      s"multi-second values must degrade to integer seconds: ${line.take(150)}")
+    assert(line.contains(""""m17":0.4"""),
+      s"sub-second values must keep 0.1 s resolution: $line")
   }
 
   test("file line carries the per-pass fixed-cost canary for box-drift attribution") {
@@ -98,23 +158,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.fullLine(stats, Map.empty, 3, "sf").contains(""""fsCanary":[]"""))
   }
 
-  test("a pathological all-slow board still fits via the whole-second rail") {
-    // every query at 150 s — absurd for a healthy board (that bench run
-    // takes a day), but the line must stay parseable: the
-    // value-degradation rail drops per-query resolution to whole seconds
-    // (the round-14 token-string diet absorbed the old 30 s case in
-    // deciseconds outright — the rail now engages one severity later)
+  test("a pathological all-slow board still emits a parseable contract line via the floor") {
+    // every query at 1500 s — absurd for a healthy board (that bench run
+    // takes days): 4-char integer values × 235 queries cannot fit the
+    // tail, so the unconditional floor keeps the schema (empty queries
+    // object), the total and a pointer at the file line
     val slow = syntheticStats(20).map(s => s.copy(min = 1500.0))
     val line = Bench.compactLine(slow, Map.empty, 3, "/root/testdata/sf0.1")
-    assert(line.length < 1950, s"pathological line is ${line.length} chars")
-    assert(line.contains(""""qu":"s""""),
-      s"the whole-second rail must declare itself: ${line.take(120)}")
-    // beyond even that (every query a day+), the unconditional floor
-    // keeps the total and points at the file line
-    val absurd = syntheticStats(20).map(s => s.copy(min = 99999.9))
-    val floor = Bench.compactLine(absurd, Map.empty, 3, "/root/testdata/sf0.1")
-    assert(floor.length < 1950, s"floor line is ${floor.length} chars")
-    assert(floor.contains("\"q\":\"\"") && floor.contains("BENCH_LOCAL"), floor)
+    assert(line.length <= Bench.fitBudget, s"pathological line is ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total","value":352500,"unit":"sec""""), line.take(80))
+    assert(line.contains(""""queries":{}""") && line.contains("BENCH_LOCAL"), line)
   }
 
   test("stdout errors object is capped with an (omitted) count") {
@@ -122,9 +175,13 @@ class BenchLineSpec extends AnyFunSuite {
     val errors = stats.take(Bench.maxStdoutErrors + 5)
       .map(s => s.name -> "boom").toMap
     val line = Bench.compactLine(stats, errors, 3, "sf")
-    assert(line.contains(""""(omitted)":5"""), line)
-    assert(errors.keys.toSeq.sorted.take(Bench.maxStdoutErrors)
-      .forall(k => line.contains(k)), "first N error names must survive")
+    // the fit ladder may choose a lower error cap than maxStdoutErrors on
+    // a big board; the invariant is shown + omitted == total, with at
+    // least the ladder's smallest cap (3) of names surviving
+    val shown = errors.keys.toSeq.sorted.count(k => line.contains(k))
+    val omitted = """"\(omitted\)":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    assert(omitted.contains(errors.size - shown), s"shown=$shown line=$line")
+    assert(shown >= 3, s"at least 3 error names must survive: $line")
     // the full file line keeps every error, uncapped
     val full = Bench.fullLine(stats, errors, 3, "sf")
     assert(errors.keys.forall(k => full.contains(k)))
