@@ -942,14 +942,34 @@ object GenState {
       val futs = tasks.map(t =>
         pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
       var firstFailure: Option[Throwable] = None
+      var interrupted = false
       futs.foreach { fut =>
-        try { fut.get(); () }
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+        // wait for EVERY task even on failure or caller interrupt — an
+        // abandoned still-running write racing the caller's abort path
+        // would break the wait-for-every-task contract this method
+        // documents. An interrupt is recorded (and the flag re-set after
+        // the drain) but the drain keeps going: the remaining fut.get()
+        // calls must not throw InterruptedException immediately, so each
+        // retry loop below swallows further interrupts until its future
+        // settles.
+        var done = false
+        while (!done) {
+          try { fut.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure.isEmpty) firstFailure = Some(e.getCause)
+              done = true
+            case _: InterruptedException =>
+              interrupted = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       firstFailure.foreach(e => throw e)
+      if (interrupted && firstFailure.isEmpty)
+        throw new InterruptedException(
+          "GenState.inParallel: caller interrupted while waiting for " +
+            "concurrent table writes (all writes were drained before abort)")
     } finally pool.shutdown()
   }
 

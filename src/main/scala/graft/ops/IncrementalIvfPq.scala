@@ -84,8 +84,14 @@ object IncrementalIvfPq {
 
   def clearCaches(): Unit = modelCache.clear()
 
-  /** Load the frozen model (must exist — ingest and query never derive). */
-  def loadRefVectors(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] =
+  /** Load the frozen model (must exist — ingest and query never derive).
+    * Memoized per (session, modelDir) under the freeze contract above; an
+    * in-place modelDir rewrite within one session serves the previously
+    * loaded model until [[clearCaches]]. Stopped sessions' entries are
+    * purged on every lookup.
+    */
+  def loadRefVectors(spark: SparkSession, modelDir: String): Seq[Similarity.Centroid] = {
+    modelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     modelCache.computeIfAbsent((spark, modelDir), _ => {
       val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,6 +102,7 @@ object IncrementalIvfPq {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1).toSeq
     })
+  }
 
   /** PQ codebooks derived from the frozen reference vectors — the same
     * slicing and ascending-fold ‖c‖² as [[Quantization.pqCodebooks]].

@@ -377,6 +377,41 @@ object LabelState {
     }.select(cols: _*) // USING-joins reorder columns
   }
 
+  /** The splice path's shared-subplan materialization dial (session conf
+    * `spark.graft.splice.checkpoint`, same shape as the per-round
+    * [[ConnectedComponents.Ckpt]] strategies):
+    *
+    *   - `local` (default): LAZY `localCheckpoint` — blocks live on
+    *     executors with NO lineage fallback. Right for single-JVM runs
+    *     (the bench target); on a cluster an executor loss mid-serve
+    *     fails the query instead of recomputing.
+    *   - `durable`: lazy reliable `checkpoint` to the context checkpoint
+    *     dir ([[graft.util.TmpDirs.sessionCheckpointDir]] resolution:
+    *     `SPARK_GRAFT_CHECKPOINT_DIR`, else the app's own dir, else
+    *     scratch) — survives executor loss; the cluster-mode setting.
+    *   - `none`: no materialization — the shared subplans recompute per
+    *     action (the pre-round-20 behavior; correct, ~2× the splice's
+    *     heavy stages).
+    *
+    * Lazy in all modes (the bounded edge collect right after is the
+    * materializing action, so no extra job); semantics are identical
+    * across modes — this dial trades fault-tolerance against speed only.
+    */
+  private def spliceMaterialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.splice.checkpoint").getOrElse("local") match {
+      case "none" => df
+      case "durable" =>
+        // route through ConnectedComponents.durable for its checkpoint-dir
+        // guard rails (set-if-unset, refuse redirect), then take the LAZY
+        // variant — durable() itself returns the eager per-round form
+        ConnectedComponents.durable(spark,
+          graft.util.TmpDirs.sessionCheckpointDir(spark))
+        df.checkpoint(false)
+      case _ => df.localCheckpoint(false)
+    }
+  }
+
   /** The current (node, label) table with every tombstone applied — equal
     * to the one-shot clustering of the surviving corpus. Tombstone-free
     * state short-circuits to [[folded]] (no extra scan, the common case).
@@ -434,14 +469,13 @@ object LabelState {
     // the label fold and the tombstone-scope derivation from scratch,
     // doubling the delete-serve's most expensive stages (measured: the
     // serve-after phase was the dominant term of d29/q78 at bench scale).
-    // Lazy (eager=false): the collect is the materializing action, so no
-    // extra job; blocks are reclaimed by the context cleaner once the
-    // serve frame is dropped — same lifecycle as the d2 pair-stats memo.
-    // The tombstone-free common case above stays checkpoint-free.
-    val current = folded(spark, stateDir, versions).localCheckpoint(false)
-    val teff =
-      (if (hasTombs) effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
-       else Seq.empty[Long].toDF("node")).localCheckpoint(false)
+    // Materialization strategy is the [[spliceMaterialize]] dial (local /
+    // durable / none — the ConnectedComponents.Ckpt pattern); the
+    // tombstone-free common case above stays checkpoint-free.
+    val current = spliceMaterialize(folded(spark, stateDir, versions))
+    val teff = spliceMaterialize(
+      if (hasTombs) effectiveTombstones(spark, stateDir, versions, indexTable, idCol)
+      else Seq.empty[Long].toDF("node"))
     val touch = extraAffectedNodes.fold(teff)(x =>
       teff.unionByName(x.select(col("node").cast("long"))))
     val affected = current.join(touch, Seq("node"), "left_semi")

@@ -210,8 +210,14 @@ object Quantization {
 
   def clearCaches(): Unit = codebookCache.clear()
 
+  /** FREEZE CONTRACT (memoized API): `modelDir` is an immutable model
+    * artifact — a retrain writes a NEW dir; an in-place rewrite within one
+    * session serves the previously loaded codebooks until [[clearCaches]].
+    * Stopped sessions' entries are purged on every lookup.
+    */
   def persistedPqCodebooks(spark: SparkSession, dir: String,
-      modelDir: String): IndexedSeq[IndexedSeq[PqEntry]] =
+      modelDir: String): IndexedSeq[IndexedSeq[PqEntry]] = {
+    codebookCache.keySet.removeIf(_._1.sparkContext.isStopped)
     codebookCache.computeIfAbsent((spark, modelDir), _ => {
       val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -231,6 +237,7 @@ object Quantization {
           es.sortBy(_._2).map { case (_, code, sub, cc) => (code, sub, cc) }.toIndexedSeq
         }
     })
+  }
 
   def pqAdcTopKPersisted(spark: SparkSession, dir: String, modelDir: String,
       nQueries: Int = pqQueries, k: Int = pqTopK): DataFrame =

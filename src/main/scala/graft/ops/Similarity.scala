@@ -350,14 +350,23 @@ object Similarity {
     * [[IncrementalIvfPq]] pattern): the model is frozen by contract —a
     * retrain is a new modelDir — so re-collecting the same parquet per
     * merge/serve was a fixed per-call cost. Cleared per bench pass.
+    * Entries of STOPPED sessions are purged on every lookup so a
+    * long-lived multi-session JVM cannot grow the memo unboundedly.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Seq[Centroid]]
 
   def clearCaches(): Unit = centroidCache.clear()
 
+  /** FREEZE CONTRACT (memoized API): `modelDir` is an immutable model
+    * artifact — a retrain writes a NEW dir. Deleting or rewriting a
+    * modelDir in place within one session serves the previously loaded
+    * model until [[clearCaches]] (exactly the in-memory residency a
+    * serving deployment wants; never do in-place rewrites).
+    */
   def persistedIvfCentroids(spark: SparkSession, dir: String,
-      modelDir: String): Seq[Centroid] =
+      modelDir: String): Seq[Centroid] = {
+    centroidCache.keySet.removeIf(_._1.sparkContext.isStopped)
     centroidCache.computeIfAbsent((spark, modelDir), _ => {
       val marker = new org.apache.hadoop.fs.Path(modelDir, "_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -372,6 +381,7 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1).toSeq
     })
+  }
 
   def annIvfPersisted(spark: SparkSession, dir: String, modelDir: String,
       nQueries: Int = 10, k: Int = 3): DataFrame =

@@ -72,9 +72,15 @@ object JobProbe {
       var prevEnd = if (sorted.nonEmpty) sorted.head.start else 0L
       sorted.foreach { j =>
         val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
-        val gap = (j.start - prevEnd) / 1e3 // driver/FS time since last job end
+        // driver/FS time since last job end, CLAMPED at 0: concurrent jobs
+        // (GenState.inParallel writes) overlap, and a negative "gap" would
+        // make the census misleading exactly for the paths it measures —
+        // overlapping jobs are flagged instead
+        val rawGap = (j.start - prevEnd) / 1e3
+        val gap = math.max(0.0, rawGap)
+        val overlap = if (rawGap < 0) " [overlaps prev]" else ""
         prevEnd = math.max(prevEnd, if (j.end > 0) j.end else j.start)
-        println(f"  job ${j.id}%4d gap ${gap}%7.3f  dur ${dur}%7.3f s stages=${j.stages} ${j.desc.take(80)}")
+        println(f"  job ${j.id}%4d gap ${gap}%7.3f  dur ${dur}%7.3f s stages=${j.stages} ${j.desc.take(80)}$overlap")
       }
       println(f"  JOB-SUM $jobSum%.2f s  DRIVER/FS GAP ${total - jobSum}%.2f s")
     }
